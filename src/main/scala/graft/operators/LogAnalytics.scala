@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2A — job-log analytics over the parsed `events` table.
+  *
+  * The reference's core capability: per-type/user aggregation, failure-rate
+  * over time, top-k consumers, duration percentiles, sessionization, JSON
+  * property extraction.
+  *
+  * Time model: `events.ts` is parquet TIMESTAMP(NANOS); both engines are
+  * driven off µs-since-epoch longs (`ts_us` here = `epoch_us(ts)` in
+  * DuckDB — identical truncation, see Tables.events). All bucket math is
+  * integer division on those longs, so there is no timestamp type or
+  * timezone in any output.
+  *
+  * Scale design: every query is a single shuffle on its natural key
+  * (event_type / user_id / bucket) with map-side partial aggregation;
+  * sessionization shuffles once by user_id and runs window functions
+  * within partitions — no driver-side collection anywhere. Window-heavy
+  * queries hold one user's events per task, which is bounded (users ≪
+  * events); at 100 TB the same plan holds with AQE sizing partitions.
+  */
+object LogAnalytics {
+
+  private val HourUs = 3600L * 1000000L
+  private val DayUs = 86400L * 1000000L
+  private val MinuteUs = 60L * 1000000L
+  private val GapUs = 30L * MinuteUs // session gap: 30 min
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_counts_by_type" -> countsByType,
+    "log_error_rate_hourly" -> errorRateHourly,
+    "log_daily_active" -> dailyActive,
+    "log_top_users" -> topUsers,
+    "log_topk_per_type" -> topkPerType,
+    "log_percentiles" -> percentiles,
+    "log_json_extract" -> jsonExtract,
+    "log_sessionize" -> sessionize,
+    "log_session_stats" -> sessionStats,
+    "log_rolling_avg" -> rollingAvg,
+    "log_funnel" -> funnel,
+    "log_anomaly_zscore" -> anomalyZscore,
+    "log_hist_value" -> histValue,
+    "log_lag_sessions_delta" -> lagDelta
+  )
+
+  def countsByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("event_type")
+
+  def errorRateHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((expr(s"ts_us div $HourUs") * 3600L).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_events"), 4))
+      .orderBy("hour_ts")
+
+  def dailyActive(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(expr(s"ts_us div $DayUs").as("day_num"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day_num")
+
+  def topUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+
+  def topkPerType(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("event_type", "rk")
+  }
+
+  /** Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`:
+    * both linear-interpolation over the sorted set). Scale path is
+    * `approx_percentile` — exact kept for oracle parity at test SF. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  /** Gap-based sessionization: new session when the gap from the previous
+    * event of the same user is >= 30 min (mirrors `session_window`
+    * semantics: a session's window is [start, last+gap)). */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull
+          || col("ts_us") - col("prev_us") >= GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .select("user_id", "event_id", "ts_us", "session_id")
+      .orderBy("user_id", "ts_us", "event_id")
+
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+
+  /** Rolling window over the last 10 events per user. Emits the rolling
+    * SUM + frame size (mean = sum/n). The sum of 2-decimal inputs sits on
+    * the 0.01 grid, so `round(x, 2)` is engine-agnostic; the mean of an
+    * n≤10 frame lands exactly on round-4 midpoints where Spark's
+    * BigDecimal HALF_UP and DuckDB's multiply-shift round() disagree. */
+  def rollingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        round(sum("value").over(w), 2).as("rolling_sum"),
+        count(lit(1)).over(w).as("n_frame"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Ordered funnel signup → view → purchase: stage counts of users whose
+    * first view follows their first signup, etc. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    s1.select(lit("1_signup").as("stage"), col("user_id"))
+      .unionAll(s2.select(lit("2_view_after_signup").as("stage"), col("user_id")))
+      .unionAll(s3.select(lit("3_purchase_after_view").as("stage"), col("user_id")))
+      .groupBy("stage").agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("stage")
+  }
+
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+    Tables.events(s, d)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), round(col("z"), 3).as("z"))
+      .orderBy("event_id")
+  }
+
+  def histValue(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .groupBy(expr(s"(ts_us - prev_us) div $MinuteUs").as("delta_min"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("delta_min")
+  }
+
+  /** DuckDB CTE giving events with µs-since-epoch (mirrors ts_us). */
+  private val E =
+    "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value, props FROM events)"
+
+  /** Shared sessionize CTE (mirrors [[sessionized]]). */
+  private val SessCte =
+    s"""WITH $E,
+       |lagd AS (
+       |  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev_us
+       |  FROM e),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR tu - prev_us >= 1800000000
+       |    THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagd),
+       |sess AS (
+       |  SELECT *, sum(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY tu, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       |  FROM flagged)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "log_counts_by_type" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "log_error_rate_hourly" ->
+      s"""WITH $E
+         |SELECT (tu // 3600000000) * 3600 AS hour_ts,
+         |  count(*) AS n_events,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+         |  round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 4) AS error_rate
+         |FROM e GROUP BY 1 ORDER BY hour_ts""".stripMargin,
+    "log_daily_active" ->
+      s"""WITH $E
+         |SELECT tu // 86400000000 AS day_num,
+         |  count(DISTINCT user_id) AS n_active, count(*) AS n_events
+         |FROM e GROUP BY 1 ORDER BY day_num""".stripMargin,
+    "log_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+    "log_topk_per_type" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+        |  FROM counts)
+        |SELECT event_type, user_id, n, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+    "log_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "log_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k,
+        |  count(k) AS n_with_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "log_sessionize" ->
+      s"""$SessCte
+         |SELECT user_id, event_id, tu AS ts_us, session_id
+         |FROM sess ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "log_session_stats" ->
+      s"""$SessCte
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(tu) AS start_us, max(tu) - min(tu) AS duration_us,
+         |  round(sum(value), 2) AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "log_rolling_avg" ->
+      s"""WITH $E
+         |SELECT user_id, event_id, tu AS ts_us,
+         |  round(sum(value) OVER w, 2) AS rolling_sum,
+         |  count(*) OVER w AS n_frame
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "log_funnel" ->
+      s"""WITH $E,
+         |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND tu > t1 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id)
+         |SELECT stage, count(DISTINCT user_id) AS n_users FROM (
+         |  SELECT '1_signup' AS stage, user_id FROM s1
+         |  UNION ALL SELECT '2_view_after_signup', user_id FROM s2
+         |  UNION ALL SELECT '3_purchase_after_view', user_id FROM s3)
+         |GROUP BY stage ORDER BY stage""".stripMargin,
+    "log_anomaly_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type
+        |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0)
+        |SELECT event_id, e.event_type, round((value - mu) / sd, 3) AS z
+        |FROM events e JOIN stats USING (event_type)
+        |WHERE abs((value - mu) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
+    "log_hist_value" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "log_lag_sessions_delta" ->
+      s"""WITH $E,
+         |lagd AS (
+         |  SELECT tu - lag(tu) OVER (
+         |    PARTITION BY user_id ORDER BY tu, event_id) AS delta_us
+         |  FROM e)
+         |SELECT delta_us // 60000000 AS delta_min, count(*) AS n
+         |FROM lagd WHERE delta_us IS NOT NULL
+         |GROUP BY 1 ORDER BY delta_min""".stripMargin
+  )
+}

@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2B — relational / general query engine over the TPC-H-ish star schema.
+  *
+  * Scale design: `lineitem`/`orders` are the fact tables — every query
+  * aggregates or joins them on their natural keys so Spark shuffles at most
+  * once per fact table, with map-side partial aggregation. All dimension
+  * joins (`region`, `nation`, `supplier`, `part`, `customer`-as-dim) are
+  * explicitly `broadcast()` so no shuffle of the fact side is spent on
+  * them; at 100 TB only customer×orders and orders×lineitem shuffle, and
+  * AQE (enabled in Bench/Verify sessions) handles skew + right-sizes
+  * partitions.
+  *
+  * Oracle parity: money sums are `round(x, 2)` on both sides (inputs are
+  * 2-decimal doubles, so true sums sit on the 0.01 grid — never near a
+  * rounding boundary); averages/rates are `round(x, 4)`; dates are emitted
+  * as DATE; every query ends in a total ORDER BY.
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_shipping" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "join_broadcast_dim" -> joinBroadcastDim,
+    "join_anti" -> joinAnti,
+    "join_semi" -> joinSemi,
+    "agg_distinct" -> aggDistinct,
+    "agg_rollup" -> aggRollup,
+    "pivot_status" -> pivotStatus,
+    "set_ops" -> setOps,
+    "window_running_total" -> windowRunningTotal,
+    "corr_stats" -> corrStats
+  )
+
+  /** TPC-H Q1 shape (pricing summary report); dates shifted to this
+    * dataset's 1995–2001 range. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: segment-filtered customer × orders × lineitem,
+    * top-10 open orders by revenue. Customer side is broadcast (it is a
+    * fraction of a dim table after the segment filter). */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1996-03-15 00:00:00"))
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date")
+        .as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: regional supplier revenue through the full star.
+    * region/nation/supplier/customer broadcast; the only shuffles are the
+    * two fact-side key exchanges (orders↔customer pre-filtered, then
+    * lineitem↔orders). */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Broadcast hash join fact × small dim, brand rollup. */
+  def joinBroadcastDim(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).select("l_partkey", "l_quantity")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** Anti join: customers that never placed an order. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: parts that shipped at least once. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d).select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  /** Multiple exact count-distincts per group (expand-based in Spark). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** ROLLUP over (status, priority); NULL grouping slots coalesced to
+    * 'ALL' on both sides so hash compare is null-free. */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** Pivot: order-status counts + revenue as a priority × status matrix. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"),
+        coalesce(col("P"), lit(0L)).as("cnt_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** UNION ALL / INTERSECT / EXCEPT over customer key sets. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withF = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val negative = Tables.customer(s, d)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    val i = building.intersect(withF)
+      .select(lit("building_and_f").as("src"), col("c_custkey"))
+    val e = building.except(negative)
+      .select(lit("building_not_neg").as("src"), col("c_custkey"))
+    i.unionAll(e).orderBy("src", "c_custkey")
+  }
+
+  /** Running revenue total per customer over order dates. */
+  def windowRunningTotal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Correlation / covariance / stddev aggregates per return flag. */
+  def corrStats(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        (round(corr("l_quantity", "l_extendedprice"), 3) + lit(0.0))
+          .as("corr_qty_price"),
+        (round(covar_samp("l_quantity", "l_extendedprice"), 1) + lit(0.0))
+          .as("covar_qty_price"),
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(stddev_samp("l_discount"), 4).as("sd_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate::DATE AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS cnt_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS cnt_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS cnt_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |with_f AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |SELECT 'building_and_f' AS src, c_custkey
+        |  FROM (SELECT c_custkey FROM building
+        |        INTERSECT SELECT c_custkey FROM with_f)
+        |UNION ALL
+        |SELECT 'building_not_neg' AS src, c_custkey
+        |  FROM (SELECT c_custkey FROM building
+        |        EXCEPT SELECT c_custkey FROM neg)
+        |ORDER BY src, c_custkey""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 1) + 0.0 AS covar_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_samp(l_discount), 4) AS sd_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

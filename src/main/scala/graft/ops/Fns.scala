@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * no UDFs — so all operators stay inside Catalyst/Tungsten codegen and the
+  * same logical expressions can be mirrored 1:1 in the DuckDB oracle SQL.
+  *
+  * Parity rules with the oracle (see SURVEY.md §4):
+  *  - tokenization = split on `[^a-z]+` after ASCII lower() on both sides;
+  *  - shingles are 3-word joins with single spaces, 1-based index math on
+  *    the DuckDB side mirrors the 0-based `sequence` here;
+  *  - all dot/cosine math is an explicit left-to-right fold over doubles so
+  *    both engines produce bit-identical IEEE754 results.
+  */
+object Fns {
+
+  /** Stopword list shared by quality scoring + language profiles. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "is", "on", "to", "for", "with")
+
+  /** ASCII word tokens: lower → split `[^a-z]+` → drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** 3-word shingles ("w1 w2 w3"), empty array when < 3 tokens. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sequential left-fold dot product of two double arrays (bit-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cast an array<float> embedding to array<double> (exact widening). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** cosine = dot(a,b) / sqrt(dot(a,a) * dot(b,b)) — mirror this exact
+    * formula (including the single sqrt over the product) in oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** DuckDB SQL fragment: word tokens of `expr` (mirror of [[tokens]]). */
+  def sqlTokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), t -> t <> '')"
+
+  /** DuckDB SQL fragment: 3-word shingles of token list `w`. */
+  def sqlShingles3(w: String): String =
+    s"(CASE WHEN len($w) >= 3 THEN " +
+      s"[$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] " +
+      s"for i in generate_series(1, len($w) - 2)] " +
+      s"ELSE [] END)"
+
+  /** DuckDB SQL fragment: sequential dot product of two float lists,
+    * widened to double element-wise (mirror of [[dot]]∘[[asDouble]]). */
+  def sqlDot(a: String, b: String): String =
+    s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE " +
+      s"for i in generate_series(1, len($a))])"
+
+  /** DuckDB SQL fragment mirroring [[cosine]]. */
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver-generated star schema.
+  *
+  * Scale notes: every loader is a plain parquet scan so Catalyst can push
+  * filters and prune columns into the scan (verify via `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`). On a real cluster these would
+  * be partitioned/bucketed tables; at 100 TB the fact tables (`lineitem`,
+  * `orders`, `events`) shuffle on their join/agg keys and the dimension
+  * tables (`region`, `nation`, `supplier`, `part`, `customer`) stay
+  * broadcast-able.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The parsed job-log table. The driver data carries parquet
+    * TIMESTAMP(NANOS) which Spark's parquet reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` reads it as a raw ns long.
+    * We derive `ts_us` (µs, truncating div) — bit-identical to DuckDB's
+    * ns→µs truncation on the same file, so oracle SQL can use
+    * `epoch_us(ts)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+}
