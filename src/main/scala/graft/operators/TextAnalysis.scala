@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Fns
+import graft.sources.Tables
+
+/** §2E — text analysis over `documents`.
+  *
+  * All SQL-checked outputs are integers (token counts, distinct counts,
+  * char sums) or integer-comparison flags: ratios of small ints land on
+  * rounding midpoints where engines disagree, so thresholds like
+  * "unique ratio > 0.3" are expressed as `10*n_distinct > 3*n_tokens`.
+  *
+  * Scale: tokenization is per-row (narrow, codegen'd); word frequency is
+  * the classic explode→partial-agg→shuffle-by-word reduction, the same
+  * shape at 100 TB (top-k applied after the full aggregation, which is
+  * bounded by vocabulary size, not corpus size).
+  */
+object TextAnalysis {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> tokenCount,
+    "text_word_freq" -> wordFreq,
+    "text_quality" -> quality,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint,
+    "text_shingle_stats" -> shingleStats
+  )
+
+  private def withToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", Fns.tokens(col("text")))
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_tok_chars"))
+      .orderBy("doc_id")
+
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val stop = array(Fns.Stopwords.map(lit): _*)
+    withToks(s, d)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => array_contains(stop, t)))
+          .cast("long").as("n_stop"),
+        col("n_chars"))
+      .withColumn("quality_ok",
+        (col("n_chars") >= 100 && col("n_chars") <= 20000
+          && col("n_tokens") >= 10
+          && col("n_distinct") * 10 > col("n_tokens") * 3)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Rows-only: stopword-profile language scoring (n-gram heuristic).
+    * Deterministic scores; `pred_lang` is argmax with lexicographic
+    * tie-break. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "y", "es"),
+      "fr" -> Seq("le", "la", "et", "est", "un"),
+      "zh" -> Seq("de", "le", "shi", "he", "zai"))
+    val scored = profiles.foldLeft(withToks(s, d)) { case (df, (lang, ws)) =>
+      df.withColumn(s"s_$lang",
+        size(array_intersect(array_distinct(col("toks")),
+          array(ws.map(lit): _*))))
+    }
+    val best = profiles.map { case (lang, _) =>
+      struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+    }
+    scored
+      .withColumn("top", sort_array(array(best: _*), asc = false)(0))
+      .select(col("doc_id"), col("lang"),
+        col("top.lang").as("pred_lang"),
+        (col("top.lang") === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Rows-only: 64-bit fingerprints — xxhash64 of the full text plus a
+    * rolling rotate-XOR hash folded over the token stream (bitwise ops:
+    * order-sensitive like a polynomial hash, but no ANSI overflow). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("fp_xxhash"),
+        aggregate(col("toks"), lit(1125899906842597L),
+          (acc, t) => shiftleft(acc, 5)
+            .bitwiseOR(shiftrightunsigned(acc, 59))
+            .bitwiseXOR(xxhash64(t))).as("fp_rolling"))
+      .orderBy("doc_id")
+
+  def shingleStats(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .withColumn("sh", Fns.shingles3(col("toks")))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_uniq_shingles"))
+      .orderBy("doc_id")
+
+  private val Toks = Fns.sqlTokens("text")
+  private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  len(w)::BIGINT AS n_tokens,
+         |  length(text)::BIGINT AS n_chars_m,
+         |  coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT
+         |    AS sum_tok_chars
+         |FROM (SELECT doc_id, text, $Toks AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_word_freq" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest($Toks) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len(w)::BIGINT AS n_tokens,
+         |  len(list_distinct(w))::BIGINT AS n_distinct,
+         |  len(list_filter(w, t -> list_contains($StopList, t)))::BIGINT
+         |    AS n_stop,
+         |  n_chars,
+         |  (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+         |    AND len(w) >= 10
+         |    AND len(list_distinct(w)) * 10 > len(w) * 3
+         |    THEN 1 ELSE 0 END) AS quality_ok
+         |FROM (SELECT doc_id, n_chars, $Toks AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_shingle_stats" ->
+      s"""SELECT doc_id,
+         |  len(sh)::BIGINT AS n_shingles,
+         |  len(list_distinct(sh))::BIGINT AS n_uniq_shingles
+         |FROM (SELECT doc_id, ${Fns.sqlShingles3("w")} AS sh
+         |      FROM (SELECT doc_id, $Toks AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin
+  )
+}
