@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: dumps `.explain("formatted")` for every query so
+  * shuffle counts, PushedFilters, ReadSchema pruning, and
+  * WholeStageCodegen spans can be reviewed (SURVEY.md §5 contract).
+  *
+  * Usage: runMain graft.Explain <sfDir> <outDir>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    val summary = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        val nShuffles = "Exchange".r.findAllIn(plan).length
+        val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+        val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
+        summary.append(f"$name%-28s shuffles=${nShuffles - nBroadcast}%2d " +
+          f"broadcasts=$nBroadcast%2d codegenSpans=$nCodegen%2d\n")
+      } catch {
+        case e: Throwable =>
+          summary.append(s"$name FAILED: ${e.getMessage}\n")
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/SUMMARY.txt"), summary.toString)
+    print(summary)
+    spark.stop()
+  }
+}

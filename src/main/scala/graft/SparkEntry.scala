@@ -18,10 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LogAnalytics.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      StreamingBatch.queries
 
   /** DuckDB oracle SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LogAnalytics.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      StreamingBatch.oracles
 }

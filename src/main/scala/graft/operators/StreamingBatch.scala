@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2G — batch-equivalents of the Structured Streaming pipelines.
+  *
+  * The driver's oracle protocol is batch-only, so these run the exact
+  * transforms the streaming jobs in [[graft.streaming.Pipelines]] use —
+  * `window()` tumbling aggregation and `session_window()` — in batch
+  * mode on the same `events` table. Spark guarantees the operators are
+  * semantically identical in both modes (that is the point of Structured
+  * Streaming); the streaming execution itself (watermarks, MemoryStream)
+  * is unit-tested in `graft.streaming` specs.
+  */
+object StreamingBatch {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> tumblingAgg,
+    "stream_session_window" -> sessionWindow
+  )
+
+  /** Events with a proper TimestampType column (µs precision). */
+  private def withTs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("t", timestamp_micros(col("ts_us")))
+
+  def tumblingAgg(s: SparkSession, d: String): DataFrame =
+    withTs(s, d)
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
+  /** Native session_window (30 min gap) per user — same session
+    * boundaries as LogAnalytics.sessionize (gap ≥ 30 min ⇒ new
+    * session; window end = last event + gap, exclusive). */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    withTs(s, d)
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  private val E =
+    "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      s"""WITH $E
+         |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,
+         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM e GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "stream_session_window" ->
+      s"""WITH $E,
+         |lagd AS (
+         |  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+         |    AS prev_us FROM e),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR tu - prev_us >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS session_id
+         |  FROM flagged)
+         |SELECT user_id, min(tu) AS start_us,
+         |  max(tu) + 1800000000 AS end_us,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, start_us""".stripMargin
+  )
+}

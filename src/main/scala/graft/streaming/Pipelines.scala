@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines (the streaming side of §2G).
+  *
+  * These take any streaming DataFrame with the `events` schema
+  * (`ts: timestamp, user_id: long, event_type: string, value: double`)
+  * — file source, Kafka, or MemoryStream in tests — and apply the same
+  * logical transforms as the batch operators, plus streaming-only
+  * machinery: event-time watermarks and custom session state via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale: state is keyed by user_id (bounded per-key), watermark bounds
+  * total state retention; both are the standard shuffle-by-key stateful
+  * operator shapes that scale horizontally with executors.
+  */
+object Pipelines {
+
+  /** Tumbling 1h per-type counts with a 2h watermark (late data beyond
+    * the watermark is dropped, windows finalize → append mode works). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Native session_window aggregation (30 min gap). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  private val GapUs = 30L * 60L * 1000000L
+
+  /** Custom sessionization with explicit state: emits a session once the
+    * 30-min gap elapses (processing-time timeout). Demonstrates
+    * `flatMapGroupsWithState` for semantics `session_window` can't
+    * express (e.g. emitting partial sessions, custom close conditions).
+    */
+  def sessionizeWithState(events: Dataset[Event])
+      : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              ClosedSession(userId, st.startUs, st.lastUs + GapUs,
+                st.n, st.sum)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st == null) {
+                st = SessionState(us, us, 1L, e.value)
+              } else if (us - st.lastUs >= GapUs) {
+                closed += ClosedSession(userId, st.startUs,
+                  st.lastUs + GapUs, st.n, st.sum)
+                st = SessionState(us, us, 1L, e.value)
+              } else {
+                st = SessionState(st.startUs, math.max(st.lastUs, us),
+                  st.n + 1, st.sum + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutDuration("30 minutes")
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.LogLineParser
+
+class LogLineParserSpec extends SparkSpec {
+
+  test("parses log4j daemon lines") {
+    import spark.implicits._
+    val lines = Seq(
+      "2024-01-05 12:00:01,123 INFO [main] org.apache.hadoop.mapred.JobTracker: Starting job job_202401_0007",
+      "2024-01-05 12:00:02,456 ERROR [RMCommunicator] org.apache.hadoop.yarn.Client: Container failed",
+      "not a log line at all"
+    ).toDF("value")
+    val parsed = LogLineParser.parseLog4j(lines).collect()
+    assert(parsed.length === 3)
+    val first = parsed(0)
+    assert(first.getAs[String]("level") === "INFO")
+    assert(first.getAs[String]("thread") === "main")
+    assert(first.getAs[String]("logger") ===
+      "org.apache.hadoop.mapred.JobTracker")
+    assert(first.getAs[String]("job_id") === "job_202401_0007")
+    assert(first.getAs[Int]("millis") === 123)
+    assert(first.getAs[java.sql.Timestamp]("ts") != null)
+    assert(parsed(1).getAs[String]("level") === "ERROR")
+    assert(parsed(1).getAs[String]("job_id") == null)
+    assert(parsed(2).getAs[String]("level") == null)
+    assert(parsed(2).getAs[String]("raw") === "not a log line at all")
+  }
+
+  test("parses JobHistory attribute lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"""",
+      """Task TASKID="task_001" TASK_TYPE="MAP" START_TIME="1704455000""""
+    ).toDF("value")
+    val parsed = LogLineParser.parseJobHistory(lines)
+    val rows = parsed.select(LogLineParser.attr("JOBID"),
+      LogLineParser.attr("JOB_STATUS"), parsed("event")).collect()
+    assert(rows(0).getString(0) === "job_202401_0007")
+    assert(rows(0).getString(1) === "SUCCESS")
+    assert(rows(0).getString(2) === "Job")
+    assert(rows(1).getString(2) === "Task")
+    assert(rows(1).isNullAt(0))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+/** Every SparkEntry query must run at sf0.001 and be deterministic
+  * (same result on repeated execution — catches accidental RNG or
+  * partition-order dependence). Oracle-value correctness is covered by
+  * the driver's DuckDB gate (scripts/check.py locally). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val mayBeEmpty = Set("join_anti", "log_anomaly_zscore")
+
+  /** Queries where nondeterminism could plausibly creep in (ties under
+    * limit, LSH bucketing, hash-derived constants) get a double-run
+    * determinism check; the rest run once (the driver's hash gate
+    * catches value drift there). */
+  private val determinismChecked = Set(
+    "q3_shipping", "log_top_users", "log_topk_per_type", "text_word_freq",
+    "ann_bruteforce_topk", "ann_lsh_topk", "knn_self_join",
+    "dedup_minhash_lsh", "dedup_simhash", "mm_feature_extract")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs${if (mayBeEmpty(name)) "" else ", non-empty"}") {
+      val r1 = fn(spark, sf0001).collect()
+      if (!mayBeEmpty(name)) assert(r1.nonEmpty, s"$name returned 0 rows")
+      if (determinismChecked(name)) {
+        val r2 = fn(spark, sf0001).collect()
+        assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+          s"$name is nondeterministic")
+      }
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).collect().nonEmpty)
+  }
+
+  test("every query key has either an oracle or is documented rows-only") {
+    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
+      "text_lang_id", "text_fingerprint", "mm_feature_extract")
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Pipelines
+import graft.streaming.Pipelines.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts over a memory stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(10), 1L, "view", 2.0),
+        Event(ts(61), 2L, "click", 3.0),
+        // watermark pusher: 4h later closes earlier windows
+        Event(ts(240), 3L, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(300), 3L, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .orderBy("win_start", "event_type").collect()
+      assert(out.length >= 2)
+      val first = out(0)
+      assert(first.getAs[Long]("n") === 2L) // two views in hour 10
+      assert(first.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.sessionizeWithState(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart, then a 40-min gap → 2 sessions
+      mem.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(5), 1L, "click", 2.0),
+        Event(ts(45), 1L, "view", 3.0))
+      // Poll the sink rather than processAllAvailable(): pending
+      // processing-time timeouts keep scheduling batches, which can
+      // starve processAllAvailable indefinitely.
+      val deadline = System.currentTimeMillis() + 90000
+      while (spark.table("sessions").count() < 1
+          && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val out = spark.table("sessions").collect()
+      // first session (2 events) closed by the in-batch gap
+      assert(out.length === 1)
+      assert(out(0).getAs[Long]("n_events") === 2L)
+      assert(out(0).getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("batch session_window equals lag-based sessionization on testdata") {
+    val a = graft.operators.StreamingBatch.sessionWindow(spark, sf0001)
+      .select("user_id", "start_us", "n_events")
+    val b = graft.operators.LogAnalytics.sessionStats(spark, sf0001)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
