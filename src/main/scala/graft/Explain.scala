@@ -27,10 +27,13 @@ object Explain {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
-        val nShuffles = "Exchange".r.findAllIn(plan).length
-        val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
-        val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
-        summary.append(f"$name%-28s shuffles=${nShuffles - nBroadcast}%2d " +
+        // formatted mode: operators appear once as "(N) <Op>" in details
+        val nShuffles = """\(\d+\) Exchange""".r.findAllIn(plan).length
+        val nBroadcast =
+          """\(\d+\) BroadcastExchange""".r.findAllIn(plan).length
+        val nCodegen = """\[codegen id : \d+\]""".r.findAllIn(plan)
+          .toSeq.distinct.length
+        summary.append(f"$name%-28s shuffles=$nShuffles%2d " +
           f"broadcasts=$nBroadcast%2d codegenSpans=$nCodegen%2d\n")
       } catch {
         case e: Throwable =>

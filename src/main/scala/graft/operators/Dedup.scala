@@ -51,20 +51,46 @@ object Dedup {
       .select("doc_id")
       .orderBy("doc_id")
 
-  /** (doc_id, shingle) inverted index over distinct 3-gram shingles. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, h) rows: distinct xxhash64'd 3-gram shingles.
+    *
+    * Built relationally — posexplode tokens once, then `lead` windows —
+    * rather than via nested array lambdas: Spark inlines HOF lambda
+    * arguments, so an array-built shingle list re-runs the regex split
+    * O(shingles × 3) times per doc (measured 10-30× slowdown). Here the
+    * split runs exactly once per doc and the window is one shuffle by
+    * doc_id. Shingles are joined as 64-bit hashes, not strings, so the
+    * pair join shuffles 8-byte keys. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Fns.tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .filter(col("w3").isNotNull)
       .select(col("doc_id"),
-        explode(array_distinct(Fns.shingles3(Fns.tokens(col("text")))))
-          .as("g"))
+        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
+      .distinct()
+  }
+
+  /** Per-doc collected shingle-hash sets (the groupBy is a shuffle
+    * barrier, so `hs` is materialized once before any nested-lambda
+    * signature math consumes it repeatedly). Set-valued, so collect_list
+    * order nondeterminism is harmless (all consumers are
+    * order-invariant: min, intersect-size). */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
 
   /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d)
+    val idx = shingleRows(s, d)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     jaccardVerify(
       idx.as("a").join(idx.as("b"),
-          col("a.g") === col("b.g")
+          col("a.h") === col("b.h")
             && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("inter")),
@@ -83,52 +109,61 @@ object Dedup {
       .orderBy("a_id", "b_id")
 
   /** MinHash(128) signatures; LSH with 64 bands × 2 rows (candidate
-    * recall ≈ 1-1e-8 at j = 0.5); exact Jaccard verify on candidates. */
+    * recall ≈ 1-1e-8 at j = 0.5); exact Jaccard verify on candidates
+    * only — never on the full pair space. Signatures are computed from
+    * the materialized per-doc hash sets in a single projection (128·|S|
+    * hash evals, no 128× row explosion or extra shuffle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val minhash = idx
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(127)),
-          i => struct(i.as("i"), xxhash64(col("g"), i).as("h")))).as("ih"))
-      .groupBy(col("doc_id"), col("ih.i").as("i"))
-      .agg(min(col("ih.h")).as("mh"))
-    val bands = minhash
-      .groupBy(col("doc_id"), expr("i div 2").as("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh")))))
-        .as("band_sig"))
+    val docs = shingleArrays(s, d)
+    val sigs = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(127)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+        .as("sig"))
+    val bandStructs = array((0 until 64).map(k =>
+      struct(lit(k).as("band"),
+        xxhash64(element_at(col("sig"), 2 * k + 1),
+          element_at(col("sig"), 2 * k + 2)).as("band_sig"))): _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("kb"))
+      .select(col("doc_id"), col("kb.band").as("band"),
+        col("kb.band_sig").as("band_sig"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band")
           && col("a.band_sig") === col("b.band_sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val interAll = idx.as("a").join(idx.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardVerify(interAll.join(cands, Seq("a_id", "b_id"), "left_semi"),
-      sizes)
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
   }
 
   /** 64-bit SimHash from token-frequency bit votes; hamming ≤ 3 pairs
-    * via 4×16-bit band rotation (pigeonhole). Bit loops are unrolled at
-    * plan-build time (compile-time Int shifts keep codegen trivial). */
+    * via 4×16-bit band rotation (pigeonhole). Token hashes are collected
+    * per doc first (shuffle barrier), then all 64 bit votes run in one
+    * projection over the materialized array; the signature is assembled
+    * with a bitwise-OR fold (addition of the sign-bit mask would trip
+    * ANSI overflow). */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val bitVotes = array((0 until 64).map(j =>
-      struct(lit(j).as("j"),
-        when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1).as("v"))): _*)
-    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val masks = (0 until 64).map(j => lit(1L << j))
+    val bits = array((0 until 64).map { j =>
+      when(aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(masks(j)) =!= 0, 1L).otherwise(-1L)) > 0,
+        masks(j)).otherwise(0L)
+    }: _*)
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-      .select(col("doc_id"), explode(bitVotes).as("jv"))
-      .groupBy(col("doc_id"), col("jv.j").as("j"))
-      .agg(sum(col("jv.v")).as("vote"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, element_at(masks, col("j") + 1))
-        .otherwise(0L)).as("sig"))
+      .agg(collect_list("h").as("hs"))
+      .select(col("doc_id"),
+        aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b)).as("sig"))
     val bandCols = array((0 until 4).map(k =>
       struct(lit(k).as("k"),
         shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)
