@@ -114,10 +114,10 @@ object Dedup {
     * the materialized per-doc hash sets in a single projection (128·|S|
     * hash evals, no 128× row explosion or extra shuffle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SignatureFunctions.register(s)
     val docs = shingleArrays(s, d)
     val sigs = docs.select(col("doc_id"),
-      transform(sequence(lit(0), lit(127)),
-        i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+      call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
         .as("sig"))
     val bandStructs = array((0 until 64).map(k =>
       struct(lit(k).as("band"),
@@ -151,19 +151,15 @@ object Dedup {
     * with a bitwise-OR fold (addition of the sign-bit mask would trip
     * ANSI overflow). */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val masks = (0 until 64).map(j => lit(1L << j))
-    val bits = array((0 until 64).map { j =>
-      when(aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(masks(j)) =!= 0, 1L).otherwise(-1L)) > 0,
-        masks(j)).otherwise(0L)
-    }: _*)
+    graft.plans.SignatureFunctions.register(s)
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"))
       .select(col("doc_id"),
-        aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b)).as("sig"))
+        call_function(graft.plans.SignatureFunctions.SimHashName, col("hs"))
+          .as("sig"))
     val bandCols = array((0 until 4).map(k =>
       struct(lit(k).as("k"),
         shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)

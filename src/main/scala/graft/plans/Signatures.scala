@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared 64-bit avalanche mixer (splitmix64 finalizer — public-domain
+  * constant set, Steele et al. "Fast Splittable Pseudorandom Number
+  * Generators"). Runs in raw JVM long arithmetic (wrapping, no ANSI
+  * overflow checks) identically in interpreted and generated code. */
+object Mix64 {
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** Java source for codegen — must match [[mix]] exactly. */
+  val JavaDef: String =
+    """
+      |private static long graftMix64(long z) {
+      |  z += 0x9E3779B97F4A7C15L;
+      |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+      |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+      |  return z ^ (z >>> 31);
+      |}
+    """.stripMargin
+}
+
+/** MinHash signature of a hashed-shingle set: for permutation i,
+  * sig[i] = min over h in set of mix64(h ^ seed_i), seed_i = mix64(i).
+  * One fused codegen loop: O(numPerms·|set|) long ops, no intermediate
+  * arrays, no per-element virtual dispatch (the interpreted HOF
+  * equivalent was the dedup hot path). */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"minhash_sig expects array<bigint>, got " +
+            other.catalogString)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) {
+      val seed = Mix64.mix(i.toLong)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = Mix64.mix(hs.getLong(j) ^ seed)
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    ctx.addNewFunction("graftMix64", Mix64.JavaDef)
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |int n = $c.numElements();
+         |long[] $sig = new long[$numPerms];
+         |for (int i = 0; i < $numPerms; i++) {
+         |  long seed = graftMix64((long) i);
+         |  long best = Long.MAX_VALUE;
+         |  for (int j = 0; j < n; j++) {
+         |    long v = graftMix64($c.getLong(j) ^ seed);
+         |    if (v < best) best = v;
+         |  }
+         |  $sig[i] = best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of a token-hash multiset: bit j of the result is set
+  * iff more element hashes have bit j set than clear (ties → clear).
+  * Single codegen loop with a local vote table. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"simhash_sig expects array<bigint>, got " +
+            other.catalogString)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      s"""
+         |int n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int j = 0; j < n; j++) {
+         |  long h = $c.getLong(j);
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) $votes[b]++; else $votes[b]--;
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int b = 0; b < 64; b++) {
+         |  if ($votes[b] > 0) sig |= (1L << b);
+         |}
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig =
+    copy(child = c)
+}
+
+/** Registration for the signature expressions. */
+object SignatureFunctions {
+  val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash_sig"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val mh = FunctionIdentifier(MinHashName)
+    if (!registry.functionExists(mh)) {
+      registry.registerFunction(mh,
+        new ExpressionInfo(classOf[MinHashSig].getName, MinHashName),
+        (children: Seq[Expression]) => MinHashSig(children.head, 128))
+    }
+    val sh = FunctionIdentifier(SimHashName)
+    if (!registry.functionExists(sh)) {
+      registry.registerFunction(sh,
+        new ExpressionInfo(classOf[SimHashSig].getName, SimHashName),
+        (children: Seq[Expression]) => SimHashSig(children.head))
+    }
+  }
+}

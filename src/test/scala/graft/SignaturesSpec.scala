@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{Mix64, SignatureFunctions}
+
+class SignaturesSpec extends SparkSpec {
+
+  test("minhash signature: interpreted == codegen, set-order invariant") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L, 99L)
+    val df = Seq((a, a.reverse)).toDF("x", "y")
+    val row = df.select(
+      call_function(SignatureFunctions.MinHashName, col("x")),
+      call_function(SignatureFunctions.MinHashName, col("y"))).collect()(0)
+    val s1 = row.getSeq[Long](0)
+    val s2 = row.getSeq[Long](1)
+    assert(s1.length === 128)
+    assert(s1 === s2) // order-invariant over the set
+    // spot-check against the scala-side mixer
+    val seed0 = Mix64.mix(0L)
+    assert(s1.head === a.map(h => Mix64.mix(h ^ seed0)).min)
+  }
+
+  test("simhash signature: majority bit votes") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    // two identical hashes: every bit of the result equals that hash
+    val h = 0x0123456789ABCDEFL
+    val df = Seq((Seq(h, h), Seq(h, ~h))).toDF("same", "tied")
+    val row = df.select(
+      call_function(SignatureFunctions.SimHashName, col("same")),
+      call_function(SignatureFunctions.SimHashName, col("tied"))).collect()(0)
+    assert(row.getLong(0) === h)
+    assert(row.getLong(1) === 0L) // ties resolve to 0 bits
+  }
+
+  test("similar token sets yield close simhashes, dissimilar far") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    val base = (1 to 50).map(i => Mix64.mix(i.toLong))
+    val near = base.drop(2) ++ Seq(Mix64.mix(1000L), Mix64.mix(1001L))
+    val far = (100 to 150).map(i => Mix64.mix(i.toLong))
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+    val row = df.select(
+      call_function(SignatureFunctions.SimHashName, col("a")),
+      call_function(SignatureFunctions.SimHashName, col("b")),
+      call_function(SignatureFunctions.SimHashName, col("c"))).collect()(0)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(row.getLong(0), row.getLong(1)) <
+      ham(row.getLong(0), row.getLong(2)))
+  }
+}
