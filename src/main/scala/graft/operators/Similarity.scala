@@ -38,7 +38,8 @@ object Similarity {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cos(col("embedding"), col("q_emb")))
-      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("vec_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -96,7 +97,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cos_sim"))
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
       .orderBy("probe_id", "rk")
   }
 
@@ -105,7 +106,7 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(round(avg(col("v").cast("double")), 4).as("c_val"),
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0)).as("c_val"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
@@ -124,7 +125,7 @@ object Similarity {
       .join(broadcast(cent), "label")
       .withColumn("c", cos(Fns.asDouble(col("embedding")), col("centroid")))
       .groupBy("label")
-      .agg(round(avg("c"), 4).as("avg_cos_to_centroid"),
+      .agg((round(avg("c"), 4) + lit(0.0)).as("avg_cos_to_centroid"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label")
   }
@@ -134,7 +135,7 @@ object Similarity {
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |           FROM embeddings ORDER BY vec_id LIMIT 1)
          |SELECT vec_id,
-         |  round(${Fns.sqlCosine("embedding", "q_emb")}, 4) AS cos_sim
+         |  round(${Fns.sqlCosine("embedding", "q_emb")}, 4) + 0.0 AS cos_sim
          |FROM embeddings, q WHERE vec_id <> q_id
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "knn_self_join" ->
@@ -149,12 +150,12 @@ object Similarity {
          |  SELECT probe_id, vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY c DESC, vec_id) AS rk,
-         |    round(c, 4) AS cos_sim
+         |    round(c, 4) + 0.0 AS cos_sim
          |  FROM scored)
          |SELECT probe_id, neighbor_id, rk, cos_sim FROM ranked
          |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
     "centroid_per_label" ->
-      """SELECT label, dim, round(avg(v), 4) AS c_val, count(*) AS n_vecs
+      """SELECT label, dim, round(avg(v), 4) + 0.0 AS c_val, count(*) AS n_vecs
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
         |        unnest(embedding)::DOUBLE AS v
         |      FROM embeddings)
@@ -169,7 +170,7 @@ object Similarity {
          |  FROM (SELECT label, dim, avg(v) AS cv FROM ex GROUP BY 1, 2)
          |  GROUP BY label)
          |SELECT e.label,
-         |  round(avg(${Fns.sqlCosine("embedding", "centroid")}), 4)
+         |  round(avg(${Fns.sqlCosine("embedding", "centroid")}), 4) + 0.0
          |    AS avg_cos_to_centroid,
          |  count(*) AS n_vecs
          |FROM embeddings e JOIN cent ON e.label = cent.label
