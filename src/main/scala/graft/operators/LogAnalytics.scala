@@ -45,8 +45,27 @@ object LogAnalytics {
     "log_funnel" -> funnel,
     "log_anomaly_zscore" -> anomalyZscore,
     "log_hist_value" -> histValue,
-    "log_lag_sessions_delta" -> lagDelta
+    "log_lag_sessions_delta" -> lagDelta,
+    "log_asof_prev_signup" -> asofPrevSignup
   )
+
+  /** As-of join: each purchase event paired with the user's most recent
+    * signup at-or-before it. Spark has no native ASOF JOIN; the scalable
+    * re-expression is the tagged-union + running-max window: one shuffle
+    * by user_id, no range explosion — the same shape works for
+    * fact-to-dimension time-travel joins at 100 TB. */
+  def asofPrevSignup(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sig_ts",
+        when(col("event_type") === "signup", col("ts_us")))
+      .withColumn("prev_signup_us",
+        coalesce(max("sig_ts").over(byUser), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_us", "prev_signup_us")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
 
   def countsByType(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -329,6 +348,20 @@ object LogAnalytics {
          |  FROM e)
          |SELECT delta_us // 60000000 AS delta_min, count(*) AS n
          |FROM lagd WHERE delta_us IS NOT NULL
-         |GROUP BY 1 ORDER BY delta_min""".stripMargin
+         |GROUP BY 1 ORDER BY delta_min""".stripMargin,
+    "log_asof_prev_signup" ->
+      s"""WITH $E,
+         |marked AS (
+         |  SELECT *, CASE WHEN event_type = 'signup' THEN tu END AS sig_ts
+         |  FROM e),
+         |runmax AS (
+         |  SELECT *, coalesce(max(sig_ts) OVER (
+         |    PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |    AS prev_signup_us
+         |  FROM marked)
+         |SELECT user_id, event_id, tu AS ts_us, prev_signup_us
+         |FROM runmax WHERE event_type = 'purchase'
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

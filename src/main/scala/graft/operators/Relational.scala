@@ -34,8 +34,34 @@ object Relational {
     "pivot_status" -> pivotStatus,
     "set_ops" -> setOps,
     "window_running_total" -> windowRunningTotal,
+    "window_rank_features" -> windowRankFeatures,
+    "agg_cube" -> aggCube,
     "corr_stats" -> corrStats
   )
+
+  /** dense_rank + ntile quartiles per customer over a total order. */
+  def windowRankFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("rnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** CUBE over (status, priority): all 4 grouping combinations. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
 
   /** TPC-H Q1 shape (pricing summary report); dates shifted to this
     * dataset's 1995–2001 range. */
@@ -318,6 +344,22 @@ object Relational {
         |  FROM (SELECT c_custkey FROM building
         |        EXCEPT SELECT c_custkey FROM neg)
         |ORDER BY src, c_custkey""".stripMargin,
+    "window_rank_features" ->
+      """SELECT o_custkey, o_orderkey,
+        |  dense_rank() OVER w AS rnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "window_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (
