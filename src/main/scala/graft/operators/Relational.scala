@@ -88,6 +88,8 @@ object Relational {
     * fraction of a dim table after the segment filter). */
   def q3Shipping(s: SparkSession, d: String): DataFrame = {
     val cutoff = to_timestamp(lit("1996-03-15 00:00:00"))
+    // customer scales with SF: no forced broadcast (AQE broadcasts the
+    // segment-filtered side at runtime whenever it fits the threshold)
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -97,8 +99,11 @@ object Relational {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        col("o_custkey") === col("c_custkey"))),
+    // customer (segment-filtered dim) broadcasts into orders; the
+    // orders→lineitem join is left to Catalyst/AQE — orders is a fact
+    // table, so a forced broadcast would not survive 100 TB (AQE still
+    // broadcasts it at small SF where it fits the threshold).
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -122,18 +127,20 @@ object Relational {
     val cust = Tables.customer(s, d)
       .join(broadcast(asiaNations),
         col("c_nationkey") === col("n_nationkey"))
-      .select("c_custkey", "c_nationkey")
+      .select("c_custkey", "c_nationkey") // customer/supplier scale with
+    // SF → no broadcast hints on them; nation/region are constant dims
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
         && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
       .select("o_orderkey", "o_custkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    // orders↔customer and lineitem↔orders are fact-side joins: no
+    // broadcast hints (AQE chooses at runtime); only true dims below.
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(ord.join(broadcast(cust),
-        col("o_custkey") === col("c_custkey"))),
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp),
+      .join(supp,
         col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations),
