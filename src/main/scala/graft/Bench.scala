@@ -22,10 +22,16 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = qs.map { case (name, fn) =>
+    // two timed passes, per-query min: robust to GC pauses / machine
+    // noise that otherwise dominates sub-second query timings
+    def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = timedPass().toMap
+    val results = timedPass().map { case (name, t) =>
+      name -> math.min(t, p1(name))
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
