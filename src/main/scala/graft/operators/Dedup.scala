@@ -35,8 +35,48 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_embedding_cosine" -> embeddingCosine
+    "dedup_embedding_cosine" -> embeddingCosine,
+    "dedup_clusters" -> clusters
   )
+
+  /** Near-dup clustering: connected components over the verified
+    * Jaccard-pair graph via iterative min-label propagation (the
+    * standard scalable CC: each iteration is one shuffle join; rounds =
+    * O(log component-diameter), with a driver-side convergence check on
+    * an aggregated count — no per-row driver work). Output: every doc
+    * with its component root (min doc_id reachable) and a survivor
+    * flag (root keeps, rest drop). */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .persist() // reused every iteration; avoids re-running the
+    // whole jaccard pipeline per round
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+      next.persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+  }
 
   def exact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -218,6 +258,29 @@ object Dedup {
          |JOIN sz sb ON sb.doc_id = b_id
          |WHERE inter * 3 >= sa.n + sb.n
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
+         |SELECT doc AS doc_id, min(r) AS cluster_id,
+         |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${Fns.sqlCosine("a.embedding", "b.embedding")}, 4)

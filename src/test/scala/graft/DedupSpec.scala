@@ -24,6 +24,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster roots are cluster minima and pairs share clusters") {
+    val labels = Dedup.clusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf0001)
+      .select("a_id", "b_id").collect()
+    pairs.foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} in different clusters")
+    }
+    labels.foreach { case (doc, root) => assert(root <= doc) }
+    // roots are their own cluster id
+    labels.values.toSet.foreach { root: Long =>
+      assert(labels(root) === root)
+    }
+  }
+
   test("exact dedup survivors are unique and cover all distinct texts") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val nDistinctTexts = docs.select(countDistinct(md5(col("text"))))
