@@ -46,8 +46,31 @@ object LogAnalytics {
     "log_anomaly_zscore" -> anomalyZscore,
     "log_hist_value" -> histValue,
     "log_lag_sessions_delta" -> lagDelta,
-    "log_asof_prev_signup" -> asofPrevSignup
+    "log_asof_prev_signup" -> asofPrevSignup,
+    "log_percentiles_approx" -> percentilesApprox,
+    "log_daily_active_approx" -> dailyActiveApprox
   )
+
+  /** The 100 TB path for [[percentiles]]: sketch-based
+    * `approx_percentile` (mergeable, single pass, bounded memory) —
+    * rows-only check (sketches are engine-specific). */
+  def percentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 2).as("p90"),
+        round(expr("approx_percentile(value, 0.99, 1000)"), 2).as("p99"))
+      .orderBy("event_type")
+
+  /** The 100 TB path for [[dailyActive]]: HLL++ `approx_count_distinct`
+    * (order-invariant register merge). Rows-only check. */
+  def dailyActiveApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(expr(s"ts_us div $DayUs").as("day_num"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_active_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day_num")
 
   /** As-of join: each purchase event paired with the user's most recent
     * signup at-or-before it. Spark has no native ASOF JOIN; the scalable

@@ -35,7 +35,9 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query key has either an oracle or is documented rows-only") {
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-      "text_lang_id", "text_fingerprint", "mm_feature_extract")
+      "text_lang_id", "text_fingerprint", "mm_feature_extract",
+      "log_percentiles_approx", "log_daily_active_approx",
+      "dedup_embedding_lsh")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
