@@ -66,14 +66,20 @@ object Dedup {
             lit(1L << p)).otherwise(0L))
           .reduce(_ + _))
     }
+    // candidates carry ids only — the 8-band union + dedup shuffles
+    // 16-byte rows, not 0.5 KB embedding arrays; vectors are joined
+    // back just for the exact verification of surviving candidates
     val cands = (0 until nBands).map { band =>
       bucketed.as("a").join(bucketed.as("b"),
           col(s"a.bucket_$band") === col(s"b.bucket_$band")
             && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
     }.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
     cands
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+        "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        "b_id")
       .withColumn("cos", call_function(GraftFunctions.CosineName,
         col("a_emb"), col("b_emb")))
       .filter(col("cos") >= 0.45)

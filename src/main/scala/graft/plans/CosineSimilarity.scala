@@ -106,14 +106,26 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions`-pluggable registration. */
+/** `spark.sql.extensions`-pluggable registration of every graft native
+  * expression (cosine + minhash/simhash signatures). */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         GraftFunctions.CosineName),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(SignatureFunctions.MinHashName),
+      new ExpressionInfo(classOf[MinHashSig].getName,
+        SignatureFunctions.MinHashName),
+      (children: Seq[Expression]) => MinHashSig(children.head, 128)))
+    ext.injectFunction((
+      FunctionIdentifier(SignatureFunctions.SimHashName),
+      new ExpressionInfo(classOf[SimHashSig].getName,
+        SignatureFunctions.SimHashName),
+      (children: Seq[Expression]) => SimHashSig(children.head)))
+  }
 }
