@@ -25,8 +25,38 @@ object TextAnalysis {
     "text_quality" -> quality,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
-    "text_shingle_stats" -> shingleStats
+    "text_shingle_stats" -> shingleStats,
+    "sample_hash_docs" -> sampleHash,
+    "split_assign" -> splitAssign
   )
+
+  /** Content-hash bucket 0–15 (first md5 hex digit) — the reproducible
+    * sampling/splitting primitive: engine-agnostic, stable across runs,
+    * reshards, and cluster sizes (unlike seeded RNG sampling). */
+  private def md5Bucket(c: org.apache.spark.sql.Column) =
+    (instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1)
+      .cast("int")
+
+  /** Deterministic ~12.5% sample: md5 first hex digit ∈ {0, 1}. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", md5Bucket(col("text")))
+      .filter(col("bucket") < 2)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  /** Deterministic train/valid/test assignment (87.5 / 6.25 / 6.25 by
+    * md5 bucket ranges) + per-split×lang counts. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", md5Bucket(col("text")))
+      .withColumn("split",
+        when(col("bucket") <= 13, "train")
+          .when(col("bucket") === 14, "valid")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
 
   private def withToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("toks", Fns.tokens(col("text")))
@@ -140,6 +170,24 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END) AS quality_ok
          |FROM (SELECT doc_id, n_chars, $Toks AS w FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "sample_hash_docs" ->
+      """SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)::INT
+        |    AS bucket
+        |FROM documents
+        |WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 2
+        |ORDER BY doc_id""".stripMargin,
+    "split_assign" ->
+      """SELECT CASE
+        |    WHEN bucket <= 13 THEN 'train'
+        |    WHEN bucket = 14 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM (SELECT lang,
+        |        strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |          AS bucket
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "text_shingle_stats" ->
       s"""SELECT doc_id,
          |  len(sh)::BIGINT AS n_shingles,
