@@ -25,14 +25,18 @@ object Explain {
       try {
         val df = fn(spark, sfDir)
         df.collect() // materialize THIS plan so AQE finalizes it (codegen ids)
-        val plan = df.queryExecution.explainString(
+        val full = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
-        // formatted mode: operators appear once as "(N) <Op>" in details
-        val nShuffles = """\(\d+\) Exchange""".r.findAllIn(plan).length
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), full)
+        // operator counts from the AQE final-plan TREE only (the
+        // echoed initial plan would double-count); codegen ids come
+        // from the shared details section (distinct ids)
+        val tree = full.split("== Initial Plan ==")(0)
+        val nShuffles =
+          """(?<!Broadcast)Exchange \(\d+\)""".r.findAllIn(tree).length
         val nBroadcast =
-          """\(\d+\) BroadcastExchange""".r.findAllIn(plan).length
-        val nCodegen = """\[codegen id : \d+\]""".r.findAllIn(plan)
+          """BroadcastExchange \(\d+\)""".r.findAllIn(tree).length
+        val nCodegen = """\[codegen id : \d+\]""".r.findAllIn(full)
           .toSeq.distinct.length
         summary.append(f"$name%-28s shuffles=$nShuffles%2d " +
           f"broadcasts=$nBroadcast%2d codegenSpans=$nCodegen%2d\n")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan regression guards for the SURVEY §5 scale contract: filters
+  * reach scans, column pruning holds, dims broadcast, and shuffle
+  * counts stay within budget. These catch silent plan regressions
+  * (a lost pushdown or an accidental cartesian) that row-level
+  * correctness checks cannot see. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // finalize AQE
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  /** The AQE final-plan tree slice (operator counts must ignore the
+    * echoed initial plan; scan details like PushedFilters live in the
+    * shared details section, so assert those on the full text). */
+  private def finalTree(p: String): String =
+    p.split("== Initial Plan ==")(0)
+
+  private def shuffles(p: String): Int =
+    """(?<!Broadcast)Exchange \(\d+\)""".r
+      .findAllIn(finalTree(p)).length
+
+  private def broadcasts(p: String): Int =
+    """BroadcastExchange \(\d+\)""".r.findAllIn(finalTree(p)).length
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"))
+    assert(!p.contains("l_partkey"), "scan reads pruned-out columns")
+  }
+
+  test("q5 keeps constant dims broadcast and shuffle count bounded") {
+    val p = plan("q5_local_supplier")
+    assert(broadcasts(p) >= 2, "nation/region should broadcast")
+    assert(shuffles(p) <= 8, s"q5 shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("text scans prune to the columns they use") {
+    val p = plan("text_token_count")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("sessionization is a single shuffle by user plus output sort") {
+    val p = plan("log_sessionize")
+    assert(shuffles(p) <= 2,
+      s"sessionize should shuffle once + sort: ${shuffles(p)}")
+  }
+
+  test("broadcast-dim join does not shuffle the dim side") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("anomaly zscore broadcasts the per-type stats") {
+    val p = plan("log_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      "stats join should be broadcast, not shuffle")
+  }
+}
