@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line. A full untimed warmup pass runs first so
   * the timed pass measures steady-state execution (JIT-compiled code,
   * warm page cache) rather than JVM startup artifacts on whichever
-  * query happens to run first. */
+  * query happens to run first.
+  *
+  * Output hygiene: a query that throws is recorded as -1 (never as its
+  * near-zero elapsed time, which would silently deflate the total) and
+  * listed under "failed". The metric line is printed to stdout AND
+  * written to SPARK_GRAFT_BENCH_OUT (default bench_metric.json) so log
+  * noise interleaved on stdout can't corrupt the driver's parse. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_metric.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,17 +33,26 @@ object Bench {
     // noise that otherwise dominates sub-second query timings
     def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = timedPass().toMap
     val results = timedPass().map { case (name, t) =>
-      name -> math.min(t, p1(name))
+      val t1 = p1(name)
+      name -> (if (t < 0 || t1 < 0) -1.0 else math.min(t, t1))
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val fJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$fJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    println(line)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

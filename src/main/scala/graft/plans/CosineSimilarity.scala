@@ -45,10 +45,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
+  /** Mismatched lengths → null (malformed embeddings must surface, not
+    * produce a plausible truncated score; matches the declarative
+    * `zip_with` form, whose null padding also nulls the fold). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0; var aa = 0.0; var bb = 0.0
@@ -62,23 +66,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / math.sqrt(aa * bb)
   }
 
+  // All generated locals are ctx.freshName'd: several CosineSimilarity
+  // instances can land in ONE generated function (e.g. the 8-band LSH
+  // bucket projection), and bare names collide into a janino
+  // "Redefinition of local variable" compile error — which Spark then
+  // silently papers over with interpreted eval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       val lGet =
-        if (elemType(left) == FloatType) s"(double) $x.getFloat(i)"
-        else s"$x.getDouble(i)"
+        if (elemType(left) == FloatType) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
       val rGet =
-        if (elemType(right) == FloatType) s"(double) $y.getFloat(i)"
-        else s"$y.getDouble(i)"
+        if (elemType(right) == FloatType) s"(double) $y.getFloat($i)"
+        else s"$y.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, aa = 0.0, bb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $lGet;
-         |  double yv = $rGet;
-         |  dot += xv * yv; aa += xv * xv; bb += yv * yv;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $aa = 0.0, $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $lGet;
+         |    double $yv = $rGet;
+         |    $dot += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($aa * $bb);
          |}
-         |${ev.value} = dot / java.lang.Math.sqrt(aa * bb);
        """.stripMargin
     })
 

@@ -74,19 +74,28 @@ case class MinHashSig(child: Expression, numPerms: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     ctx.addNewFunction("graftMix64", Mix64.JavaDef)
+    // freshName every local: two signature expressions in one generated
+    // function would otherwise redefine `n`/`i`/... and fail janino
+    // compilation (silent interpreted fallback).
     nullSafeCodeGen(ctx, ev, c => {
       val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val seed = ctx.freshName("seed")
+      val best = ctx.freshName("best")
+      val v = ctx.freshName("v")
       s"""
-         |int n = $c.numElements();
+         |int $n = $c.numElements();
          |long[] $sig = new long[$numPerms];
-         |for (int i = 0; i < $numPerms; i++) {
-         |  long seed = graftMix64((long) i);
-         |  long best = Long.MAX_VALUE;
-         |  for (int j = 0; j < n; j++) {
-         |    long v = graftMix64($c.getLong(j) ^ seed);
-         |    if (v < best) best = v;
+         |for (int $i = 0; $i < $numPerms; $i++) {
+         |  long $seed = graftMix64((long) $i);
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $v = graftMix64($c.getLong($j) ^ $seed);
+         |    if ($v < $best) $best = $v;
          |  }
-         |  $sig[i] = best;
+         |  $sig[$i] = $best;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
@@ -140,22 +149,29 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // freshName every local — see MinHashSig.doGenCode.
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val sig = ctx.freshName("sig")
       s"""
-         |int n = $c.numElements();
+         |int $n = $c.numElements();
          |int[] $votes = new int[64];
-         |for (int j = 0; j < n; j++) {
-         |  long h = $c.getLong(j);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) $votes[b]++; else $votes[b]--;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
          |}
-         |long sig = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if ($votes[b] > 0) sig |= (1L << b);
+         |long $sig = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($votes[$b2] > 0) $sig |= (1L << $b2);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -38,6 +38,37 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("mismatched-length arrays yield null, not a truncated score") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val out = df.select(
+      call_function(GraftFunctions.CosineName, col("a"), col("b")).as("c"),
+      Fns.cosine(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).isNullAt(0)) // native
+    assert(out(0).isNullAt(1)) // declarative form agrees (null padding)
+  }
+
+  test("several instances in one codegen stage compile (freshName locals)") {
+    GraftFunctions.register(spark)
+    graft.plans.SignatureFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 1.0), Array(3L, 4L)))
+      .toDF("a", "b", "hs")
+    // two cosines + minhash + simhash in a single projection: bare local
+    // names would janino-fail ("Redefinition of local variable") and
+    // silently fall back to interpreted eval
+    val r = df.select(
+      call_function(GraftFunctions.CosineName, col("a"), col("b")).as("c1"),
+      call_function(GraftFunctions.CosineName, col("b"), col("a")).as("c2"),
+      call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
+        .as("mh"),
+      call_function(graft.plans.SignatureFunctions.SimHashName, col("hs"))
+        .as("sh")).collect()
+    assert(r(0).getDouble(0) === r(0).getDouble(1))
+    assert(r(0).getSeq[Long](2).length === 128)
+  }
+
   test("works on real embeddings against oracle-formula SQL") {
     GraftFunctions.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf0001).limit(20)
