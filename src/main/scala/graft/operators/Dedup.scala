@@ -41,16 +41,30 @@ object Dedup {
   )
 
   /** The 100 TB path for [[embeddingCosine]]: hyperplane-LSH bucketing
-    * (8 independent bands × 4 planes → ~0.79 recall at cos 0.45) turns
-    * candidate generation into equi-joins on bucket ids; exact cosine
-    * verification runs on same-bucket pairs only. Rows-only check
-    * (recall < 1 by design — that is the n² → n·bucket trade; at
-    * higher similarity thresholds fewer/longer bands suffice). */
+    * (8 independent bands × nPlanes planes) turns candidate generation
+    * into equi-joins on bucket ids; exact cosine verification runs on
+    * same-bucket pairs only. Rows-only check (recall < 1 by design —
+    * that is the n² → n·bucket trade; at higher similarity thresholds
+    * fewer/longer bands suffice).
+    *
+    * Plane count is NOT a constant: with p planes a band has 2^p
+    * buckets, so per-band candidate volume is ~n²/2^p — fixed p is
+    * still quadratic in n. We pick p = ceil(log2(n / targetBucket))
+    * (targetBucket = 64, clamped to [4, 24], override with
+    * `graft.lsh.planes`), which keeps expected bucket occupancy — and
+    * therefore per-band candidate volume per row — constant as the
+    * corpus grows; the one extra driver-side `count()` is a metadata-
+    * cheap scan. At sf0.01 (n = 500) this resolves to the same 4 planes
+    * as before. */
   def embeddingLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val nBands = 8
-    val nPlanes = 4
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val nPlanes = s.conf.getOption("graft.lsh.planes").map(_.toInt).getOrElse {
+      val n = math.max(1L, e.count())
+      val p = math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
+      math.min(24, math.max(4, p))
+    }
     def plane(band: Int, p: Int): Column = {
       val comps = (0 until 64).map { j =>
         (scala.util.hashing.MurmurHash3
@@ -88,38 +102,65 @@ object Dedup {
   }
 
   /** Near-dup clustering: connected components over the verified
-    * Jaccard-pair graph via iterative min-label propagation (the
-    * standard scalable CC: each iteration is one shuffle join; rounds =
-    * O(log component-diameter), with a driver-side convergence check on
-    * an aggregated count — no per-row driver work). Output: every doc
-    * with its component root (min doc_id reachable) and a survivor
-    * flag (root keeps, rest drop). */
+    * Jaccard-pair graph via min-label propagation WITH pointer jumping
+    * (label ← label(label) each round), so convergence is
+    * O(log component-diameter) rounds — a 20-hop chain needs ~5 rounds,
+    * not 20. Per round: one co-partitioned edge⋈label join + groupBy,
+    * then the jump join; ONE action (the convergence count reads the
+    * persisted round output directly — the old label rides along in an
+    * `old` column, so nothing is executed twice). Lineage is truncated
+    * with `localCheckpoint` every round (swap for a reliable
+    * `checkpoint` dir on a multi-executor cluster) so the logical plan
+    * stays bounded however many rounds run. Non-convergence within
+    * `graft.cc.maxIters` (default 50) throws — a silently split
+    * component must never look like a result. Output: every doc with
+    * its component root (min doc_id reachable) and a survivor flag
+    * (root keeps, rest drop). */
   def clusters(s: SparkSession, d: String): DataFrame = {
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    // localCheckpoint (not a mere persist): it materializes AND truncates
+    // the logical plan to a scan, so the per-round plan stays O(1) —
+    // otherwise each round embeds the full jaccard pipeline and the jump
+    // self-join TRIPLES the tree per round (exponential planning blowup)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
-      .persist() // reused every iteration; avoids re-running the
-    // whole jaccard pipeline per round
+      .repartition(col("src")) // co-partition with the per-round join key
+      .localCheckpoint()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label"))
+    var cached: DataFrame = null // the persisted round output (unpersist
+    // must target the exact cached plan, not a projection of it)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
+      val prop = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-      next.persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+            .as("mid"))
+        .persist() // read twice below (jump self-join)
+      // pointer jump: label ← label(label); every label IS a doc_id, so
+      // the inner self-join is total
+      val next = prop
+        .join(prop.select(col("doc_id").as("p_id"), col("mid").as("p_label")),
+          col("mid") === col("p_id"))
+        .select(col("doc_id"), col("old"), col("p_label").as("label"))
+      val mat = next.localCheckpoint() // every round — see edges note
+      changed = mat.filter(col("label") =!= col("old")).count()
+      prop.unpersist()
+      if (cached != null) cached.unpersist()
+      cached = mat
+      labels = mat.select("doc_id", "label")
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $maxIters rounds " +
+          s"($changed labels still changing); raise graft.cc.maxIters")
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).cast("int").as("is_survivor"))
@@ -172,9 +213,37 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
 
-  /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join. */
+  /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join.
+    *
+    * Scale guard: the inverted-index self-join costs Σ_shingle df², so a
+    * single hot shingle (df = 10⁶ at corpus scale) is a quadratic
+    * blowout. Shingles with document frequency above
+    * `graft.dedup.maxShingleDf` (default 100) are dropped BEFORE the
+    * join — from the index and the sizes alike, so the semantics stay a
+    * clean exact Jaccard, just over the informative (df ≤ cap) shingle
+    * sets: a df-10⁶ shingle carries no dedup signal, while any real
+    * near-dup pair shares plenty of rare shingles. At the oracle SFs the
+    * cap drops nothing (max df is 7 at sf0.01, 25 at sf0.1 — measured),
+    * so results are identical to the uncapped oracle SQL; DedupSpec
+    * pins the capped behavior on a synthetic hot-shingle corpus.
+    *
+    * The hot set is found with a map-side-combined hash groupBy and is
+    * TINY by construction (heavy hitters: at most |corpus-shingles|/cap
+    * rows), so it broadcasts and the drop is a map-side anti-join — no
+    * sort, no extra shuffle of the big index. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleRows(s, d)
+    val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
+    // materialize the index ONCE: it has four consumers (hot-set agg,
+    // anti-join probe, both self-join sides via sizes) and only the
+    // exchange — not the tokenize+lead window itself — is reused by
+    // Spark, so without this the shingle construction runs 4×. On a
+    // multi-executor cluster this would be persist(MEMORY_AND_DISK) or
+    // a reliable checkpoint; the storage is O(corpus shingles) rows of
+    // (id, hash) — 16 bytes each.
+    val all = shingleRows(s, d).localCheckpoint()
+    val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val idx = all.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     jaccardVerify(
       idx.as("a").join(idx.as("b"),

@@ -40,6 +40,86 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Write a synthetic documents.parquet and return its dir. */
+  private def docsDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** Letters-only id (the tokenizer drops digits): 0→"a", 27→"bb", … */
+  private def alpha(i: Int): String = {
+    val sb = new StringBuilder
+    var n = i
+    do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+    sb.toString
+  }
+
+  test("df-cap drops hot shingles from candidates AND sizes") {
+    // 6 docs that all share one hot shingle ("hot hot hot") but are
+    // otherwise disjoint, plus one genuine near-dup pair (6, 7)
+    val hot = "hot hot hot"
+    val uniq = (0 until 6).map(i => {
+      val s = alpha(i)
+      s"$hot ua$s ub$s uc$s ud$s ue$s"
+    })
+    val nearDup = Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "alpha beta gamma delta epsilon zeta theta")
+    val dir = docsDir(uniq ++ nearDup)
+    // cap 5 < df 6: the hot shingle is dropped; the only surviving pair
+    // is the near-dup one, with sizes that EXCLUDE capped shingles
+    withConf("graft.dedup.maxShingleDf" -> "5") {
+      val rows = Dedup.ngramJaccard(spark, dir).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 7L)))
+      // 7 tokens → 5 shingles each, all df ≤ cap, 4 shared
+      assert(rows(0).getAs[Long]("inter") === 4L)
+      assert(rows(0).getAs[Long]("na") === 5L)
+    }
+    // uncapped (default 100): hot-shingle pairs appear iff jaccard ≥ 0.5
+    // — docs 0-5 share 1 of 4+4-1 shingles, so still no pair; near-dup
+    // pair remains
+    val rows = Dedup.ngramJaccard(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 7L)))
+  }
+
+  test("CC pointer jumping converges on a 30-doc chain in few rounds") {
+    // doc i = 12 consecutive words of a rolling vocabulary: consecutive
+    // docs share 9/11 shingles (jaccard ≥ 0.5 up to distance 3) → one
+    // 30-doc component with ~10-hop diameter
+    val words = (0 until 45).map(i => "w" + alpha(i))
+    val texts = (0 until 30).map(i => words.slice(i, i + 12).mkString(" "))
+    val dir = docsDir(texts)
+    // 6 rounds suffice only because of the label(label) jump (one-hop
+    // propagation needs ~diameter rounds)
+    withConf("graft.cc.maxIters" -> "6") {
+      val out = Dedup.clusters(spark, dir).collect()
+      assert(out.length === 30)
+      assert(out.forall(_.getLong(1) === 0L), "all docs in root-0 cluster")
+      assert(out.count(_.getInt(2) === 1) === 1)
+    }
+  }
+
+  test("CC fails loudly when the iteration cap is too low") {
+    val words = (0 until 45).map(i => "w" + alpha(i))
+    val texts = (0 until 30).map(i => words.slice(i, i + 12).mkString(" "))
+    val dir = docsDir(texts)
+    withConf("graft.cc.maxIters" -> "1") {
+      val e = intercept[IllegalStateException] {
+        Dedup.clusters(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    }
+  }
+
   test("exact dedup survivors are unique and cover all distinct texts") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val nDistinctTexts = docs.select(countDistinct(md5(col("text"))))
