@@ -56,8 +56,15 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         elif sorted(g) == sorted(w):
-            print(f"WARN {name}: rows match only after sorting ({len(g)} rows)")
-            n_pass += 1
+            # every query/oracle pair carries a total ORDER BY, so an
+            # order mismatch is a real regression unless explicitly waived
+            if "--unordered" in sys.argv:
+                print(f"WARN {name}: rows match only after sorting ({len(g)} rows)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: ORDER mismatch ({len(g)} rows; "
+                      "values equal as multisets — pass --unordered to waive)")
+                n_fail += 1
         else:
             print(f"FAIL {name}: spark {len(g)} rows vs oracle {len(w)} rows")
             only_g = [r for r in g if r not in set(w)][:3]

@@ -48,8 +48,46 @@ object LogAnalytics {
     "log_lag_sessions_delta" -> lagDelta,
     "log_asof_prev_signup" -> asofPrevSignup,
     "log_percentiles_approx" -> percentilesApprox,
-    "log_daily_active_approx" -> dailyActiveApprox
+    "log_daily_active_approx" -> dailyActiveApprox,
+    "log_ingest_parse" -> ingestParse
   )
+
+  /** End-to-end raw-log ingest under the oracle: render each event as a
+    * log4j daemon line (deterministic round-trip of ts/level/user/value/
+    * job id into text), parse it back with the production parser
+    * ([[graft.sources.LogLineParser.parseLog4j]] — the exact code a
+    * `spark.read.text` directory goes through), then aggregate the
+    * PARSED fields. The DuckDB oracle renders the identical strings and
+    * regex-parses them independently, so a parser regression (wrong
+    * group, wrong timestamp format, lost job id) breaks the hash match.
+    * Money rides as integer cents (float→string rendering differs
+    * between engines; `round(value*100)` is exact on the 0.01 grid). */
+  def ingestParse(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.events(s, d).select(concat(
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss"),
+      lit(","),
+      expr("lpad(cast((ts_us % 1000000) div 1000 as string), 3, '0')"),
+      lit(" "),
+      when(col("event_type") === "error", lit("ERROR")).otherwise(lit("INFO")),
+      lit(" [main] graft.Events: user="), col("user_id").cast("string"),
+      lit(" type="), col("event_type"),
+      lit(" cents="), round(col("value") * 100, 0).cast("long").cast("string"),
+      lit(" job job_"), expr(s"cast(ts_us div $DayUs as string)"),
+      lit("_"), col("user_id").cast("string")
+    ).as("value"))
+    graft.sources.LogLineParser.parseLog4j(lines)
+      .withColumn("uid",
+        regexp_extract(col("message"), "user=(\\d+)", 1).cast("long"))
+      .withColumn("cents",
+        regexp_extract(col("message"), "cents=(\\d+)", 1).cast("long"))
+      .groupBy(col("level"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("uid")).as("n_users"),
+        sum("cents").as("sum_cents"),
+        countDistinct(col("job_id")).as("n_jobs"))
+      .orderBy("level", "hour_ts")
+  }
 
   /** The 100 TB path for [[percentiles]]: sketch-based
     * `approx_percentile` (mergeable, single pass, bounded memory) —
@@ -269,6 +307,32 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_ingest_parse" ->
+      """WITH lines AS (
+        |  SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S')
+        |    || ',' || lpad(((epoch_us(ts) % 1000000) // 1000)::VARCHAR, 3, '0')
+        |    || ' ' || (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END)
+        |    || ' [main] graft.Events: user=' || user_id::VARCHAR
+        |    || ' type=' || event_type
+        |    || ' cents=' || round(value * 100)::BIGINT::VARCHAR
+        |    || ' job job_' || (epoch_us(ts) // 86400000000)::VARCHAR
+        |    || '_' || user_id::VARCHAR AS value
+        |  FROM events),
+        |parsed AS (
+        |  SELECT
+        |    strptime(regexp_extract(value,
+        |      '^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),', 1),
+        |      '%Y-%m-%d %H:%M:%S') AS ts,
+        |    regexp_extract(value,
+        |      ',\d{3} (TRACE|DEBUG|INFO|WARN|ERROR|FATAL) ', 1) AS level,
+        |    regexp_extract(value, 'user=(\d+)', 1)::BIGINT AS uid,
+        |    regexp_extract(value, 'cents=(\d+)', 1)::BIGINT AS cents,
+        |    regexp_extract(value, '(job_\d+_\d+)', 1) AS job_id
+        |  FROM lines)
+        |SELECT level, epoch(date_trunc('hour', ts))::BIGINT AS hour_ts,
+        |  count(*) AS n, count(DISTINCT uid) AS n_users,
+        |  sum(cents)::BIGINT AS sum_cents, count(DISTINCT job_id) AS n_jobs
+        |FROM parsed GROUP BY 1, 2 ORDER BY level, hour_ts""".stripMargin,
     "log_counts_by_type" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,

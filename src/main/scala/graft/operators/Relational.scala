@@ -162,11 +162,17 @@ object Relational {
       .orderBy("p_brand")
   }
 
-  /** Anti join: customers that never placed an order. */
+  /** Anti join: customers with no orders in 1996. Date-windowed so the
+    * result is non-empty at every SF (every-customer-ordered data made
+    * the unwindowed variant vacuously pass on 0 = 0 rows); the window
+    * is pushed into the orders scan before the anti join. */
   def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val y96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select("o_custkey")
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select("o_custkey"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(y96, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -306,7 +312,9 @@ object Relational {
         |ORDER BY p_brand""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "join_semi" ->
       """SELECT p_partkey, p_brand FROM part

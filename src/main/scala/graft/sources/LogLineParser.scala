@@ -42,15 +42,31 @@ object LogLineParser {
   /** JobHistory-style event line: an event type followed by
     * `KEY="value"` attribute pairs, e.g.
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
-    * Returns (event, attrs map, raw); use [[attr]] to project fields. */
-  def parseJobHistory(lines: DataFrame): DataFrame =
+    * Returns (event, attrs map, raw); use [[attr]] to project fields.
+    *
+    * Robustness: (key, value) pairs come from ONE regexp_extract_all
+    * over the complete `K="v"` unit — two independent key/value passes
+    * could desynchronize on a value containing `X="` and then throw on
+    * the array-length mismatch. Duplicate keys keep the LAST occurrence
+    * (a malformed line must not fail the whole 100 TB job via
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION). */
+  def parseJobHistory(lines: DataFrame): DataFrame = {
+    val pairs = expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""")
+    val entries = transform(pairs, p => struct(
+      regexp_extract(p, "^(\\w+)=", 1).as("key"),
+      regexp_extract(p, "^\\w+=\"([^\"]*)\"$", 1).as("value")))
+    // last-wins dedup: drop entry i when any LATER entry shares its key
+    // (per-line attr counts are tiny, so the quadratic scan is cheap
+    // and stays fully inside codegen'd HOFs)
+    val deduped = filter(entries, (e, i) =>
+      !exists(
+        slice(entries, i + lit(2), size(entries) - i - lit(1)),
+        e2 => e2.getField("key") === e.getField("key")))
     lines.select(
       nullIfEmpty(regexp_extract(col("value"), "^(\\w+) ", 1)).as("event"),
-      map_from_arrays(
-        expr("regexp_extract_all(value, '(\\\\w+)=\"', 1)"),
-        expr("regexp_extract_all(value, '\\\\w+=\"([^\"]*)\"', 1)"))
-        .as("attrs"),
+      map_from_entries(deduped).as("attrs"),
       col("value").as("raw"))
+  }
 
   /** Column helper: attrs['KEY'] from [[parseJobHistory]] output. */
   def attr(name: String) = element_at(col("attrs"), name)

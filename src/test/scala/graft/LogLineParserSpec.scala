@@ -42,4 +42,30 @@ class LogLineParserSpec extends SparkSpec {
     assert(rows(1).getString(2) === "Task")
     assert(rows(1).isNullAt(0))
   }
+
+  test("JobHistory: duplicate keys keep the last value, no exception") {
+    import spark.implicits._
+    val lines = Seq(
+      """Job JOBID="a" STATUS="RUNNING" STATUS="SUCCESS"""").toDF("value")
+    val rows = LogLineParser.parseJobHistory(lines)
+      .select(LogLineParser.attr("STATUS"), LogLineParser.attr("JOBID"))
+      .collect()
+    assert(rows(0).getString(0) === "SUCCESS")
+    assert(rows(0).getString(1) === "a")
+  }
+
+  test("JobHistory: a value containing X=\" does not desync pairs") {
+    import spark.implicits._
+    // MSG's value contains what LOOKS like the start of another pair;
+    // single-unit extraction must still see exactly two attrs
+    val lines = Seq(
+      """Job JOBID="j1" MSG="note EXTRA=" STATUS="OK"""").toDF("value")
+    val parsed = LogLineParser.parseJobHistory(lines)
+    val rows = parsed.select(LogLineParser.attr("JOBID"),
+      LogLineParser.attr("MSG"), LogLineParser.attr("STATUS")).collect()
+    assert(rows(0).getString(0) === "j1")
+    // greedy-free [^"]* closes MSG at the first quote
+    assert(rows(0).getString(1) === "note EXTRA=")
+    assert(rows(0).getString(2) === "OK")
+  }
 }
