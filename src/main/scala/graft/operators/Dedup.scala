@@ -37,8 +37,41 @@ object Dedup {
     "dedup_simhash" -> simhash,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
-    "dedup_clusters" -> clusters
+    "dedup_clusters" -> clusters,
+    "dedup_source_minhash" -> sourceMinhash
   )
+
+  /** Corpus-level near-dup profiling with the mergeable MinHash-union
+    * aggregate ([[graft.plans.MinHashUnion]], a native
+    * DeclarativeAggregate): per-source union signature = the MinHash
+    * sketch of that source's whole shingle set, computed with one
+    * shuffle of 128-long buffers (map-side partial merge, no row
+    * explosion); then pairwise source-vs-source Jaccard estimates from
+    * matching signature components. Rows-only check (sketch estimates);
+    * ApproxSpec pins the estimate against the exact per-source set
+    * Jaccard, and SignaturesSpec pins union(sig(A), sig(B)) =
+    * sig(A ∪ B). */
+  def sourceMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SignatureFunctions.register(s)
+    import graft.plans.SignatureFunctions.{MinHashName, MinHashUnionName}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val sigs = shingleArrays(s, d).join(docs, "doc_id")
+      .select(col("source"),
+        call_function(MinHashName, col("hs")).as("sig"))
+    val unions = sigs.groupBy("source")
+      .agg(call_function(MinHashUnionName, col("sig")).as("usig"),
+        count(lit(1)).as("n_docs"))
+    unions.as("a").join(unions.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n_docs").as("docs_a"), col("b.n_docs").as("docs_b"),
+        round(
+          aggregate(
+            zip_with(col("a.usig"), col("b.usig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / 128.0,
+          4).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** The 100 TB path for [[embeddingCosine]]: hyperplane-LSH bucketing
     * (8 independent bands × nPlanes planes) turns candidate generation

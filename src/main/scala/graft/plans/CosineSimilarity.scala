@@ -147,5 +147,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[SimHashSig].getName,
         SignatureFunctions.SimHashName),
       (children: Seq[Expression]) => SimHashSig(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(SignatureFunctions.MinHashUnionName),
+      new ExpressionInfo(classOf[MinHashUnion].getName,
+        SignatureFunctions.MinHashUnionName),
+      (children: Seq[Expression]) => MinHashUnion(children.head, 128)))
   }
 }

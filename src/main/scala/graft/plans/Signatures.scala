@@ -183,6 +183,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 object SignatureFunctions {
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash_sig"
+  val MinHashUnionName = "graft_minhash_union"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -197,6 +198,12 @@ object SignatureFunctions {
       registry.registerFunction(sh,
         new ExpressionInfo(classOf[SimHashSig].getName, SimHashName),
         (children: Seq[Expression]) => SimHashSig(children.head))
+    }
+    val mu = FunctionIdentifier(MinHashUnionName)
+    if (!registry.functionExists(mu)) {
+      registry.registerFunction(mu,
+        new ExpressionInfo(classOf[MinHashUnion].getName, MinHashUnionName),
+        (children: Seq[Expression]) => MinHashUnion(children.head, 128))
     }
   }
 }

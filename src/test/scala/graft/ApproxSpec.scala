@@ -28,6 +28,39 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("minhash-union source jaccard estimates track the exact values") {
+    import org.apache.spark.sql.functions._
+    // exact per-source shingle sets (sf0.001 is small enough to collect)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sets = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        posexplode(graft.ops.Fns.tokens(col("text"))).as(Seq("pos", "word")))
+      .withColumn("w2", lead("word", 1).over(w))
+      .withColumn("w3", lead("word", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("word"), col("w2"), col("w3"))).as("h"))
+      .join(docs, "doc_id")
+      .select("source", "h").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) => src -> rows.map(_.getLong(1)).toSet }
+    val est = Dedup.sourceMinhash(spark, sf0001).collect()
+    assert(est.nonEmpty)
+    val devs = est.map { r =>
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      val exact = (a & b).size.toDouble / (a | b).size
+      math.abs(r.getDouble(4) - exact)
+    }
+    // 128 perms → sigma ~ 0.044; every pair within 4.5 sigma and the
+    // mean deviation near the theoretical expectation
+    assert(devs.max <= 0.2, s"max deviation ${devs.max}")
+    assert(devs.sum / devs.length <= 0.06,
+      s"mean deviation ${devs.sum / devs.length}")
+  }
+
   test("embedding LSH pairs are a subset of exact cosine pairs") {
     val exact = Dedup.embeddingCosine(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,6 +35,48 @@ class SignaturesSpec extends SparkSpec {
     assert(row.getLong(1) === 0L) // ties resolve to 0 bits
   }
 
+  test("minhash-union aggregate: union(sig(A), sig(B)) == sig(A ∪ B)") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    val a = (1 to 40).map(i => Mix64.mix(i.toLong))
+    val b = (30 to 70).map(i => Mix64.mix(i.toLong))
+    val c = (500 to 520).map(i => Mix64.mix(i.toLong))
+    // group 1 = {A, B, C} as three rows; direct = one row with A∪B∪C
+    val grouped = Seq((1, a), (1, b), (1, c)).toDF("g", "hs")
+      .select(col("g"),
+        call_function(SignatureFunctions.MinHashName, col("hs")).as("sig"))
+      .groupBy("g")
+      .agg(call_function(SignatureFunctions.MinHashUnionName, col("sig"))
+        .as("usig"))
+      .collect()(0).getSeq[Long](1)
+    val direct = Seq(Tuple1((a ++ b ++ c).distinct))
+      .toDF("hs")
+      .select(call_function(SignatureFunctions.MinHashName, col("hs")))
+      .collect()(0).getSeq[Long](0)
+    assert(grouped.length === 128)
+    assert(grouped === direct)
+  }
+
+  test("minhash-union: null rows are skipped, empty group = identity") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    val a = Seq(5L, 6L, 7L)
+    val df = Seq((1, Some(a)), (1, None), (2, None))
+      .toDF("g", "hs")
+      .select(col("g"),
+        when(col("hs").isNotNull,
+          call_function(SignatureFunctions.MinHashName, col("hs"))).as("sig"))
+      .groupBy("g")
+      .agg(call_function(SignatureFunctions.MinHashUnionName, col("sig"))
+        .as("usig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val direct = Seq(Tuple1(a)).toDF("hs")
+      .select(call_function(SignatureFunctions.MinHashName, col("hs")))
+      .collect()(0).getSeq[Long](0)
+    assert(df(1) === direct)
+    assert(df(2).forall(_ == Long.MaxValue))
+  }
+
   test("similar token sets yield close simhashes, dissimilar far") {
     SignatureFunctions.register(spark)
     import spark.implicits._
