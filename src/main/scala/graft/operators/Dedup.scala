@@ -35,7 +35,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_embedding_cosine" -> embeddingCosine,
+    "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
     "dedup_source_minhash" -> sourceMinhash
@@ -367,10 +367,13 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Exact cosine ≥ 0.45 near-dup pairs (threshold calibrated to this
-    * dataset's random embeddings; see SURVEY.md). Uses the native
-    * codegen CosineSimilarity expression; numerics identical to the
-    * oracle's explicit fold. */
+  /** `dedup_embedding_bruteforce` — exact cosine ≥ 0.45 near-dup pairs
+    * by DELIBERATE all-pairs join: this is the small-SF oracle baseline
+    * that defines the semantics and the recall yardstick for
+    * [[embeddingLsh]], and it is a cartesian by construction — do NOT
+    * run it at corpus scale (the name says so). Uses the native codegen
+    * CosineSimilarity expression; numerics identical to the oracle's
+    * explicit fold. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -431,7 +434,7 @@ object Dedup {
          |SELECT doc AS doc_id, min(r) AS cluster_id,
          |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
-    "dedup_embedding_cosine" ->
+    "dedup_embedding_bruteforce" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${Fns.sqlCosine("a.embedding", "b.embedding")}, 4)
          |    AS cos_sim

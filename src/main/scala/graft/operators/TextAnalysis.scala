@@ -27,7 +27,9 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_shingle_stats" -> shingleStats,
     "sample_hash_docs" -> sampleHash,
-    "split_assign" -> splitAssign
+    "split_assign" -> splitAssign,
+    "text_normalize" -> normalize,
+    "text_tfidf_top_terms" -> tfidfTopTerms
   )
 
   /** Content-hash bucket 0–15 (first md5 hex digit) — the reproducible
@@ -57,6 +59,48 @@ object TextAnalysis {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split", "lang")
+
+  /** Canonical text normalization — the first stage of every LLM data
+    * pipeline: lowercase, non-letter runs collapsed to single spaces,
+    * trimmed. Emits the normalized text, its md5 (the post-normalization
+    * dedup key), and before/after lengths. Pure per-row projection: no
+    * shuffle, embarrassingly parallel at any scale. */
+  def normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm_text",
+        trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")))
+      .select(col("doc_id"), col("norm_text"),
+        md5(col("norm_text")).as("norm_md5"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  /** Per-doc top-3 characteristic terms by tf·idf. The idf is the
+    * log-free rational variant idf = (N+1)/(df+1): ordering-equivalent
+    * to the log form within a document (log is monotone) and, computed
+    * as one exactly-rounded double division of exact integers, it is
+    * bit-identical across engines — `ln` implementations may differ in
+    * the last ulp, which is enough to flip a rank tie. Shape: explode →
+    * tf groupBy (doc_id, w) → df groupBy (w) → join + row_number
+    * window; every stage is shuffle-by-key with map-side combine. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w")
+      .withColumn("score",
+        col("tf").cast("double") * lit((nDocs + 1).toDouble) / (col("df") + 1))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w").as("word"),
+        col("tf"), col("df"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
 
   private def withToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("toks", Fns.tokens(col("text")))
@@ -194,6 +238,33 @@ object TextAnalysis {
          |  len(list_distinct(sh))::BIGINT AS n_uniq_shingles
          |FROM (SELECT doc_id, ${Fns.sqlShingles3("w")} AS sh
          |      FROM (SELECT doc_id, $Toks AS w FROM documents))
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+        |    AS norm_text,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+        |    AS norm_md5,
+        |  length(text)::BIGINT AS n_chars_raw,
+        |  length(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))::BIGINT
+        |    AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($Toks) AS w FROM documents),
+         |tf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.w, tf, df,
+         |    tf::DOUBLE * (n.n + 1) / (df + 1) AS score
+         |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, w AS word, tf, df, round(score, 4) AS score
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -64,6 +64,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak: watermark evicts window state across a 24h multi-batch run") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(minute: Int) = new Timestamp(base + minute * 60000L)
+    val mem = MemoryStream[Event]
+    val q = Pipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("soak")
+      .outputMode("append").start()
+    try {
+      var maxSteadyState = 0L
+      (0 until 24).foreach { h =>
+        mem.addData(
+          Event(at(h * 60), (h % 5).toLong, "view", 1.0),
+          Event(at(h * 60 + 30), (h % 3).toLong, "click", 2.0))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (h >= 6 && p != null && p.stateOperators.nonEmpty)
+          maxSteadyState =
+            math.max(maxSteadyState, p.stateOperators(0).numRowsTotal)
+      }
+      // 48 window-states were created over the run; the 2h watermark
+      // must keep only the recent tail alive — retained state bounded,
+      // not proportional to stream length
+      assert(maxSteadyState > 0, "no state metrics reported")
+      assert(maxSteadyState <= 12,
+        s"state not evicted: $maxSteadyState rows retained")
+      // ...and evicted windows were FINALIZED into the append sink
+      assert(spark.table("soak").count() >= 40)
+    } finally q.stop()
+  }
+
   test("batch session_window equals lag-based sessionization on testdata") {
     val a = graft.operators.StreamingBatch.sessionWindow(spark, sf0001)
       .select("user_id", "start_us", "n_events")
