@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the near-dup suite: synthesizes a K×-scaled
+  * corpus from the sf0.1 testdata and times the dedup/text operators on
+  * it, so the "would this hold at 10× the rows" claim is measured, not
+  * asserted. Usage:
+  *
+  *   sbt "runMain graft.Stress [K] [sfDir]"     # default K=4, sf0.1
+  *
+  * Scaling construction (deterministic, no RNG):
+  *  - documents: K namespaced copies — every token is prefixed with a
+  *    per-copy letter tag (regexp on word boundaries), so copies share
+  *    ZERO shingles: the result is K independent corpora in one table,
+  *    and the near-dup structure (planted pairs, df distribution shape)
+  *    scales exactly linearly. Appending identical copies instead would
+  *    make every doc a K-clique of its clones — a quadratic artifact
+  *    the real pipeline never sees.
+  *  - embeddings: K×n fresh vectors with components derived from
+  *    xxhash64(vec_id, component) — uniform in [-1, 1), which preserves
+  *    the "random directions, low pairwise cosine" regime of the
+  *    original table.
+  *
+  * Emits one JSON line with per-query seconds and result rows.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir =
+      if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val copies = (0 until k).map { i =>
+      val tag = "q" + ('a' + i).toChar // letters only: a digit would
+      // split the token under the [^a-z]+ tokenizer
+      base.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "([a-z]+)", tag + "$1").as("text"),
+        lit(s"src$i").as("source"))
+    }
+    copies.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val nVecs = k * 5000
+    spark.range(0, nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(xxhash64(col("id"), j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0).cast("float")).as("embedding"),
+        pmod(col("id"), lit(10L)).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val queries = Seq(
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_clusters", "dedup_source_minhash",
+      "dedup_embedding_lsh", "text_tfidf_top_terms", "text_normalize")
+    val results = queries.map { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $name%-24s $sec%7.2f s ($rows rows)")
+      (name, sec, rows)
+    }
+    val qJson = results.map { case (n, s, r) =>
+      "\"" + n + "\":{\"sec\":" + s + ",\"rows\":" + r + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"stress_scale":$k,"n_docs":${nBase * k},"n_vecs":$nVecs,"queries":$qJson}""")
+    spark.stop()
+  }
+}

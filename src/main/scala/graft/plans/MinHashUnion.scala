@@ -31,11 +31,20 @@ case class ZipMin(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
+  // On length mismatch: null when a null is representable; otherwise
+  // (non-nullable context, e.g. between two agg buffer attributes, where
+  // codegen has no isNull variable to assign) throw — inside the
+  // aggregate both inputs are always numPerms long, so a mismatch there
+  // is corruption that must surface, not truncate.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements()) return null
+    if (n != y.numElements()) {
+      if (nullable) return null
+      throw new IllegalStateException(
+        s"zip_min: length mismatch ($n vs ${y.numElements()})")
+    }
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -50,10 +59,14 @@ case class ZipMin(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
+      val onMismatch =
+        if (nullable) s"${ev.isNull} = true;"
+        else
+          s"""throw new IllegalStateException("zip_min: length mismatch");"""
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
-         |  ${ev.isNull} = true;
+         |  $onMismatch
          |} else {
          |  long[] $out = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {

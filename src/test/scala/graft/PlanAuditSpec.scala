@@ -62,4 +62,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "stats join should be broadcast, not shuffle")
   }
+
+  test("ngram jaccard: bounded shuffles, hot-shingle drop is broadcast") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
+    // the df-cap anti-join is PLANNED broadcast (initial plan); at this
+    // SF the hot set is empty, so AQE's empty-relation propagation may
+    // elide the LeftAnti from the final plan entirely — both are the
+    // map-side shapes we want, a shuffled anti join is not
+    assert(p.contains("LeftAnti"),
+      "hot-shingle drop should be planned as an anti join")
+    assert(!p.contains("ShuffledHashJoin LeftAnti")
+      && !p.contains("SortMergeJoin LeftAnti"),
+      "hot-shingle drop must be broadcast, not shuffled")
+    assert(!p.contains("NestedLoopJoin"), "candidate join degenerated")
+  }
+
+  test("minhash LSH never materializes a cartesian") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("NestedLoopJoin"),
+      "LSH candidate generation must stay an equi-join")
+    assert(shuffles(p) <= 6, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("embedding LSH joins are equi-joins; candidates carry ids only") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("NestedLoopJoin"),
+      "bucket join must be an equi-join, not a cartesian")
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("source minhash aggregates with map-side partial merge") {
+    val p = plan("dedup_source_minhash")
+    // the union sketch must run as a two-phase hash aggregate
+    // (partial graft_minhash_union before the source shuffle)
+    val tree = finalTree(p)
+    assert(tree.contains("partial_graft_minhash_union") ||
+      p.contains("partial_graft_minhash_union"),
+      "MinHashUnion should partial-aggregate map-side")
+    assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("tfidf: explode -> tf -> df pipeline stays within shuffle budget") {
+    val p = plan("text_tfidf_top_terms")
+    assert(shuffles(p) <= 6, s"shuffle budget exceeded: ${shuffles(p)}")
+    assert(!p.contains("NestedLoopJoin"))
+  }
 }
