@@ -105,6 +105,9 @@ object Dedup {
       }
       array(comps.map(c => lit(c)): _*)
     }
+    // materialized once: the per-band self-joins consume `bucketed`
+    // 2×nBands times, and the 8×nPlanes cosine projections would
+    // otherwise re-run for every consumer (only exchanges get reused)
     val bucketed = (0 until nBands).foldLeft(e) { (df, band) =>
       df.withColumn(s"bucket_$band",
         (0 until nPlanes).map(p =>
@@ -112,7 +115,7 @@ object Dedup {
             graft.ops.Fns.asDouble(col("embedding")), plane(band, p)) > 0,
             lit(1L << p)).otherwise(0L))
           .reduce(_ + _))
-    }
+    }.drop("embedding").localCheckpoint()
     // candidates carry ids only — the 8-band union + dedup shuffles
     // 16-byte rows, not 0.5 KB embedding arrays; vectors are joined
     // back just for the exact verification of surviving candidates
@@ -305,7 +308,9 @@ object Dedup {
     * hash evals, no 128× row explosion or extra shuffle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     graft.plans.SignatureFunctions.register(s)
-    val docs = shingleArrays(s, d)
+    // materialized once: consumed three times (signature build + both
+    // sides of the candidate verification join)
+    val docs = shingleArrays(s, d).localCheckpoint()
     val sigs = docs.select(col("doc_id"),
       call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
         .as("sig"))

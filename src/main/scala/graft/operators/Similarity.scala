@@ -24,10 +24,89 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> annBruteforce,
     "ann_lsh_topk" -> annLsh,
+    "ann_ivf_topk" -> annIvf,
     "knn_self_join" -> knnSelfJoin,
     "centroid_per_label" -> centroidPerLabel,
     "label_spread" -> labelSpread
   )
+
+  /** IVF (inverted-file) ANN — the second classic scale path next to
+    * LSH: a coarse quantizer of C centroids (deterministic hash-sampled
+    * seeds refined by 2 relational Lloyd iterations), every vector
+    * indexed to its nearest cell in ONE linear broadcast pass, and the
+    * probe searching only the `nprobe` cells nearest to the query.
+    *
+    * 100 TB shape: centroids are metadata (C ≤ 256 rows — they live on
+    * the driver between iterations, which is the legitimate exception
+    * to the no-collect rule); assignment is a linear scan against a
+    * broadcast; a production deployment writes the index
+    * `partitionBy(cell)` so a query reads nprobe/C of the data via
+    * partition pruning. C scales as √n (cells of √n vectors balance
+    * quantizer cost vs cell-scan cost). Rows-only check (recall is
+    * data-dependent); ApproxSpec pins recall vs brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .localCheckpoint() // consumed by seeding + every Lloyd pass
+    val n = e.count()
+    val c = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble))))
+      .toInt
+    val nprobe = math.max(2, c / 4)
+
+    def toCentroids(assigned: DataFrame): Array[(Int, Seq[Double])] =
+      assigned
+        .select(col("cid"), posexplode(Fns.asDouble(col("embedding")))
+          .as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("cv"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+
+    def centFrame(cents: Array[(Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      cents.toSeq.toDF("cid", "cvec")
+    }
+
+    /** Nearest-cell assignment: n×C scored rows, argmax per vector. */
+    def assign(cents: DataFrame): DataFrame = {
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("cc").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("cc", cos(Fns.asDouble(col("embedding")), col("cvec")))
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1)
+        .select("vec_id", "embedding", "cid")
+    }
+
+    // seed: the C vectors with smallest xxhash64(vec_id) — deterministic
+    // uniform sample, no RNG state
+    var cents = e.withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy("hk").limit(c)
+      .select(col("embedding")).collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble)
+      }
+    (1 to 2).foreach { _ => // Lloyd refinement (empty cells drop out)
+      cents = toCentroids(assign(centFrame(cents)))
+    }
+    val index = assign(centFrame(cents)).localCheckpoint()
+
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeCells = centFrame(cents).crossJoin(broadcast(q))
+      .withColumn("qc", cos(col("cvec"), Fns.asDouble(col("q_emb"))))
+      .orderBy(col("qc").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    index.join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("cid").as("cell"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
 
   /** Exact cosine top-10 against the vec_id-min query vector. */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {

@@ -29,6 +29,18 @@ object Pipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the ingest-time half of the dedup suite:
+    * drops records whose content key (user, type, value) was already
+    * seen, keeping state only within the watermark
+    * (`dropDuplicatesWithinWatermark`), so the dedup state is bounded
+    * by the lateness horizon instead of growing with the stream. This
+    * is the shape a 100 TB/day document feed needs: state ∝ events per
+    * watermark window, sharded by the dedup key across executors. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Native session_window aggregation (30 min gap). */
   def sessionWindows(events: DataFrame): DataFrame =
     events

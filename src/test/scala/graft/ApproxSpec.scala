@@ -61,6 +61,28 @@ class ApproxSpec extends SparkSpec {
       s"mean deviation ${devs.sum / devs.length}")
   }
 
+  test("IVF ANN: valid scores, deterministic, useful recall vs brute force") {
+    import graft.operators.Similarity
+    val exact = Similarity.annBruteforce(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf1 = Similarity.annIvf(spark, sf0001).collect()
+    val ivf2 = Similarity.annIvf(spark, sf0001).collect()
+    assert(ivf1.map(_.toString).toSeq === ivf2.map(_.toString).toSeq,
+      "IVF is nondeterministic")
+    assert(ivf1.nonEmpty && ivf1.length <= 10)
+    // scores descending and every returned score is the true cosine
+    // (IVF approximates by pruning cells, never by approximating math)
+    val scores = ivf1.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted.reverse))
+    ivf1.foreach { r =>
+      exact.get(r.getLong(0)).foreach { ex =>
+        assert(math.abs(ex - r.getDouble(2)) < 1e-9)
+      }
+    }
+    val recall = ivf1.count(r => exact.contains(r.getLong(0))) / 10.0
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
   test("embedding LSH pairs are a subset of exact cosine pairs") {
     val exact = Dedup.embeddingCosine(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends SparkSpec {
     * catches value drift there). */
   private val determinismChecked = Set(
     "q3_shipping", "log_top_users", "log_topk_per_type", "text_word_freq",
-    "ann_bruteforce_topk", "ann_lsh_topk", "knn_self_join",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "knn_self_join",
     "dedup_minhash_lsh", "dedup_simhash", "mm_feature_extract")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -37,7 +37,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
       "text_lang_id", "text_fingerprint", "mm_feature_extract",
       "log_percentiles_approx", "log_daily_active_approx",
-      "dedup_embedding_lsh", "dedup_source_minhash")
+      "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -17,5 +17,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // static conf — must live on the JVM-wide SparkContext so that
+    // ExtensionsSpec's fresh session (which shares the context) gets
+    // the extensions applied; imperative register() stays idempotent
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 }

@@ -64,6 +64,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates, state is bounded") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(minute: Int) = new Timestamp(base + minute * 60000L)
+    val mem = MemoryStream[Event]
+    val q = Pipelines.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(at(0), 1L, "view", 1.0),
+        Event(at(0), 1L, "view", 1.0), // in-batch duplicate
+        Event(at(5), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark window → dropped
+      mem.addData(
+        Event(at(10), 1L, "view", 1.0),
+        Event(at(15), 3L, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedupstream").count() === 3) // 1,2,3 once each
+      // advance event time far past the watermark, then the ORIGINAL
+      // key again: state was evicted, so it is re-admitted — dedup
+      // holds within the horizon, state does not grow forever
+      mem.addData(Event(at(24 * 60), 9L, "view", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(at(24 * 60 + 5), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedupstream").count() === 5)
+      val st = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(st <= 4, s"dedup state not evicted: $st rows")
+    } finally q.stop()
+  }
+
   test("soak: watermark evicts window state across a 24h multi-batch run") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
