@@ -49,8 +49,36 @@ object LogAnalytics {
     "log_asof_prev_signup" -> asofPrevSignup,
     "log_percentiles_approx" -> percentilesApprox,
     "log_daily_active_approx" -> dailyActiveApprox,
-    "log_ingest_parse" -> ingestParse
+    "log_ingest_parse" -> ingestParse,
+    "log_jobhistory_stats" -> jobHistoryStats
   )
+
+  /** The second parser under the oracle: render each order as a
+    * JobHistory attribute line (`Job JOBID="..." STATUS="..." ...`),
+    * parse it back with [[graft.sources.LogLineParser.parseJobHistory]]
+    * (single-pass pair extraction + map_from_entries), and aggregate
+    * the PARSED attributes. The oracle renders identical strings and
+    * regex-extracts each attribute independently, so the attrs-map
+    * construction is hash-checked end-to-end. */
+  def jobHistoryStats(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.LogLineParser
+    val lines = Tables.orders(s, d).select(concat(
+      lit("Job JOBID=\"job_"), col("o_orderkey").cast("string"),
+      lit("\" STATUS=\""), col("o_orderstatus"),
+      lit("\" PRIORITY=\""), col("o_orderpriority"),
+      lit("\" TOTAL_CENTS=\""),
+      round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+      lit("\"")
+    ).as("value"))
+    LogLineParser.parseJobHistory(lines)
+      .select(col("event"),
+        LogLineParser.attr("STATUS").as("status"),
+        LogLineParser.attr("PRIORITY").as("priority"),
+        LogLineParser.attr("TOTAL_CENTS").cast("long").as("cents"))
+      .groupBy("event", "status", "priority")
+      .agg(count(lit(1)).as("n_jobs"), sum("cents").as("sum_cents"))
+      .orderBy("status", "priority")
+  }
 
   /** End-to-end raw-log ingest under the oracle: render each event as a
     * log4j daemon line (deterministic round-trip of ts/level/user/value/
@@ -307,6 +335,23 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_jobhistory_stats" ->
+      """WITH lines AS (
+        |  SELECT 'Job JOBID="job_' || o_orderkey::VARCHAR
+        |    || '" STATUS="' || o_orderstatus
+        |    || '" PRIORITY="' || o_orderpriority
+        |    || '" TOTAL_CENTS="' || round(o_totalprice * 100)::BIGINT::VARCHAR
+        |    || '"' AS value
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT regexp_extract(value, '^(\w+) ', 1) AS event,
+        |    regexp_extract(value, 'STATUS="([^"]*)"', 1) AS status,
+        |    regexp_extract(value, 'PRIORITY="([^"]*)"', 1) AS priority,
+        |    regexp_extract(value, 'TOTAL_CENTS="([^"]*)"', 1)::BIGINT AS cents
+        |  FROM lines)
+        |SELECT event, status, priority, count(*) AS n_jobs,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM parsed GROUP BY 1, 2, 3 ORDER BY status, priority""".stripMargin,
     "log_ingest_parse" ->
       """WITH lines AS (
         |  SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S')
