@@ -50,8 +50,31 @@ object LogAnalytics {
     "log_percentiles_approx" -> percentilesApprox,
     "log_daily_active_approx" -> dailyActiveApprox,
     "log_ingest_parse" -> ingestParse,
-    "log_jobhistory_stats" -> jobHistoryStats
+    "log_jobhistory_stats" -> jobHistoryStats,
+    "log_cohort_retention" -> cohortRetention
   )
+
+  /** Day-N retention per signup cohort: users bucketed by their first
+    * active day, then counted at each day offset 0-7. Three shuffles,
+    * all on bounded keys (user for first-day + self-join, cohort day
+    * for the final rollup); the user⋈user join is co-partitioned, so
+    * at 100 TB this is the standard one-pass cohort shape. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_size"))
+    days.join(first, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_day")
+      .select("cohort_day", "day_offset", "n_active", "cohort_size")
+      .orderBy("cohort_day", "day_offset")
+  }
 
   /** The second parser under the oracle: render each order as a
     * JobHistory attribute line (`Job JOBID="..." STATUS="..." ...`),
@@ -335,6 +358,24 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_cohort_retention" ->
+      s"""WITH $E,
+         |days AS (
+         |  SELECT DISTINCT user_id, tu // 86400000000 AS day FROM e),
+         |first AS (
+         |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+         |sizes AS (
+         |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+         |  FROM first GROUP BY 1)
+         |SELECT d.cohort_day, d.day_offset, d.n_active, sizes.cohort_size
+         |FROM (
+         |  SELECT f.cohort_day, days.day - f.cohort_day AS day_offset,
+         |    count(DISTINCT days.user_id) AS n_active
+         |  FROM days JOIN first f ON days.user_id = f.user_id
+         |  WHERE days.day - f.cohort_day <= 7
+         |  GROUP BY 1, 2) d
+         |JOIN sizes ON d.cohort_day = sizes.cohort_day
+         |ORDER BY d.cohort_day, day_offset""".stripMargin,
     "log_jobhistory_stats" ->
       """WITH lines AS (
         |  SELECT 'Job JOBID="job_' || o_orderkey::VARCHAR

