@@ -41,4 +41,20 @@ object Tables {
       .parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
   }
+
+  /** All table names this schema ships. */
+  val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from plain `spark.sql(...)` — together with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` this gives a
+    * SQL-only user the full engine (tables + native functions) with no
+    * Scala API calls. `events` registers with the derived `ts_us`
+    * column (the ns-safe time handle every query should use). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => table(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -46,6 +46,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |  UNION ALL SELECT graft_minhash_sig(array(2L, 3L)))
           |""".stripMargin).collect()(0)
       assert(agg.getSeq[Long](0).length === 128)
+      // the SQL-only user path: views + native functions, zero Scala API
+      graft.sources.Tables.registerViews(s, "/root/testdata/sf0.001")
+      val sqlOnly = s.sql(
+        """SELECT d.doc_id,
+          |  graft_minhash_sig(array(xxhash64(d.text))) IS NOT NULL AS ok
+          |FROM documents d ORDER BY d.doc_id LIMIT 3""".stripMargin)
+        .collect()
+      assert(sqlOnly.length === 3 && sqlOnly.forall(_.getBoolean(1)))
     } finally {
       // restore the shared session WITHOUT stopping the JVM-wide
       // SparkContext other suites are using
