@@ -19,8 +19,33 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
-    "mm_feature_extract" -> featureExtract
+    "mm_feature_extract" -> featureExtract,
+    "mm_frame_sample" -> frameSample
   )
+
+  /** Frame sampling over an opaque payload — the video-shaped access
+    * pattern: fixed-width frames at a stride (every 2nd 32-byte frame
+    * here), each fingerprinted independently. The explode is
+    * executor-side (`sequence` up to len/step per row, no driver
+    * loop) and each output row carries a fingerprint, not the frame
+    * bytes — at 100 TB the frame table is what shuffles, so it must be
+    * hashes + offsets, never payload slices. Payload = UTF-8 bytes of
+    * `text` (ASCII data), so the DuckDB oracle can chunk the same
+    * string and md5 the same byte ranges. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val frame = 32
+    val step = frame * 2 // stride 2: sample every other frame
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ((length(col("text")) - 1) / step).cast("int"))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(expr(s"substring(text, frame_no * $step + 1, $frame)"))
+          .as("frame_md5"),
+        expr(s"length(substring(text, frame_no * $step + 1, $frame))")
+          .cast("long").as("frame_chars"))
+      .orderBy("doc_id", "frame_no")
+  }
 
   /** Opaque-binary metadata: byte size, md5-derived hash bucket, and a
     * "magic bytes" sniff of the first 2 bytes (hex). */
@@ -74,6 +99,16 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, (length(text) - 1) // 64)) AS k
+        |  FROM documents)
+        |SELECT doc_id, k::BIGINT AS frame_no,
+        |  md5(substring(text, (k * 64 + 1)::INT, 32)) AS frame_md5,
+        |  length(substring(text, (k * 64 + 1)::INT, 32))::BIGINT
+        |    AS frame_chars
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
