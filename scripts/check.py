@@ -8,6 +8,7 @@ Reads each <verifyOutDir>/<name> parquet dump written by graft.Verify,
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
 source tables, sorts columns by name, and diffs values both ordered and as
 sorted multisets."""
+import argparse
 import json
 import math
 import sys
@@ -28,7 +29,7 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, unordered=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -58,7 +59,7 @@ def main(sf_dir, out_dir):
         elif sorted(g) == sorted(w):
             # every query/oracle pair carries a total ORDER BY, so an
             # order mismatch is a real regression unless explicitly waived
-            if "--unordered" in sys.argv:
+            if unordered:
                 print(f"WARN {name}: rows match only after sorting ({len(g)} rows)")
                 n_pass += 1
             else:
@@ -93,4 +94,10 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--unordered", action="store_true",
+                   help="waive ORDER BY mismatches (multiset-equal rows)")
+    a = p.parse_args()
+    sys.exit(main(a.sf_dir, a.out_dir, a.unordered))

@@ -31,11 +31,17 @@ object Multimodal {
     * bytes — at 100 TB the frame table is what shuffles, so it must be
     * hashes + offsets, never payload slices. Payload = UTF-8 bytes of
     * `text` (ASCII data), so the DuckDB oracle can chunk the same
-    * string and md5 the same byte ranges. */
+    * string and md5 the same byte ranges.
+    *
+    * Empty payloads are filtered on BOTH engines: for length 0 Spark's
+    * truncate-toward-zero `(len-1)/step → 0` and DuckDB's floor `//`
+    * `→ -1` disagree (a phantom frame-0 row vs no row); with length ≥ 1
+    * the frame count is non-negative and the two divisions coincide. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val frame = 32
     val step = frame * 2 // stride 2: sample every other frame
     Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           ((length(col("text")) - 1) / step).cast("int"))).as("frame_no"))
@@ -103,7 +109,7 @@ object Multimodal {
       """WITH f AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(0, (length(text) - 1) // 64)) AS k
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, k::BIGINT AS frame_no,
         |  md5(substring(text, (k * 64 + 1)::INT, 32)) AS frame_md5,
         |  length(substring(text, (k * 64 + 1)::INT, 32))::BIGINT

@@ -26,21 +26,40 @@ object Skew {
     * (salt is dropped); the shuffle distributes each hot key over
     * `buckets` reducers instead of one.
     *
-    * The salt is a deterministic hash of the big side's full row, so
-    * retried tasks salt identically (a `rand()` salt breaks
-    * recomputation idempotency); only exact duplicate rows share a salt.
+    * The default salt is a deterministic hash of the big side's full
+    * row, so retried tasks salt identically (a `rand()` salt breaks
+    * recomputation idempotency) — but exact duplicate rows then all
+    * share one salt, so a hot key whose rows are IDENTICAL (null/default
+    * payloads, a common real skew shape) gets no spreading while still
+    * paying the small-side replication. For that shape pass
+    * `spreadDuplicates = true`: the salt becomes a per-row ordinal
+    * (`monotonically_increasing_id` = partition id ‖ in-partition
+    * ordinal), which spreads identical rows uniformly. Join RESULTS are
+    * identical under any salt (every salt value joins the full
+    * replicated small side); the ordinal is only reproducible when the
+    * big side is a deterministic scan-rooted plan — downstream of a
+    * shuffle, a recomputed partition may re-salt differently, which
+    * affects per-bucket balance on retry, never correctness.
     * Replication multiplies the small side's shuffle volume by
     * `buckets` — size it as hot-key-rows / target-partition-rows, not
     * "big". */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, spreadDuplicates: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val b = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)))
+    val b = big.withColumn(SaltCol, bigSalt(big, buckets, spreadDuplicates))
     val sm = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     b.join(sm, Seq(key, SaltCol)).drop(SaltCol)
   }
+
+  /** The big side's salt column — package-visible so SkewSpec can pin
+    * the spreading behavior directly. */
+  private[graft] def bigSalt(big: DataFrame, buckets: Int,
+      spreadDuplicates: Boolean): org.apache.spark.sql.Column =
+    if (spreadDuplicates)
+      pmod(monotonically_increasing_id(), lit(buckets.toLong))
+    else
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong))
 
   /** Skew-safe exact count-distinct. Algebraic aggregates (sum/count/
     * min/max) are already skew-immune — map-side partial aggregation

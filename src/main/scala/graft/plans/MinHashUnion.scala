@@ -10,8 +10,14 @@ import org.apache.spark.sql.types._
 /** Element-wise minimum of two long arrays (the MinHash signature union
   * operator: min over the union set = element-wise min of the two
   * signatures). Mismatched lengths → null, same convention as
-  * [[CosineSimilarity]]. Codegen'd fused loop; all locals freshName'd. */
-case class ZipMin(left: Expression, right: Expression)
+  * [[CosineSimilarity]] — unless `strict`, which throws instead: inside
+  * [[MinHashUnion]] the buffer is declared non-nullable, so a null from
+  * a wrong-length SQL input would be written into a non-nullable slot
+  * and later reads could see garbage; strict mode turns that bad input
+  * into a clean error at the first update. Codegen'd fused loop; all
+  * locals freshName'd. */
+case class ZipMin(left: Expression, right: Expression,
+    strict: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -31,17 +37,18 @@ case class ZipMin(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
-  // On length mismatch: null when a null is representable; otherwise
-  // (non-nullable context, e.g. between two agg buffer attributes, where
-  // codegen has no isNull variable to assign) throw — inside the
-  // aggregate both inputs are always numPerms long, so a mismatch there
-  // is corruption that must surface, not truncate.
+  // On length mismatch: null when a null is representable and not
+  // strict; otherwise (strict validation, or a non-nullable context,
+  // e.g. between two agg buffer attributes, where codegen has no isNull
+  // variable to assign) throw — inside the aggregate both inputs must be
+  // numPerms long, so a mismatch there is bad input or corruption that
+  // must surface, not truncate or silently null a non-nullable buffer.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) {
-      if (nullable) return null
+      if (nullable && !strict) return null
       throw new IllegalStateException(
         s"zip_min: length mismatch ($n vs ${y.numElements()})")
     }
@@ -60,9 +67,11 @@ case class ZipMin(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       val onMismatch =
-        if (nullable) s"${ev.isNull} = true;"
+        if (nullable && !strict) s"${ev.isNull} = true;"
         else
-          s"""throw new IllegalStateException("zip_min: length mismatch");"""
+          s"""throw new IllegalStateException(
+             |  "zip_min: length mismatch (" + $n + " vs "
+             |    + $y.numElements() + ")");""".stripMargin
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -110,8 +119,11 @@ case class MinHashUnion(child: Expression, numPerms: Int = 128)
     Literal.create(Array.fill(numPerms)(Long.MaxValue),
       ArrayType(LongType, containsNull = false)))
 
+  // strict: a wrong-length SQL input (`graft_minhash_union` is SQL-
+  // exposed) must fail cleanly at its first update, not write null into
+  // the non-nullable buffer and feed garbage to later merge reads
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), sig, ZipMin(sig, child)))
+    If(IsNull(child), sig, ZipMin(sig, child, strict = true)))
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     ZipMin(sig.left, sig.right))

@@ -44,30 +44,47 @@ object LogLineParser {
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
     * Returns (event, attrs map, raw); use [[attr]] to project fields.
     *
-    * Robustness: keys and values are extracted by two passes that both
-    * match the complete `K="v"` unit (closing quote required), so the
-    * arrays cannot desynchronize — the old key-only pattern `\w+="`
-    * could also match INSIDE a quoted value and shift the arrays into a
-    * length-mismatch throw. Duplicate keys keep the LAST occurrence (a
-    * malformed line must not fail the whole 100 TB job via
-    * spark.sql.mapKeyDedupPolicy=EXCEPTION); that is enforced by
-    * setting the session's mapKeyDedupPolicy to LAST_WIN here — a
-    * deliberate session-level side effect, chosen over an
-    * expression-level dedup because Spark INLINES higher-order-function
-    * arguments: a filter(entries, …exists(slice(entries…))) dedup
-    * re-evaluates the whole per-pair regex transform per entry
-    * (measured 7 s for 150k lines vs ~1 s in this form). */
+    * Robustness: the single whole-line regex pass matches complete
+    * `K="v"` units (closing quote required), so an embedded `X="` inside
+    * a quoted value cannot start a match and keys/values cannot
+    * desynchronize. Duplicate keys keep the LAST occurrence (a malformed
+    * line must not fail the whole 100 TB job via
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION) — deduped HERE, inside the
+    * expression, before `map_from_entries` ever sees a duplicate, so no
+    * session conf is read or mutated and a shared session keeps its own
+    * map-key semantics for unrelated queries.
+    *
+    * Perf shape: the expensive whole-line regex runs ONCE per line in
+    * its own projection. The per-entry dedup lambdas below reference the
+    * `units`/`ks` columns more than once, which stops CollapseProject
+    * from merging the projections and re-inlining the regex into every
+    * lambda evaluation (Spark inlines HOF arguments — a one-select
+    * version re-ran the whole-line regex per entry, measured 7× slower
+    * on 150k lines). Per-unit work is short-string ops, O(attrs²) with
+    * attrs ≈ 10. */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    lines.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    // both passes match the COMPLETE `K="v"` unit (closing quote
-    // required), so they find the identical match sequence — an
-    // embedded `X="` inside a value cannot start a match, and the two
-    // arrays cannot desynchronize; only the captured group differs
-    val keys = expr("""regexp_extract_all(value, '(\\w+)="[^"]*"', 1)""")
-    val vals = expr("""regexp_extract_all(value, '\\w+="([^"]*)"', 1)""")
-    lines.select(
+    // stage 1: one whole-line regex pass → complete `K="v"` unit strings
+    val staged = lines.select(
+      col("value"),
+      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"))
+    // stage 2: split each short unit into key / value (cheap per-unit ops;
+    // value is [^"]* so the first `="` in a unit is always the separator)
+    val split = staged.select(
+      col("value"),
+      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"),
+      transform(col("units"),
+        u => regexp_extract(u, "=\"([^\"]*)\"$", 1)).as("vs"))
+    // stage 3: keep entry i only if its key does not recur later (last
+    // occurrence wins), then build the map from the now-unique entries
+    split.select(
       nullIfEmpty(regexp_extract(col("value"), "^(\\w+) ", 1)).as("event"),
-      map_from_arrays(keys, vals).as("attrs"),
+      map_from_entries(
+        filter(
+          zip_with(col("ks"), col("vs"),
+            (k, v) => struct(k.as("k"), v.as("v"))),
+          (e, i) => !array_contains(
+            slice(col("ks"), i + 2, size(col("ks"))),
+            e.getField("k")))).as("attrs"),
       col("value").as("raw"))
   }
 

@@ -54,6 +54,26 @@ class LogLineParserSpec extends SparkSpec {
     assert(rows(0).getString(1) === "a")
   }
 
+  test("JobHistory: dedup is expression-local — session conf untouched") {
+    import spark.implicits._
+    val before = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
+    val lines = Seq(
+      """Job JOBID="a" STATUS="RUNNING" STATUS="SUCCESS"""").toDF("value")
+    val rows = LogLineParser.parseJobHistory(lines)
+      .select(LogLineParser.attr("STATUS")).collect()
+    assert(rows(0).getString(0) === "SUCCESS")
+    // the parse must not have mutated the session's map-key policy …
+    assert(spark.conf.getOption("spark.sql.mapKeyDedupPolicy") === before)
+    // … so an unrelated duplicate-key map in the same (shared) session
+    // still fails under the default EXCEPTION policy
+    val ex = intercept[Exception] {
+      spark.sql("SELECT map_from_arrays(array('k','k'), array(1,2))")
+        .collect()
+    }
+    assert(ex.getMessage.toUpperCase.contains("DUPLICATE"),
+      s"expected duplicate-key error, got: ${ex.getMessage.take(200)}")
+  }
+
   test("JobHistory: a value containing X=\" does not desync pairs") {
     import spark.implicits._
     // MSG's value contains what LOOKS like the start of another pair;

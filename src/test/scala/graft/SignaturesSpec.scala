@@ -77,6 +77,24 @@ class SignaturesSpec extends SparkSpec {
     assert(df(2).forall(_ == Long.MaxValue))
   }
 
+  test("minhash-union: wrong-length input throws, never corrupts buffer") {
+    SignatureFunctions.register(spark)
+    import spark.implicits._
+    // graft_minhash_union is SQL-exposed: an arbitrary-length
+    // array<bigint> must fail cleanly at its first update instead of
+    // writing null into the non-nullable 128-long buffer
+    val df = Seq((1, Seq(1L, 2L, 3L))).toDF("g", "sig")
+    val ex = intercept[Exception] {
+      df.groupBy("g")
+        .agg(call_function(SignatureFunctions.MinHashUnionName, col("sig")))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("length mismatch"), s"unexpected failure: $msgs")
+  }
+
   test("similar token sets yield close simhashes, dissimilar far") {
     SignatureFunctions.register(spark)
     import spark.implicits._

@@ -45,6 +45,25 @@ class SkewSpec extends SparkSpec {
     assert(buckets === 8L)
   }
 
+  test("spreadDuplicates salts identical rows across buckets") {
+    // a hot key whose rows are IDENTICAL: content hashing puts them all
+    // in one salt bucket; the ordinal salt spreads them
+    val dups = spark.range(0, 1000)
+      .select(lit(0L).as("k"), lit(7L).as("payload"))
+    val byContent = dups
+      .withColumn("s", Skew.bigSalt(dups, 8, spreadDuplicates = false))
+      .select("s").distinct().count()
+    val byOrdinal = dups
+      .withColumn("s", Skew.bigSalt(dups, 8, spreadDuplicates = true))
+      .select("s").distinct().count()
+    assert(byContent === 1L)
+    assert(byOrdinal === 8L)
+    // results stay identical to the plain join under either salt
+    val plain = dups.join(smallDim, "k").count()
+    assert(Skew.saltedJoin(dups, smallDim, "k", 8,
+      spreadDuplicates = true).count() === plain)
+  }
+
   test("saltedCountDistinct equals exact countDistinct") {
     val df = skewedBig.withColumn("v", col("payload") % 1000)
     val exact = df.groupBy("k").agg(countDistinct("v").as("n"))
