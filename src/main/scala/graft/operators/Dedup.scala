@@ -93,11 +93,7 @@ object Dedup {
     GraftFunctions.register(s)
     val nBands = 8
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val nPlanes = s.conf.getOption("graft.lsh.planes").map(_.toInt).getOrElse {
-      val n = math.max(1L, e.count())
-      val p = math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
-      math.min(24, math.max(4, p))
-    }
+    val nPlanes = Fns.lshPlanes(s, "graft.lsh.planes", e.count())
     def plane(band: Int, p: Int): Column = {
       val comps = (0 until 64).map { j =>
         (scala.util.hashing.MurmurHash3
@@ -375,13 +371,24 @@ object Dedup {
   /** `dedup_embedding_bruteforce` — exact cosine ≥ 0.45 near-dup pairs
     * by DELIBERATE all-pairs join: this is the small-SF oracle baseline
     * that defines the semantics and the recall yardstick for
-    * [[embeddingLsh]], and it is a cartesian by construction — do NOT
-    * run it at corpus scale (the name says so). Uses the native codegen
+    * [[embeddingLsh]], and it is a cartesian by construction. So nobody
+    * can run the O(n²) baseline at corpus scale by accident, it THROWS
+    * when the corpus exceeds `graft.bruteforce.maxRows` (default 10⁵ —
+    * ~5·10⁹ candidate pairs, the edge of single-node sanity) with a
+    * pointer at the bucketed scale path. Uses the native codegen
     * CosineSimilarity expression; numerics identical to the oracle's
     * explicit fold. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val maxRows = s.conf.getOption("graft.bruteforce.maxRows")
+      .fold(100000L)(_.toLong)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"dedup_embedding_bruteforce is an all-pairs ORACLE BASELINE " +
+        s"(O(n²) cartesian): corpus has $n rows > " +
+        s"graft.bruteforce.maxRows=$maxRows. Use dedup_embedding_lsh " +
+        "(the bucketed scale path), or raise the bound deliberately.")
     e.toDF("a_id", "a_emb").join(e.toDF("b_id", "b_emb"),
         col("a_id") < col("b_id"))
       .withColumn("cos", call_function(GraftFunctions.CosineName,

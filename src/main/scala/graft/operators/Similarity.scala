@@ -123,17 +123,22 @@ object Similarity {
       .limit(10)
   }
 
-  /** Random-hyperplane LSH (6 planes → 64 buckets) with hamming-1
-    * multiprobe: the probe examines its own bucket plus the 6 buckets
-    * one sign-flip away, then ranks candidates exactly. Planes are
-    * deterministic pseudo-random vectors derived from MurmurHash3(p, j)
-    * — no RNG state, reproducible across runs. Rows-only check: recall
-    * vs `ann_bruteforce_topk` is data-dependent (bucketing trades recall
+  /** Random-hyperplane LSH with hamming-1 multiprobe: the probe
+    * examines its own bucket plus the nPlanes buckets one sign-flip
+    * away, then ranks candidates exactly. Planes are deterministic
+    * pseudo-random vectors derived from MurmurHash3(p, j) — no RNG
+    * state, reproducible across runs. The plane count scales with the
+    * corpus by the same [[graft.ops.Fns.lshPlanes]] rule as
+    * `dedup_embedding_lsh` (override: `graft.ann.planes`), so expected
+    * bucket occupancy — and with it per-probe candidate evaluation —
+    * stays constant as n grows instead of growing linearly as it would
+    * with a fixed plane count. Rows-only check: recall vs
+    * `ann_bruteforce_topk` is data-dependent (bucketing trades recall
     * for the n² → n·bucket equi-join at scale). */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val nPlanes = 6
     val e = Tables.embeddings(s, d)
+    val nPlanes = Fns.lshPlanes(s, "graft.ann.planes", e.count())
     // plane p component for dim j in (-1, 1): hash-derived constant
     val planes: Seq[Column] = (0 until nPlanes).map { p =>
       val comps = (0 until 64).map { j =>

@@ -48,6 +48,24 @@ object Fns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Corpus-scaled hyperplane count for sign-LSH bucketing. With p
+    * planes a band has 2^p buckets, so expected occupancy is n/2^p — a
+    * FIXED p keeps per-band candidate volume quadratic in n. Instead
+    * p = ceil(log2(n / targetBucket)), clamped to [4, 24] and
+    * overridable via `confKey`, holds expected bucket occupancy — hence
+    * per-row candidate work — constant as the corpus grows. The one
+    * driver-side `count()` for n is a metadata-cheap scan. Shared by
+    * `dedup_embedding_lsh` and `ann_lsh_topk` so the two sign-LSH
+    * operators scale by the same rule. */
+  def lshPlanes(s: org.apache.spark.sql.SparkSession, confKey: String,
+      n: => Long, targetBucket: Long = 64L): Int =
+    s.conf.getOption(confKey).map(_.toInt).getOrElse {
+      val p = math.ceil(
+        math.log(math.max(1L, n).toDouble / targetBucket)
+          / math.log(2.0)).toInt
+      math.min(24, math.max(4, p))
+    }
+
   /** DuckDB SQL fragment: word tokens of `expr` (mirror of [[tokens]]). */
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), t -> t <> '')"

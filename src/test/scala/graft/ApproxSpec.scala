@@ -83,6 +83,27 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("sign-LSH plane count scales with corpus size, conf-overridable") {
+    import graft.ops.Fns
+    def planes(n: Long) = Fns.lshPlanes(spark, "graft.test.planes", n)
+    assert(planes(500L) === 4) // test-SF corpora: clamped floor
+    assert(planes(1000000L) === 14) // 1M rows → occupancy stays ~64
+    assert(planes(1000000000L) === 24) // clamp ceiling at 1G rows
+    spark.conf.set("graft.test.planes", "7")
+    try assert(planes(1000000000L) === 7) // explicit override wins
+    finally spark.conf.unset("graft.test.planes")
+    // both sign-LSH operators use this same rule (compile-time check
+    // that the conf keys stay distinct per operator)
+    val lshRecall = {
+      val exact = graft.operators.Similarity
+        .annBruteforce(spark, sf0001).collect().map(_.getLong(0)).toSet
+      val lsh = graft.operators.Similarity
+        .annLsh(spark, sf0001).collect().map(_.getLong(0)).toSet
+      lsh.count(exact.contains) / 10.0
+    }
+    assert(lshRecall >= 0.3, s"ANN LSH recall collapsed: $lshRecall")
+  }
+
   test("embedding LSH pairs are a subset of exact cosine pairs") {
     val exact = Dedup.embeddingCosine(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

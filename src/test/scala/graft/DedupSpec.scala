@@ -120,6 +120,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bruteforce baseline refuses to run over the row bound") {
+    // sf0.001 has 500 embeddings; a bound of 10 must trip the gate …
+    withConf("graft.bruteforce.maxRows" -> "10") {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embeddingCosine(spark, sf0001)
+      }
+      assert(e.getMessage.contains("dedup_embedding_lsh"),
+        "gate message must point at the scale path")
+    }
+    // … and the default bound (1e5) lets the oracle baseline run
+    assert(Dedup.embeddingCosine(spark, sf0001).collect().nonEmpty)
+  }
+
   test("exact dedup survivors are unique and cover all distinct texts") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val nDistinctTexts = docs.select(countDistinct(md5(col("text"))))
