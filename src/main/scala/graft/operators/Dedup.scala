@@ -38,8 +38,29 @@ object Dedup {
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
-    "dedup_source_minhash" -> sourceMinhash
+    "dedup_source_minhash" -> sourceMinhash,
+    "materialize_survivors" -> materializeSurvivors
   )
+
+  /** The materialization stage under the oracle: write the deduped
+    * corpus (+ split assignment) as partitioned parquet via
+    * [[graft.ops.Materialize.survivorCorpus]], then READ IT BACK from
+    * storage and aggregate per (split, lang) — so the hash gate checks
+    * the data as laid out on disk (partition-directory values included),
+    * not the pre-write frame. The DuckDB oracle recomputes survivors +
+    * split independently from the source table. */
+  def materializeSurvivors(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-mat")
+      .resolve("survivors").toString
+    graft.ops.Materialize.survivorCorpus(s, d, path)
+    s.read.parquet(path)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("split", "lang")
+  }
 
   /** Corpus-level near-dup profiling with the mergeable MinHash-union
     * aggregate ([[graft.plans.MinHashUnion]], a native
@@ -446,6 +467,22 @@ object Dedup {
          |SELECT doc AS doc_id, min(r) AS cluster_id,
          |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "materialize_survivors" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT documents.* FROM documents JOIN surv USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN b <= 13 THEN 'train'
+        |         WHEN b = 14 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT d.*,
+        |          (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+        |            AS b
+        |        FROM d))
+        |SELECT split, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "dedup_embedding_bruteforce" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${Fns.sqlCosine("a.embedding", "b.embedding")}, 4)

@@ -41,17 +41,46 @@ object Similarity {
     * to the no-collect rule); assignment is a linear scan against a
     * broadcast; a production deployment writes the index
     * `partitionBy(cell)` so a query reads nprobe/C of the data via
-    * partition pruning. C scales as √n (cells of √n vectors balance
+    * partition pruning — implemented as
+    * [[graft.ops.Materialize.ivfIndex]], pruning pinned by
+    * MaterializeSpec. C scales as √n (cells of √n vectors balance
     * quantizer cost vs cell-scan cost). Rows-only check (recall is
     * data-dependent); ApproxSpec pins recall vs brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (index, centDf) = ivfBuild(s, d)
+    val c = centDf.count().toInt
+    val nprobe = math.max(2, c / 4)
+    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeCells = centDf.crossJoin(broadcast(q))
+      .withColumn("qc", cos(col("cvec"), Fns.asDouble(col("q_emb"))))
+      .orderBy(col("qc").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    index.join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("cid").as("cell"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Build the IVF index: the (vec_id, embedding, cid) nearest-cell
+    * assignment after 2 relational Lloyd iterations, plus the (cid,
+    * cvec) centroid frame. Shared by [[annIvf]] (in-query probe) and
+    * [[graft.ops.Materialize.ivfIndex]] (the partitioned on-storage
+    * index a production deployment reads with partition pruning). */
+  private[graft] def ivfBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       .localCheckpoint() // consumed by seeding + every Lloyd pass
     val n = e.count()
     val c = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble))))
       .toInt
-    val nprobe = math.max(2, c / 4)
 
     def toCentroids(assigned: DataFrame): Array[(Int, Seq[Double])] =
       assigned
@@ -90,22 +119,7 @@ object Similarity {
     (1 to 2).foreach { _ => // Lloyd refinement (empty cells drop out)
       cents = toCentroids(assign(centFrame(cents)))
     }
-    val index = assign(centFrame(cents)).localCheckpoint()
-
-    val q = e.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probeCells = centFrame(cents).crossJoin(broadcast(q))
-      .withColumn("qc", cos(col("cvec"), Fns.asDouble(col("q_emb"))))
-      .orderBy(col("qc").desc, col("cid")).limit(nprobe)
-      .select("cid")
-    index.join(broadcast(probeCells), "cid")
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cos(col("embedding"), col("q_emb")))
-      .select(col("vec_id"), col("cid").as("cell"),
-        round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    (assign(centFrame(cents)).localCheckpoint(), centFrame(cents))
   }
 
   /** Exact cosine top-10 against the vec_id-min query vector. */

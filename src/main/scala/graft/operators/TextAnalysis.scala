@@ -32,30 +32,22 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> tfidfTopTerms
   )
 
-  /** Content-hash bucket 0–15 (first md5 hex digit) — the reproducible
-    * sampling/splitting primitive: engine-agnostic, stable across runs,
-    * reshards, and cluster sizes (unlike seeded RNG sampling). */
-  private def md5Bucket(c: org.apache.spark.sql.Column) =
-    (instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1)
-      .cast("int")
-
-  /** Deterministic ~12.5% sample: md5 first hex digit ∈ {0, 1}. */
+  /** Deterministic ~12.5% sample: md5 first hex digit ∈ {0, 1}
+    * ([[Fns.md5Bucket]]). */
   def sampleHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket", md5Bucket(col("text")))
+      .withColumn("bucket", Fns.md5Bucket(col("text")))
       .filter(col("bucket") < 2)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
-  /** Deterministic train/valid/test assignment (87.5 / 6.25 / 6.25 by
-    * md5 bucket ranges) + per-split×lang counts. */
+  /** Deterministic train/valid/test assignment ([[Fns.splitOf]] over
+    * [[Fns.md5Bucket]]) + per-split×lang counts. The materialized form
+    * of this assignment is [[graft.ops.Materialize.survivorCorpus]]. */
   def splitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket", md5Bucket(col("text")))
-      .withColumn("split",
-        when(col("bucket") <= 13, "train")
-          .when(col("bucket") === 14, "valid")
-          .otherwise("test"))
+      .withColumn("bucket", Fns.md5Bucket(col("text")))
+      .withColumn("split", Fns.splitOf(col("bucket")))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split", "lang")

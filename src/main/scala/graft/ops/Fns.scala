@@ -48,6 +48,20 @@ object Fns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Content-hash bucket 0–15 (first md5 hex digit) — the reproducible
+    * sampling/splitting primitive: engine-agnostic, stable across runs,
+    * reshards, and cluster sizes (unlike seeded RNG sampling). */
+  def md5Bucket(c: Column): Column =
+    (instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1)
+      .cast("int")
+
+  /** Deterministic train/valid/test assignment from an [[md5Bucket]]
+    * (87.5 / 6.25 / 6.25 by bucket ranges). */
+  def splitOf(bucket: Column): Column =
+    when(bucket <= 13, "train")
+      .when(bucket === 14, "valid")
+      .otherwise("test")
+
   /** Corpus-scaled hyperplane count for sign-LSH bucketing. With p
     * planes a band has 2^p buckets, so expected occupancy is n/2^p — a
     * FIXED p keeps per-band candidate volume quadratic in n. Instead

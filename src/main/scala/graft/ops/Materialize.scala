@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The materialized-output surface. A training-data pipeline's product
+  * is not a DataFrame — it is a LAID-OUT dataset on storage: the deduped
+  * corpus partitioned by split, the ANN index partitioned by cell, the
+  * co-location layout future joins reuse. These writers encode the three
+  * layouts that matter at 100 TB:
+  *
+  *  - '''partitioned''' (+ sorted): directory-level partition pruning
+  *    (a reader of `split=valid` or `cid IN (…)` never lists the other
+  *    directories) and tight parquet row-group min/max stats for
+  *    range/point reads within a file;
+  *  - '''bucketed''': hash-bucket + sort by join key at write time, so
+  *    every future join/agg on that key plans with NO exchange
+  *    (BucketedJoinSpec shows the shuffle-free SortMergeJoin);
+  *  - '''survivorCorpus / ivfIndex''': the two concrete products the
+  *    dedup and similarity suites promise — written through the
+  *    writers above so their scale story is real, not a doc comment.
+  */
+object Materialize {
+
+  /** Write `df` as partitioned + sorted parquet.
+    *
+    * `repartitionByRange` over (partitionCols ++ sortCols) gives every
+    * writer task a contiguous slice of ONE partition value: write
+    * parallelism stays at shuffle-partition width (a naive
+    * `repartition(partitionCol)` funnels each partition value through a
+    * single task — with 3 split values that is a 3-task write at any
+    * corpus size), each output file lands in exactly one partition
+    * directory (no small-file explosion from every task writing every
+    * partition), and `sortWithinPartitions` makes the files disjoint
+    * sorted ranges so parquet row-group min/max stats prune point and
+    * range reads inside a partition. */
+  def partitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val keys = (partitionCols ++ sortCols).map(col)
+    df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Write `df` as a bucketed + sorted external table: rows hash to
+    * `nBuckets` files by `bucketCol`, sorted within each bucket, so a
+    * later join or aggregation on that key reads co-located sorted
+    * buckets and plans without an exchange. Bucketing metadata lives in
+    * the catalog (`saveAsTable` is required); `path` keeps the data
+    * external so it outlives the catalog entry. */
+  def bucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol, sortCols.filterNot(_ == bucketCol): _*)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** The deduped corpus + split assignment `survivorCorpus` writes,
+    * exposed for the oracle-checked roundtrip query and the spec: every
+    * exact-dedup survivor row (keep-min-doc_id per md5(text), the same
+    * semantics as `dedup_exact_survivors`) with its reproducible
+    * train/valid/test split. */
+  def survivorFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val surv = docs
+      .groupBy(md5(col("text")).as("m"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(surv, "doc_id")
+      .withColumn("split", Fns.splitOf(Fns.md5Bucket(col("text"))))
+  }
+
+  /** Materialize the training corpus: exact-dedup survivors written
+    * `partitionBy(split)`, doc_id-sorted. A trainer reading
+    * `split=train` prunes the valid/test directories at file-listing
+    * time; doc_id range reads prune row groups. */
+  def survivorCorpus(s: SparkSession, dir: String, path: String): Unit =
+    partitioned(survivorFrame(s, dir), path, Seq("split"), Seq("doc_id"))
+
+  /** Materialize the IVF ANN index the way `ann_ivf_topk`'s scale story
+    * promises: the (vec_id, embedding, cid) assignment written
+    * `partitionBy(cid)` under `path`/index — a query that probes
+    * `nprobe` cells lists and reads nprobe/C of the data — plus the
+    * (cid, cvec) coarse-quantizer centroids (C ≤ 256 rows, the tiny
+    * driver-side metadata) under `path`/centroids. */
+  def ivfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val (index, cents) = graft.operators.Similarity.ivfBuild(s, dir)
+    partitioned(index, s"$path/index", Seq("cid"), Seq("vec_id"))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+}
