@@ -41,6 +41,84 @@ object Pipelines {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  case class DocBand(band: Int, band_sig: Long, doc_id: Long,
+      ts: java.sql.Timestamp)
+  case class NearDupCandidate(a_id: Long, b_id: Long, band: Int)
+
+  private val NearDupStateMs = 2L * 3600L * 1000L // = the 2h watermark
+
+  /** Streaming NEAR-dup — the ingest-time half of MinHash-LSH: each
+    * document's 128-perm MinHash signature is computed per-row (tokens →
+    * 3-gram shingle hashes → native `graft_minhash_sig`, no shuffle),
+    * exploded into the same 64×2 LSH band keys as the batch
+    * `dedup_minhash_lsh`, and candidate pairs are emitted by keyed state
+    * over (band, band_sig) buckets: the first doc seen in a bucket
+    * becomes its anchor; later arrivals — same batch or later batches —
+    * emit (anchor, doc) candidate pairs in-stream. State is one long per
+    * non-empty bucket and is EVICTED by event-time timeout once the
+    * watermark passes its horizon, so retained state ∝ documents per
+    * watermark window — the bound a 100 TB/day feed needs. Exact
+    * verification of candidates (the batch `jaccardVerify` step) is a
+    * downstream join against the doc store; candidate emission is the
+    * part that must happen at ingest.
+    *
+    * Input schema: (ts timestamp, doc_id long, text string). The
+    * signature math is staged through separate projections so the
+    * optimizer cannot re-inline the tokenizer into the per-shingle
+    * lambdas (see LogLineParser for the same pattern). */
+  def nearDupStream(docs: DataFrame): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    graft.plans.SignatureFunctions.register(spark)
+    import spark.implicits._
+    import graft.ops.Fns
+    val toks = docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("doc_id"), Fns.tokens(col("text")).as("toks"))
+    val hs = toks.select(col("ts"), col("doc_id"),
+      array_distinct(
+        transform(Fns.shingles3(col("toks")), sh => xxhash64(sh))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sigs = hs.select(col("ts"), col("doc_id"),
+      call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
+        .as("sig"))
+    // identical band construction to the batch minhashLsh: 64 bands of
+    // 2 signature rows, bucket key = xxhash64 of the pair
+    val bandStructs = array((0 until 64).map(k =>
+      struct(lit(k).as("band"),
+        xxhash64(element_at(col("sig"), 2 * k + 1),
+          element_at(col("sig"), 2 * k + 2)).as("band_sig"))): _*)
+    val bands = sigs
+      .select(col("ts"), col("doc_id"), explode(bandStructs).as("kb"))
+      .select(col("kb.band").as("band"), col("kb.band_sig").as("band_sig"),
+        col("doc_id"), col("ts"))
+      .as[DocBand]
+    bands
+      .groupByKey(b => (b.band, b.band_sig))
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[DocBand],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed: bucket anchor evicted
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+            var anchor = state.getOption.getOrElse(-1L)
+            val out = Seq.newBuilder[NearDupCandidate]
+            sorted.foreach { b =>
+              if (anchor < 0) anchor = b.doc_id
+              else if (b.doc_id != anchor)
+                out += NearDupCandidate(math.min(anchor, b.doc_id),
+                  math.max(anchor, b.doc_id), b.band)
+            }
+            state.update(anchor)
+            state.setTimeoutTimestamp(
+              sorted.map(_.ts.getTime).max + NearDupStateMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Native session_window aggregation (30 min gap). */
   def sessionWindows(events: DataFrame): DataFrame =
     events

@@ -98,6 +98,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup catches planted pairs in-stream, evicts state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(minute: Int) = new Timestamp(base + minute * 60000L)
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearA = words + " lambda"
+    val farDoc = "one two three four five six seven eight nine ten eleven"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Pipelines.nearDupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      mem.addData((at(0), 1L, words), (at(1), 3L, farDoc))
+      q.processAllAvailable()
+      // the near-dup arrives a BATCH LATER: bucket anchors must persist
+      mem.addData((at(5), 2L, nearA))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+        s"dissimilar doc flagged: $pairs")
+      // event time jumps a day: watermark passes every bucket horizon,
+      // state (64 band anchors per doc) must be evicted, and a re-sent
+      // near-dup is re-admitted as a fresh anchor (no emission)
+      mem.addData((at(24 * 60), 9L, farDoc + " twelve"))
+      q.processAllAvailable()
+      mem.addData((at(24 * 60 + 1), 10L, words))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(st <= 130, s"near-dup state not evicted: $st buckets")
+      assert(!spark.table("neardup").collect()
+        .exists(r => r.getLong(1) === 10L),
+        "doc 10 matched an anchor that should have been evicted")
+    } finally q.stop()
+  }
+
   test("soak: watermark evicts window state across a 24h multi-batch run") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
