@@ -49,6 +49,7 @@ object LogAnalytics {
     "log_asof_prev_signup" -> asofPrevSignup,
     "log_percentiles_approx" -> percentilesApprox,
     "log_daily_active_approx" -> dailyActiveApprox,
+    "log_top_users_approx" -> topUsersApprox,
     "log_ingest_parse" -> ingestParse,
     "log_jobhistory_stats" -> jobHistoryStats,
     "log_cohort_retention" -> cohortRetention
@@ -213,6 +214,25 @@ object LogAnalytics {
         round(sum("value"), 2).as("sum_value"))
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(20)
+
+  /** The 100 TB path for [[topUsers]]: DataSketches frequent-items via
+    * `approx_top_k` — a MERGEABLE heavy-hitters sketch, so map-side
+    * partials collapse each partition to one bounded buffer and the
+    * shuffle moves sketches, not the per-user aggregate (the exact
+    * top-k's groupBy keys by user_id: fine when users ≪ events, a full
+    * shuffle of the key space when the key space itself is huge —
+    * completing the approx family next to approx_percentile and HLL++
+    * count-distinct). maxItemsTracked=10⁴ ≫ test-SF user counts, so
+    * the sketch runs in its exact regime here; rows-only (sketch
+    * estimates are engine-specific), ApproxSpec pins the estimates
+    * against the exact aggregate. */
+  def topUsersApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(user_id, 20, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("user_id"),
+        col("e.count").as("n_events_est"))
+      .orderBy(col("n_events_est").desc, col("user_id"))
 
   def topkPerType(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d)

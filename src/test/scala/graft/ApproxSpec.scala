@@ -28,6 +28,29 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx top-k heavy hitters match the exact top users") {
+    val exact = LogAnalytics.topUsers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactAll = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = LogAnalytics.topUsersApprox(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(approx.length === math.min(20, exactAll.size))
+    // test-SF user counts sit far under maxItemsTracked, so the sketch
+    // is in its exact regime: every estimate equals the true count …
+    approx.foreach { case (u, est) =>
+      assert(est === exactAll(u), s"user $u: est $est != ${exactAll(u)}")
+    }
+    // … and every user strictly above the exact rank-20 boundary is
+    // present (ties AT the boundary may legitimately differ)
+    val boundary = exact.values.min
+    val returned = approx.map(_._1).toSet
+    exactAll.collect { case (u, n) if n > boundary =>
+      assert(returned(u), s"heavy hitter $u (n=$n) missed")
+    }
+  }
+
   test("minhash-union source jaccard estimates track the exact values") {
     import org.apache.spark.sql.functions._
     // exact per-source shingle sets (sf0.001 is small enough to collect)

@@ -37,6 +37,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
       "text_lang_id", "text_fingerprint", "mm_feature_extract",
       "log_percentiles_approx", "log_daily_active_approx",
+      "log_top_users_approx",
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
