@@ -97,16 +97,26 @@ object Similarity {
       cents.toSeq.toDF("cid", "cvec")
     }
 
-    /** Nearest-cell assignment: n×C scored rows, argmax per vector. */
-    def assign(cents: DataFrame): DataFrame = {
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("cc").desc, col("cid"))
+    /** Nearest-cell assignment: n×C scored rows, argmax per vector.
+      * The argmax is `max_by(cid, (cc, -cid))` — NOT a row_number
+      * window: an aggregate gets map-side partial aggregation, so the
+      * n×C scored rows collapse to n tiny (vec_id, cid) rows inside the
+      * scan task (the broadcast crossJoin emits all C scores for a
+      * vector in one partition) and the embedding is joined back
+      * co-partitioned. The window variant shuffled + sorted all n×C
+      * rows each CARRYING its embedding array — at n = 10⁹, C = 256
+      * that is a ~75 TB shuffle per Lloyd pass vs ~n small rows here;
+      * measured faster at sf0.1 too. max_by's value is cid alone
+      * because a buffer carrying the embedding array re-copies it on
+      * every update (measured 1.5× slower). */
+    def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("cc", cos(Fns.asDouble(col("embedding")), col("cvec")))
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
+        .join(e, "vec_id")
         .select("vec_id", "embedding", "cid")
-    }
 
     // seed: the C vectors with smallest xxhash64(vec_id) — deterministic
     // uniform sample, no RNG state

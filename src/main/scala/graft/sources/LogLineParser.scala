@@ -63,21 +63,26 @@ object LogLineParser {
     * on 150k lines). Per-unit work is short-string ops, O(attrs²) with
     * attrs ≈ 10. */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    // stage 1: one whole-line regex pass → complete `K="v"` unit strings
+    // stage 1: BOTH whole-line regexes run exactly once per line here
+    // (the event extract would otherwise be evaluated twice under the
+    // empty-to-null CASE WHEN)
     val staged = lines.select(
       col("value"),
-      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"))
-    // stage 2: split each short unit into key / value (cheap per-unit ops;
-    // value is [^"]* so the first `="` in a unit is always the separator)
-    val split = staged.select(
-      col("value"),
-      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"),
-      transform(col("units"),
-        u => regexp_extract(u, "=\"([^\"]*)\"$", 1)).as("vs"))
-    // stage 3: keep entry i only if its key does not recur later (last
+      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"),
+      regexp_extract(col("value"), "^(\\w+) ", 1).as("ev_raw"))
+    // stage 2: keys = text before the first `="` of each short unit
+    // (value is [^"]* so that separator is unambiguous)
+    val keyed = staged.select(col("value"), col("ev_raw"), col("units"),
+      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"))
+    // stage 3: values by pure substring arithmetic — unit = `K="v"` so
+    // v starts at len(K)+3 and runs len(u)-len(K)-3; no per-unit regex
+    val split = keyed.select(col("value"), col("ev_raw"), col("ks"),
+      zip_with(col("units"), col("ks"), (u, k) =>
+        u.substr(length(k) + 3, length(u) - length(k) - 3)).as("vs"))
+    // stage 4: keep entry i only if its key does not recur later (last
     // occurrence wins), then build the map from the now-unique entries
     split.select(
-      nullIfEmpty(regexp_extract(col("value"), "^(\\w+) ", 1)).as("event"),
+      nullIfEmpty(col("ev_raw")).as("event"),
       map_from_entries(
         filter(
           zip_with(col("ks"), col("vs"),
