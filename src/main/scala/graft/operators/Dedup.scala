@@ -39,8 +39,59 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
     "dedup_source_minhash" -> sourceMinhash,
-    "materialize_survivors" -> materializeSurvivors
+    "materialize_survivors" -> materializeSurvivors,
+    "dedup_incremental" -> incremental
   )
+
+  /** Incremental dedup — the OPERATIONAL shape at 100 TB: a new ingest
+    * batch is deduped against the existing corpus without ever
+    * re-running corpus×corpus. Here the batch boundary is the midpoint
+    * doc_id (docs below = existing corpus, at/above = new batch; in
+    * production the two sides are separate tables and the corpus
+    * shingle index + sizes are the persisted artifacts of the last
+    * run). Per new doc: `exact_dup` (an earlier doc — corpus or
+    * earlier-id new — has identical md5), `near_dup` (jaccard ≥ 0.5
+    * with an earlier doc), `survivor` (neither).
+    *
+    * Scale shape: the candidate join's b-side is ONLY the new batch's
+    * shingles, so the inverted-index join costs Σ_shingle df_new·df_all
+    * — proportional to the batch, not the corpus squared; old×old pairs
+    * are never generated. The same df-cap as [[ngramJaccard]] bounds
+    * hot shingles. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
+    val all = shingleRows(s, d).localCheckpoint()
+    val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val idx = all.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val newIdx = idx.filter(col("doc_id") >= cut)
+    val near = jaccardVerify(
+      idx.as("a").join(newIdx.as("b"),
+          col("a.h") === col("b.h")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter")),
+      sizes)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    val firstMd5 = docs
+      .groupBy(md5(col("text")).as("m")).agg(min("doc_id").as("mid"))
+    docs.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .join(firstMd5, "m")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("mid") < col("doc_id")).cast("int").as("exact_dup"),
+        coalesce(col("nd"), lit(0)).as("near_dup"),
+        when(col("mid") === col("doc_id")
+          && coalesce(col("nd"), lit(0)) === 0, 1).otherwise(0)
+          .as("survivor"))
+      .orderBy("doc_id")
+  }
 
   /** The materialization stage under the oracle: write the deduped
     * corpus (+ split assignment) as partitioned parquet via
@@ -467,6 +518,35 @@ object Dedup {
          |SELECT doc AS doc_id, min(r) AS cluster_id,
          |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH cut AS (
+         |  SELECT (min(doc_id) + max(doc_id)) // 2 AS c FROM documents),
+         |sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE b.doc_id >= (SELECT c FROM cut)
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT DISTINCT b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |firstmd5 AS (
+         |  SELECT md5(text) AS m, min(doc_id) AS mid
+         |  FROM documents GROUP BY 1)
+         |SELECT d.doc_id,
+         |  (CASE WHEN f.mid < d.doc_id THEN 1 ELSE 0 END) AS exact_dup,
+         |  (CASE WHEN near.b_id IS NOT NULL THEN 1 ELSE 0 END) AS near_dup,
+         |  (CASE WHEN f.mid = d.doc_id AND near.b_id IS NULL
+         |        THEN 1 ELSE 0 END) AS survivor
+         |FROM documents d
+         |JOIN firstmd5 f ON md5(d.text) = f.m
+         |LEFT JOIN near ON near.b_id = d.doc_id
+         |WHERE d.doc_id >= (SELECT c FROM cut)
+         |ORDER BY d.doc_id""".stripMargin,
     "materialize_survivors" ->
       """WITH surv AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

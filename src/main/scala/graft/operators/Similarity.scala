@@ -129,7 +129,11 @@ object Similarity {
     (1 to 2).foreach { _ => // Lloyd refinement (empty cells drop out)
       cents = toCentroids(assign(centFrame(cents)))
     }
-    (assign(centFrame(cents)).localCheckpoint(), centFrame(cents))
+    // no checkpoint on the final assignment: each caller consumes it in
+    // exactly one action (probe join / index write), and leaving the
+    // plan intact keeps the map-side max_by argmax visible to the plan
+    // audit (e underneath is already localCheckpoint'd)
+    (assign(centFrame(cents)), centFrame(cents))
   }
 
   /** Exact cosine top-10 against the vec_id-min query vector. */

@@ -29,8 +29,49 @@ object TextAnalysis {
     "sample_hash_docs" -> sampleHash,
     "split_assign" -> splitAssign,
     "text_normalize" -> normalize,
-    "text_tfidf_top_terms" -> tfidfTopTerms
+    "text_tfidf_top_terms" -> tfidfTopTerms,
+    "text_decontaminate" -> decontaminate
   )
+
+  /** Benchmark decontamination — the training-data stage that removes
+    * eval-set leakage: a corpus doc is contaminated when it shares any
+    * 5-gram with the benchmark set (here the stand-in benchmark =
+    * doc_id < 20; in production an eval-suite table). Scale shape: the
+    * benchmark's distinct shingle hashes are SMALL (eval suites are
+    * ~10⁴ docs) and BROADCAST, so the corpus side is one map-side hash
+    * join over its shingle stream + a per-doc count — no shuffle of
+    * corpus text, no benchmark×corpus pair blowup. Shingles are built
+    * relationally (posexplode + lead, see [[graft.operators.Dedup]]'s
+    * lambda-inlining note) and joined as 64-bit hashes. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val benchMax = 20L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .withColumn("w4", lead("w", 3).over(w))
+      .withColumn("w5", lead("w", 4).over(w))
+      .filter(col("w5").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"),
+          col("w4"), col("w5"))).as("h"))
+      .distinct()
+      .localCheckpoint() // consumed by the bench side and the corpus side
+    val bench = sh.filter(col("doc_id") < benchMax).select("h").distinct()
+    val hits = sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(col("doc_id") >= benchMax)
+      .select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int")
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
 
   /** Deterministic ~12.5% sample: md5 first hex digit ∈ {0, 1}
     * ([[Fns.md5Bucket]]). */
@@ -181,6 +222,29 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 5 THEN
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |         || ' ' || w[i+4]
+         |       for i in generate_series(1, len(w) - 4)]
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |dsh AS (SELECT DISTINCT doc_id, g FROM sh),
+         |bench AS (SELECT DISTINCT g FROM dsh WHERE doc_id < 20),
+         |hits AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM dsh WHERE doc_id >= 20
+         |    AND g IN (SELECT g FROM bench)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(hits.n, 0)::BIGINT AS n_shared_5grams,
+         |  (CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id,
          |  len(w)::BIGINT AS n_tokens,

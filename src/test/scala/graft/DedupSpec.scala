@@ -120,6 +120,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup flags new-batch docs against corpus + batch") {
+    // ids 0-5, cut = (0+5)/2 = 2: corpus = {0,1}, new batch = {2,3,4,5}
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta eta", // 0: corpus
+      "one two three four five six seven", // 1: corpus
+      "alpha beta gamma delta epsilon zeta eta", // 2: exact dup of 0
+      "one two three four five six eight", // 3: near dup of 1
+      "red orange yellow green blue indigo violet", // 4: novel
+      "red orange yellow green blue indigo violet" // 5: exact dup of 4
+    ))
+    val got = Dedup.incremental(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got.keySet === Set(2L, 3L, 4L, 5L))
+    assert(got(2L) === ((1, 1, 0)), "exact dup of corpus doc")
+    assert(got(3L) === ((0, 1, 0)), "near dup of corpus doc")
+    assert(got(4L) === ((0, 0, 1)), "novel doc survives")
+    assert(got(5L) === ((1, 1, 0)), "exact dup of an EARLIER new doc")
+  }
+
   test("bruteforce baseline refuses to run over the row bound") {
     // sf0.001 has 500 embeddings; a bound of 10 must trip the gate …
     withConf("graft.bruteforce.maxRows" -> "10") {

@@ -108,4 +108,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 6, s"shuffle budget exceeded: ${shuffles(p)}")
     assert(!p.contains("NestedLoopJoin"))
   }
+
+  test("ivf: assignment is a map-side-combining aggregate, no window") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("partial_max_by") || finalTree(p).contains("max_by"),
+      "nearest-cell argmax should partial-aggregate map-side")
+    assert(!finalTree(p).contains("Window"),
+      "n×C scored rows must not flow through a window sort")
+    assert(shuffles(p) <= 3, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("approx top-k heavy hitters aggregate sketches map-side") {
+    val p = plan("log_top_users_approx")
+    assert(p.contains("partial_approx_top_k"),
+      "frequent-items sketch should partial-aggregate before the shuffle")
+    assert(shuffles(p) <= 2, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("materialized roundtrip read-back prunes the text column") {
+    val p = plan("materialize_survivors")
+    // the read side of the roundtrip scans the freshly-written corpus
+    // for a (split, lang) aggregate: the wide text column must be
+    // pruned out of the scan (partition-FILTER pruning on the same
+    // layout is pinned by MaterializeSpec), and the aggregate stays a
+    // plain two-phase shuffle
+    assert(p.contains("ReadSchema") && !p.contains("text:string"),
+      "read-back scan must prune the text column")
+    assert(shuffles(p) <= 3, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
 }
