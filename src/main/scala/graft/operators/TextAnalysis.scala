@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Fns
 import graft.sources.Tables
@@ -30,8 +31,77 @@ object TextAnalysis {
     "split_assign" -> splitAssign,
     "text_normalize" -> normalize,
     "text_tfidf_top_terms" -> tfidfTopTerms,
-    "text_decontaminate" -> decontaminate
+    "text_decontaminate" -> decontaminate,
+    "text_repetition" -> repetition,
+    "text_pack_sequences" -> packSequences
   )
+
+  /** Repetition quality signals (the Gopher-style filters): per doc,
+    * the 2-gram occurrences that belong to a REPEATED 2-gram and the
+    * most-frequent-token count, with the repetitive flag expressed in
+    * integer arithmetic (5·dup > n₂ ⇔ dup/n₂ > 0.2; 10·top > 3·n ⇔
+    * top/n > 0.3) so both engines decide identically. Shape: one
+    * explode + two (doc, gram)-keyed aggs with map-side combine — the
+    * same per-doc-bounded shuffle as every text operator. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
+    val grams = toks
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_2grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_2grams"))
+    val top = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_tok_n"), sum("c").as("n_tokens"))
+    top.join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_dup_2grams"), lit(0L)).as("n_dup_2grams"),
+        col("top_tok_n"),
+        when(coalesce(col("n_dup_2grams"), lit(0L)) * 5
+            > coalesce(col("n_2grams"), lit(0L))
+          || col("top_tok_n") * 10 > col("n_tokens") * 3, 1)
+          .otherwise(0).as("flag_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing for training: concatenate each shard's token
+    * stream in doc_id order and cut fixed 2048-token contexts — every
+    * doc gets its shard-local start offset and the first/last pack it
+    * lands in (GPT-style chunk packing; docs may span packs). The
+    * running sum is windowed PER SHARD ([[Fns.md5Bucket]] of the text,
+    * 16 shards — production uses the split/shard layout from
+    * [[graft.ops.Materialize]]), so the prefix-sum parallelizes across
+    * shards instead of serializing the corpus through one global
+    * window — the difference between a per-shard sort and a
+    * single-task total order at 100 TB. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val cap = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), Fns.md5Bucket(col("text")).as("shard"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / cap).cast("long").as("pack_first"),
+        // floor, not truncate: for a hypothetical 0-token doc at offset
+        // 0 the numerator is -1 and the two divisions diverge
+        floor((col("start_offset") + col("n_tokens") - 1) / cap)
+          .cast("long").as("pack_last"))
+      .orderBy("doc_id")
+  }
 
   /** Benchmark decontamination — the training-data stage that removes
     * eval-set leakage: a corpus doc is contaminated when it shares any
@@ -222,6 +292,54 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_tok_n, sum(c)::BIGINT AS n_tokens
+         |  FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 2 THEN
+         |      [w[i] || ' ' || w[i+1]
+         |       for i in generate_series(1, len(w) - 1)]
+         |    ELSE [] END) AS gram
+         |  FROM toks),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |ga AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_2grams,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT
+         |      AS n_dup_2grams
+         |  FROM gc GROUP BY doc_id)
+         |SELECT top.doc_id, top.n_tokens,
+         |  coalesce(ga.n_2grams, 0)::BIGINT AS n_2grams,
+         |  coalesce(ga.n_dup_2grams, 0)::BIGINT AS n_dup_2grams,
+         |  top.top_tok_n,
+         |  (CASE WHEN coalesce(ga.n_dup_2grams, 0) * 5
+         |            > coalesce(ga.n_2grams, 0)
+         |        OR top.top_tok_n * 10 > top.n_tokens * 3
+         |   THEN 1 ELSE 0 END) AS flag_repetitive
+         |FROM top LEFT JOIN ga ON top.doc_id = ga.doc_id
+         |ORDER BY top.doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)::INT
+         |      AS shard,
+         |    len($Toks)::BIGINT AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS start_offset
+         |  FROM b)
+         |SELECT doc_id, shard, n_tokens, start_offset,
+         |  (start_offset // 2048)::BIGINT AS pack_first,
+         |  ((start_offset + n_tokens - 1) // 2048)::BIGINT AS pack_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
          |sh AS (
