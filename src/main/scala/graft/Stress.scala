@@ -50,6 +50,8 @@ object Stress {
         (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
         regexp_replace(col("text"), "([a-z]+)", tag + "$1").as("text"),
         lit(s"src$i").as("source"))
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     copies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -65,7 +67,9 @@ object Stress {
     val queries = Seq(
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "dedup_source_minhash",
-      "dedup_embedding_lsh", "text_tfidf_top_terms", "text_normalize")
+      "dedup_embedding_lsh", "dedup_incremental", "text_tfidf_top_terms",
+      "text_normalize", "text_decontaminate", "text_repetition",
+      "text_pack_sequences", "materialize_survivors")
     val results = queries.map { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
