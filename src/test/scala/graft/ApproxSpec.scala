@@ -106,6 +106,39 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("pipeline-stage invariants: packing offsets, repetition counts, decontamination bounds") {
+    import graft.operators.TextAnalysis
+    // packing: within a shard, doc offsets are the exact prefix sums of
+    // token counts in doc_id order, and pack spans are consistent
+    val packs = TextAnalysis.packSequences(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    packs.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var expect = 0L
+      sorted.foreach { case (id, _, n, start, pf, pl) =>
+        assert(start === expect, s"doc $id offset $start != $expect")
+        assert(pf === start / 2048 && pl === (start + n - 1) / 2048)
+        expect += n
+      }
+    }
+    // repetition: per doc, 2-gram occurrences = n_tokens - 1 and the
+    // duplicated mass can never exceed them
+    graft.operators.TextAnalysis.repetition(spark, sf0001).collect()
+      .foreach { r =>
+        val (n, n2, dup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(n2 === math.max(0L, n - 1), s"doc ${r.getLong(0)}")
+        assert(dup <= n2 && r.getLong(4) <= n)
+      }
+    // decontamination: benchmark docs never appear; shared count is
+    // bounded by the doc's own distinct shingle count (= n_tokens - 4)
+    TextAnalysis.decontaminate(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(0) >= 20L)
+      assert(r.getLong(1) >= 0L)
+      assert(r.getInt(2) === (if (r.getLong(1) > 0) 1 else 0))
+    }
+  }
+
   test("sign-LSH plane count scales with corpus size, conf-overridable") {
     import graft.ops.Fns
     def planes(n: Long) = Fns.lshPlanes(spark, "graft.test.planes", n)
