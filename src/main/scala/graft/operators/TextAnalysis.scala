@@ -292,6 +292,25 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, list_distinct($Toks) AS dt FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_intersect(dt, ['der','die','und','ist','das'])) AS s_de,
+         |  len(list_intersect(dt, ['the','a','of','and','is'])) AS s_en,
+         |  len(list_intersect(dt, ['el','la','de','y','es'])) AS s_es,
+         |  len(list_intersect(dt, ['le','la','et','est','un'])) AS s_fr,
+         |  len(list_intersect(dt, ['de','le','shi','he','zai'])) AS s_zh
+         |  FROM t),
+         |p AS (SELECT doc_id, lang,
+         |  list_reverse_sort([
+         |    {score: s_de, lang: 'de'}, {score: s_en, lang: 'en'},
+         |    {score: s_es, lang: 'es'}, {score: s_fr, lang: 'fr'},
+         |    {score: s_zh, lang: 'zh'}])[1] AS top
+         |  FROM s)
+         |SELECT doc_id, lang, top.lang AS pred_lang,
+         |  (CASE WHEN top.lang = lang THEN 1 ELSE 0 END) AS correct
+         |FROM p ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
          |t AS (SELECT doc_id, unnest(w) AS tok FROM toks),

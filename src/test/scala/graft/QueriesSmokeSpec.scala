@@ -35,7 +35,7 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query key has either an oracle or is documented rows-only") {
     val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-      "text_lang_id", "text_fingerprint", "mm_feature_extract",
+      "text_fingerprint", "mm_feature_extract",
       "log_percentiles_approx", "log_daily_active_approx",
       "log_top_users_approx",
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk")
