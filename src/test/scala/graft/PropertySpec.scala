@@ -93,6 +93,32 @@ class PropertySpec extends SparkSpec {
         "simhash must be order-invariant"))
   }
 
+  test("zip_min: commutative, associative, identity — the merge algebra") {
+    // the MinHashUnion aggregate is only correct if its update/merge
+    // expression is a commutative monoid over signatures with the
+    // all-MaxValue buffer as identity; pin that algebra on random input
+    import graft.plans.ZipMin
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit128(xs: Seq[Long]) =
+      Literal.create(xs.toArray, ArrayType(LongType, containsNull = false))
+    def zm(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      ZipMin(lit128(a), lit128(b)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    val sigGen = Gen.listOfN(128,
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    val cases = sample(Gen.listOfN(25,
+      Gen.zip(sigGen, sigGen, sigGen)), 45L)
+    val identity = Seq.fill(128)(Long.MaxValue)
+    cases.foreach { case (a, b, c) =>
+      assert(zm(a, b) === zm(b, a), "commutativity")
+      assert(zm(zm(a, b), c) === zm(a, zm(b, c)), "associativity")
+      assert(zm(a, identity) === a, "identity element")
+      assert(zm(a, a) === a, "idempotence")
+    }
+  }
+
   test("cosine: native == declarative fold bitwise on random vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
