@@ -44,52 +44,52 @@ object LogLineParser {
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
     * Returns (event, attrs map, raw); use [[attr]] to project fields.
     *
-    * Robustness: the single whole-line regex pass matches complete
-    * `K="v"` units (closing quote required), so an embedded `X="` inside
-    * a quoted value cannot start a match and keys/values cannot
-    * desynchronize. Duplicate keys keep the LAST occurrence (a malformed
-    * line must not fail the whole 100 TB job via
-    * spark.sql.mapKeyDedupPolicy=EXCEPTION) — deduped HERE, inside the
-    * expression, before `map_from_entries` ever sees a duplicate, so no
+    * Robustness: both extraction passes match the complete `K="v"` unit
+    * (closing quote required), so they find the identical match
+    * sequence — an embedded `X="` inside a quoted value cannot start a
+    * match and the keys/values arrays cannot desynchronize; only the
+    * captured group differs. Duplicate keys keep the LAST occurrence (a
+    * malformed line must not fail the whole 100 TB job via
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION) — handled HERE, inside the
+    * expression, before the map builder ever sees a duplicate, so no
     * session conf is read or mutated and a shared session keeps its own
     * map-key semantics for unrelated queries.
     *
-    * Perf shape: the expensive whole-line regex runs ONCE per line in
-    * its own projection. The per-entry dedup lambdas below reference the
-    * `units`/`ks` columns more than once, which stops CollapseProject
-    * from merging the projections and re-inlining the regex into every
-    * lambda evaluation (Spark inlines HOF arguments — a one-select
-    * version re-ran the whole-line regex per entry, measured 7× slower
-    * on 150k lines). Per-unit work is short-string ops, O(attrs²) with
-    * attrs ≈ 10. */
+    * Perf shape: the two expensive whole-line regexes run ONCE per line
+    * in their own projection; the consumer references `ks`/`vs` more
+    * than once, which stops CollapseProject from merging the
+    * projections and re-inlining the regex into every use (Spark
+    * inlines higher-order-function arguments — a one-select version
+    * re-ran the whole-line regex per entry, measured 7× slower on 150k
+    * lines). Well-formed lines take the `array_distinct` uniqueness
+    * fast path (one hash pass + `map_from_arrays`, which never sees a
+    * duplicate there); only the rare duplicate-key lines pay the
+    * O(attrs²) last-win slice scan. A round-3 variant that deduped
+    * every line via per-unit lambdas measured 1.7 s for 150 k lines at
+    * sf0.1 vs ~1.0 s in this form. */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    // stage 1: BOTH whole-line regexes run exactly once per line here
+    // stage 1: all whole-line regexes run exactly once per line here
     // (the event extract would otherwise be evaluated twice under the
     // empty-to-null CASE WHEN)
     val staged = lines.select(
       col("value"),
-      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"),
+      expr("""regexp_extract_all(value, '(\\w+)="[^"]*"', 1)""").as("ks"),
+      expr("""regexp_extract_all(value, '\\w+="([^"]*)"', 1)""").as("vs"),
       regexp_extract(col("value"), "^(\\w+) ", 1).as("ev_raw"))
-    // stage 2: keys = text before the first `="` of each short unit
-    // (value is [^"]* so that separator is unambiguous)
-    val keyed = staged.select(col("value"), col("ev_raw"), col("units"),
-      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"))
-    // stage 3: values by pure substring arithmetic — unit = `K="v"` so
-    // v starts at len(K)+3 and runs len(u)-len(K)-3; no per-unit regex
-    val split = keyed.select(col("value"), col("ev_raw"), col("ks"),
-      zip_with(col("units"), col("ks"), (u, k) =>
-        u.substr(length(k) + 3, length(u) - length(k) - 3)).as("vs"))
-    // stage 4: keep entry i only if its key does not recur later (last
-    // occurrence wins), then build the map from the now-unique entries
-    split.select(
+    // stage 2: unique keys (the overwhelmingly common case) build the
+    // map directly; only duplicate-key lines pay the O(attrs²) last-win
+    // scan (keep entry i only if its key does not recur later)
+    staged.select(
       nullIfEmpty(col("ev_raw")).as("event"),
-      map_from_entries(
-        filter(
-          zip_with(col("ks"), col("vs"),
-            (k, v) => struct(k.as("k"), v.as("v"))),
-          (e, i) => !array_contains(
-            slice(col("ks"), i + 2, size(col("ks"))),
-            e.getField("k")))).as("attrs"),
+      when(size(array_distinct(col("ks"))) === size(col("ks")),
+        map_from_arrays(col("ks"), col("vs")))
+        .otherwise(map_from_entries(
+          filter(
+            zip_with(col("ks"), col("vs"),
+              (k, v) => struct(k.as("k"), v.as("v"))),
+            (e, i) => !array_contains(
+              slice(col("ks"), i + 2, size(col("ks"))),
+              e.getField("k"))))).as("attrs"),
       col("value").as("raw"))
   }
 
