@@ -43,51 +43,87 @@ object Dedup {
     "dedup_incremental" -> incremental
   )
 
-  /** Incremental dedup — the OPERATIONAL shape at 100 TB: a new ingest
-    * batch is deduped against the existing corpus without ever
-    * re-running corpus×corpus. Here the batch boundary is the midpoint
-    * doc_id (docs below = existing corpus, at/above = new batch; in
-    * production the two sides are separate tables and the corpus
-    * shingle index + sizes are the persisted artifacts of the last
-    * run). Per new doc: `exact_dup` (an earlier doc — corpus or
-    * earlier-id new — has identical md5), `near_dup` (jaccard ≥ 0.5
-    * with an earlier doc), `survivor` (neither).
+  /** Incremental dedup, driver-checked entry — a thin wrapper over
+    * [[incrementalFrames]]: the batch boundary is the midpoint doc_id
+    * (docs below = existing corpus, at/above = new ingest batch), so
+    * the DuckDB oracle can recompute the same split from one table.
     *
-    * Scale shape: the candidate join's b-side is ONLY the new batch's
-    * shingles, so the inverted-index join costs Σ_shingle df_new·df_all
-    * — proportional to the batch, not the corpus squared; old×old pairs
-    * are never generated. The same df-cap as [[ngramJaccard]] bounds
-    * hot shingles. */
+    * Oracle-parity headroom: the Spark side df-caps shingles at
+    * `graft.dedup.maxShingleDf` (default 100) while the oracle SQL is
+    * uncapped — parity holds because the cap drops NOTHING at oracle
+    * SFs (measured max shingle df: 7 at sf0.01, 25 at sf0.1; see
+    * [[ngramJaccard]]). If testdata ever grows a shingle with df > 100
+    * the hash gate breaks HERE first — raise the conf or re-measure. */
   def incremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    incrementalFrames(
+      docs.filter(col("doc_id") >= cut),
+      docs.filter(col("doc_id") < cut))
+  }
+
+  /** Incremental dedup, production shape — the OPERATIONAL form at
+    * 100 TB: dedupe a new ingest batch against the existing corpus
+    * without ever re-running corpus×corpus. The two sides are separate
+    * frames (separate tables in production; `corpus` would typically be
+    * the survivor corpus persisted by
+    * [[graft.ops.Materialize.survivorCorpus]] after the previous run).
+    * doc_ids must be globally unique across both frames; every corpus
+    * doc counts as "earlier" than every new doc, and new docs order
+    * among themselves by doc_id.
+    *
+    * Output, one row per `newBatch` doc: `exact_dup` (an earlier doc —
+    * corpus, or earlier-id new — has identical md5), `near_dup`
+    * (jaccard ≥ 0.5 with an earlier doc), `survivor` (neither).
+    *
+    * Scale shape: the candidate join's b-side is ONLY the new batch's
+    * shingles (the `is_new` filter below — DedupSpec pins it on the
+    * plan), so the inverted-index join costs Σ_shingle df_new·df_all —
+    * proportional to the batch, not the corpus squared; old×old pairs
+    * are never generated. The same df-cap as [[ngramJaccard]] bounds
+    * hot shingles; the hot set is computed over corpus+batch together,
+    * so a shingle that goes hot only with the new batch is dropped from
+    * both sides alike. */
+  def incrementalFrames(newBatch: DataFrame, corpus: DataFrame): DataFrame = {
+    val s = newBatch.sparkSession
     val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
-    val all = shingleRows(s, d).localCheckpoint()
+    val tagged = corpus.select(col("doc_id"), col("text"), lit(0).as("is_new"))
+      .unionAll(
+        newBatch.select(col("doc_id"), col("text"), lit(1).as("is_new")))
+    // materialized once: hot-set agg, anti-join probe, sizes, and both
+    // candidate-join sides all consume it (see ngramJaccard note)
+    val all = shingleRowsOf(tagged).localCheckpoint()
     val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
     val idx = all.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val newIdx = idx.filter(col("doc_id") >= cut)
+    val newIdx = idx.filter(col("is_new") === 1)
     val near = jaccardVerify(
       idx.as("a").join(newIdx.as("b"),
           col("a.h") === col("b.h")
-            && col("a.doc_id") < col("b.doc_id"))
+            && (col("a.is_new") === 0
+              || col("a.doc_id") < col("b.doc_id")))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("inter")),
       sizes)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("nd", lit(1))
-    val firstMd5 = docs
-      .groupBy(md5(col("text")).as("m")).agg(min("doc_id").as("mid"))
-    docs.filter(col("doc_id") >= cut)
-      .select(col("doc_id"), md5(col("text")).as("m"))
-      .join(firstMd5, "m")
+    // exact dup = same md5 anywhere in the corpus, or on an earlier-id
+    // new doc; the corpus side ships only distinct digests (32 bytes/doc)
+    val inCorpus = corpus.select(md5(col("text")).as("m")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val newMd5 = newBatch.select(col("doc_id"), md5(col("text")).as("m"))
+    val firstNew = newMd5.groupBy("m").agg(min("doc_id").as("new_mid"))
+    newMd5
+      .join(firstNew, "m")
+      .join(inCorpus, Seq("m"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (col("mid") < col("doc_id")).cast("int").as("exact_dup"),
+        (col("in_corpus").isNotNull || col("new_mid") < col("doc_id"))
+          .cast("int").as("exact_dup"),
         coalesce(col("nd"), lit(0)).as("near_dup"),
-        when(col("mid") === col("doc_id")
+        when(col("in_corpus").isNull && col("new_mid") === col("doc_id")
           && coalesce(col("nd"), lit(0)) === 0, 1).otherwise(0)
           .as("survivor"))
       .orderBy("doc_id")
@@ -293,16 +329,23 @@ object Dedup {
     * split runs exactly once per doc and the window is one shuffle by
     * doc_id. Shingles are joined as 64-bit hashes, not strings, so the
     * pair join shuffles 8-byte keys. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRowsOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), lit(0).as("is_new")))
+      .drop("is_new")
+
+  /** Frame-input variant: (doc_id, text, is_new) → (doc_id, is_new, h)
+    * distinct shingle-hash rows, carrying the batch tag through. */
+  private def shingleRowsOf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(Fns.tokens(col("text")))
-        .as(Seq("pos", "w")))
+    docs
+      .select(col("doc_id"), col("is_new"),
+        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("w2", lead("w", 1).over(w))
       .withColumn("w3", lead("w", 2).over(w))
       .filter(col("w3").isNotNull)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("is_new"),
         xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
       .distinct()
   }

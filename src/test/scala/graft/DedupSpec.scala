@@ -140,6 +140,40 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((1, 1, 0)), "exact dup of an EARLIER new doc")
   }
 
+  test("incrementalFrames dedupes two separate frames, never old×old") {
+    import spark.implicits._
+    // corpus: docs 10,11 are near-dups OF EACH OTHER (the old×old pair
+    // must cost nothing and appear nowhere), 12 is standalone
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"),
+      (11L, "alpha beta gamma delta epsilon zeta theta"),
+      (12L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    // new batch: ids NOT contiguous with the corpus (production ids)
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"), // exact dup of 10
+      (101L, "one two three four five six eight"), // near dup of 12
+      (102L, "red orange yellow green blue indigo violet"), // novel
+      (103L, "red orange yellow green blue indigo maroon") // near dup of 102
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalFrames(fresh, corpus)
+    val got = out.collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got.keySet === Set(100L, 101L, 102L, 103L),
+      "output covers exactly the new batch — old×old rows never surface")
+    assert(got(100L) === ((1, 1, 0)), "exact dup of corpus doc")
+    assert(got(101L) === ((0, 1, 0)), "near dup of corpus doc")
+    assert(got(102L) === ((0, 0, 1)), "novel doc survives")
+    assert(got(103L) === ((0, 1, 0)), "near dup of an EARLIER new doc")
+    // the candidate join's b-side is restricted to the new batch in the
+    // OPTIMIZED plan (the is_new = 1 filter survives optimization), so
+    // the inverted-index join can never generate old×old pairs
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert("is_new#\\d+ = 1".r.findFirstIn(plan).isDefined,
+      s"b-side new-batch filter missing from optimized plan:\n$plan")
+  }
+
   test("bruteforce baseline refuses to run over the row bound") {
     // sf0.001 has 500 embeddings; a bound of 10 must trip the gate …
     withConf("graft.bruteforce.maxRows" -> "10") {
