@@ -22,6 +22,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> tokenCount,
+    "text_token_count_unicode" -> tokenCountUnicode,
     "text_word_freq" -> wordFreq,
     "text_quality" -> quality,
     "text_lang_id" -> langId,
@@ -217,6 +218,32 @@ object TextAnalysis {
           lit(0L), (acc, x) => acc + x).as("sum_tok_chars"))
       .orderBy("doc_id")
 
+  /** Unicode tokenization under the oracle: mixed-script lines (Latin
+    * accents, Cyrillic, CJK — uppercase included, so case folding is
+    * exercised) are rendered IN-QUERY from each doc (the same
+    * deterministic-render trick as `log_ingest_parse`), then tokenized
+    * with [[Fns.tokensU]]; the DuckDB oracle renders identical strings
+    * and applies the mirrored `\p{L}` split, so Spark↔DuckDB Unicode
+    * regex + case-fold parity is hash-checked end to end. The ASCII
+    * token count of the SAME line rides along to show what `[^a-z]`
+    * does to non-ASCII text (it fragments every accented word). */
+  def tokenCountUnicode(s: SparkSession, d: String): DataFrame = {
+    val u = concat(
+      lit("ÜBER Straße CAFÉ №"), col("doc_id") % 7,
+      lit(": Привет МИР — 世界 año "), col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), u.as("u"))
+      .select(col("doc_id"),
+        Fns.tokensU(col("u")).as("tu"),
+        Fns.tokens(col("u")).as("ta"))
+      .select(col("doc_id"),
+        size(col("tu")).cast("long").as("n_tokens_u"),
+        size(array_distinct(col("tu"))).cast("long").as("n_uniq_u"),
+        size(col("ta")).cast("long").as("n_tokens_ascii"),
+        element_at(col("tu"), 1).as("first_tok"))
+      .orderBy("doc_id")
+  }
+
   def wordFreq(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
       .select(explode(col("toks")).as("word"))
@@ -390,6 +417,22 @@ object TextAnalysis {
          |    AS sum_tok_chars
          |FROM (SELECT doc_id, text, $Toks AS w FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_token_count_unicode" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'ÜBER Straße CAFÉ №' || (doc_id % 7)
+         |      || ': Привет МИР — 世界 año ' || text AS u
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |  ${Fns.sqlTokensU("u")} AS tu,
+         |  ${Fns.sqlTokens("u")} AS ta
+         |  FROM u)
+         |SELECT doc_id,
+         |  len(tu)::BIGINT AS n_tokens_u,
+         |  len(list_distinct(tu))::BIGINT AS n_uniq_u,
+         |  len(ta)::BIGINT AS n_tokens_ascii,
+         |  tu[1] AS first_tok
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_word_freq" ->
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($Toks) AS word FROM documents)

@@ -26,6 +26,18 @@ object Fns {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
+  /** Unicode word tokens: lower → split on non-letter runs (`\p{L}` =
+    * any Unicode letter) → drop empties. The multilingual counterpart
+    * of [[tokens]] — a real 100 TB corpus is not lowercase ASCII, and
+    * `[^a-z]` fragments every accented/non-Latin word. Case folding is
+    * per-codepoint `lower()`, on which Spark (JDK mapping) and DuckDB
+    * (utf8proc) agree across real-world scripts (Latin accents,
+    * Cyrillic, CJK); locale-sensitive outliers (Turkish dotless ı,
+    * Greek final sigma) are deliberately out of scope — both are
+    * single-locale typographic rules, not language-ID signals. */
+  def tokensU(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}]+"), t => t =!= "")
+
   /** 3-word shingles ("w1 w2 w3"), empty array when < 3 tokens. */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
@@ -83,6 +95,11 @@ object Fns {
   /** DuckDB SQL fragment: word tokens of `expr` (mirror of [[tokens]]). */
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), t -> t <> '')"
+
+  /** DuckDB SQL fragment mirroring [[tokensU]] (RE2 `\p{L}` ≡ Java
+    * `\p{L}` on BMP codepoints; both engines split per codepoint). */
+  def sqlTokensU(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^\\p{L}]+'), t -> t <> '')"
 
   /** DuckDB SQL fragment: 3-word shingles of token list `w`. */
   def sqlShingles3(w: String): String =
