@@ -401,6 +401,33 @@ object Dedup {
       sizes)
   }
 
+  /** Exact-verify candidate pairs against the doc store — the batch
+    * downstream of [[graft.streaming.Pipelines.nearDupStream]]: the
+    * stream emits (a_id, b_id) bucket-collision candidates at ingest;
+    * this join recomputes the two shingle sets from the store and keeps
+    * only exact Jaccard ≥ 0.5 (the same integer-arithmetic check and
+    * output columns as [[minhashLsh]]'s verify stage, so streaming
+    * candidates verify to exactly what the batch operator confirms —
+    * StreamingSpec pins that equality). Scale shape: candidates are
+    * id-pairs (16 bytes), the store side ships only the two shingle-hash
+    * arrays per surviving pair — never a corpus×corpus join. */
+  def verifyCandidates(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val arr = shingleRowsOf(
+      docs.select(col("doc_id"), col("text"), lit(0).as("is_new")))
+      .groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    cands.select("a_id", "b_id").distinct()
+      .join(arr.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Join candidate (a_id, b_id, inter) with sizes and keep j ≥ 0.5. */
   private def jaccardVerify(cands: DataFrame, sizes: DataFrame): DataFrame =
     cands

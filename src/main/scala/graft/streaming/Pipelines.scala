@@ -58,9 +58,11 @@ object Pipelines {
     * non-empty bucket and is EVICTED by event-time timeout once the
     * watermark passes its horizon, so retained state ∝ documents per
     * watermark window — the bound a 100 TB/day feed needs. Exact
-    * verification of candidates (the batch `jaccardVerify` step) is a
-    * downstream join against the doc store; candidate emission is the
-    * part that must happen at ingest.
+    * verification of candidates is the downstream
+    * [[graft.operators.Dedup.verifyCandidates]] join against the doc
+    * store (StreamingSpec pins candidates → verify ≡ the batch
+    * `dedup_minhash_lsh` result); candidate emission is the part that
+    * must happen at ingest.
     *
     * Input schema: (ts timestamp, doc_id long, text string). The
     * signature math is staged through separate projections so the

@@ -138,6 +138,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup end-to-end: candidates → exact verify = batch LSH") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(minute: Int) = new Timestamp(base + minute * 60000L)
+    // two true near-dup pairs (1,2) and (3,4), one moderate-similarity
+    // pair (1,5): jaccard 5/15 ≈ 0.33 — enough signature agreement to
+    // collide in some of the 64 bands (a FALSE candidate) but below the
+    // 0.5 verify threshold, and one unrelated doc
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      3L -> "one two three four five six seven eight nine ten eleven twelve",
+      4L -> "one two three four five six seven eight nine ten eleven thirteen",
+      5L -> "alpha beta gamma delta epsilon zeta eta other words entirely now here",
+      6L -> "completely different vocabulary sharing nothing with any neighbour doc")
+    // batch reference: the SAME corpus through dedup_minhash_lsh
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.minhashLsh(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 2L), (3L, 4L)), s"unexpected batch result: $batch")
+    // stream the corpus across two micro-batches (anchors must persist)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Pipelines.nearDupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_e2e")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts.take(3).map { case (id, t) => (at(id.toInt), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(texts.drop(3).map { case (id, t) => (at(id.toInt), id, t) }: _*)
+      q.processAllAvailable()
+      val cands = spark.table("neardup_e2e").select("a_id", "b_id").distinct()
+      val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(candSet.contains((1L, 5L)),
+        s"moderate-similarity false candidate not emitted: $candSet")
+      // downstream exact verification against the doc store: confirmed
+      // pairs equal the batch operator's result; false candidates drop
+      val confirmed = graft.operators.Dedup
+        .verifyCandidates(cands, texts.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(confirmed === batch,
+        s"stream-verified $confirmed != batch $batch")
+    } finally q.stop()
+  }
+
   test("soak: watermark evicts window state across a 24h multi-batch run") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
