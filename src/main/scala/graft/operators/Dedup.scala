@@ -137,8 +137,7 @@ object Dedup {
     * not the pre-write frame. The DuckDB oracle recomputes survivors +
     * split independently from the source table. */
   def materializeSurvivors(s: SparkSession, d: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-mat")
-      .resolve("survivors").toString
+    val path = graft.ops.Scratch.dir("survivors")
     graft.ops.Materialize.survivorCorpus(s, d, path)
     s.read.parquet(path)
       .groupBy("split", "lang")

@@ -25,6 +25,7 @@ object Similarity {
     "ann_bruteforce_topk" -> annBruteforce,
     "ann_lsh_topk" -> annLsh,
     "ann_ivf_topk" -> annIvf,
+    "ann_ivf_from_index" -> annIvfFromIndex,
     "knn_self_join" -> knnSelfJoin,
     "centroid_per_label" -> centroidPerLabel,
     "label_spread" -> labelSpread
@@ -59,6 +60,61 @@ object Similarity {
       .orderBy(col("qc").desc, col("cid")).limit(nprobe)
       .select("cid")
     index.join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("cid").as("cell"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF probe against the MATERIALIZED index — the read path a
+    * production deployment actually runs, completing
+    * [[graft.ops.Materialize.ivfIndex]]'s write path under a driver
+    * check (the mirror of `materialize_survivors` for the similarity
+    * suite). The index is written `partitionBy(cid)` once per session
+    * (Scratch-scoped), then the probe:
+    *
+    *  1. reads `path`/centroids — C ≤ 256 rows of driver metadata (the
+    *     disclosed collect exception) — and ranks cells against the
+    *     query vector with the SAME sequential-fold cosine as the
+    *     native expression, so probe-cell choice is bit-identical to
+    *     [[annIvf]]'s in-query ranking;
+    *  2. reads `path`/index with a LITERAL `cid IN (…)` filter, so the
+    *     nprobe cells prune at file-LISTING time (PartitionFilters in
+    *     the scan — static pruning, no join needed; SimilaritySpec pins
+    *     it), reading nprobe/C of the corpus;
+    *  3. ranks the pruned candidates exactly, identical output shape to
+    *     `ann_ivf_topk` (SimilaritySpec pins result equality).
+    *
+    * Rows-only check (recall is data-dependent, as ann_ivf_topk). */
+  def annIvfFromIndex(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val path = graft.ops.Scratch.dir("ivf")
+    graft.ops.Materialize.ivfIndex(s, d, path)
+    def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(aa * bb)
+    }
+    val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1).head()
+    val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
+    val cents = s.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val nprobe = math.max(2, cents.length / 4)
+    val cids = cents
+      .map { case (cid, cv) => (cosSeq(cv, qEmb), cid) }
+      .sortBy { case (qc, cid) => (-qc, cid) }
+      .take(nprobe).map(_._2)
+    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    s.read.parquet(s"$path/index")
+      .filter(col("cid").isin(cids.toSeq: _*))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cos(col("embedding"), col("q_emb")))

@@ -1,0 +1,32 @@
+package graft.ops
+
+/** One per-JVM scratch root for queries whose semantics include a
+  * write→storage→read round-trip (`materialize_survivors`,
+  * `ann_ivf_from_index`). Repeated invocations of the same query —
+  * Bench's warm-up + timed passes, Stress loops, a spec `explain` that
+  * forces the write side effect — reuse ONE directory per artifact name
+  * (the writers are `mode("overwrite")`), instead of minting a fresh
+  * temp dir each call and leaking the corpus 4-5× per run under /tmp.
+  * The whole root is deleted by a shutdown hook when the JVM exits.
+  *
+  * Not a concurrency primitive: two threads overwriting the same
+  * artifact name race. Within this library that cannot happen — sbt
+  * forks one test JVM with sequential suites, and Verify/Bench run
+  * queries one at a time.
+  */
+object Scratch {
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    sys.addShutdownHook(delete(p.toFile))
+    p
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(delete))
+    f.delete()
+  }
+
+  /** Stable path for a named scratch artifact, e.g. `dir("survivors")`. */
+  def dir(name: String): String = root.resolve(name).toString
+}

@@ -106,6 +106,30 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("IVF from materialized index: pruned probe equals in-query IVF") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FormattedMode
+    val fromIdx = Similarity.annIvfFromIndex(spark, sf0001)
+    // the literal cid IN (…) must reach the scan's PartitionFilters:
+    // directory-level pruning at file-listing time, so the probe reads
+    // only the nprobe cell partitions — the claimed nprobe/C read
+    val plan = fromIdx.queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"cid probe filter not pushed to partitions:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"empty partition filter — probe scans every cell:\n$plan")
+    // the read-path probe returns exactly what the in-query operator
+    // returns: same centroids (deterministic build, exact double
+    // round-trip through parquet), same driver-vs-native fold for cell
+    // ranking, same exact re-rank on the pruned candidates
+    val got = fromIdx.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val want = Similarity.annIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got === want, s"read-path probe diverged from in-query IVF")
+  }
+
   test("pipeline-stage invariants: packing offsets, repetition counts, decontamination bounds") {
     import graft.operators.TextAnalysis
     // packing: within a shard, doc offsets are the exact prefix sums of
