@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -14,6 +14,18 @@ import graft.sources.Tables
   * processing (the Scala analogue of `mapInPandas` — decode cost is
   * amortized over batches, memory bounded by batch size), and the fact
   * that nothing leaves the executors.
+  *
+  * The payload fixture is GENUINELY binary, not text-in-disguise:
+  * [[payloadCol]] concatenates 16-byte `unhex(md5(text || ':' || i))`
+  * blocks (block count scales with doc length), so the column exercises
+  * full-range bytes — zero bytes, high bit set, no UTF-8 structure —
+  * while both engines can rebuild identical blobs (DuckDB:
+  * `from_hex(string_agg(md5(...), '' ORDER BY i))`). Spark operates on
+  * the real binary (`substring` over bytes, `octet_length`); the oracle
+  * slices `hex(payload)` at doubled offsets because DuckDB has no blob
+  * substring — byte-identical semantics either way. A side benefit:
+  * payloads are always ≥ 16 bytes, so the round-2 empty-payload
+  * truncate-vs-floor division trap cannot arise.
   */
 object Multimodal {
 
@@ -23,46 +35,52 @@ object Multimodal {
     "mm_frame_sample" -> frameSample
   )
 
+  /** Deterministic binary payload: `1 + length(text)/64` blocks of
+    * `unhex(md5(text:i))`, 16 bytes each. */
+  private def payloadCol: Column =
+    unhex(array_join(
+      transform(
+        sequence(lit(0), (length(col("text")) / lit(64)).cast("int")),
+        i => md5(concat(col("text"), lit(":"), i.cast("string")))),
+      ""))
+
   /** Frame sampling over an opaque payload — the video-shaped access
-    * pattern: fixed-width frames at a stride (every 2nd 32-byte frame
-    * here), each fingerprinted independently. The explode is
-    * executor-side (`sequence` up to len/step per row, no driver
-    * loop) and each output row carries a fingerprint, not the frame
-    * bytes — at 100 TB the frame table is what shuffles, so it must be
-    * hashes + offsets, never payload slices. Payload = UTF-8 bytes of
-    * `text` (ASCII data), so the DuckDB oracle can chunk the same
-    * string and md5 the same byte ranges.
-    *
-    * Empty payloads are filtered on BOTH engines: for length 0 Spark's
-    * truncate-toward-zero `(len-1)/step → 0` and DuckDB's floor `//`
-    * `→ -1` disagree (a phantom frame-0 row vs no row); with length ≥ 1
-    * the frame count is non-negative and the two divisions coincide. */
+    * pattern: fixed-width frames at a stride (every 2nd 32-byte frame),
+    * each fingerprinted independently. The explode is executor-side
+    * (`sequence` up to bytes/step per row, no driver loop) and each
+    * output row carries a fingerprint + offsets, not the frame bytes —
+    * at 100 TB the frame table is what shuffles, so it must be hashes,
+    * never payload slices. The fingerprint is md5 over the frame's hex
+    * rendering (a plain string on both engines) so the oracle can
+    * reproduce it without blob-md5 support. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val frame = 32
     val step = frame * 2 // stride 2: sample every other frame
     Tables.documents(s, d)
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
+      .withColumn("payload", payloadCol)
+      .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0),
-          ((length(col("text")) - 1) / step).cast("int"))).as("frame_no"))
+          ((expr("octet_length(payload)") - 1) / step).cast("int")))
+          .as("frame_no"))
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-        md5(expr(s"substring(text, frame_no * $step + 1, $frame)"))
-          .as("frame_md5"),
-        expr(s"length(substring(text, frame_no * $step + 1, $frame))")
-          .cast("long").as("frame_chars"))
+        md5(hex(expr(s"substring(payload, frame_no * $step + 1, $frame)")))
+          .as("frame_fp"),
+        expr(s"octet_length(substring(payload, frame_no * $step + 1, $frame))")
+          .cast("long").as("frame_bytes"))
       .orderBy("doc_id", "frame_no")
   }
 
-  /** Opaque-binary metadata: byte size, md5-derived hash bucket, and a
-    * "magic bytes" sniff of the first 2 bytes (hex). */
+  /** Opaque-binary metadata: byte size, first-nibble hash bucket, and a
+    * "magic bytes" sniff of the first 2 payload bytes (hex). */
   def binaryMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("payload", payloadCol)
       .select(col("doc_id"),
         expr("octet_length(payload)").cast("long").as("n_bytes"),
-        (instr(lit("0123456789abcdef"), substring(md5(col("text")), 1, 1))
-          - 1).cast("long").as("md5_bucket"),
-        hex(encode(substring(col("text"), 1, 2), "UTF-8")).as("magic"))
+        (instr(lit("0123456789ABCDEF"),
+          substring(hex(col("payload")), 1, 1)) - 1).cast("long")
+          .as("hash_bucket"),
+        hex(expr("substring(payload, 1, 2)")).as("magic"))
       .orderBy("doc_id")
 
   case class Payload(doc_id: Long, payload: Array[Byte])
@@ -78,7 +96,7 @@ object Multimodal {
     import spark.implicits._
     val batchSize = 64
     Tables.documents(s, d)
-      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("payload", payloadCol)
       .select(col("doc_id"), col("payload"))
       .as[Payload]
       .mapPartitions { it =>
@@ -104,23 +122,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE: rebuild the identical payload blob in DuckDB. */
+  private val payloadCte =
+    """WITH blk AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, length(text) // 64)) AS i
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    from_hex(string_agg(md5(text || ':' || i), '' ORDER BY i))
+      |      AS payload
+      |  FROM blk GROUP BY doc_id, text)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_frame_sample" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, (length(text) - 1) // 64)) AS k
-        |  FROM documents WHERE length(text) > 0)
-        |SELECT doc_id, k::BIGINT AS frame_no,
-        |  md5(substring(text, (k * 64 + 1)::INT, 32)) AS frame_md5,
-        |  length(substring(text, (k * 64 + 1)::INT, 32))::BIGINT
-        |    AS frame_chars
-        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+      s"""$payloadCte,
+         |f AS (
+         |  SELECT doc_id, hex(payload) AS hx,
+         |    unnest(generate_series(0, (octet_length(payload) - 1) // 64))
+         |      AS k
+         |  FROM p)
+         |SELECT doc_id, k::BIGINT AS frame_no,
+         |  md5(substr(hx, (k * 128 + 1)::INT, 64)) AS frame_fp,
+         |  (length(substr(hx, (k * 128 + 1)::INT, 64)) // 2)::BIGINT
+         |    AS frame_bytes
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
     "mm_binary_meta" ->
-      """SELECT doc_id,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)::BIGINT
-        |    AS md5_bucket,
-        |  hex(encode(substring(text, 1, 2))) AS magic
-        |FROM documents ORDER BY doc_id""".stripMargin
+      s"""$payloadCte
+         |SELECT doc_id,
+         |  octet_length(payload)::BIGINT AS n_bytes,
+         |  (strpos('0123456789ABCDEF', substr(hex(payload), 1, 1)) - 1)::BIGINT
+         |    AS hash_bucket,
+         |  substr(hex(payload), 1, 4) AS magic
+         |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -29,18 +29,25 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** The parsed job-log table. The driver data carries parquet
-    * TIMESTAMP(NANOS) which Spark's parquet reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` reads it as a raw ns long.
+    * TIMESTAMP(NANOS) which Spark's schema INFERENCE rejects
+    * ([PARQUET_TYPE_ILLEGAL]) — so this reader supplies the schema
+    * explicitly with `ts` as BIGINT and inference never runs: the
+    * vectorized reader happily decodes the INT64 ns values into a long
+    * column. This is reader-scoped — no session conf is touched, other
+    * readers in the same session are unaffected. (The alternatives were
+    * tried: `.option("nanosAsLong", true)` is NOT honored by Spark
+    * 4.1's inference path, and the former session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` leaked into every reader.)
     * We derive `ts_us` (µs, truncating div) — bit-identical to DuckDB's
     * ns→µs truncation on the same file, so oracle SQL can use
     * `epoch_us(ts)`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
-  }
 
   /** All table names this schema ships. */
   val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",

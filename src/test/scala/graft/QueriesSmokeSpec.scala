@@ -38,7 +38,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "text_fingerprint", "mm_feature_extract",
       "log_percentiles_approx", "log_daily_active_approx",
       "log_top_users_approx",
-      "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk")
+      "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
+      "ann_ivf_from_index")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
