@@ -34,8 +34,103 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
-    "text_pack_sequences" -> packSequences
+    "text_pack_sequences" -> packSequences,
+    "text_pii_redact" -> piiRedact,
+    "corpus_mixture" -> corpusMixture,
+    "sample_stratified" -> sampleStratified
   )
+
+  /** PII redaction — the compliance stage every training pipeline runs
+    * before text leaves the ingest tier. The corpus is synthetic
+    * word-soup with no PII, so deterministic PII (an email, a
+    * NANP-style phone, an IPv4) is rendered into each line IN-QUERY
+    * from doc_id (the same render trick as `log_ingest_parse` /
+    * `text_token_count_unicode`); both engines build identical strings,
+    * then count matches pre-redaction and strip them with the same
+    * regexes (RE2 ∩ Java syntax; the oracle passes the 'g' flag since
+    * DuckDB's regexp_replace is first-match by default while Spark's is
+    * global). The redacted line is md5-hashed so every replacement —
+    * position, order, completeness — sits under the hash gate.
+    * Redaction order (email → phone → IP) matters: counts are computed
+    * on the original line, replacements run on the dwindling string.
+    * Pure per-row projection: no shuffle, codegen'd regexes, the same
+    * shape at 100 TB. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val line = concat(
+      lit("reach user"), col("doc_id"),
+      lit("@mail"), col("doc_id") % 5, lit(".example.com or "),
+      col("doc_id") % 900 + 100, lit("-555-"), col("doc_id") % 9000 + 1000,
+      lit(" from 10."), col("doc_id") % 256, lit(".0."), col("doc_id") % 250,
+      lit(" re: "), substring(col("text"), 1, 48))
+    Tables.documents(s, d)
+      .select(col("doc_id"), line.as("line"))
+      .select(col("doc_id"),
+        regexp_count(col("line"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("line"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("line"), lit(ip)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("line"),
+          lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")),
+          lit(ip), lit("<IP>")).as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"),
+        length(col("redacted")).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-mixing stats — the per-source weights a training run samples
+    * by: document count, token mass, and each source's share of corpus
+    * tokens in ppm. The share is integer math (`src·10⁶ div total`) so
+    * both engines floor identically. Shape: narrow per-row projection →
+    * per-source agg (map-side combine, source cardinality is tiny) →
+    * the corpus total joins back as a broadcast single row. The
+    * per-source frame is computed once and reused for both the rows and
+    * the total (localCheckpoint — source cardinality ≤ dozens). */
+  def corpusMixture(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("src_tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum("src_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        expr("src_tokens * 1000000 div total_tokens").as("share_ppm"))
+      .orderBy("source")
+  }
+
+  /** Stratified downsample toward the smallest source — the
+    * data-balancing stage: with m = the smallest source's doc count,
+    * every source keeps ~m docs via content-hash thresholding (keep iff
+    * `md5Bucket256(text)·n_src < m·256`). A pure integer per-row filter
+    * against two broadcast scalars: no per-stratum window or sort, so
+    * no stratum-sized partition serializes at 100 TB — the exact-m
+    * variant needs a per-source total order; expected-m hashing is the
+    * scale shape and equally reproducible (content-keyed, stable across
+    * reshards). Output: per-source candidate/kept counts + kept char
+    * mass, sources with zero survivors included. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_src")).localCheckpoint()
+    val m = counts.agg(min("n_src").as("target_n"))
+    val kept = Tables.documents(s, d)
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(m))
+      .filter(Fns.md5Bucket256(col("text")) * col("n_src")
+        < col("target_n") * 256)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars_kept"))
+    counts.crossJoin(broadcast(m))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_src"), col("target_n"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_chars_kept"), lit(0L)).as("sum_chars_kept"))
+      .orderBy("source")
+  }
 
   /** Repetition quality signals (the Gopher-style filters): per doc,
     * the 2-gram occurrences that belong to a REPEATED 2-gram and the
@@ -319,6 +414,63 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |    'reach user' || doc_id || '@mail' || (doc_id % 5)
+         |      || '.example.com or ' || (doc_id % 900 + 100) || '-555-'
+         |      || (doc_id % 9000 + 1000)
+         |      || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+         |      || ' re: ' || substring(text, 1, 48) AS line
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(line,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+         |      AS n_emails,
+         |    len(regexp_extract_all(line, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT
+         |      AS n_phones,
+         |    len(regexp_extract_all(line,
+         |      '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))::BIGINT
+         |      AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(line,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+         |      '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g')
+         |      AS redacted
+         |  FROM l)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  md5(redacted) AS redacted_md5,
+         |  length(redacted)::BIGINT AS n_chars_redacted
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "corpus_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(len($Toks))::BIGINT AS src_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_docs, src_tokens,
+         |  (src_tokens * 1000000
+         |    // (SELECT sum(src_tokens) FROM per))::BIGINT AS share_ppm
+         |FROM per ORDER BY source""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_src
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT min(n_src)::BIGINT AS target_n FROM counts),
+         |kept AS (
+         |  SELECT d.source, count(*)::BIGINT AS n_kept,
+         |    sum(d.n_chars)::BIGINT AS sum_chars_kept
+         |  FROM documents d
+         |  JOIN counts c ON d.source = c.source CROSS JOIN m
+         |  WHERE ${Fns.sqlMd5Bucket256("d.text")} * c.n_src
+         |    < m.target_n * 256
+         |  GROUP BY d.source)
+         |SELECT c.source, c.n_src, m.target_n,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(k.sum_chars_kept, 0)::BIGINT AS sum_chars_kept
+         |FROM counts c CROSS JOIN m
+         |LEFT JOIN kept k ON c.source = k.source
+         |ORDER BY c.source""".stripMargin,
     "text_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, list_distinct($Toks) AS dt FROM documents),

@@ -67,6 +67,14 @@ object Fns {
     (instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1)
       .cast("int")
 
+  /** Content-hash bucket 0–255 (first TWO md5 hex digits) — the finer
+    * variant of [[md5Bucket]] for rate-based per-stratum sampling,
+    * where 1/16 granularity is too coarse to express a target rate. */
+  def md5Bucket256(c: Column): Column =
+    ((instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1) * 16
+      + (instr(lit("0123456789abcdef"), substring(md5(c), 2, 1)) - 1))
+      .cast("int")
+
   /** Deterministic train/valid/test assignment from an [[md5Bucket]]
     * (87.5 / 6.25 / 6.25 by bucket ranges). */
   def splitOf(bucket: Column): Column =
@@ -91,6 +99,11 @@ object Fns {
           / math.log(2.0)).toInt
       math.min(24, math.max(4, p))
     }
+
+  /** DuckDB SQL fragment mirroring [[md5Bucket256]]. */
+  def sqlMd5Bucket256(expr: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"
 
   /** DuckDB SQL fragment: word tokens of `expr` (mirror of [[tokens]]). */
   def sqlTokens(expr: String): String =

@@ -163,6 +163,40 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("curation-stage invariants: PII redaction, mixture weights, stratified sample") {
+    import graft.operators.TextAnalysis
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    // PII: every rendered line carries exactly one email/phone/IP by
+    // construction, so the counters must read 1/1/1 on every row — a
+    // regex that over- or under-matches breaks this before the oracle
+    val pii = TextAnalysis.piiRedact(spark, sf0001).collect()
+    assert(pii.length.toLong === nDocs)
+    pii.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)),
+        s"doc ${r.getLong(0)}: PII counts ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+    }
+    // mixture: doc counts partition the corpus; ppm shares are floored
+    // so they sum to at most 1e6 and undershoot by less than one source
+    // worth of flooring; every doc has ≥10 tokens (TESTDATA floor)
+    val mix = TextAnalysis.corpusMixture(spark, sf0001).collect()
+    assert(mix.map(_.getLong(1)).sum === nDocs)
+    val ppm = mix.map(_.getLong(3)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - mix.length,
+      s"ppm shares sum to $ppm across ${mix.length} sources")
+    mix.foreach(r => assert(r.getLong(2) >= 10L * r.getLong(1)))
+    // stratified: one row per source even at zero survivors, the target
+    // is the smallest stratum, and no source keeps more than it has
+    val strat = TextAnalysis.sampleStratified(spark, sf0001).collect()
+    assert(strat.length === mix.length)
+    val target = strat.head.getLong(2)
+    assert(target === strat.map(_.getLong(1)).min)
+    strat.foreach { r =>
+      assert(r.getLong(2) === target)
+      assert(r.getLong(3) <= r.getLong(1),
+        s"source ${r.getString(0)} kept ${r.getLong(3)} of ${r.getLong(1)}")
+    }
+  }
+
   test("sign-LSH plane count scales with corpus size, conf-overridable") {
     import graft.ops.Fns
     def planes(n: Long) = Fns.lshPlanes(spark, "graft.test.planes", n)
