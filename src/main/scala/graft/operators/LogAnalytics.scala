@@ -52,8 +52,60 @@ object LogAnalytics {
     "log_top_users_approx" -> topUsersApprox,
     "log_ingest_parse" -> ingestParse,
     "log_jobhistory_stats" -> jobHistoryStats,
-    "log_cohort_retention" -> cohortRetention
+    "log_cohort_retention" -> cohortRetention,
+    "log_gap_fill" -> gapFill,
+    "join_range_bucket" -> rangeJoinBucket
   )
+
+  /** Time-series gap fill: the dense (user × day) grid with zero-filled
+    * counts — the resample step before any per-user daily model. The
+    * day spine is a single `sequence(min,max)` row exploded and
+    * broadcast (a spine is always tiny: years of days ≪ one partition),
+    * so the grid is a broadcast nested-loop over the distinct-user
+    * frame and the only real shuffle is the (user, day) count
+    * aggregation that would exist anyway. No per-user windows, no
+    * driver-side date arithmetic; at 100 TB the grid's size is
+    * users×days — the semantics, not an implementation artifact. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val days = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    ev.select("user_id").distinct()
+      .crossJoin(broadcast(days))
+      .join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("n").isNull, 1).otherwise(0).as("filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Bucketed range join: for every purchase, the count of error events
+    * in the preceding hour across the whole stream. The naive plan for
+    * a pure interval predicate is a BroadcastNestedLoopJoin — quadratic,
+    * the classic 100 TB killer. The scale re-expression: errors land in
+    * their hour bucket once; each probe explodes into the (exactly two)
+    * buckets its window can touch; the join becomes an EQUI-join on
+    * bucket with the interval as a cheap residual filter, shuffling each
+    * side once by hour. Each error has one bucket, so no pair is seen
+    * twice and no dedup pass is needed. */
+  def rangeJoinBucket(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(expr(s"ts_us div $HourUs").as("ebucket"), col("ts_us").as("ets"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"),
+        explode(array(expr(s"ts_us div $HourUs - 1"),
+          expr(s"ts_us div $HourUs"))).as("bucket"))
+    probes.join(errors,
+        probes("bucket") === errors("ebucket") &&
+          errors("ets") >= probes("ts_us") - HourUs &&
+          errors("ets") <= probes("ts_us"), "left")
+      .groupBy("event_id", "ts_us")
+      .agg(count(col("ets")).as("n_errors_1h"))
+      .orderBy("event_id")
+  }
 
   /** Day-N retention per signup cohort: users bucketed by their first
     * active day, then counted at each day offset 0-7. Three shuffles,
@@ -378,6 +430,31 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_gap_fill" ->
+      s"""WITH $E,
+         |ev AS (SELECT user_id, tu // 86400000000 AS day FROM e),
+         |days AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev))) AS day),
+         |counts AS (
+         |  SELECT user_id, day, count(*)::BIGINT AS n
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT u.user_id, d.day,
+         |  coalesce(c.n, 0)::BIGINT AS n_events,
+         |  CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS filled
+         |FROM (SELECT DISTINCT user_id FROM ev) u
+         |CROSS JOIN days d
+         |LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = d.day
+         |ORDER BY u.user_id, d.day""".stripMargin,
+    "join_range_bucket" ->
+      s"""WITH $E,
+         |err AS (SELECT tu AS ets FROM e WHERE event_type = 'error'),
+         |p AS (SELECT event_id, tu FROM e WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.tu AS ts_us,
+         |  count(err.ets)::BIGINT AS n_errors_1h
+         |FROM p LEFT JOIN err
+         |  ON err.ets >= p.tu - 3600000000 AND err.ets <= p.tu
+         |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
     "log_cohort_retention" ->
       s"""WITH $E,
          |days AS (

@@ -36,8 +36,34 @@ object Relational {
     "window_running_total" -> windowRunningTotal,
     "window_rank_features" -> windowRankFeatures,
     "agg_cube" -> aggCube,
-    "corr_stats" -> corrStats
+    "corr_stats" -> corrStats,
+    "join_skew_salted" -> joinSkewSalted
   )
+
+  /** [[graft.ops.Skew.saltedJoin]] under the driver's oracle gate: the
+    * same brand rollup as [[joinBroadcastDim]], but through the salted
+    * shuffle path — each fact row carries a deterministic salt in 0..7,
+    * the part side is replicated 8×, and the join runs on
+    * (key, salt) so a hot key spreads over 8 reducers. The `merge` hint
+    * suppresses the broadcast that would otherwise make the salt moot at
+    * test SF (at 100 TB the small side is only small RELATIVE to the
+    * fact side — this is the hot-key shape AQE's skew split can't fix
+    * when the skew sits under later operators). The salt never reaches
+    * the output, so the oracle is the PLAIN join SQL: parity proves
+    * salting is result-invariant, the plan pin proves the shuffle
+    * actually spread. */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val part = Tables.part(s, d)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+      .hint("merge")
+    graft.ops.Skew.saltedJoin(li, part, "partkey", 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
 
   /** dense_rank + ntile quartiles per customer over a total order. */
   def windowRankFeatures(s: SparkSession, d: String): DataFrame = {
@@ -305,6 +331,12 @@ object Relational {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_broadcast_dim" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "join_skew_salted" -> // salt is physical-only: plain-join oracle
       """SELECT p_brand, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey

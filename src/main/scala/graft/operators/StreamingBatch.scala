@@ -18,8 +18,23 @@ object StreamingBatch {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> tumblingAgg,
-    "stream_session_window" -> sessionWindow
+    "stream_session_window" -> sessionWindow,
+    "stream_sliding_agg" -> slidingAgg
   )
+
+  /** Sliding (hopping) 1h window every 15 min — each event lands in
+    * exactly 4 overlapping windows (duration/slide = 4, epoch-aligned),
+    * which `window(t, dur, slide)` expands executor-side before the
+    * per-(window, type) aggregation; the oracle mirrors the expansion
+    * as an explicit ×4 series cross join. The streaming twin is the
+    * same expression behind `readStream` with a watermark. */
+  def slidingAgg(s: SparkSession, d: String): DataFrame =
+    withTs(s, d)
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
 
   /** Events with a proper TimestampType column (µs precision). */
   private def withTs(s: SparkSession, d: String): DataFrame =
@@ -51,6 +66,16 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_sliding_agg" ->
+      s"""WITH $E,
+         |w AS (
+         |  SELECT event_type, value,
+         |    (tu // 900000000 - k.k) * 900000000 AS win_start_us
+         |  FROM e CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 3)) AS k) k)
+         |SELECT win_start_us, event_type, count(*) AS n,
+         |  round(sum(value), 2) AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "stream_tumbling_agg" ->
       s"""WITH $E
          |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,

@@ -37,8 +37,61 @@ object TextAnalysis {
     "text_pack_sequences" -> packSequences,
     "text_pii_redact" -> piiRedact,
     "corpus_mixture" -> corpusMixture,
-    "sample_stratified" -> sampleStratified
+    "sample_stratified" -> sampleStratified,
+    "curation_funnel" -> curationFunnel
   )
+
+  /** The composed curation pipeline as ONE plan: raw → quality filter →
+    * benchmark decontamination → n-gram near-dedup, reported as a
+    * funnel of per-stage doc/token attrition — the end-to-end shape a
+    * real corpus run executes nightly, proving the stages compose
+    * instead of only working in isolation. Each doc's stage survival is
+    * computed as three boolean columns (quality predicate inline; the
+    * contamination and duplicate sets arrive as two id-only left
+    * joins), then ONE aggregate folds the corpus into a single wide row
+    * of conditional sums that explodes into the 4 funnel rows — the
+    * whole corpus is scanned once, never once per stage. Stage 2 drops
+    * the benchmark docs themselves (null contamination flag) along with
+    * 5-gram hits; stage 3 drops the non-min doc of every verified
+    * jaccard pair ([[Dedup.ngramJaccard]]'s b-side). */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val dropped = Dedup.ngramJaccard(s, d)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("dup", lit(1))
+    val cont = decontaminate(s, d).select(col("doc_id"), col("contaminated"))
+    val flagged = withToks(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("s1",
+        col("n_chars") >= 100 && col("n_chars") <= 20000 &&
+          col("n_tokens") >= 10 &&
+          col("n_distinct") * 10 > col("n_tokens") * 3)
+      .join(cont, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .withColumn("s2", col("s1") && col("contaminated") === 0)
+      .withColumn("s3", col("s2") && col("dup").isNull)
+    def c(flag: org.apache.spark.sql.Column) =
+      sum(when(flag, 1L).otherwise(0L))
+    def t(flag: org.apache.spark.sql.Column) =
+      sum(when(flag, col("n_tokens")).otherwise(0L))
+    flagged
+      .agg(count(lit(1)).as("c0"), sum("n_tokens").as("t0"),
+        c(col("s1")).as("c1"), t(col("s1")).as("t1"),
+        c(col("s2")).as("c2"), t(col("s2")).as("t2"),
+        c(col("s3")).as("c3"), t(col("s3")).as("t3"))
+      .select(explode(array(
+        struct(lit("0_raw").as("stage"),
+          col("c0").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit("1_quality").as("stage"),
+          col("c1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit("2_decontaminated").as("stage"),
+          col("c2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit("3_near_dedup").as("stage"),
+          col("c3").as("n_docs"), col("t3").as("n_tokens")))).as("r"))
+      .select("r.*")
+      .orderBy("stage")
+  }
 
   /** PII redaction — the compliance stage every training pipeline runs
     * before text leaves the ingest tier. The corpus is synthetic
@@ -414,6 +467,58 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "curation_funnel" ->
+      s"""WITH toks AS (SELECT doc_id, n_chars, $Toks AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |    (n_chars >= 100 AND n_chars <= 20000 AND len(w) >= 10
+         |      AND len(list_distinct(w)) * 10 > len(w) * 3) AS s1
+         |  FROM toks),
+         |sh5 AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(w) >= 5 THEN
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |         || ' ' || w[i+4]
+         |       for i in generate_series(1, len(w) - 4)]
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM sh5 WHERE doc_id >= 20
+         |    AND g IN (SELECT g FROM sh5 WHERE doc_id < 20)),
+         |sh3 AS (
+         |  SELECT doc_id, list_distinct(${Fns.sqlShingles3("w")}) AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh3),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh3),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |f AS (
+         |  SELECT q.doc_id, q.n_tokens, q.s1,
+         |    (q.s1 AND q.doc_id >= 20
+         |      AND q.doc_id NOT IN (SELECT doc_id FROM cont)) AS s2,
+         |    (q.s1 AND q.doc_id >= 20
+         |      AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+         |      AND q.doc_id NOT IN (SELECT doc_id FROM dup)) AS s3
+         |  FROM q)
+         |SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens FROM f
+         |UNION ALL SELECT '1_quality',
+         |  sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN s1 THEN n_tokens ELSE 0 END)::BIGINT FROM f
+         |UNION ALL SELECT '2_decontaminated',
+         |  sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN s2 THEN n_tokens ELSE 0 END)::BIGINT FROM f
+         |UNION ALL SELECT '3_near_dedup',
+         |  sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN s3 THEN n_tokens ELSE 0 END)::BIGINT FROM f
+         |ORDER BY stage""".stripMargin,
     "text_pii_redact" ->
       s"""WITH l AS (
          |  SELECT doc_id,

@@ -125,6 +125,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 2, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("salted join actually runs the salted shuffle path") {
+    val p = plan("join_skew_salted")
+    // the merge hint must hold the join on the (key, salt) shuffle —
+    // a broadcast would silently make the salt a no-op and the oracle
+    // parity vacuous
+    assert(finalTree(p).contains("SortMergeJoin"),
+      "salted join should sort-merge on (key, salt)")
+    assert(!finalTree(p).contains("BroadcastHashJoin"),
+      "salted join collapsed to broadcast — salt untested")
+  }
+
+  test("bucketed range join stays an equi-join on the hour bucket") {
+    val p = plan("join_range_bucket")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval predicate degenerated into a quadratic join")
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("gap fill broadcasts the day spine; only the count shuffles") {
+    val p = plan("log_gap_fill")
+    // the user×day grid must come from a BROADCAST of the tiny day
+    // spine (a shuffled or serialized-one-side grid build would bottleneck
+    // at real user counts); counts + distinct users shuffle by key
+    assert(finalTree(p).contains("BroadcastNestedLoopJoin")
+      || finalTree(p).contains("BroadcastHashJoin"),
+      "day-spine grid should be broadcast")
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("curation funnel scans the corpus once for the stage rollup") {
+    val p = plan("curation_funnel")
+    assert(!p.contains("CartesianProduct"), "funnel grew a cartesian")
+    // budget = the sum of the composed sub-pipelines (jaccard 5,
+    // decontaminate 3, flag joins + wide aggregate 2, ±1 where AQE
+    // swaps a runtime broadcast for an exchange between runs). A
+    // per-stage rescan regression would land near 4× this, far over
+    // the bound; the corpus text is scanned once per shingle width,
+    // never once per stage (4 stages share one conditional aggregate)
+    assert(shuffles(p) <= 12, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
   test("materialized roundtrip read-back prunes the text column") {
     val p = plan("materialize_survivors")
     // the read side of the roundtrip scans the freshly-written corpus
