@@ -103,10 +103,15 @@ object Similarity {
     * build is deterministic, so reuse cannot change results. */
   def annIvfFromIndex(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val path = graft.ops.Scratch.dir(
-      "ivf-" + Integer.toHexString(d.hashCode))
-    if (ivfWritten.putIfAbsent(path, d) == null)
-      graft.ops.Materialize.ivfIndex(s, d, path)
+    // key the scratch path on the FULL corpus dir (md5, not hashCode —
+    // colliding hashCodes of two dirs must not silently share an index)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = graft.ops.Scratch.dir("ivf-" + key)
+    val prev = ivfWritten.putIfAbsent(path, d)
+    if (prev == null) graft.ops.Materialize.ivfIndex(s, d, path)
+    else require(prev == d,
+      s"IVF scratch index at $path was built for corpus $prev, probed for $d")
     def cosSeq(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
       while (i < a.length) {

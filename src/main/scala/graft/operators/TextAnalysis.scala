@@ -137,7 +137,11 @@ object TextAnalysis {
   /** Data-mixing stats — the per-source weights a training run samples
     * by: document count, token mass, and each source's share of corpus
     * tokens in ppm. The share is integer math (`src·10⁶ div total`) so
-    * both engines floor identically. Shape: narrow per-row projection →
+    * both engines floor identically; the product runs in DECIMAL(26,0)
+    * because at the ~100 TB corpus this targets (~2·10¹³ tokens)
+    * `BIGINT·10⁶` exceeds Long.MaxValue ≈ 9.2·10¹⁸ and would throw
+    * under ANSI mode — `div` on decimals still returns exact integral
+    * BIGINT. Shape: narrow per-row projection →
     * per-source agg (map-side combine, source cardinality is tiny) →
     * the corpus total joins back as a broadcast single row. The
     * per-source frame is computed once and reused for both the rows and
@@ -152,7 +156,8 @@ object TextAnalysis {
     val tot = per.agg(sum("src_tokens").as("total_tokens"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("src_tokens"),
-        expr("src_tokens * 1000000 div total_tokens").as("share_ppm"))
+        expr("cast(src_tokens as decimal(26,0)) * 1000000 div total_tokens")
+          .as("share_ppm"))
       .orderBy("source")
   }
 
@@ -383,7 +388,10 @@ object TextAnalysis {
       .select(col("doc_id"), u.as("u"))
       .select(col("doc_id"),
         Fns.tokensU(col("u")).as("tu"),
-        Fns.tokens(col("u")).as("ta"))
+        // tokensA pinned (not the mode-routed Fns.tokens): this column
+        // EXISTS to show the ASCII split's damage on the same line, so
+        // it must stay ASCII even under graft.text.unicode=true
+        Fns.tokensA(col("u")).as("ta"))
       .select(col("doc_id"),
         size(col("tu")).cast("long").as("n_tokens_u"),
         size(array_distinct(col("tu"))).cast("long").as("n_uniq_u"),
@@ -554,7 +562,7 @@ object TextAnalysis {
          |    sum(len($Toks))::BIGINT AS src_tokens
          |  FROM documents GROUP BY source)
          |SELECT source, n_docs, src_tokens,
-         |  (src_tokens * 1000000
+         |  (src_tokens::HUGEINT * 1000000
          |    // (SELECT sum(src_tokens) FROM per))::BIGINT AS share_ppm
          |FROM per ORDER BY source""".stripMargin,
     "sample_stratified" ->

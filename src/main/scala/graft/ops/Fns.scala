@@ -22,8 +22,27 @@ object Fns {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "is", "on", "to", "for", "with")
 
-  /** ASCII word tokens: lower → split `[^a-z]+` → drop empties. */
+  /** Conf key selecting the corpus-wide tokenizer mode (see [[tokens]]). */
+  val UnicodeConf = "graft.text.unicode"
+
+  /** Word tokens — the tokenizer every text/dedup operator shares. By
+    * default ASCII ([[tokensA]]; matches the oracle's `[^a-z]+` split);
+    * setting `graft.text.unicode=true` on the session routes EVERY
+    * caller to [[tokensU]], making Unicode a corpus-wide MODE rather
+    * than a single query's behavior — a multilingual corpus flips one
+    * conf, and tokenization, shingling, MinHash, and quality scoring
+    * all follow consistently. Resolved at plan-construction time from
+    * the active session (operators build their columns inside a query
+    * method, where one is always active). */
   def tokens(text: Column): Column =
+    if (unicodeMode) tokensU(text) else tokensA(text)
+
+  private def unicodeMode: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(UnicodeConf)).exists(_.toBoolean)
+
+  /** ASCII word tokens: lower → split `[^a-z]+` → drop empties. */
+  def tokensA(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
   /** Unicode word tokens: lower → split on non-letter runs (`\p{L}` =

@@ -44,42 +44,53 @@ object LogLineParser {
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
     * Returns (event, attrs map, raw); use [[attr]] to project fields.
     *
-    * Robustness: both extraction passes match the complete `K="v"` unit
-    * (closing quote required), so they find the identical match
-    * sequence — an embedded `X="` inside a quoted value cannot start a
-    * match and the keys/values arrays cannot desynchronize; only the
-    * captured group differs. Duplicate keys keep the LAST occurrence (a
-    * malformed line must not fail the whole 100 TB job via
-    * spark.sql.mapKeyDedupPolicy=EXCEPTION) — handled HERE, inside the
-    * expression, before the map builder ever sees a duplicate, so no
-    * session conf is read or mutated and a shared session keeps its own
-    * map-key semantics for unrelated queries.
+    * Robustness: a single extraction pass matches the complete `K="v"`
+    * unit (closing quote required) — an embedded `X="` inside a quoted
+    * value cannot start a match, and because keys and values are split
+    * out of the SAME unit string they cannot desynchronize. Duplicate
+    * keys keep the LAST occurrence (a malformed line must not fail the
+    * whole 100 TB job via spark.sql.mapKeyDedupPolicy=EXCEPTION) —
+    * handled HERE, inside the expression, before the map builder ever
+    * sees a duplicate, so no session conf is read or mutated and a
+    * shared session keeps its own map-key semantics for unrelated
+    * queries.
     *
-    * Perf shape: the two expensive whole-line regexes run ONCE per line
-    * in their own projection; the consumer references `ks`/`vs` more
-    * than once, which stops CollapseProject from merging the
-    * projections and re-inlining the regex into every use (Spark
-    * inlines higher-order-function arguments — a one-select version
-    * re-ran the whole-line regex per entry, measured 7× slower on 150k
-    * lines). Well-formed lines take the `array_distinct` uniqueness
-    * fast path (one hash pass + `map_from_arrays`, which never sees a
-    * duplicate there); only the rare duplicate-key lines pay the
-    * O(attrs²) last-win slice scan. A round-3 variant that deduped
-    * every line via per-unit lambdas measured 1.7 s for 150 k lines at
-    * sf0.1 vs ~1.0 s in this form. */
+    * Perf shape: the ONE expensive whole-line regex runs once per line
+    * in its own projection; keys/values then split per-unit with cheap
+    * string ops (units are tiny — no line re-scan). Each derived array
+    * is referenced more than once by its consumer, which stops
+    * CollapseProject from merging the projections and re-inlining the
+    * work into every use (Spark inlines higher-order-function
+    * arguments — a one-select version re-ran the whole-line regex per
+    * entry, measured 7× slower on 150k lines). The key split uses the
+    * FIRST `="` (the `\\w+` key cannot contain `=` or `"`, so the first
+    * `="` always terminates it; a value ending in `=`, e.g. `K="a="`,
+    * would fool a last-occurrence split). Well-formed lines take the
+    * `array_distinct` uniqueness fast path (one hash pass +
+    * `map_from_arrays`, which never sees a duplicate there); only the
+    * rare duplicate-key lines pay the O(attrs²) last-win slice scan. */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    // stage 1: all whole-line regexes run exactly once per line here
-    // (the event extract would otherwise be evaluated twice under the
-    // empty-to-null CASE WHEN)
+    // stage 1: the single whole-line regex runs exactly once per line
+    // here (group 0 = the complete K="v" unit)
     val staged = lines.select(
       col("value"),
-      expr("""regexp_extract_all(value, '(\\w+)="[^"]*"', 1)""").as("ks"),
-      expr("""regexp_extract_all(value, '\\w+="([^"]*)"', 1)""").as("vs"),
+      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"),
       regexp_extract(col("value"), "^(\\w+) ", 1).as("ev_raw"))
-    // stage 2: unique keys (the overwhelmingly common case) build the
+    // stage 2: per-unit key/value split — pure string ops over tiny
+    // unit strings (key = prefix before the first `="`; value = the
+    // quoted remainder minus the closing quote)
+    val kv = staged.select(
+      col("value"),
+      col("ev_raw"),
+      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"),
+      transform(col("units"), u => {
+        val klen = length(substring_index(u, "=\"", 1))
+        u.substr(klen + lit(3), length(u) - klen - lit(3))
+      }).as("vs"))
+    // stage 3: unique keys (the overwhelmingly common case) build the
     // map directly; only duplicate-key lines pay the O(attrs²) last-win
     // scan (keep entry i only if its key does not recur later)
-    staged.select(
+    kv.select(
       nullIfEmpty(col("ev_raw")).as("event"),
       when(size(array_distinct(col("ks"))) === size(col("ks")),
         map_from_arrays(col("ks"), col("vs")))

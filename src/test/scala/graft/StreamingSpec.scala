@@ -155,7 +155,8 @@ class StreamingSpec extends SparkSpec {
       5L -> "alpha beta gamma delta epsilon zeta eta other words entirely now here",
       6L -> "completely different vocabulary sharing nothing with any neighbour doc")
     // batch reference: the SAME corpus through dedup_minhash_lsh
-    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    // (Scratch-rooted so the shutdown hook deletes it — no temp leak)
+    val dir = graft.ops.Scratch.dir("neardup-e2e")
     texts.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val batch = graft.operators.Dedup.minhashLsh(spark, dir)
