@@ -110,6 +110,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-level registration so queries can use `call_function`. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val JobHistoryAttrsName = "graft_jobhistory_attrs"
 
   /** Idempotent imperative registration (also usable from
     * SparkSessionExtensions via [[GraftExtensions]]). */
@@ -122,6 +123,14 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
         (children: Seq[Expression]) =>
           CosineSimilarity(children(0), children(1)))
+    }
+    val jhIdent = FunctionIdentifier(JobHistoryAttrsName)
+    if (!registry.functionExists(jhIdent)) {
+      registry.registerFunction(
+        jhIdent,
+        new ExpressionInfo(classOf[JobHistoryAttrs].getName,
+          JobHistoryAttrsName),
+        (children: Seq[Expression]) => JobHistoryAttrs(children.head))
     }
   }
 }
@@ -152,5 +161,10 @@ class GraftExtensions
       new ExpressionInfo(classOf[MinHashUnion].getName,
         SignatureFunctions.MinHashUnionName),
       (children: Seq[Expression]) => MinHashUnion(children.head, 128)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.JobHistoryAttrsName),
+      new ExpressionInfo(classOf[JobHistoryAttrs].getName,
+        GraftFunctions.JobHistoryAttrsName),
+      (children: Seq[Expression]) => JobHistoryAttrs(children.head)))
   }
 }

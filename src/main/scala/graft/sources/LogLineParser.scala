@@ -44,64 +44,36 @@ object LogLineParser {
     * `Job JOBID="job_202401_0007" FINISH_TIME="1704456000" JOB_STATUS="SUCCESS"`.
     * Returns (event, attrs map, raw); use [[attr]] to project fields.
     *
-    * Robustness: a single extraction pass matches the complete `K="v"`
-    * unit (closing quote required) — an embedded `X="` inside a quoted
-    * value cannot start a match, and because keys and values are split
-    * out of the SAME unit string they cannot desynchronize. Duplicate
-    * keys keep the LAST occurrence (a malformed line must not fail the
-    * whole 100 TB job via spark.sql.mapKeyDedupPolicy=EXCEPTION) —
-    * handled HERE, inside the expression, before the map builder ever
-    * sees a duplicate, so no session conf is read or mutated and a
-    * shared session keeps its own map-key semantics for unrelated
-    * queries.
+    * Robustness: the complete `K="v"` unit must match (closing quote
+    * required), so an embedded `X="` inside a quoted value cannot start
+    * a match. Duplicate keys keep the LAST occurrence (a malformed line
+    * must not fail the whole 100 TB job via
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION) — handled inside the
+    * expression, before any map builder could object, so no session
+    * conf is read or mutated and a shared session keeps its own map-key
+    * semantics for unrelated queries.
     *
-    * Perf shape: the ONE expensive whole-line regex runs once per line
-    * in its own projection; keys/values then split per-unit with cheap
-    * string ops (units are tiny — no line re-scan). Each derived array
-    * is referenced more than once by its consumer, which stops
-    * CollapseProject from merging the projections and re-inlining the
-    * work into every use (Spark inlines higher-order-function
-    * arguments — a one-select version re-ran the whole-line regex per
-    * entry, measured 7× slower on 150k lines). The key split uses the
-    * FIRST `="` (the `\\w+` key cannot contain `=` or `"`, so the first
-    * `="` always terminates it; a value ending in `=`, e.g. `K="a="`,
-    * would fool a last-occurrence split). Well-formed lines take the
-    * `array_distinct` uniqueness fast path (one hash pass +
-    * `map_from_arrays`, which never sees a duplicate there); only the
-    * rare duplicate-key lines pay the O(attrs²) last-win slice scan. */
+    * Perf shape: attrs come from the native codegen
+    * [[graft.plans.JobHistoryAttrs]] expression — ONE compiled-regex
+    * scan per line building the map directly. The declarative
+    * alternatives both lose: two `regexp_extract_all` passes scan the
+    * line twice, and a one-pass variant splitting units with
+    * `transform`/`zip_with` is slower still because Spark's
+    * higher-order functions are CodegenFallback (interpreted per-element
+    * lambdas) — measured at sf0.1: native ≈ 0.6 s, two-pass ≈ 0.98 s,
+    * one-pass+HOF ≈ 1.14 s full-query. The anchored event extract stays
+    * in its own projection so the empty-to-null CASE WHEN does not
+    * evaluate it twice. */
   def parseJobHistory(lines: DataFrame): DataFrame = {
-    // stage 1: the single whole-line regex runs exactly once per line
-    // here (group 0 = the complete K="v" unit)
-    val staged = lines.select(
+    graft.plans.GraftFunctions.register(lines.sparkSession)
+    lines.select(
       col("value"),
-      expr("""regexp_extract_all(value, '\\w+="[^"]*"', 0)""").as("units"),
       regexp_extract(col("value"), "^(\\w+) ", 1).as("ev_raw"))
-    // stage 2: per-unit key/value split — pure string ops over tiny
-    // unit strings (key = prefix before the first `="`; value = the
-    // quoted remainder minus the closing quote)
-    val kv = staged.select(
-      col("value"),
-      col("ev_raw"),
-      transform(col("units"), u => substring_index(u, "=\"", 1)).as("ks"),
-      transform(col("units"), u => {
-        val klen = length(substring_index(u, "=\"", 1))
-        u.substr(klen + lit(3), length(u) - klen - lit(3))
-      }).as("vs"))
-    // stage 3: unique keys (the overwhelmingly common case) build the
-    // map directly; only duplicate-key lines pay the O(attrs²) last-win
-    // scan (keep entry i only if its key does not recur later)
-    kv.select(
-      nullIfEmpty(col("ev_raw")).as("event"),
-      when(size(array_distinct(col("ks"))) === size(col("ks")),
-        map_from_arrays(col("ks"), col("vs")))
-        .otherwise(map_from_entries(
-          filter(
-            zip_with(col("ks"), col("vs"),
-              (k, v) => struct(k.as("k"), v.as("v"))),
-            (e, i) => !array_contains(
-              slice(col("ks"), i + 2, size(col("ks"))),
-              e.getField("k"))))).as("attrs"),
-      col("value").as("raw"))
+      .select(
+        nullIfEmpty(col("ev_raw")).as("event"),
+        call_function(graft.plans.GraftFunctions.JobHistoryAttrsName,
+          col("value")).as("attrs"),
+        col("value").as("raw"))
   }
 
   /** Column helper: attrs['KEY'] from [[parseJobHistory]] output. */

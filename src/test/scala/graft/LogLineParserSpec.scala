@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.LogLineParser
+import org.apache.spark.sql.functions.col
 
 class LogLineParserSpec extends SparkSpec {
 
@@ -72,6 +73,29 @@ class LogLineParserSpec extends SparkSpec {
     }
     assert(ex.getMessage.toUpperCase.contains("DUPLICATE"),
       s"expected duplicate-key error, got: ${ex.getMessage.take(200)}")
+  }
+
+  test("JobHistory: null line → null attrs; attr-less line → empty map") {
+    import spark.implicits._
+    val lines = Seq(Some("MapAttempt no pairs here"), None)
+      .toDF("value")
+    val rows = LogLineParser.parseJobHistory(lines)
+      .select(col("event"), col("attrs")).collect()
+    assert(rows(0).getString(0) === "MapAttempt")
+    assert(rows(0).getMap[String, String](1).isEmpty)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("JobHistory: value ending in '=' parses whole (K=\"a=\" trap)") {
+    import spark.implicits._
+    // the unit text `K="a="` contains `="` twice — a last-occurrence
+    // key/value split would truncate the value to empty; the compiled
+    // single-pass matcher must capture `a=` intact
+    val lines = Seq("""Job K="a=" NEXT="ok"""").toDF("value")
+    val rows = LogLineParser.parseJobHistory(lines)
+      .select(LogLineParser.attr("K"), LogLineParser.attr("NEXT")).collect()
+    assert(rows(0).getString(0) === "a=")
+    assert(rows(0).getString(1) === "ok")
   }
 
   test("JobHistory: a value containing X=\" does not desync pairs") {
