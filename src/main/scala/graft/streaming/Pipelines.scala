@@ -29,6 +29,19 @@ object Pipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) 1h window every 15 min with a 2h watermark — the
+    * streaming twin of `stream_sliding_agg`: identical window/agg
+    * expression behind `readStream`, each event expanded into its 4
+    * overlapping windows executor-side (StreamingSpec pins stream ≡
+    * batch on the same rows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup — the ingest-time half of the dedup suite:
     * drops records whose content key (user, type, value) was already
     * seen, keeping state only within the watermark

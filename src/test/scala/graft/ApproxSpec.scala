@@ -130,6 +130,34 @@ class ApproxSpec extends SparkSpec {
     assert(got === want, s"read-path probe diverged from in-query IVF")
   }
 
+  test("materialized IVF index is built once per corpus and reused") {
+    import graft.operators.Similarity
+    // the round-4 fix (build once per JVM+corpus) took the benched read
+    // path from 3.85 s to 0.60 s; a regression back to rebuild-per-call
+    // must fail loudly, not just re-measure slower. The index lives at
+    // the md5-keyed scratch path; a second invocation must leave every
+    // file byte-for-byte alone (same names, same mtimes).
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(graft.ops.Scratch.dir("ivf-" + key))
+    def stamp(f: java.io.File): Map[String, Long] = {
+      def walk(x: java.io.File): Seq[java.io.File] =
+        if (x.isDirectory) Option(x.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(x)
+      walk(f).map(x => x.getPath -> x.lastModified).toMap
+    }
+    val r1 = Similarity.annIvfFromIndex(spark, sf0001).collect()
+    assert(root.exists, s"index not materialized at $root")
+    val before = stamp(root)
+    assert(before.nonEmpty)
+    val r2 = Similarity.annIvfFromIndex(spark, sf0001).collect()
+    assert(stamp(root) === before,
+      "second invocation rewrote the materialized index — " +
+        "rebuild-per-call regression")
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+      "reused index changed the probe result")
+  }
+
   test("pipeline-stage invariants: packing offsets, repetition counts, decontamination bounds") {
     import graft.operators.TextAnalysis
     // packing: within a shard, doc offsets are the exact prefix sums of

@@ -140,6 +140,41 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((1, 1, 0)), "exact dup of an EARLIER new doc")
   }
 
+  test("nightly cycle: survivors materialized to disk feed incrementalFrames") {
+    import spark.implicits._
+    // the production loop: tonight's run writes the survivor corpus via
+    // Materialize.survivorCorpus; tomorrow's batch dedups against the
+    // ON-DISK corpus. Flags must match dedup against the in-memory
+    // survivor frame exactly — storage round-trip (partition directories
+    // included) is not allowed to move results.
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta eta", // 0: survivor
+      "alpha beta gamma delta epsilon zeta eta", // 1: exact dup of 0 — NOT in survivors
+      "one two three four five six seven" // 2: survivor
+    ))
+    val path = graft.ops.Scratch.dir("cycle-survivors")
+    graft.ops.Materialize.survivorCorpus(spark, dir, path)
+    val fromDisk = spark.read.parquet(path).select("doc_id", "text")
+    assert(fromDisk.count() === 2, "exact dup must not survive to disk")
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"), // exact dup of survivor 0
+      (101L, "one two three four five six eight"), // near dup of survivor 2
+      (102L, "red orange yellow green blue indigo violet") // novel
+    ).toDF("doc_id", "text")
+    def flags(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalFrames(fresh, corpus).collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val disk = flags(fromDisk)
+    val mem = flags(graft.ops.Materialize.survivorFrame(spark, dir)
+      .select("doc_id", "text"))
+    assert(disk === mem,
+      "on-disk survivor corpus flagged differently than in-memory frame")
+    assert(disk(100L) === ((1, 1, 0)), "exact dup of persisted survivor")
+    assert(disk(101L) === ((0, 1, 0)), "near dup of persisted survivor")
+    assert(disk(102L) === ((0, 0, 1)), "novel doc survives the cycle")
+  }
+
   test("incrementalFrames dedupes two separate frames, never old×old") {
     import spark.implicits._
     // corpus: docs 10,11 are near-dups OF EACH OTHER (the old×old pair

@@ -187,6 +187,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window stream equals the batch hopping-window agg") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    // events inside 10:00-11:30, split across two micro-batches, then a
+    // +6h watermark pusher so every window over them finalizes
+    // (watermark = 16:00 - 2h = 14:00 > last window end 12:30)
+    val data = Seq(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(10), 2L, "view", 2.0),
+      Event(ts(20), 1L, "click", 3.0), Event(ts(65), 3L, "view", 4.0),
+      Event(ts(90), 2L, "click", 5.0))
+    try {
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData(Event(ts(360), 9L, "pusher", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .filter(col("event_type") =!= "pusher")
+        .select(col("win_start"), col("event_type"), col("n"),
+          col("sum_value"))
+      // batch twin: the SAME rows through the SAME window expression
+      val batch = data.toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      assert(streamed.exceptAll(batch).isEmpty
+          && batch.exceptAll(streamed).isEmpty,
+        "stream-finalized hopping windows != batch hopping windows")
+      // sanity: each event really landed in 4 overlapping windows
+      assert(batch.agg(sum("n")).head().getLong(0) === data.length * 4L)
+    } finally q.stop()
+  }
+
+  test("late data: beyond-watermark rows drop, in-watermark rows update") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("latedata")
+      .outputMode("append").start()
+    try {
+      // hour-10 window gets 2 events; pusher advances wm to 14:00
+      mem.addData(
+        Event(ts(0), 1L, "view", 1.0),
+        Event(ts(10), 2L, "view", 2.0),
+        Event(ts(360), 9L, "pusher", 0.0))
+      q.processAllAvailable()
+      // (a) BEYOND the watermark: 10:30 < wm 14:00 → must be dropped
+      mem.addData(Event(ts(30), 3L, "view", 100.0))
+      q.processAllAvailable()
+      // (b) WITHIN the watermark: the 15:00 window (end 16:00 > wm) is
+      // still open; a second event arriving a batch later must merge
+      // into it before it finalizes
+      mem.addData(Event(ts(300), 4L, "view", 7.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(310), 5L, "view", 8.0))
+      q.processAllAvailable()
+      // advance wm past 16:00 so the 15:00 window finalizes
+      mem.addData(Event(ts(600), 9L, "pusher", 0.0))
+      q.processAllAvailable()
+      val views = spark.table("latedata")
+        .filter(col("event_type") === "view")
+        .select(col("win_start"), col("n"), col("sum_value")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      val hour10 = views.filter(_._1 === ts(0))
+      // exactly one finalized emission, WITHOUT the dropped late row
+      assert(hour10.toSeq === Seq((ts(0), 2L, 3.0)),
+        s"beyond-watermark row not dropped cleanly: ${hour10.toSeq}")
+      val hour15 = views.filter(_._1 === ts(300))
+      // both in-watermark arrivals merged into the one open window
+      assert(hour15.toSeq === Seq((ts(300), 2L, 15.0)),
+        s"in-watermark late row did not update its window: ${hour15.toSeq}")
+    } finally q.stop()
+  }
+
   test("soak: watermark evicts window state across a 24h multi-batch run") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
