@@ -1,14 +1,27 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-stress harness for the near-dup suite: synthesizes a K×-scaled
-  * corpus from the sf0.1 testdata and times the dedup/text operators on
-  * it, so the "would this hold at 10× the rows" claim is measured, not
-  * asserted. Usage:
+/** Scale-stress harness for the dedup/ANN suite: synthesizes a K×-scaled
+  * corpus from the sf0.1 testdata and measures the operators on it, so
+  * the "would this hold at 100× the rows" claim is a measured CURVE,
+  * not an asserted plan shape. Usage:
   *
   *   sbt "runMain graft.Stress [K] [sfDir]"     # default K=4, sf0.1
+  *
+  * Run at K = 1, 4, 16 and read docs/STRESS.md for the recorded curve.
+  *
+  * Measured per query: wall seconds, result rows, and SHUFFLE BYTES
+  * (read+written, via a stage-metrics listener) — shuffle volume is the
+  * quantity that blows up first when an operator hides quadratic work,
+  * and it is hardware-independent, so its growth ratio across K is the
+  * portable receipt. For the two LSH operators the raw CANDIDATE-PAIR
+  * counts are also recorded: candidates ∝ n·bands (not n²) is the exact
+  * claim the band-bucket design makes.
   *
   * Scaling construction (deterministic, no RNG):
   *  - documents: K namespaced copies — every token is prefixed with a
@@ -23,7 +36,7 @@ import org.apache.spark.sql.functions._
   *    the "random directions, low pairwise cosine" regime of the
   *    original table.
   *
-  * Emits one JSON line with per-query seconds and result rows.
+  * Emits one JSON line with per-query seconds/rows/shuffle bytes.
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -39,7 +52,30 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    // stage-level shuffle accounting; reset around each measurement
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def measure(tag: String)(action: => Long): (Double, Long, Long) = {
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val rows = action
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let the listener bus drain stage events
+      val sb = shuffleBytes.get()
+      System.err.println(
+        f"[stress] $tag%-24s $sec%7.2f s  ${sb / 1048576.0}%8.1f MiB shuffle  ($rows rows)")
+      (sec, rows, sb)
+    }
+
+    val dir = graft.ops.Scratch.dir(s"stress-x$k")
     val base = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text")
     val nBase = base.count()
@@ -67,20 +103,29 @@ object Stress {
     val queries = Seq(
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "dedup_source_minhash",
-      "dedup_embedding_lsh", "dedup_incremental", "text_tfidf_top_terms",
-      "text_normalize", "text_decontaminate", "text_repetition",
-      "text_pack_sequences", "materialize_survivors")
+      "dedup_embedding_lsh", "dedup_incremental", "ann_ivf_topk",
+      "ann_lsh_topk", "text_tfidf_top_terms", "text_normalize",
+      "text_decontaminate", "text_repetition", "text_pack_sequences",
+      "materialize_survivors")
     val results = queries.map { name =>
-      val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[stress] $name%-24s $sec%7.2f s ($rows rows)")
-      (name, sec, rows)
+      val (sec, rows, sb) =
+        measure(name)(SparkEntry.queries(name)(spark, dir).count())
+      (name, sec, rows, sb)
     }
-    val qJson = results.map { case (n, s, r) =>
-      "\"" + n + "\":{\"sec\":" + s + ",\"rows\":" + r + "}"
+    // candidate-count receipts: the LSH designs' core claim is that the
+    // pre-verification candidate volume grows ∝ n, never n²
+    val (_, lshCands, _) = measure("minhash_lsh_candidates")(
+      graft.operators.Dedup.minhashCandidateStage(spark, dir)._1.count())
+    val (_, ngramCands, _) = measure("ngram_candidates")(
+      graft.operators.Dedup.ngramCandidateStage(spark, dir)._1.count())
+
+    val qJson = results.map { case (n, s, r, sb) =>
+      "\"" + n + "\":{\"sec\":" + s + ",\"rows\":" + r +
+        ",\"shuffle_bytes\":" + sb + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"stress_scale":$k,"n_docs":${nBase * k},"n_vecs":$nVecs,"queries":$qJson}""")
+    println(s"""{"stress_scale":$k,"n_docs":${nBase * k},"n_vecs":$nVecs,""" +
+      s""""lsh_candidates":$lshCands,"ngram_candidates":$ngramCands,""" +
+      s""""queries":$qJson}""")
     spark.stop()
   }
 }

@@ -378,6 +378,16 @@ object Dedup {
     * rows), so it broadcasts and the drop is a map-side anti-join — no
     * sort, no extra shuffle of the big index. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val (cands, sizes) = ngramCandidateStage(s, d)
+    jaccardVerify(cands, sizes)
+  }
+
+  /** Candidate stage of [[ngramJaccard]] — (candidate pairs with
+    * intersection counts, per-doc sizes) — exposed package-private so
+    * the Stress harness can count raw shared-shingle candidates: the
+    * quantity that must grow ∝ n (df-capped Σ df²), never n². */
+  private[graft] def ngramCandidateStage(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
     // materialize the index ONCE: it has four consumers (hot-set agg,
     // anti-join probe, both self-join sides via sizes) and only the
@@ -391,13 +401,12 @@ object Dedup {
       .filter(col("df") > maxDf).select("h")
     val idx = all.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    jaccardVerify(
-      idx.as("a").join(idx.as("b"),
-          col("a.h") === col("b.h")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter")),
-      sizes)
+    val cands = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    (cands, sizes)
   }
 
   /** Exact-verify candidate pairs against the doc store — the batch
@@ -444,6 +453,25 @@ object Dedup {
     * the materialized per-doc hash sets in a single projection (128·|S|
     * hash evals, no 128× row explosion or extra shuffle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val (cands, docs) = minhashCandidateStage(s, d)
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Candidate stage of [[minhashLsh]] — (distinct band-collision
+    * pairs, materialized per-doc shingle arrays) — exposed
+    * package-private so the Stress harness can count raw LSH candidates:
+    * the quantity that must grow ∝ n·bands, never n². */
+  private[graft] def minhashCandidateStage(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.plans.SignatureFunctions.register(s)
     // materialized once: consumed three times (signature build + both
     // sides of the candidate verification join)
@@ -464,16 +492,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    cands
-      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
-        col("n").as("na")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
-        col("n").as("nb")), "b_id")
-      .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-      .filter(col("inter") * 3 >= col("na") + col("nb"))
-      .select("a_id", "b_id", "inter", "na", "nb")
-      .orderBy("a_id", "b_id")
+    (cands, docs)
   }
 
   /** 64-bit SimHash from token-frequency bit votes; hamming ≤ 3 pairs
