@@ -40,8 +40,41 @@ object Dedup {
     "dedup_clusters" -> clusters,
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
-    "dedup_incremental" -> incremental
+    "dedup_incremental" -> incremental,
+    "dedup_containment" -> containment
   )
+
+  /** Directional shingle containment — the near-dup mode Jaccard MISSES:
+    * a short doc embedded verbatim in a much longer one (boilerplate,
+    * quote-inflation, template wrapping) has tiny Jaccard (the union is
+    * dominated by the long doc) but containment |A∩B|/|A| ≈ 1. Flags
+    * ordered pairs where ≥ 80% of the contained doc's distinct shingles
+    * appear in the container (integer check: 5·inter ≥ 4·n_contained).
+    * Reuses [[ngramCandidateStage]]'s df-capped inverted index — the
+    * candidate set is symmetric (pairs sharing ≥ 1 informative shingle,
+    * Σ df² bounded), and each surviving (a<b) candidate row fans out
+    * into both directions BEFORE the threshold filter, so one candidate
+    * join serves both orientations. Same 100 TB shape as
+    * `dedup_ngram_jaccard`; only the acceptance predicate differs. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val (cands, sizes) = ngramCandidateStage(s, d)
+    cands
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .select(explode(array(
+        struct(col("a_id").as("contained_id"),
+          col("b_id").as("container_id"), col("inter"),
+          col("na").as("n_contained"), col("nb").as("n_container")),
+        struct(col("b_id").as("contained_id"),
+          col("a_id").as("container_id"), col("inter"),
+          col("nb").as("n_contained"), col("na").as("n_container"))))
+        .as("r"))
+      .select("r.*")
+      .filter(col("inter") * 5 >= col("n_contained") * 4)
+      .orderBy("contained_id", "container_id")
+  }
 
   /** Incremental dedup, driver-checked entry — a thin wrapper over
     * [[incrementalFrames]]: the batch boundary is the midpoint doc_id
@@ -583,6 +616,28 @@ object Dedup {
          |JOIN sz sb ON sb.doc_id = b_id
          |WHERE inter * 3 >= sa.n + sb.n
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id),
+         |dir AS (
+         |  SELECT a_id AS contained_id, b_id AS container_id, inter,
+         |    na AS n_contained, nb AS n_container FROM joined
+         |  UNION ALL
+         |  SELECT b_id, a_id, inter, nb, na FROM joined)
+         |SELECT contained_id, container_id, inter, n_contained,
+         |  n_container
+         |FROM dir WHERE inter * 5 >= n_contained * 4
+         |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

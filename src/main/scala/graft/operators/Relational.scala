@@ -37,8 +37,52 @@ object Relational {
     "window_rank_features" -> windowRankFeatures,
     "agg_cube" -> aggCube,
     "corr_stats" -> corrStats,
-    "join_skew_salted" -> joinSkewSalted
+    "join_skew_salted" -> joinSkewSalted,
+    "q6_selective_agg" -> q6SelectiveAgg,
+    "agg_grouping_sets" -> aggGroupingSets
   )
+
+  /** TPC-H Q6 shape (forecasting revenue change): a single-table scan
+    * whose ENTIRE predicate set — date window, discount band, quantity
+    * cap — is parquet-pushable, folding 100 TB of lineitem into one
+    * global sum. This is the canonical pushdown showcase: the scan must
+    * read only the 4 referenced columns and `.explain` must list every
+    * range predicate under PushedFilters (PlanAuditSpec pins both), so
+    * row groups whose min/max stats miss the window are skipped at the
+    * storage layer — the difference between scanning a year and
+    * scanning a fact table. The one-row global agg is a partial-agg +
+    * single-reducer merge: no shuffle of data, only of per-partition
+    * sums. */
+  def q6SelectiveAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** GROUPING SETS ((status), (priority)) — the third member of the
+    * grouped-analysis family next to [[aggRollup]]/[[aggCube]]: exactly
+    * the requested grouping combinations, no more. Spark plans all
+    * three through one Expand node — each input row is replicated once
+    * per grouping set BEFORE the hash aggregate, so the fact table is
+    * scanned once (not once per set, which is what a hand-written
+    * UNION ALL of two groupBys would cost at 100 TB). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
 
   /** [[graft.ops.Skew.saltedJoin]] under the driver's oracle gate: the
     * same brand rollup as [[joinBroadcastDim]], but through the salted
@@ -415,6 +459,22 @@ object Relational {
         |    AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q6_selective_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
     "corr_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qty_price,

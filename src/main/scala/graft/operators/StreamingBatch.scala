@@ -19,8 +19,32 @@ object StreamingBatch {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_session_window" -> sessionWindow,
-    "stream_sliding_agg" -> slidingAgg
+    "stream_sliding_agg" -> slidingAgg,
+    "stream_topk_window" -> topkWindow
   )
+
+  /** Per-window top-3 event types — the "trending now" serving query
+    * over the tumbling aggregate. The windowed count IS the streaming
+    * stage ([[tumblingAgg]]'s expression behind a watermark); the rank
+    * is not incrementally maintainable (a late event can reorder a
+    * window's top-k), so in production it runs downstream of the
+    * stream — in `foreachBatch` or over the sink table — exactly as
+    * composed here: rank input is (windows × event types), already
+    * aggregate-sized, so the per-window sort costs nothing at any
+    * corpus scale. Ties break lexicographically for determinism. */
+  def topkWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start_us")
+      .orderBy(col("n").desc, col("event_type"))
+    withTs(s, d)
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("win_start_us", "rnk")
+  }
 
   /** Sliding (hopping) 1h window every 15 min — each event lands in
     * exactly 4 overlapping windows (duration/slide = 4, epoch-aligned),
@@ -76,6 +100,19 @@ object StreamingBatch {
          |SELECT win_start_us, event_type, count(*) AS n,
          |  round(sum(value), 2) AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "stream_topk_window" ->
+      s"""WITH $E,
+         |a AS (
+         |  SELECT (tu // 3600000000) * 3600000000 AS win_start_us,
+         |    event_type, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY win_start_us ORDER BY n DESC, event_type)::INT
+         |    AS rnk
+         |  FROM a)
+         |SELECT win_start_us, event_type, n, rnk
+         |FROM r WHERE rnk <= 3 ORDER BY win_start_us, rnk""".stripMargin,
     "stream_tumbling_agg" ->
       s"""WITH $E
          |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,

@@ -38,8 +38,88 @@ object TextAnalysis {
     "text_pii_redact" -> piiRedact,
     "corpus_mixture" -> corpusMixture,
     "sample_stratified" -> sampleStratified,
-    "curation_funnel" -> curationFunnel
+    "curation_funnel" -> curationFunnel,
+    "text_collocations" -> collocations,
+    "vocab_coverage" -> vocabCoverage,
+    "bloom_decontaminate" -> bloomDecontaminate
   )
+
+  /** Collocation mining — the corpus-statistics stage behind tokenizer
+    * and phrase-vocabulary decisions: adjacent-token bigrams ranked by
+    * PMI-style lift, `lift = P(xy) / (P(x)·P(y)) = c_xy·T / (c_x·c_y)`
+    * (T = corpus token count; the bigram-total denominator is a
+    * constant factor, so lift ordering ≡ PMI ordering). Emitted as
+    * `lift_ppm`, an exact integer: the product runs in DECIMAL(38,0)
+    * (at 2·10¹³ tokens `c_xy·T·10⁶` far exceeds Long) and Spark's
+    * integral `div` floors identically to DuckDB's `//` on HUGEINT —
+    * no float log, no last-ulp rank flips. Shape: bigrams are built
+    * per-row from the token array (slice + zip_with — NO window over
+    * the exploded token stream, so no doc-keyed shuffle of the corpus),
+    * then two explode→count aggs (unigram, bigram) with map-side
+    * combine, a vocab-sized join, and a broadcast scalar total. The
+    * `c_pair ≥ 3` support floor is applied BEFORE the unigram joins so
+    * the joined frame is the reporting set, not the full bigram
+    * vocabulary. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(Fns.tokens(col("text")).as("w"))
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // 3 consumers: total + both unigram joins
+    val tot = uni.agg(sum("c").as("t_total"))
+    val n1 = greatest(size(col("w")) - 1, lit(0))
+    val bi = docs
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= 3)
+    bi
+      .join(uni.select(col("t").as("t1"), col("c").as("c_left")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c").as("c_right")), "t2")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"),
+        col("c_pair"), col("c_left"), col("c_right"),
+        expr("cast(c_pair as decimal(38,0)) * t_total * 1000000" +
+          " div (cast(c_left as decimal(38,0)) * c_right)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Vocabulary coverage — the tokenizer-design statistic: what share
+    * of the corpus token mass do the top-10/100/1000 words cover? One
+    * explode→count agg (map-side combined, output bounded by VOCABULARY
+    * size, not corpus size), then a rank over the vocab counts and a
+    * single conditional aggregate down to one row. The unpartitioned
+    * row_number window runs over the aggregated vocab — the same
+    * bounded-cardinality argument as [[wordFreq]]'s global top-k; for a
+    * pathological open vocabulary (URLs, hashes) the support floor to
+    * apply first is a plain `c ≥ k` filter, which only removes words
+    * that could never reach the top-1000. Shares are exact integer ppm
+    * ([[corpusMixture]]'s DECIMAL div trick). */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c").desc, col("t"))
+    Tables.documents(s, d)
+      .select(explode(Fns.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .select(col("c"), row_number().over(w).as("rnk"))
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum("c").as("total_tokens"),
+        sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("cov_top10"),
+        sum(when(col("rnk") <= 100, col("c")).otherwise(0L)).as("cov_top100"),
+        sum(when(col("rnk") <= 1000, col("c")).otherwise(0L))
+          .as("cov_top1000"))
+      .select(col("vocab_size"), col("total_tokens"),
+        col("cov_top10"), col("cov_top100"), col("cov_top1000"),
+        expr("cast(cov_top10 as decimal(26,0)) * 1000000 div total_tokens")
+          .as("ppm_top10"),
+        expr("cast(cov_top100 as decimal(26,0)) * 1000000 div total_tokens")
+          .as("ppm_top100"),
+        expr("cast(cov_top1000 as decimal(26,0)) * 1000000 div total_tokens")
+          .as("ppm_top1000"))
+  }
 
   /** The composed curation pipeline as ONE plan: raw → quality filter →
     * benchmark decontamination → n-gram near-dedup, reported as a
@@ -269,20 +349,7 @@ object TextAnalysis {
     * lambda-inlining note) and joined as 64-bit hashes. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val benchMax = 20L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("w2", lead("w", 1).over(w))
-      .withColumn("w3", lead("w", 2).over(w))
-      .withColumn("w4", lead("w", 3).over(w))
-      .withColumn("w5", lead("w", 4).over(w))
-      .filter(col("w5").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"),
-          col("w4"), col("w5"))).as("h"))
-      .distinct()
+    val sh = shingle5Rows(s, d)
       .localCheckpoint() // consumed by the bench side and the corpus side
     val bench = sh.filter(col("doc_id") < benchMax).select("h").distinct()
     val hits = sh.filter(col("doc_id") >= benchMax)
@@ -294,6 +361,76 @@ object TextAnalysis {
         coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("int")
           .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct 5-gram shingle hashes per doc, (doc_id, h) — shared by
+    * [[decontaminate]] (exact broadcast join) and [[bloomDecontaminate]]
+    * (sketch membership). Shingles built relationally (posexplode +
+    * lead, see [[graft.operators.Dedup]]'s lambda-inlining note). */
+  private def shingle5Rows(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .withColumn("w4", lead("w", 3).over(w))
+      .withColumn("w5", lead("w", 4).over(w))
+      .filter(col("w5").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"),
+          col("w4"), col("w5"))).as("h"))
+      .distinct()
+  }
+
+  /** Bloom-filter decontamination — [[decontaminate]]'s sketch-membership
+    * twin for the regime where even the benchmark 5-gram set is too big
+    * to ship as a broadcast hash relation: the benchmark folds into a
+    * fixed-size position set (k = 3 seeded xxhash64 probes into an
+    * m = 2²⁰ slot space, `graft.bloom.hashes` / `graft.bloom.bits`) and
+    * corpus shingles test membership against it as a pure per-row map
+    * lookup — NO join on the corpus side at all, just a broadcast
+    * scalar. Entirely `functions` composition (map_from_entries +
+    * element_at), no UDF, stays in codegen. Classic Bloom one-sided
+    * error: a set bit can lie, a clear bit cannot — flags are a
+    * SUPERSET of the exact operator's (BloomSpec pins superset + the
+    * false-positive bound; with defaults the expected FP rate per
+    * shingle is (k·|bench|/m)³ ≈ 10⁻⁷, i.e. zero extra flags at test
+    * SF). Driver-checked gate is rows-only: the sketch's FP behavior is
+    * engine-specific by nature. At a 10⁴-doc eval suite the position
+    * map is ~3·10⁶ longs ≈ 50 MB broadcast; beyond that, pack positions
+    * into an array<long> bitmap (same probes, 2²⁰ bits = 16 KB) — the
+    * map form is kept here because it stays readable and the spec pins
+    * the semantics either way. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val benchMax = 20L
+    val mSlots = s.conf.getOption("graft.bloom.bits").fold(1L << 20)(_.toLong)
+    val k = s.conf.getOption("graft.bloom.hashes").fold(3)(_.toInt)
+    def positions(h: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.Column] =
+      (0 until k).map(i => pmod(xxhash64(h, lit(i)), lit(mSlots)))
+    val sh = shingle5Rows(s, d)
+      .localCheckpoint() // consumed by the bench side and the corpus side
+    val sketch = sh.filter(col("doc_id") < benchMax)
+      .select(explode(array(positions(col("h")): _*)).as("pos"))
+      .distinct()
+      .agg(map_from_entries(collect_list(struct(col("pos"), lit(true))))
+        .as("bm"))
+    val hit = positions(col("h"))
+      .map(p => coalesce(element_at(col("bm"), p), lit(false)))
+      .reduce(_ && _)
+    val hits = sh.filter(col("doc_id") >= benchMax)
+      .crossJoin(broadcast(sketch))
+      .select(col("doc_id"), when(hit, 1L).otherwise(0L).as("maybe"))
+      .groupBy("doc_id").agg(sum("maybe").as("n_maybe"))
+    Tables.documents(s, d).filter(col("doc_id") >= benchMax)
+      .select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe_5grams"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).cast("int")
+          .as("contaminated_bloom"))
       .orderBy("doc_id")
   }
 
@@ -527,6 +664,56 @@ object TextAnalysis {
          |  sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT,
          |  sum(CASE WHEN s3 THEN n_tokens ELSE 0 END)::BIGINT FROM f
          |ORDER BY stage""".stripMargin,
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT $Toks AS w FROM documents),
+         |uni AS (
+         |  SELECT tok AS t, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS t_total FROM uni),
+         |g AS (
+         |  SELECT unnest(CASE WHEN len(w) >= 2 THEN
+         |      [w[i] || ' ' || w[i+1]
+         |       for i in generate_series(1, len(w) - 1)]
+         |    ELSE [] END) AS gram
+         |  FROM toks),
+         |bi AS (
+         |  SELECT gram, count(*)::BIGINT AS c_pair
+         |  FROM g GROUP BY gram HAVING count(*) >= 3)
+         |SELECT bi.gram AS bigram, bi.c_pair, ul.c AS c_left,
+         |  ur.c AS c_right,
+         |  ((bi.c_pair::HUGEINT * t.t_total * 1000000)
+         |    // (ul.c::HUGEINT * ur.c))::BIGINT AS lift_ppm
+         |FROM bi
+         |JOIN uni ul ON ul.t = split_part(bi.gram, ' ', 1)
+         |JOIN uni ur ON ur.t = split_part(bi.gram, ' ', 2)
+         |CROSS JOIN tot t
+         |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH uni AS (
+         |  SELECT tok AS t, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest($Toks) AS tok FROM documents) GROUP BY 1),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk
+         |  FROM uni),
+         |a AS (
+         |  SELECT count(*)::BIGINT AS vocab_size,
+         |    sum(c)::BIGINT AS total_tokens,
+         |    sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END)::BIGINT
+         |      AS cov_top10,
+         |    sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END)::BIGINT
+         |      AS cov_top100,
+         |    sum(CASE WHEN rnk <= 1000 THEN c ELSE 0 END)::BIGINT
+         |      AS cov_top1000
+         |  FROM r)
+         |SELECT vocab_size, total_tokens, cov_top10, cov_top100,
+         |  cov_top1000,
+         |  (cov_top10::HUGEINT * 1000000 // total_tokens)::BIGINT
+         |    AS ppm_top10,
+         |  (cov_top100::HUGEINT * 1000000 // total_tokens)::BIGINT
+         |    AS ppm_top100,
+         |  (cov_top1000::HUGEINT * 1000000 // total_tokens)::BIGINT
+         |    AS ppm_top1000
+         |FROM a""".stripMargin,
     "text_pii_redact" ->
       s"""WITH l AS (
          |  SELECT doc_id,

@@ -154,6 +154,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("q6: every range predicate is pushed, scan reads only 4 columns") {
+    val p = plan("q6_selective_agg")
+    // all three predicate families must reach the parquet reader so
+    // row-group min/max stats can skip data at the storage layer
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), "date lower lost")
+    assert(p.contains("LessThan(l_shipdate,"), "date upper lost")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      "discount band lost")
+    assert(p.contains("LessThan(l_quantity,24"), "quantity cap lost")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      "scan should read exactly the 4 referenced columns")
+    assert(shuffles(p) <= 1,
+      s"global agg should shuffle only partial sums: ${shuffles(p)}")
+  }
+
+  test("collocations build bigrams per-row — no window over the stream") {
+    val p = plan("text_collocations")
+    assert(!finalTree(p).contains("Window"),
+      "bigrams must come from per-row array ops, not a doc-keyed " +
+        "window over the exploded token stream")
+    assert(!p.contains("CartesianProduct"),
+      "the scalar total must broadcast")
+  }
+
+  test("bloom probe is a broadcast scalar — no join on the corpus side") {
+    val p = plan("bloom_decontaminate")
+    assert(finalTree(p).contains("BroadcastNestedLoopJoin"),
+      "the sketch must reach the corpus as a broadcast single-row " +
+        "scalar (membership is a per-row lookup, not a join)")
+    assert(!finalTree(p).contains("SortMergeJoin"),
+      "corpus shingles must not shuffle against the benchmark set")
+  }
+
   test("curation funnel scans the corpus once for the stage rollup") {
     val p = plan("curation_funnel")
     assert(!p.contains("CartesianProduct"), "funnel grew a cartesian")

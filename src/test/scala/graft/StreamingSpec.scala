@@ -37,6 +37,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-window top-k ranks the streamed sink ≡ batch topkWindow") {
+    // stream_topk_window's composition claim: the windowed count is
+    // the streaming stage; the rank runs DOWNSTREAM of the sink. Drive
+    // the same rows through tumblingCounts → memory sink, rank the
+    // sink table with the identical window expression, and pin
+    // equality with the batch rank over a one-shot aggregate.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(5), 2L, "view", 1.0),
+      Event(ts(10), 1L, "click", 1.0), Event(ts(20), 3L, "click", 1.0),
+      Event(ts(30), 4L, "click", 1.0), Event(ts(40), 5L, "buy", 1.0),
+      Event(ts(50), 6L, "scroll", 1.0), // 5 types: one must miss top-3
+      Event(ts(70), 1L, "view", 1.0),
+      // watermark pusher closes both populated hours
+      Event(ts(300), 9L, "view", 1.0))
+    val mem = MemoryStream[Event]
+    val q = Pipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("topk_src")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def rank3(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+        df.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("win_start", "rnk", "event_type", "n")
+          .orderBy("win_start", "rnk")
+      }
+      val streamed = rank3(spark.table("topk_src")).collect()
+      // the pusher's own window never finalizes in append mode (nothing
+      // advances the watermark past it) — the batch twin covers the
+      // CLOSED windows, so it aggregates everything except the pusher
+      val batch = rank3(rows.dropRight(1).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n")))
+        .collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+      // the 4-type hour must have been cut to 3 (top-k actually binds)
+      val perWindow = streamed.groupBy(_.getAs[Timestamp]("win_start"))
+      assert(perWindow.values.forall(_.length <= 3))
+      assert(perWindow.values.exists(_.length == 3),
+        "no window exercised the k cut")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
