@@ -39,8 +39,141 @@ object Relational {
     "corr_stats" -> corrStats,
     "join_skew_salted" -> joinSkewSalted,
     "q6_selective_agg" -> q6SelectiveAgg,
-    "agg_grouping_sets" -> aggGroupingSets
+    "agg_grouping_sets" -> aggGroupingSets,
+    "q4_priority_exists" -> q4PriorityExists,
+    "q10_returned_revenue" -> q10ReturnedRevenue,
+    "q14_promo_share" -> q14PromoShare,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q22_idle_rich" -> q22IdleRich
   )
+
+  /** TPC-H Q4 shape (order-priority checking): orders in a 6-month
+    * window with at least one line shipped >60 days after the order
+    * date. The correlated EXISTS plans as a LEFT SEMI join on the
+    * order key — each order is emitted at most once no matter how many
+    * late lines it has, and the date window is pushed into the orders
+    * scan before the join. The semi join shuffles both sides by
+    * orderkey once; the non-equi lateness predicate rides along as the
+    * join residual, so there is no post-join dedup (`distinct`) pass —
+    * the shape a 100 TB EXISTS must take. */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue): customers ranked by the
+    * revenue they returned in one quarter. Both fact filters
+    * (quarter window on orders, R-flag on lineitem) are pushed to the
+    * scans so the orderkey shuffle moves only the quarter's returns;
+    * nation is the lone broadcast dim. The top-20 runs as a
+    * sort-limit AFTER the per-customer aggregate — at 100 TB the agg
+    * output is one row per returning customer, and TakeOrderedAndProject
+    * keeps only 20 per partition before the final merge. */
+  def q10ReturnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): one month's revenue split
+    * promo vs total through the part dim. Emits the numerator and
+    * denominator as separate 2-decimal sums instead of their ratio —
+    * the engine-agnostic form (§4): both sides of the oracle sum on
+    * the 0.01 grid, where a float division would hash-diverge. Part
+    * broadcasts; the month filter is pushed to the lineitem scan, so
+    * the whole query is one scan + one broadcast join + one partial
+    * agg — zero data shuffles at any scale. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0))), 2).as("promo_rev"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q19 shape (discounted revenue): a three-way disjunction of
+    * (brand, size-band, quantity-band) conjuncts spanning both join
+    * sides. Catalyst factors the per-side implications out of the OR —
+    * the part scan gets `brand IN (...) OR`-of-size-bands pushed down
+    * and the lineitem scan gets the quantity-band union — so each side
+    * is pre-filtered at the storage layer before the join, and the full
+    * disjunction re-checks only the surviving pairs (PlanAuditSpec pins
+    * the per-side pushdown). This is the query shape that punishes
+    * engines which treat OR as unpushable. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val clause =
+      (col("p_brand") === "Brand#12"
+        && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#23"
+        && col("p_size").between(1, 25) && col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#5"
+        && col("p_size").between(20, 50) && col("l_quantity").between(25, 50))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): rich-but-idle
+    * customers — balance above the positive-balance average, no orders
+    * in 1996 — rolled up per market segment. The scalar subquery
+    * becomes a one-row broadcast crossJoin (no shuffle); the threshold
+    * is FLOORED to an integer so the float average's last-ulp
+    * difference between engines can never flip a 0.01-grid balance
+    * across the boundary (§4). The anti join shuffles by custkey once;
+    * at 100 TB the 1996 order-key side is the only moving set. */
+  def q22IdleRich(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg(floor(avg("c_acctbal")).as("bal_floor"))
+    val y96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("bal_floor"))
+      .join(y96, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
 
   /** TPC-H Q6 shape (forecasting revenue change): a single-table scan
     * whose ENTIRE predicate set — date window, discount band, quantity
@@ -475,6 +608,62 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+        |    AS promo_rev,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 25 AND 50)""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH thr AS (
+        |  SELECT floor(avg(c_acctbal)) AS bal_floor
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, thr
+        |WHERE c_acctbal > bal_floor
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "corr_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qty_price,

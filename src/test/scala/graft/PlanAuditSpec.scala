@@ -200,6 +200,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 12, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("q19 pushes the per-side OR factorizations into BOTH scans") {
+    val p = plan("q19_disjunctive")
+    // Catalyst must factor the cross-table disjunction into per-side
+    // implications: the part scan sees the brand/size OR, the lineitem
+    // scan sees the quantity-band union — each side pre-filters at the
+    // storage layer before the join re-checks the full clause
+    assert(p.contains("Or(") && p.contains("EqualTo(p_brand,Brand#12)"),
+      "part scan lost the brand/size OR pushdown")
+    assert("""PushedFilters:[^\n]*l_quantity""".r.findFirstIn(p).isDefined,
+      "lineitem scan lost the quantity-band OR pushdown")
+  }
+
+  test("q4 EXISTS plans as a semi join with no post-join distinct") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as LEFT SEMI")
+    // a distinct/dedup aggregate between the join and the priority
+    // rollup would mean the semi join failed to dedup — exactly two
+    // aggregates (partial+final) belong to the rollup itself
+    assert("""HashAggregate \(\d+\)""".r.findAllIn(finalTree(p)).length <= 2,
+      "unexpected extra aggregate — semi join should dedup by itself")
+  }
+
+  test("q10 top-20 runs as TakeOrdered after the aggregate") {
+    val p = plan("q10_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit must fold into TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q22 scalar threshold broadcasts; anti join keeps date pushdown") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as LEFT ANTI")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"),
+      "orders scan lost the 1996 window pushdown")
+    assert(!finalTree(p).contains("CartesianProduct"),
+      "scalar threshold must broadcast, not cartesian")
+  }
+
   test("materialized roundtrip read-back prunes the text column") {
     val p = plan("materialize_survivors")
     // the read side of the roundtrip scans the freshly-written corpus
