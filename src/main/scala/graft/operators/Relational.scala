@@ -44,7 +44,20 @@ object Relational {
     "q10_returned_revenue" -> q10ReturnedRevenue,
     "q14_promo_share" -> q14PromoShare,
     "q19_disjunctive" -> q19Disjunctive,
-    "q22_idle_rich" -> q22IdleRich
+    "q22_idle_rich" -> q22IdleRich,
+    "q2_min_cost_supp" -> q2MinCostSupp,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q12_late_lines" -> q12LateLines,
+    "q13_cust_orders_dist" -> q13CustOrdersDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q17_small_qty_rev" -> q17SmallQtyRev,
+    "q18_large_orders" -> q18LargeOrders,
+    "q20_part_promotion" -> q20PartPromotion,
+    "q21_waiting_supplier" -> q21WaitingSupplier
   )
 
   /** TPC-H Q4 shape (order-priority checking): orders in a 6-month
@@ -469,6 +482,412 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ── TPC-H decision-support completion pack ──────────────────────────
+  // The remaining 13 of the 22 classic shapes, adapted to this schema
+  // (no partsupp / shipmode / commitdate columns): lineitem stands in as
+  // the supply catalog where partsupp is called for, and "late" is
+  // l_shipdate vs o_orderdate + N days where receipt/commit dates are.
+  // What is preserved is each query's PLAN shape — correlated min,
+  // double-EXISTS, scalar-subquery HAVING, left-outer histogram — which
+  // is what a 100 TB engine is actually graded on.
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for every STANDARD part,
+    * the EUROPE supplier offering it at the lowest unit cost. The
+    * correlated `= (SELECT min ...)` becomes aggregate-then-rejoin: the
+    * per-(part, supplier) unit costs aggregate once, the per-part min
+    * aggregates from THAT result (an already-reduced frame, one row per
+    * supply pair — not a window over the raw supply relation), and the
+    * equi-join back on (partkey, cost) keeps exactly the argmin rows.
+    * Both aggregates and the rejoin hash on partkey, so AQE reuses the
+    * exchange; supplier/nation/region fold into one broadcast dim. */
+  def q2MinCostSupp(s: SparkSession, d: String): DataFrame = {
+    val euroSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val supply = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(euroSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 2)
+        .as("unit_cost"))
+    val minCost = supply
+      .groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min("unit_cost").as("min_cost"))
+    supply
+      .join(minCost, col("l_partkey") === col("m_partkey")
+        && col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+      .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+  }
+
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between one
+    * nation pair, both directions, by ship year. Both dims are
+    * pre-filtered to the two nations BEFORE touching a fact table —
+    * the supplier and customer sides each shrink to 2/25ths at the
+    * broadcast, so the orderkey shuffle moves only candidate-pair
+    * rows and the final cross-pair disjunction re-checks survivors. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3"
+          && col("cust_nation") === "NATION_7")
+        || (col("supp_nation") === "NATION_7"
+          && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's slice of a
+    * region's market for one part type, by order year. Emits numerator
+    * and denominator as separate sums (the §4 engine-agnostic form —
+    * no float division under the hash gate). The region/type filters
+    * cut the fact rows at the broadcast joins; the single data shuffle
+    * is lineitem×orders on orderkey. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val custAm = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNat = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAm), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0))), 2).as("nation_rev"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit on red parts by
+    * supplier nation and order year. With no partsupp, supply cost is
+    * modeled as half the part's retail price — the ARITHMETIC shape
+    * (revenue minus cost inside one sum) is what survives. Part and
+    * supplier/nation broadcast; the one shuffle is orderkey. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity")), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 shape (important stock): per-part inventory value from
+    * one region's suppliers, kept only where it exceeds a fraction of
+    * the grand total. The scalar subquery is a one-row broadcast
+    * crossJoin over the SAME aggregate subplan — Spark's ReuseExchange
+    * serves both the per-part frame and its global sum from one
+    * shuffle. The HAVING threshold compares on values already rounded
+    * to the 0.01 grid, so the cross-engine float boundary can't flip
+    * membership. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val euroKeys = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(euroKeys), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .join(broadcast(Tables.part(s, d)
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_quantity") * col("p_retailprice")), 2)
+        .as("value"))
+    value
+      .crossJoin(broadcast(value.agg(sum("value").as("tot"))))
+      .filter(col("value") > lit(0.001) * col("tot"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping-priority audit): late lines in one ship
+    * year split into high- vs low-priority counts per line status. With
+    * no receipt/commit dates, "late" is shipped >60 days after the
+    * order date — a non-equi residual riding the orderkey equi-join,
+    * exactly like [[q4PriorityExists]] but feeding a conditional
+    * aggregate instead of a semi join. The ship-year window is pushed
+    * to the lineitem scan. */
+  def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_shipdate", "l_linestatus"),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate")
+            + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0).otherwise(1))
+          .cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed N qualifying orders, INCLUDING the zero-order
+    * customers — which is why this must be a LEFT OUTER join (a plain
+    * join would silently drop the c_count=0 bucket). Two aggregations:
+    * per-customer count (shuffles by custkey), then the tiny histogram
+    * over counts. The priority exclusion is pushed to the orders scan
+    * as part of the JOIN condition, not a WHERE — post-join filtering
+    * would also kill the zero bucket. */
+  def q13CustOrdersDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape (top supplier): supplier(s) whose one-quarter
+    * revenue equals the maximum. The view + correlated max becomes
+    * aggregate → one-row broadcast max → equality filter; the equality
+    * compares 0.01-grid rounded revenues, so both engines agree on the
+    * argmax set even though their raw float sums differ in the last
+    * ulp. Supplier names arrive by broadcast AFTER the filter — only
+    * the winners' keys are looked up. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("mx"))))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape (supplier-count by part attribute): distinct
+    * suppliers per (brand, type, size) over a multi-valued size list,
+    * excluding a supplier denylist. The NOT IN becomes a broadcast
+    * LEFT ANTI join (never a shuffle — the denylist is a filtered dim);
+    * the distinct-count shuffles once on the grouping key with the
+    * suppkey set pre-deduped map-side. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** TPC-H Q17 shape (small-quantity revenue): lines of one brand
+    * below half their part's average quantity. The correlated per-part
+    * AVG becomes aggregate-then-rejoin on partkey — and both the
+    * average and the rejoin run on the BRAND-FILTERED lines only
+    * (restricting to the brand's parts cannot change any per-part
+    * average), so at 100 TB the threshold frame is thousands of rows,
+    * not the full fact table, and AQE broadcasts it. */
+  def q17SmallQtyRev(s: SparkSession, d: String): DataFrame = {
+    val brandLines = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val thr = brandLines
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((lit(0.5) * avg("l_quantity")).as("qty_thr"))
+    brandLines
+      .join(thr, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(round(sum("l_extendedprice") / lit(7.0), 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total
+    * quantity clears a threshold, with their customers. The HAVING
+    * subquery folds into the main plan — ONE lineitem aggregation
+    * produces both the qualifying keys and their sums (TPC-H's
+    * textbook form scans lineitem twice; the rewrite halves the fact
+    * I/O). Top-100 by price runs as TakeOrderedAndProject after the
+    * joins. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum("l_quantity").as("qty_raw"))
+      .filter(col("qty_raw") > 120)
+      .select(col("b_orderkey"), round(col("qty_raw"), 2).as("sum_qty"))
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("b_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** TPC-H Q20 shape (part-promotion candidates): one region's
+    * suppliers who shipped >30% of their all-time volume of red parts
+    * within one year. The nested `IN (… HAVING …)` chain becomes
+    * semi-join → conditional aggregate → threshold filter → semi-join:
+    * per-(supplier, part) volumes aggregate once with the year split
+    * as a conditional sum (one pass, not two), and only qualifying
+    * suppkeys travel to the supplier dim. */
+  def q20PartPromotion(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("red%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(
+        sum(when(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")),
+          col("l_quantity")).otherwise(lit(0))).as("q97"),
+        sum("l_quantity").as("q_all"))
+      .filter(col("q97") > lit(0.3) * col("q_all"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    * orders, the late lines whose supplier was the ONLY late one among
+    * several suppliers on the order — EXISTS(another supplier) AND NOT
+    * EXISTS(another LATE supplier), i.e. a semi join then an anti join
+    * against the same late-lines relation, both equi on orderkey with
+    * the supplier inequality as residual. The late frame is built
+    * twice from the source (identical subplans — ReuseExchange
+    * deduplicates the shuffle) rather than self-referenced, keeping
+    * every column lineage unambiguous. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    def lateLines(p: String): DataFrame =
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as(p + "orderkey"),
+          col("l_suppkey").as(p + "suppkey"))
+    val l1 = lateLines("")
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = lateLines("o3_")
+    l1.join(others, col("orderkey") === col("o2_orderkey")
+        && col("suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers, col("orderkey") === col("o3_orderkey")
+        && col("suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")),
+        col("suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -672,6 +1091,173 @@ object Relational {
         |  round(stddev_samp(l_discount), 4) AS sd_disc
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(min(l_extendedprice / l_quantity), 2) AS unit_cost
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_name, s_name, n_name, unit_cost
+        |FROM supply, part, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |  AND p_type = 'STANDARD'
+        |  AND unit_cost = (SELECT min(unit_cost) FROM supply s2
+        |                   WHERE s2.l_partkey = supply.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation sn, nation cn
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+        |    AS nation_rev,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |FROM lineitem, orders, customer, supplier, part,
+        |     nation sn, nation cn, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        |  AND s_nationkey = sn.n_nationkey
+        |  AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+        |  AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem, orders, supplier, part, nation
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH natval AS (
+        |  SELECT l_partkey, round(sum(l_quantity * p_retailprice), 2) AS value
+        |  FROM lineitem, supplier, nation, region, part
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND l_partkey = p_partkey
+        |    AND r_name = 'EUROPE'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM natval
+        |WHERE value > (SELECT 0.001 * sum(value) FROM natval)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q13_cust_orders_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) co
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, rev
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_rev" ->
+      """WITH pavg AS (
+        |  SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_thr
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem, part, pavg
+        |WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+        |  AND p_brand = 'Brand#3' AND l_quantity < qty_thr""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  o_orderdate::DATE AS o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation, region
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'red%')
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |               THEN l_quantity ELSE 0 END)
+        |         > 0.3 * sum(l_quantity))
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation, region
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }

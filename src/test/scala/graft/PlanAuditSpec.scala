@@ -237,6 +237,42 @@ class PlanAuditSpec extends SparkSpec {
       "scalar threshold must broadcast, not cartesian")
   }
 
+  test("q21 plans EXISTS∧NOT-EXISTS as semi + anti, no cartesian") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as LEFT SEMI")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as LEFT ANTI")
+    assert(!finalTree(p).contains("CartesianProduct"),
+      "supplier-inequality residual must ride the equi-join")
+    assert(!finalTree(p).contains("BroadcastNestedLoopJoin"),
+      "all four joins must stay hash joins")
+  }
+
+  test("q2 correlated min is aggregate-rejoin, not a window or loop") {
+    val p = plan("q2_min_cost_supp")
+    assert(!finalTree(p).contains("Window"),
+      "per-part min must come from an aggregate, not a window sort")
+    assert(!finalTree(p).contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must fold into TakeOrderedAndProject")
+  }
+
+  test("q13 zero-order customers survive: outer join, filter in join") {
+    val p = plan("q13_cust_orders_dist")
+    assert(finalTree(p).contains("LeftOuter"),
+      "histogram must include the zero bucket via LEFT OUTER")
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      "priority exclusion must still push to the orders scan")
+  }
+
+  test("q17 threshold frame joins the brand-filtered lines only") {
+    val p = plan("q17_small_qty_rev")
+    // both the avg aggregate and the rejoin must sit above the
+    // brand semi join — the full-table form would show a lineitem
+    // scan WITHOUT the semi join under the aggregate
+    assert("""LeftSemi""".r.findAllIn(finalTree(p)).length >= 1)
+    assert(!finalTree(p).contains("CartesianProduct"))
+  }
+
   test("materialized roundtrip read-back prunes the text column") {
     val p = plan("materialize_survivors")
     // the read side of the roundtrip scans the freshly-written corpus
