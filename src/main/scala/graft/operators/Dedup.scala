@@ -41,8 +41,51 @@ object Dedup {
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
     "dedup_incremental" -> incremental,
-    "dedup_containment" -> containment
+    "dedup_containment" -> containment,
+    "dedup_span_flags" -> spanFlags
   )
+
+  /** Span-level duplication flags — the sub-document dedup mode (the
+    * "Deduplicating Training Data" stage): per doc, how many of its
+    * 8-token positional spans also occur in ≥ 3 distinct documents.
+    * Exact- and near-dup catch whole documents; this catches the
+    * boilerplate PARAGRAPH pasted into thousands of otherwise-unique
+    * pages, which at corpus scale dominates memorization risk.
+    *
+    * Plan: tokenize once (posexplode — the lambda-inlining-safe form),
+    * build spans with 7 `lead`s over ONE window by (doc_id, pos), hash
+    * each span to 8 bytes, count document frequency per span hash, and
+    * left-join the df≥3 set back. Spans stay positional (not distinct):
+    * n_dup_spans counts occurrences, so a doc that repeats the shared
+    * paragraph twice reports both. Cost is linear in tokens plus one
+    * shuffle by span hash; no pair join exists anywhere. The df≥3
+    * frame has unique keys (it IS a groupBy result), so the left join
+    * cannot multiply rows. Span identity joins as xxhash64 — same
+    * 64-bit-collision tolerance as [[ngramJaccard]]'s shingle index;
+    * the oracle compares full span STRINGS, so a collision would
+    * surface as a hash mismatch, not hide. */
+  def spanFlags(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("w") +: (1 to 7).map(i => lead("w", i).over(w)): _*)
+          .as("span"),
+        lead("w", 7).over(w).as("w8"))
+      .filter(col("w8").isNotNull)
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+    val common = spans
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 3)
+      .select(col("h").as("dup_h"))
+    spans.join(common, col("h") === col("dup_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("dup_h")).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
 
   /** Directional shingle containment — the near-dup mode Jaccard MISSES:
     * a short doc embedded verbatim in a much longer one (boilerplate,
@@ -595,6 +638,30 @@ object Dedup {
     s"list_distinct(${Fns.sqlShingles3(Fns.sqlTokens("text"))})"
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_flags" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  t -> t <> '') AS ws
+        |    FROM documents)),
+        |sp AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win,
+        |      lead(w,3) OVER win, lead(w,4) OVER win, lead(w,5) OVER win,
+        |      lead(w,6) OVER win, lead(w,7) OVER win) AS span,
+        |    lead(w,7) OVER win AS w8
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |spans AS (SELECT doc_id, span FROM sp WHERE w8 IS NOT NULL),
+        |common AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_dup_spans
+        |FROM spans s LEFT JOIN common c USING (span)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

@@ -33,8 +33,54 @@ object Similarity {
     "ann_ivf_from_index" -> annIvfFromIndex,
     "knn_self_join" -> knnSelfJoin,
     "centroid_per_label" -> centroidPerLabel,
-    "label_spread" -> labelSpread
+    "label_spread" -> labelSpread,
+    "cluster_kmeans" -> clusterKmeans
   )
+
+  /** K-means clustering over embeddings UNDER THE ORACLE — the
+    * domain-discovery / data-mixing stage (cluster, inspect, reweight).
+    * [[ivfBuild]] runs the same Lloyd algorithm as rows-only index
+    * plumbing; this query is the user-facing clustering with every
+    * step pinned by DuckDB parity, which takes three determinism
+    * commitments: seeds are the k=8 smallest vec_ids (no RNG), exactly
+    * 2 Lloyd iterations, and centroid components are ROUNDED to 6
+    * decimals between iterations — per-dim averages land on a grid
+    * both engines agree on (cluster sizes ≈ n/8 ≫ 10, so the mean
+    * never sits at a rounding midpoint, SURVEY §4), and every cosine
+    * then compares bit-identical inputs through the same sequential
+    * fold, making the per-vector argmax — ties broken toward the
+    * smaller cid on both engines — hash-exact.
+    *
+    * Scale shape = [[ivfBuild]]'s: assignment is crossJoin-broadcast of
+    * k centroid rows collapsed map-side by `max_by` (n tiny rows out,
+    * no n×k shuffle); centroid refresh is one posexplode aggregate by
+    * (cid, pos). Everything stays relational — no driver collect at
+    * all, k rows flow as a broadcast frame. */
+  def clusterKmeans(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // consumed by seeding + every Lloyd pass
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cid"), col("emb").as("cvec"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cc", cos(col("emb"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
+    def centroids(assigned: DataFrame): DataFrame =
+      assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg("v"), 6).as("cv"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+    var cents = seeds
+    (1 to 2).foreach(_ => cents = centroids(assign(cents)))
+    assign(cents).orderBy("vec_id")
+  }
 
   /** IVF (inverted-file) ANN — the second classic scale path next to
     * LSH: a coarse quantizer of C centroids (deterministic hash-sampled
@@ -318,6 +364,50 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "cluster_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+         |    emb AS cvec
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN seeds)) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a0.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a0 JOIN e USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN c1)) WHERE rn = 1),
+         |c2 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a1.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a1 JOIN e USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN c2)) WHERE rn = 1)
+         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |           FROM embeddings ORDER BY vec_id LIMIT 1)

@@ -41,8 +41,84 @@ object TextAnalysis {
     "curation_funnel" -> curationFunnel,
     "text_collocations" -> collocations,
     "vocab_coverage" -> vocabCoverage,
-    "bloom_decontaminate" -> bloomDecontaminate
+    "bloom_decontaminate" -> bloomDecontaminate,
+    "text_bigram_lm_score" -> bigramLmScore,
+    "text_token_entropy" -> tokenEntropy
   )
+
+  /** Shannon entropy of each doc's token distribution — the gibberish/
+    * repetition quality signal orthogonal to [[repetition]]'s top-token
+    * ratios: near-zero entropy is one token repeated (spam/boilerplate),
+    * anomalously high entropy at fixed length is word salad that never
+    * reuses a token. H = −Σ p·ln p over per-doc token frequencies,
+    * rounded to 4 (summands are exact-count ratios; the sum is nowhere
+    * near a rounding midpoint). Shape: one explode → (doc, token)
+    * count aggregate with map-side combine, a per-doc total joined
+    * back co-partitioned on doc_id, one final per-doc aggregate — all
+    * shuffles on doc_id or (doc_id, token), nothing corpus-global. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val n = c.groupBy(col("doc_id").as("n_doc"))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    c.join(n, col("doc_id") === col("n_doc"))
+      .groupBy("doc_id", "n_distinct")
+      .agg(round(lit(0) - sum((col("c") / col("n"))
+        * log(col("c") / col("n"))), 4).as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * filter of a pretraining pipeline, self-trained on the corpus:
+    * score(doc) = mean over the doc's adjacent-token bigrams of
+    * `ln((c(w1,w2) + 1) / (c(w1) + V))` — add-one-smoothed conditional
+    * log-likelihood (V = unigram vocabulary size). Low scores mark
+    * improbable token sequences (mojibake, word salad); high scores
+    * mark fluent-for-this-corpus text. Rounded to 4 decimals: the
+    * summands are exact-count ratios, so cross-engine `ln` agrees to
+    * the last ulp and the mean sits nowhere near a rounding midpoint.
+    *
+    * Scale shape: bigrams are built PER-ROW from the token array
+    * ([[collocations]]' zip_with-of-slices form — no window, so no
+    * doc-keyed shuffle+sort of the token stream) and IMMEDIATELY
+    * collapse to per-(doc, bigram) counts — the frame every later step
+    * consumes is distinct bigrams per doc, not the positional stream
+    * (localCheckpoint'd: the small multiply-consumed intermediate).
+    * Global bigram counts aggregate FROM that frame (map-side
+    * combine), the vocab size V is a one-row broadcast crossJoin, and
+    * the score is the c_doc-weighted mean — identical to the
+    * positional mean, with join traffic ∝ distinct bigrams. At 100 TB
+    * both count tables are vocab-sized (≪ corpus), so AQE broadcasts
+    * them. No pair join, no driver-side model state. */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+    val n1 = greatest(size(col("w")) - 1, lit(0))
+    val db = docs
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_doc"))
+      .localCheckpoint()
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy(col("t").as("u_w"))
+      .agg(count(lit(1)).as("c_uni"))
+    val bigc = db.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"))
+      .agg(sum("c_doc").as("c_big"))
+    db
+      .join(bigc, col("w1") === col("b_w1") && col("w2") === col("b_w2"))
+      .join(uni, col("w1") === col("u_w"))
+      .crossJoin(broadcast(uni.agg(count(lit(1)).as("v"))))
+      .groupBy("doc_id")
+      .agg(sum("c_doc").cast("long").as("n_bigrams"),
+        round(sum(col("c_doc")
+            * log((col("c_big") + lit(1.0)) / (col("c_uni") + col("v"))))
+          / sum("c_doc"), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
 
   /** Collocation mining — the corpus-statistics stage behind tokenizer
     * and phrase-vocabulary decisions: adjacent-token bigrams ranked by
@@ -612,6 +688,42 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_token_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*)::DOUBLE AS c
+         |      FROM toks GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(c) AS n, count(*)::BIGINT AS n_distinct
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n_distinct,
+         |  round(-sum((c / n) * ln(c / n)), 4) AS token_entropy
+         |FROM c JOIN n USING (doc_id)
+         |GROUP BY doc_id, n_distinct
+         |ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  t -> t <> '') AS ws
+        |    FROM documents)),
+        |bg AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |bigrams AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |uni AS (SELECT w AS u_w, count(*)::BIGINT AS c_uni
+        |        FROM toks GROUP BY w),
+        |vocab AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |bigc AS (SELECT w1 AS b_w1, w2 AS b_w2, count(*)::BIGINT AS c_big
+        |         FROM bigrams GROUP BY w1, w2)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(ln((c_big + 1.0) / (c_uni + v))), 4) AS lm_score
+        |FROM bigrams
+        |JOIN bigc ON w1 = b_w1 AND w2 = b_w2
+        |JOIN uni ON w1 = u_w
+        |CROSS JOIN vocab
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "curation_funnel" ->
       s"""WITH toks AS (SELECT doc_id, n_chars, $Toks AS w FROM documents),
          |q AS (
