@@ -106,7 +106,8 @@ object Stress {
       "dedup_embedding_lsh", "dedup_incremental", "ann_ivf_topk",
       "ann_lsh_topk", "text_tfidf_top_terms", "text_normalize",
       "text_decontaminate", "text_repetition", "text_pack_sequences",
-      "materialize_survivors")
+      "materialize_survivors", "dedup_span_flags", "text_bigram_lm_score",
+      "text_token_entropy", "cluster_kmeans")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

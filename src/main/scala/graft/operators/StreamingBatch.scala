@@ -20,8 +20,28 @@ object StreamingBatch {
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_session_window" -> sessionWindow,
     "stream_sliding_agg" -> slidingAgg,
-    "stream_topk_window" -> topkWindow
+    "stream_topk_window" -> topkWindow,
+    "stream_dedup_window" -> dedupWindow
   )
+
+  /** Windowed dedup rate — the streaming-ingest dedup stage under the
+    * oracle: per 1-hour tumbling window, total events vs distinct
+    * (user, event_type) pairs. The streaming twin is `dropDuplicates`
+    * on (window, user, type) behind a watermark — state is one row per
+    * distinct pair per open window, evicted at finalization
+    * (StreamingSpec pins stream ≡ batch on shared rows and bounded
+    * state); this batch form IS that pipeline's finalized output, so
+    * the oracle gate covers the dedup semantics the pure-streaming
+    * specs can only assert pairwise. The distinct-count shuffles once
+    * by window with the pair set pre-deduped map-side. */
+  def dedupWindow(s: SparkSession, d: String): DataFrame =
+    withTs(s, d)
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id"), col("event_type")).as("n_unique"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_events"), col("n_unique"))
+      .orderBy("win_start_us")
 
   /** Per-window top-3 event types — the "trending now" serving query
     * over the tumbling aggregate. The windowed count IS the streaming
@@ -90,6 +110,12 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup_window" ->
+      s"""WITH $E
+         |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,
+         |  count(*) AS n_events,
+         |  count(DISTINCT (user_id, event_type)) AS n_unique
+         |FROM e GROUP BY 1 ORDER BY win_start_us""".stripMargin,
     "stream_sliding_agg" ->
       s"""WITH $E,
          |w AS (

@@ -118,6 +118,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 3, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("kmeans assignment partial-aggregates map-side like ivf") {
+    val p = plan("cluster_kmeans")
+    assert(p.contains("partial_max_by") || finalTree(p).contains("max_by"),
+      "nearest-centroid argmax should partial-aggregate map-side")
+    // the only Window belongs to the 8-row seed numbering; the n×k
+    // scored stream must never flow through one
+    assert("""Window \(\d+\)""".r.findAllIn(finalTree(p)).length <= 1,
+      "scored assignment rows must not pass through a window sort")
+    assert(!finalTree(p).contains("CartesianProduct"))
+  }
+
   test("approx top-k heavy hitters aggregate sketches map-side") {
     val p = plan("log_top_users_approx")
     assert(p.contains("partial_approx_top_k"),

@@ -278,6 +278,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed dedup stream ≡ batch distinct-pair counts per window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // the stream_dedup_window pipeline: dropDuplicates on
+    // (window, user, type) behind a watermark, then per-window counts
+    val q = mem.toDF()
+      .withWatermark("ts", "2 hours")
+      .withColumn("win", window(col("ts"), "1 hour"))
+      .dropDuplicates("win", "user_id", "event_type")
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("win.start").as("win_start"), col("n_unique"))
+      .writeStream.format("memory").queryName("dedupwin")
+      .outputMode("append").start()
+    val data = Seq(
+      Event(ts(0), 1L, "view", 1.0),
+      Event(ts(5), 1L, "view", 2.0), // in-batch dup pair
+      Event(ts(10), 2L, "view", 3.0),
+      Event(ts(70), 1L, "view", 4.0), // same pair, NEXT window: counts
+      Event(ts(80), 1L, "click", 5.0))
+    try {
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*) // cross-batch dup of (1, view, w0)
+      q.processAllAvailable()
+      mem.addData(Event(ts(360), 9L, "pusher", 0.0)) // finalize windows
+      q.processAllAvailable()
+      val streamed = spark.table("dedupwin")
+        .filter(col("n_unique") > 0 && col("win_start") < ts(360))
+      val batch = data.toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id"), col("event_type"))
+          .as("n_unique"))
+        .select(col("window.start").as("win_start"), col("n_unique"))
+      assert(streamed.exceptAll(batch).isEmpty
+          && batch.exceptAll(streamed).isEmpty,
+        "stream-deduped window counts != batch countDistinct")
+      // the duplicated pair collapsed in w0 (2 uniques), re-counted in w1
+      assert(batch.orderBy("win_start").collect().map(_.getLong(1)).toSeq
+        === Seq(2L, 2L))
+    } finally q.stop()
+  }
+
   test("late data: beyond-watermark rows drop, in-watermark rows update") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
