@@ -54,8 +54,30 @@ object LogAnalytics {
     "log_jobhistory_stats" -> jobHistoryStats,
     "log_cohort_retention" -> cohortRetention,
     "log_gap_fill" -> gapFill,
-    "join_range_bucket" -> rangeJoinBucket
+    "join_range_bucket" -> rangeJoinBucket,
+    "log_type_transitions" -> typeTransitions
   )
+
+  /** Event-type transition matrix — the Markov-chain view of user
+    * behavior (which steps follow which), the generalization of the
+    * fixed-order [[funnel]]: per user, order events by time and count
+    * each adjacent (from → to) event-type pair corpus-wide. One
+    * shuffle by user_id for the `lead` window (ties broken by event_id
+    * so the order — and therefore the oracle hash — is total), then a
+    * map-side-combining count on the (from, to) pairs, whose
+    * cardinality is |types|² — metadata-sized at any corpus scale. */
+  def typeTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
 
   /** Time-series gap fill: the dense (user × day) grid with zero-filled
     * counts — the resample step before any per-user daily model. The
@@ -516,6 +538,16 @@ object LogAnalytics {
         |  count(*) AS n, count(DISTINCT uid) AS n_users,
         |  sum(cents)::BIGINT AS sum_cents, count(DISTINCT job_id) AS n_jobs
         |FROM parsed GROUP BY 1, 2 ORDER BY level, hour_ts""".stripMargin,
+    "log_type_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM o WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "log_counts_by_type" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,

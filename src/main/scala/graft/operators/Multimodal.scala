@@ -32,8 +32,26 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_feature_extract" -> featureExtract,
-    "mm_frame_sample" -> frameSample
+    "mm_frame_sample" -> frameSample,
+    "mm_payload_dedup" -> payloadDedup
   )
+
+  /** Content-hash dedup of binary payloads — the FIRST multimodal
+    * curation stage (identical images/audio recur constantly in a
+    * crawled corpus): group by md5 of the payload, keep the minimum
+    * doc id, report copies and reclaimable bytes. The group key is
+    * md5 over the payload's hex rendering (uppercase on both engines),
+    * so only 16-byte digests shuffle — never payload bytes — and the
+    * aggregation is the same single hash-groupBy shape as
+    * `dedup_exact`, linear at any corpus scale. */
+  def payloadDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", payloadCol)
+      .groupBy(md5(hex(col("payload"))).as("payload_md5"))
+      .agg(min("doc_id").as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        sum(expr("octet_length(payload)")).cast("long").as("total_bytes"))
+      .orderBy("keeper_id")
 
   /** Deterministic binary payload: `1 + length(text)/64` blocks of
     * `unhex(md5(text:i))`, 16 bytes each. */
@@ -135,6 +153,13 @@ object Multimodal {
       |  FROM blk GROUP BY doc_id, text)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm_payload_dedup" ->
+      s"""$payloadCte
+         |SELECT md5(hex(payload)) AS payload_md5,
+         |  min(doc_id) AS keeper_id,
+         |  count(*) AS n_copies,
+         |  sum(octet_length(payload))::BIGINT AS total_bytes
+         |FROM p GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "mm_frame_sample" ->
       s"""$payloadCte,
          |f AS (
