@@ -42,8 +42,32 @@ object Dedup {
     "materialize_survivors" -> materializeSurvivors,
     "dedup_incremental" -> incremental,
     "dedup_containment" -> containment,
-    "dedup_span_flags" -> spanFlags
+    "dedup_span_flags" -> spanFlags,
+    "dedup_cross_source_rate" -> crossSourceRate
   )
+
+  /** Cross-source contamination rates — the exact, oracle-gated
+    * complement of [[sourceMinhash]]'s sketch estimates: every VERIFIED
+    * near-dup pair ([[ngramJaccard]]'s output) attributed to its
+    * (source, source) cell, pair order normalized least/greatest so
+    * each unordered source pair is one row. This is the report a
+    * curation run actually acts on ("crawl B re-hosts crawl A — drop
+    * which side?"); the sketch twin scales to source-count × source-
+    * count when pairwise doc joins are too big, and this exact form IS
+    * the pair join's rollup — two broadcast-sized dim joins and a
+    * n_sources²-bounded aggregate on top of work already done. */
+  def crossSourceRate(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ngramJaccard(s, d).select("a_id", "b_id")
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+        "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+        "b_id")
+      .groupBy(least(col("src_a"), col("src_b")).as("src_1"),
+        greatest(col("src_a"), col("src_b")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_1", "src_2")
+  }
 
   /** Span-level duplication flags — the sub-document dedup mode (the
     * "Deduplicating Training Data" stage): per doc, how many of its
@@ -638,6 +662,27 @@ object Dedup {
     s"list_distinct(${Fns.sqlShingles3(Fns.sqlTokens("text"))})"
 
   val oracles: Map[String, String] = Map(
+    "dedup_cross_source_rate" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n)
+         |SELECT least(da.source, db.source) AS src_1,
+         |  greatest(da.source, db.source) AS src_2,
+         |  count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |GROUP BY src_1, src_2
+         |ORDER BY src_1, src_2""".stripMargin,
     "dedup_span_flags" ->
       """WITH toks AS (
         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
