@@ -43,8 +43,33 @@ object Dedup {
     "dedup_incremental" -> incremental,
     "dedup_containment" -> containment,
     "dedup_span_flags" -> spanFlags,
-    "dedup_cross_source_rate" -> crossSourceRate
+    "dedup_cross_source_rate" -> crossSourceRate,
+    "neardup_degree_dist" -> degreeDist
   )
+
+  /** Degree distribution of the verified near-dup graph — the health
+    * metric that decides WHICH dedup policy to run: a long degree tail
+    * (template/boilerplate hubs) means cluster-then-keep-one
+    * over-deletes and span-level dedup ([[spanFlags]]) is the right
+    * tool; a flat distribution of degree-1 pairs means pairwise
+    * survivor selection suffices. Docs with no near-dup appear as
+    * degree 0 (left join against the corpus), so the histogram is a
+    * complete partition of the corpus. Shape: the pair frame
+    * ([[ngramJaccard]]) explodes into 2 endpoint rows per pair, then
+    * two bounded aggregations — per-doc degree (≤ corpus rows) and the
+    * degree histogram (≤ max-degree rows). Nothing here exceeds the
+    * candidate-join cost already paid. */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    val deg = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(s, d).select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
 
   /** Cross-source contamination rates — the exact, oracle-gated
     * complement of [[sourceMinhash]]'s sketch estimates: every VERIFIED
@@ -662,6 +687,28 @@ object Dedup {
     s"list_distinct(${Fns.sqlShingles3(Fns.sqlTokens("text"))})"
 
   val oracles: Map[String, String] = Map(
+    "neardup_degree_dist" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |deg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS degree
+         |  FROM (SELECT a_id AS doc_id FROM pairs
+         |        UNION ALL SELECT b_id FROM pairs)
+         |  GROUP BY doc_id)
+         |SELECT coalesce(g.degree, 0)::BIGINT AS degree,
+         |  count(*)::BIGINT AS n_docs
+         |FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id
+         |GROUP BY 1 ORDER BY degree""".stripMargin,
     "dedup_cross_source_rate" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

@@ -57,8 +57,73 @@ object Relational {
     "q17_small_qty_rev" -> q17SmallQtyRev,
     "q18_large_orders" -> q18LargeOrders,
     "q20_part_promotion" -> q20PartPromotion,
-    "q21_waiting_supplier" -> q21WaitingSupplier
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "basket_part_pairs" -> basketPartPairs,
+    "window_decile_spend" -> windowDecileSpend
   )
+
+  /** Market-basket pair mining: parts that co-occur in the same order,
+    * with minimum support 2 — the pairwise-frequent-itemset shape. The
+    * self-join is keyed on `l_orderkey` (an equi-join, one shuffle of
+    * each side by order), and the quadratic blowup is bounded per
+    * GROUP, not per corpus: an order has ≤7 lines in this schema, so a
+    * 100 TB lineitem yields ≤21 pairs per order — candidate volume is
+    * linear in orders. Pair counts then reduce with map-side combine;
+    * the top-50 limit applies AFTER the full aggregation (pair-key
+    * cardinality is bounded by |parts|², not rows). `p1 < p2`
+    * canonicalizes pairs so each is counted once. */
+  def basketPartPairs(s: SparkSession, d: String): DataFrame = {
+    // One fact shuffle, not a self-join (which would shuffle lineitem
+    // twice): gather each order's parts, emit i<j pairs from the sorted
+    // array in-line (higher-order transform/slice — codegen, no UDF).
+    // Positional pairs over the SORTED array with a strict x<y filter
+    // count exactly like the SQL self-join `a.p < b.p`: equal-part
+    // pairs drop, repeated parts multiply — same multiset either way.
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) ->" +
+          " transform(slice(ps, i + 2, size(ps))," +
+          " y -> struct(x as p1, y as p2))))")).as("pr"))
+      .filter(col("pr.p1") < col("pr.p2"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** Customer spend deciles within each nation: `ntile(10)` over a
+    * window PARTITIONED by nation — deliberately not a global ntile,
+    * which would force every customer into one window partition (the
+    * classic unpartitioned-window scale killer). Partitioning by
+    * nation keeps the sort distributed; the tie-break on `o_custkey`
+    * makes tile assignment deterministic across engines. Output is the
+    * decile-level rollup (segment sizes + spend mass), the shape a
+    * spend-segmentation feature table feeds from. Joins: customer is
+    * NOT broadcast — per-customer spend leaves the aggregation already
+    * hash-partitioned by custkey, so the customer equi-join reuses that
+    * exchange (no extra shuffle, and customer is fact-sized at 100 TB);
+    * nation (≤25 rows) broadcasts. */
+  def windowDecileSpend(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("spend").desc, col("o_custkey"))
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("n_name", "decile")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("spend"), 2).as("decile_spend"))
+      .orderBy("n_name", "decile")
+  }
 
   /** TPC-H Q4 shape (order-priority checking): orders in a 6-month
     * window with at least one line shipped >60 days after the order
@@ -889,6 +954,31 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_part_pairs" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  count(*) AS n_orders
+        |FROM lineitem a
+        |JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY p1, p2
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, p1, p2
+        |LIMIT 50""".stripMargin,
+    "window_decile_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |seg AS (
+        |  SELECT n_name, spend,
+        |    ntile(10) OVER (PARTITION BY n_name
+        |      ORDER BY spend DESC, o_custkey) AS decile
+        |  FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, decile, count(*) AS n_cust,
+        |  round(sum(spend), 2) AS decile_spend
+        |FROM seg GROUP BY n_name, decile
+        |ORDER BY n_name, decile""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

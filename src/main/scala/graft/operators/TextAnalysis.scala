@@ -43,7 +43,9 @@ object TextAnalysis {
     "vocab_coverage" -> vocabCoverage,
     "bloom_decontaminate" -> bloomDecontaminate,
     "text_bigram_lm_score" -> bigramLmScore,
-    "text_token_entropy" -> tokenEntropy
+    "text_token_entropy" -> tokenEntropy,
+    "quality_logit_score" -> qualityLogitScore,
+    "mixture_resample" -> mixtureResample
   )
 
   /** Shannon entropy of each doc's token distribution — the gibberish/
@@ -343,6 +345,79 @@ object TextAnalysis {
       .select(col("source"), col("n_src"), col("target_n"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("sum_chars_kept"), lit(0L)).as("sum_chars_kept"))
+      .orderBy("source")
+  }
+
+  /** Model-based quality filter in the linear-classifier shape: a
+    * fixed-weight logistic regression over the same per-doc features a
+    * trained fastText/logreg quality model consumes (stopword ratio,
+    * unique-token ratio, capped length). Weights here are hand-set
+    * constants standing in for trained coefficients; swapping in real
+    * ones is a constant change, the plan is identical. All arithmetic
+    * is fixed-point integer (ratios in ppm, logit in milli-units) so
+    * Spark and the oracle decide identically — and thresholding the
+    * LOGIT is equivalent to thresholding the sigmoid probability (the
+    * sigmoid is monotone), so no float `exp` enters the comparison.
+    * Shape: pure per-row projection, no shuffle, codegen'd end to end —
+    * the cheapest possible 100 TB stage. */
+  def qualityLogitScore(s: SparkSession, d: String): DataFrame = {
+    val stop = array(Fns.Stopwords.map(lit): _*)
+    withToks(s, d)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => array_contains(stop, t)))
+          .cast("long").as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_ppm", expr("n_stop * 1000000 div n_tokens"))
+      .withColumn("uniq_ppm", expr("n_distinct * 1000000 div n_tokens"))
+      .withColumn("logit_milli",
+        expr("6 * stop_ppm div 1000 + 4 * uniq_ppm div 1000" +
+          " + 2 * least(n_tokens, 400L) - 3000"))
+      .withColumn("keep", (col("logit_milli") > 1500).cast("int"))
+      .select("doc_id", "stop_ppm", "uniq_ppm", "logit_milli", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Mixture resampling — the enforcement step after [[corpusMixture]]
+    * measures shares: given target weights per source (here a
+    * deterministic function of the source id, standing in for a config
+    * map), compute each source's acceptance rate toward the target
+    * composition and keep docs by content-hash threshold
+    * ([[Fns.md5Bucket256]], same reproducible-sampling primitive as
+    * [[sampleStratified]]). `accept_ppm = min(10⁶, total·target_ppm /
+    * n_src)` — sources above their target share are downsampled,
+    * sources at/below keep everything (rate capped at 10⁶ ppm; true
+    * up-sampling would repeat rows, a different operator). DECIMAL(38)
+    * keeps `total·target_ppm` exact at trillion-doc scale
+    * (corpusMixture's overflow lesson). Two corpus scans by necessity —
+    * rates need global counts before the filter can run; the rate frame
+    * is ≤|sources| rows and broadcasts. */
+  def mixtureResample(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("w",
+        expr("cast(regexp_extract(source, '(\\\\d+)', 1) as int) % 5 + 1")
+          .cast("long"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("n_before").as("total_docs"),
+      sum("w").as("total_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target_ppm", expr("w * 1000000 div total_w"))
+      .withColumn("accept_ppm",
+        expr("least(1000000L, cast(total_docs as decimal(38,0))" +
+          " * target_ppm div n_before)").cast("long"))
+      .select("source", "n_before", "target_ppm", "accept_ppm")
+    val kept = Tables.documents(s, d)
+      .join(broadcast(rates), "source")
+      .filter(Fns.md5Bucket256(col("text")).cast("long") * 1000000L
+        < col("accept_ppm") * 256L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_after"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_before"), col("target_ppm"),
+        col("accept_ppm"), coalesce(col("n_after"), lit(0L)).as("n_after"))
       .orderBy("source")
   }
 
@@ -855,6 +930,52 @@ object TextAnalysis {
          |  md5(redacted) AS redacted_md5,
          |  length(redacted)::BIGINT AS n_chars_redacted
          |FROM r ORDER BY doc_id""".stripMargin,
+    "quality_logit_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(w)::BIGINT AS n_tokens,
+         |    len(list_distinct(w))::BIGINT AS n_distinct,
+         |    len(list_filter(w, t -> list_contains($StopList, t)))::BIGINT
+         |      AS n_stop
+         |  FROM (SELECT doc_id, $Toks AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |p AS (
+         |  SELECT doc_id,
+         |    n_stop * 1000000 // n_tokens AS stop_ppm,
+         |    n_distinct * 1000000 // n_tokens AS uniq_ppm,
+         |    n_tokens
+         |  FROM f)
+         |SELECT doc_id, stop_ppm, uniq_ppm,
+         |  (6 * stop_ppm // 1000 + 4 * uniq_ppm // 1000
+         |    + 2 * least(n_tokens, 400) - 3000) AS logit_milli,
+         |  ((6 * stop_ppm // 1000 + 4 * uniq_ppm // 1000
+         |    + 2 * least(n_tokens, 400) - 3000) > 1500)::INT AS keep
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "mixture_resample" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_before,
+         |    (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 5
+         |      + 1)::BIGINT AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_before)::BIGINT AS total_docs,
+         |    sum(w)::BIGINT AS total_w FROM counts),
+         |rates AS (
+         |  SELECT source, n_before,
+         |    (w * 1000000 // total_w)::BIGINT AS target_ppm,
+         |    least(1000000, total_docs::HUGEINT
+         |      * (w * 1000000 // total_w) // n_before)::BIGINT
+         |      AS accept_ppm
+         |  FROM counts CROSS JOIN tot),
+         |kept AS (
+         |  SELECT d.source, count(*)::BIGINT AS n_after
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${Fns.sqlMd5Bucket256("d.text")}::BIGINT * 1000000
+         |    < r.accept_ppm * 256
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_before, r.target_ppm, r.accept_ppm,
+         |  coalesce(k.n_after, 0)::BIGINT AS n_after
+         |FROM rates r LEFT JOIN kept k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
     "corpus_mixture" ->
       s"""WITH per AS (
          |  SELECT source, count(*)::BIGINT AS n_docs,
