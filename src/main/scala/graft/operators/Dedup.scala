@@ -44,8 +44,60 @@ object Dedup {
     "dedup_containment" -> containment,
     "dedup_span_flags" -> spanFlags,
     "dedup_cross_source_rate" -> crossSourceRate,
-    "neardup_degree_dist" -> degreeDist
+    "neardup_degree_dist" -> degreeDist,
+    "dedup_best_survivor" -> bestSurvivor,
+    "dedup_token_savings" -> tokenSavings
   )
+
+  /** Quality-aware survivor selection — the policy layer over
+    * [[clusters]]: instead of keep-min-id, each near-dup cluster keeps
+    * its HIGHEST-QUALITY member ([[TextAnalysis.qualityLogitScore]]'s
+    * fixed-point logit, doc_id tie-break) — the policy a real curation
+    * run wants, since the min-id copy of a template cluster is often
+    * the worst-OCR'd one. Composition is plan-level: the cluster frame
+    * and the per-doc score frame join on doc_id, then top-1-per-cluster
+    * runs as a row_number window PARTITIONED by cluster (cluster sizes
+    * are near-dup-bounded, no global sort). Singleton clusters pass
+    * through, so survivors partition the corpus exactly like
+    * [[clusters]]' min-id policy — only WHICH member survives changes. */
+  def bestSurvivor(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("logit_milli").desc, col("doc_id"))
+    clusters(s, d).select("doc_id", "cluster_id")
+      .join(TextAnalysis.qualityLogitScore(s, d)
+        .select("doc_id", "logit_milli"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rn") === 1, col("logit_milli"))).as("best_logit_milli"))
+      .orderBy("cluster_id")
+  }
+
+  /** Token-savings report for exact dedup — the "what did dedup buy us"
+    * accounting a corpus build publishes: per source, document/token
+    * mass before dedup, the mass the min-id survivor set retains, and
+    * the mass removed. Survivor membership is a semi join against
+    * [[exactSurvivors]] (shuffle keyed on doc_id); token counts ride
+    * the same scan as the source rollup — one corpus pass per side of
+    * the before/after comparison, aggregates map-side combined. */
+  def tokenSavings(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val kept = toks.join(exactSurvivors(s, d), Seq("doc_id"), "semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_toks").as("toks_kept"))
+    toks.groupBy("source")
+      .agg(count(lit(1)).as("docs_total"), sum("n_toks").as("toks_total"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs_total"), col("toks_total"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        (col("toks_total") - coalesce(col("toks_kept"), lit(0L)))
+          .as("toks_removed"))
+      .orderBy("source")
+  }
 
   /** Degree distribution of the verified near-dup graph — the health
     * metric that decides WHICH dedup policy to run: a long degree tail
@@ -686,7 +738,69 @@ object Dedup {
   private val Sh =
     s"list_distinct(${Fns.sqlShingles3(Fns.sqlTokens("text"))})"
 
+  private val Toks = Fns.sqlTokens("text")
+  private val StopL =
+    Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |cl AS (SELECT doc AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |q AS (
+         |  SELECT doc_id,
+         |    6 * (len(list_filter(w, t -> list_contains($StopL, t)))
+         |      * 1000000 // len(w)) // 1000
+         |    + 4 * (len(list_distinct(w)) * 1000000 // len(w)) // 1000
+         |    + 2 * least(len(w), 400) - 3000 AS logit_milli
+         |  FROM (SELECT doc_id, $Toks AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |r AS (
+         |  SELECT cl.cluster_id, cl.doc_id, q.logit_milli,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.logit_milli DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |  max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS survivor_id,
+         |  max(CASE WHEN rn = 1 THEN logit_milli END)::BIGINT
+         |    AS best_logit_milli
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_token_savings" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, len($Toks)::BIGINT AS n_toks, text
+         |  FROM documents),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (
+         |  SELECT source, count(*)::BIGINT AS docs_kept,
+         |    sum(n_toks)::BIGINT AS toks_kept
+         |  FROM toks WHERE doc_id IN (SELECT doc_id FROM surv)
+         |  GROUP BY source)
+         |SELECT t.source, count(*)::BIGINT AS docs_total,
+         |  sum(t.n_toks)::BIGINT AS toks_total,
+         |  coalesce(any_value(k.docs_kept), 0)::BIGINT AS docs_kept,
+         |  (sum(t.n_toks) - coalesce(any_value(k.toks_kept), 0))::BIGINT
+         |    AS toks_removed
+         |FROM toks t LEFT JOIN kept k ON t.source = k.source
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "neardup_degree_dist" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

@@ -284,6 +284,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree(p).contains("CartesianProduct"))
   }
 
+  test("basket pairs: no self-join — one fact shuffle + pair agg") {
+    val p = plan("basket_part_pairs")
+    // the per-order pair generation must come from collect_list +
+    // in-array transform, NOT a lineitem⋈lineitem equi-join: exactly
+    // the order-key shuffle, the pair-count shuffle, and the top-50
+    // ordering may exchange data
+    assert(!finalTree(p).contains("SortMergeJoin")
+      && !finalTree(p).contains("ShuffledHashJoin"),
+      "pair generation degenerated into a self-join")
+    assert(shuffles(p) <= 3, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("spend deciles: partitioned window, no global-sort window") {
+    val p = plan("window_decile_spend")
+    // ntile must run over PARTITION BY n_name — an unpartitioned
+    // window materializes as a single-partition Exchange
+    assert(!finalTree(p).contains("Exchange SinglePartition"),
+      "decile window collapsed to a single partition")
+    assert(finalTree(p).contains("BroadcastHashJoin"),
+      "nation dim should broadcast")
+  }
+
+  test("logit quality score: pure per-row plan, no shuffle before sort") {
+    val p = plan("quality_logit_score")
+    // one scan → project → filter → output sort; the only exchange
+    // allowed is the final orderBy's range partitioning
+    assert(shuffles(p) <= 1, s"per-row stage must not shuffle: ${shuffles(p)}")
+    assert(!finalTree(p).contains("Join"), "no join belongs in this plan")
+  }
+
+  test("mixture resample: rate frame broadcasts, corpus never re-keys") {
+    val p = plan("mixture_resample")
+    // the ≤|sources|-row rate frame joins the corpus via broadcast —
+    // a shuffled join would re-key the whole corpus by source
+    assert(finalTree(p).contains("BroadcastHashJoin"),
+      "rate frame must broadcast onto the corpus scan")
+    assert(!finalTree(p).contains("SortMergeJoin"),
+      "corpus must not shuffle by source for the rate join")
+  }
+
   test("materialized roundtrip read-back prunes the text column") {
     val p = plan("materialize_survivors")
     // the read side of the roundtrip scans the freshly-written corpus
