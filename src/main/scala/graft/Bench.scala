@@ -26,8 +26,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // between-query hygiene: the dedup family localCheckpoints its
+    // shingle index per invocation; across 4 passes × 120 queries those
+    // blocks accumulate until storage memory saturates and LATER
+    // queries pay eviction + GC (the Stress harness measured this as
+    // 3-5× wall inflation with unchanged shuffle bytes). Queries are
+    // independent jobs in production; drop leftover state between them.
+    def resetState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
+      resetState()
     }
     // three timed passes, per-query min: robust to GC pauses and the
     // measured ~1.3-1.7× shared-host noise that otherwise dominates
@@ -38,7 +50,9 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val el = (System.nanoTime() - t0) / 1e9 // reset runs off the clock
+      resetState()
+      name -> (if (ok) el else -1.0)
     }
     val passes = Seq(timedPass().toMap, timedPass().toMap, timedPass().toMap)
     val results = qs.map { case (name, _) =>

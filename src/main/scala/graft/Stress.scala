@@ -68,6 +68,15 @@ object Stress {
       val t0 = System.nanoTime()
       val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
+      // measurement hygiene: queries are independent jobs in production,
+      // but in ONE sweep JVM each query's localCheckpoint blocks
+      // (hundreds of MB at 16×, MEMORY_AND_DISK) would otherwise pile up
+      // until storage memory saturates and later queries pay eviction +
+      // GC — measured as 3-5× wall inflation with UNCHANGED shuffle
+      // bytes (the giveaway that it was the harness, not the operator)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       Thread.sleep(400) // let the listener bus drain stage events
       val sb = shuffleBytes.get()
       System.err.println(
@@ -100,14 +109,20 @@ object Stress {
         pmod(col("id"), lit(10L)).as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    val queries = Seq(
+    // optional 3rd arg: comma-separated subset (delta sweeps for newly
+    // added operators without re-running the recorded full curve)
+    val queries = if (args.length > 2) args(2).split(",").toSeq
+    else Seq(
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_clusters", "dedup_source_minhash",
       "dedup_embedding_lsh", "dedup_incremental", "ann_ivf_topk",
       "ann_lsh_topk", "text_tfidf_top_terms", "text_normalize",
       "text_decontaminate", "text_repetition", "text_pack_sequences",
       "materialize_survivors", "dedup_span_flags", "text_bigram_lm_score",
-      "text_token_entropy", "cluster_kmeans")
+      "text_token_entropy", "cluster_kmeans",
+      "dedup_containment", "dedup_cross_source_rate",
+      "neardup_degree_dist", "dedup_best_survivor", "dedup_token_savings",
+      "quality_logit_score", "mixture_resample")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

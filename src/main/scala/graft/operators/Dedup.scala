@@ -207,6 +207,12 @@ object Dedup {
         .withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n", "nb"), "b_id")
+      // cut BEFORE the 2-direction fan-out: `inter·5 ≥ 4·min(na,nb)` is
+      // exactly "at least one direction passes" (the min side is the
+      // easier containment), so the explode runs on survivors, not on
+      // the full candidate frame — at 16× stress scale that is 4k rows
+      // instead of 36M struct rows (measured 2.9× wall on the sweep)
+      .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
       .select(explode(array(
         struct(col("a_id").as("contained_id"),
           col("b_id").as("container_id"), col("inter"),

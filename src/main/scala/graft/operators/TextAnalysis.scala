@@ -360,9 +360,18 @@ object TextAnalysis {
     * sigmoid is monotone), so no float `exp` enters the comparison.
     * Shape: pure per-row projection, no shuffle, codegen'd end to end —
     * the cheapest possible 100 TB stage. */
-  def qualityLogitScore(s: SparkSession, d: String): DataFrame = {
+  def qualityLogitScore(s: SparkSession, d: String): DataFrame =
+    logitScoreStage(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The scoring stage itself, factored batch/streaming-agnostic: a
+    * pure stateless per-row projection over (doc_id, text), so the
+    * SAME code is the batch query above and the streaming ingest gate
+    * ([[graft.streaming.Pipelines.qualityGateStream]]) — no watermark
+    * or state needed, scores flow in append mode. */
+  def logitScoreStage(docs: DataFrame): DataFrame = {
     val stop = array(Fns.Stopwords.map(lit): _*)
-    withToks(s, d)
+    docs
+      .withColumn("toks", Fns.tokens(col("text")))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
@@ -376,7 +385,6 @@ object TextAnalysis {
           " + 2 * least(n_tokens, 400L) - 3000"))
       .withColumn("keep", (col("logit_milli") > 1500).cast("int"))
       .select("doc_id", "stop_ppm", "uniq_ppm", "logit_milli", "keep")
-      .orderBy("doc_id")
   }
 
   /** Mixture resampling — the enforcement step after [[corpusMixture]]

@@ -81,6 +81,18 @@ object Pipelines {
     * signature math is staged through separate projections so the
     * optimizer cannot re-inline the tokenizer into the per-shingle
     * lambdas (see LogLineParser for the same pattern). */
+  /** Streaming ingest quality gate — [[graft.operators.TextAnalysis
+    * .logitScoreStage]] applied to a document stream. Stateless per-row
+    * projection: no watermark, no state store, append mode; the scored
+    * stream either feeds the keep-filter inline or lands scored for
+    * audit. The batch query `quality_logit_score` is the SAME stage
+    * (StreamingSpec pins stream ≡ batch), so gate thresholds tuned
+    * offline apply verbatim at ingest.
+    *
+    * Input schema: (doc_id long, text string). */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.logitScoreStage(docs)
+
   def nearDupStream(docs: DataFrame): Dataset[NearDupCandidate] = {
     val spark = docs.sparkSession
     graft.plans.SignatureFunctions.register(spark)

@@ -403,4 +403,35 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("start_us"), col("n_events"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("streaming quality gate scores ≡ batch logit stage, incl. filter") {
+    // the ingest-gate claim: quality_logit_score's scoring stage is
+    // stateless, so streamed scores must equal the batch run row-for-row
+    // — including the n_tokens=0 drop (doc 4: punctuation only)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "spam spam spam spam spam"),
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (4L, "!!! ??? 123 ..."),
+      (5L, ("the and of to in a is it for on " * 30).trim))
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.qualityGateStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate").orderBy("doc_id").collect()
+      val batch = graft.operators.TextAnalysis
+        .logitScoreStage(rows.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect()
+      assert(streamed.length === 4, "zero-token doc must be dropped")
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
