@@ -109,6 +109,29 @@ object Stress {
         pmod(col("id"), lit(10L)).as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // relational fact scaling: K orderkey-offset copies of orders +
+    // lineitem (each copied order keeps its own basket under a fresh
+    // orderkey — basket sizes and join fan-outs stay constant, row
+    // volume scales exactly K×); dims (customer/supplier/part/nation/
+    // region) are fixed, as at a real site where facts grow and
+    // reference data doesn't — per-customer/supplier activity thus
+    // grows K×, which is the skew direction that stresses the
+    // partitioned windows and semi/anti joins
+    val keyOff = 1000000000L
+    def scaleFact(name: String, keyCol: String): Unit = {
+      val t = graft.sources.Tables.table(spark, sfDir, name)
+      (0 until k).map(i =>
+          t.withColumn(keyCol, col(keyCol) + lit(i.toLong * keyOff)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    scaleFact("orders", "o_orderkey")
+    scaleFact("lineitem", "l_orderkey")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      graft.sources.Tables.table(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+
     // optional 3rd arg: comma-separated subset (delta sweeps for newly
     // added operators without re-running the recorded full curve)
     val queries = if (args.length > 2) args(2).split(",").toSeq
@@ -122,7 +145,10 @@ object Stress {
       "text_token_entropy", "cluster_kmeans",
       "dedup_containment", "dedup_cross_source_rate",
       "neardup_degree_dist", "dedup_best_survivor", "dedup_token_savings",
-      "quality_logit_score", "mixture_resample")
+      "quality_logit_score", "mixture_resample", "mixture_upsample",
+      "dedup_semantic",
+      "basket_part_pairs", "window_decile_spend", "q9_product_profit",
+      "q21_waiting_supplier")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

@@ -46,8 +46,55 @@ object Dedup {
     "dedup_cross_source_rate" -> crossSourceRate,
     "neardup_degree_dist" -> degreeDist,
     "dedup_best_survivor" -> bestSurvivor,
-    "dedup_token_savings" -> tokenSavings
+    "dedup_token_savings" -> tokenSavings,
+    "dedup_semantic" -> semantic
   )
+
+  /** SemDeDup-style semantic (embedding-space) dedup — the stage a
+    * modern corpus build runs ALONGSIDE n-gram dedup: paraphrases and
+    * re-renderings share meaning (nearby embeddings) without sharing
+    * shingles. Composition of the suite's existing pieces: k-means
+    * cells ([[Similarity.kmeansCells]] — the same seeds/2-Lloyd/
+    * rounded-centroid recipe `cluster_kmeans` runs under the oracle,
+    * here with C = clamp(⌈√n⌉, 8, 256) cells so expected cell size is
+    * ~√n), then candidate pairs ONLY within a cell (the pair join is
+    * cid-keyed — PlanAuditSpec pins it; cross-cell pairs never exist),
+    * exact cosine ≥ 0.45 on candidates, and the keep-first policy:
+    * a vector is pruned iff a SMALLER-id vector in its cell clears the
+    * threshold. Output partitions the whole corpus (one row per
+    * vector: cell + pruned flag).
+    *
+    * Scale shape: quantizer cost is n·C (the capped-C argument of
+    * [[Similarity.annIvf]]); the intra-cell self-join costs
+    * Σ_cell |cell|² ≈ n·√n at balanced cells instead of n² — and at
+    * the C = 256 cap it is n²/256 with perfectly partitionable cells,
+    * which is the standard SemDeDup trade (FAISS-clustered cells,
+    * pairwise only inside). Recall loss is near-dup pairs split across
+    * a cell boundary — the same accepted trade as every bucketed path
+    * here ([[embeddingLsh]], [[Similarity.annIvf]]). */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // seeds + every Lloyd pass + both pair sides
+    val n = e.count()
+    val c = math.min(256L,
+      math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val assigned = Similarity.kmeansCells(e, c)
+      .localCheckpoint() // consumed by both pair sides + the output join
+    val m = assigned.join(e, "vec_id")
+    val pruned = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(call_function(GraftFunctions.CosineName,
+        col("a.emb"), col("b.emb")) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("pr", lit(1))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("pr"), lit(0)).as("is_pruned"))
+      .orderBy("vec_id")
+  }
 
   /** Quality-aware survivor selection — the policy layer over
     * [[clusters]]: instead of keep-min-id, each near-dup cluster keeps
@@ -55,18 +102,26 @@ object Dedup {
     * fixed-point logit, doc_id tie-break) — the policy a real curation
     * run wants, since the min-id copy of a template cluster is often
     * the worst-OCR'd one. Composition is plan-level: the cluster frame
-    * and the per-doc score frame join on doc_id, then top-1-per-cluster
-    * runs as a row_number window PARTITIONED by cluster (cluster sizes
-    * are near-dup-bounded, no global sort). Singleton clusters pass
-    * through, so survivors partition the corpus exactly like
-    * [[clusters]]' min-id policy — only WHICH member survives changes. */
+    * and the per-doc score frame join on doc_id — a LEFT join, because
+    * [[TextAnalysis.qualityLogitScore]] defines no score for token-less
+    * docs (its ratio features divide by n_tokens): such docs take the
+    * all-features-zero logit, `0 + 0 + 0 − 3000 = −3000` milli — so
+    * they stay IN their cluster (losing to any scored member, doc_id
+    * tie-break among themselves) instead of silently vanishing. Then
+    * top-1-per-cluster runs as a row_number window PARTITIONED by
+    * cluster (cluster sizes are near-dup-bounded, no global sort).
+    * Singleton clusters pass through, so survivors partition the
+    * corpus exactly like [[clusters]]' min-id policy — only WHICH
+    * member survives changes. */
   def bestSurvivor(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("logit_milli").desc, col("doc_id"))
     clusters(s, d).select("doc_id", "cluster_id")
       .join(TextAnalysis.qualityLogitScore(s, d)
-        .select("doc_id", "logit_milli"), "doc_id")
+        .select("doc_id", "logit_milli"), Seq("doc_id"), "left")
+      .withColumn("logit_milli",
+        coalesce(col("logit_milli"), lit(-3000L)))
       .withColumn("rn", row_number().over(w))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -107,14 +162,18 @@ object Dedup {
     * survivor selection suffices. Docs with no near-dup appear as
     * degree 0 (left join against the corpus), so the histogram is a
     * complete partition of the corpus. Shape: the pair frame
-    * ([[ngramJaccard]]) explodes into 2 endpoint rows per pair, then
-    * two bounded aggregations — per-doc degree (≤ corpus rows) and the
-    * degree histogram (≤ max-degree rows). Nothing here exceeds the
-    * candidate-join cost already paid. */
+    * ([[ngramJaccard]]) explodes into 2 endpoint rows per pair IN ONE
+    * PASS — `explode(array(a_id, b_id))`, not a union of two selects:
+    * a union duplicates the whole candidate-join + verify subtree
+    * (only exchanges get reused), which the round-5 bench measured as
+    * exactly 2× the cost of every other consumer of the same pair
+    * frame (6.48 s vs ~2.9 s). PlanAuditSpec pins the single candidate
+    * self-join. Then two bounded aggregations — per-doc degree
+    * (≤ corpus rows) and the degree histogram (≤ max-degree rows).
+    * Nothing here exceeds the candidate-join cost already paid. */
   def degreeDist(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
-    val deg = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id")))
+    val deg = ngramJaccard(s, d)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     Tables.documents(s, d).select("doc_id")
       .join(deg, Seq("doc_id"), "left")
@@ -749,6 +808,62 @@ object Dedup {
     Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings),
+         |p AS (SELECT least(256, greatest(8, ceil(sqrt(count(*)))))::INT
+         |        AS c FROM e),
+         |seeds AS (
+         |  SELECT (rn - 1)::INT AS cid, emb AS cvec
+         |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM e)
+         |  WHERE rn <= (SELECT c FROM p)),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN seeds)) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a0.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a0 JOIN e USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN c1)) WHERE rn = 1),
+         |c2 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a1.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a1 JOIN e USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN c2)) WHERE rn = 1),
+         |pr AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${Fns.sqlCosine("ea.emb", "eb.emb")} >= 0.45)
+         |SELECT a.vec_id, a.cid,
+         |  (CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS is_pruned
+         |FROM a2 a LEFT JOIN pr ON a.vec_id = pr.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "dedup_best_survivor" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -780,10 +895,12 @@ object Dedup {
          |  FROM (SELECT doc_id, $Toks AS w FROM documents)
          |  WHERE len(w) > 0),
          |r AS (
-         |  SELECT cl.cluster_id, cl.doc_id, q.logit_milli,
+         |  SELECT cl.cluster_id, cl.doc_id,
+         |    coalesce(q.logit_milli, -3000)::BIGINT AS logit_milli,
          |    row_number() OVER (PARTITION BY cl.cluster_id
-         |      ORDER BY q.logit_milli DESC, cl.doc_id) AS rn
-         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |      ORDER BY coalesce(q.logit_milli, -3000) DESC, cl.doc_id)
+         |      AS rn
+         |  FROM cl LEFT JOIN q ON cl.doc_id = q.doc_id)
          |SELECT cluster_id, count(*)::BIGINT AS n_members,
          |  max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS survivor_id,
          |  max(CASE WHEN rn = 1 THEN logit_milli END)::BIGINT

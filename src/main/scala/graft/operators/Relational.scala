@@ -598,11 +598,15 @@ object Relational {
   }
 
   /** TPC-H Q7 shape (volume shipping): revenue flowing between one
-    * nation pair, both directions, by ship year. Both dims are
-    * pre-filtered to the two nations BEFORE touching a fact table —
-    * the supplier and customer sides each shrink to 2/25ths at the
-    * broadcast, so the orderkey shuffle moves only candidate-pair
-    * rows and the final cross-pair disjunction re-checks survivors. */
+    * nation pair, both directions, by ship year. Both sides are
+    * pre-filtered to the two nations BEFORE touching a fact table.
+    * The supplier side is a genuine dim (tiny at any SF) and takes an
+    * explicit broadcast; the CUSTOMER side is fact-sized at 100 TB
+    * (the same argument as [[windowDecileSpend]]'s doc) — a 2/25
+    * nation slice is still O(|customer|), so it joins WITHOUT a
+    * broadcast hint: the o_custkey join stays a shuffled hash join by
+    * plan, and AQE downgrades it to broadcast only when the runtime
+    * slice actually fits (which it does at test SFs). */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
     val pair = Seq("NATION_3", "NATION_7")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
@@ -625,7 +629,7 @@ object Relational {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_3"
           && col("cust_nation") === "NATION_7")
         || (col("supp_nation") === "NATION_7"
@@ -640,9 +644,13 @@ object Relational {
   /** TPC-H Q8 shape (national market share): one nation's slice of a
     * region's market for one part type, by order year. Emits numerator
     * and denominator as separate sums (the §4 engine-agnostic form —
-    * no float division under the hash gate). The region/type filters
-    * cut the fact rows at the broadcast joins; the single data shuffle
-    * is lineitem×orders on orderkey. */
+    * no float division under the hash gate). The part/supplier filters
+    * cut fact rows at genuine broadcast joins; the region-filtered
+    * CUSTOMER semi join carries no broadcast hint — customer is
+    * fact-sized at 100 TB and a 1/5 region slice is still
+    * O(|customer|), so the semi join shuffles on custkey by plan and
+    * AQE broadcasts only when the runtime slice fits. The data
+    * shuffles are lineitem×orders on orderkey plus that semi join. */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val custAm = Tables.customer(s, d).select("c_custkey", "c_nationkey")
       .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
@@ -667,7 +675,7 @@ object Relational {
           && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custAm), col("o_custkey") === col("c_custkey"),
+      .join(custAm, col("o_custkey") === col("c_custkey"),
         "left_semi")
       .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))

@@ -61,7 +61,20 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
       .localCheckpoint() // consumed by seeding + every Lloyd pass
-    val seeds = e.orderBy("vec_id").limit(8)
+    kmeansCells(e, 8).orderBy("vec_id")
+  }
+
+  /** The oracle-replayable k-means kernel shared by [[clusterKmeans]]
+    * (k = 8, the user-facing clustering) and
+    * [[Dedup.semantic]] (k ≈ √n cells): seeds are the k smallest
+    * vec_ids, exactly 2 Lloyd iterations, centroids rounded to 6
+    * decimals between iterations — the determinism recipe documented on
+    * [[clusterKmeans]]. `e` must be (vec_id, emb: array<double>),
+    * already materialized (each Lloyd pass re-consumes it). Returns the
+    * final (vec_id, cid) assignment; k rows only ever flow as a
+    * broadcast frame, nothing collects to the driver. */
+  private[graft] def kmeansCells(e: DataFrame, k: Int): DataFrame = {
+    val seeds = e.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cid"), col("emb").as("cvec"))
     def assign(cents: DataFrame): DataFrame =
@@ -79,7 +92,7 @@ object Similarity {
           x => x.getField("cv")).as("cvec"))
     var cents = seeds
     (1 to 2).foreach(_ => cents = centroids(assign(cents)))
-    assign(cents).orderBy("vec_id")
+    assign(cents)
   }
 
   /** IVF (inverted-file) ANN — the second classic scale path next to

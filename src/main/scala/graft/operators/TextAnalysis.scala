@@ -45,7 +45,8 @@ object TextAnalysis {
     "text_bigram_lm_score" -> bigramLmScore,
     "text_token_entropy" -> tokenEntropy,
     "quality_logit_score" -> qualityLogitScore,
-    "mixture_resample" -> mixtureResample
+    "mixture_resample" -> mixtureResample,
+    "mixture_upsample" -> mixtureUpsample
   )
 
   /** Shannon entropy of each doc's token distribution — the gibberish/
@@ -90,8 +91,12 @@ object TextAnalysis {
     * (localCheckpoint'd: the small multiply-consumed intermediate).
     * Global bigram counts aggregate FROM that frame (map-side
     * combine), the vocab size V is a one-row broadcast crossJoin, and
-    * the score is the c_doc-weighted mean — identical to the
-    * positional mean, with join traffic ∝ distinct bigrams. At 100 TB
+    * the score is the c_doc-weighted mean over distinct (doc, bigram)
+    * rows — equal to the positional mean in real arithmetic, and the
+    * ORACLE computes the same weighted form over the same distinct
+    * frame, so both engines fold identical summands (FP summation
+    * order is the only residual difference, absorbed by round(…,4));
+    * join traffic ∝ distinct bigrams. At 100 TB
     * both count tables are vocab-sized (≪ corpus), so AQE broadcasts
     * them. No pair join, no driver-side model state. */
   def bigramLmScore(s: SparkSession, d: String): DataFrame = {
@@ -405,9 +410,13 @@ object TextAnalysis {
     val counts = Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_before"))
+      // digitless source names extract '' — guarded to weight-class 0+1
+      // IDENTICALLY on both engines (Spark would cast '' to null and
+      // silently null the rate; DuckDB's CAST('' AS INT) would throw)
       .withColumn("w",
-        expr("cast(regexp_extract(source, '(\\\\d+)', 1) as int) % 5 + 1")
-          .cast("long"))
+        expr("cast(coalesce(nullif(" +
+          "regexp_extract(source, '(\\\\d+)', 1), ''), '0') as int)" +
+          " % 5 + 1").cast("long"))
       .localCheckpoint()
     val tot = counts.agg(sum("n_before").as("total_docs"),
       sum("w").as("total_w"))
@@ -426,6 +435,66 @@ object TextAnalysis {
     rates.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_before"), col("target_ppm"),
         col("accept_ppm"), coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("source")
+  }
+
+  /** Mixture UP-sampling — the other half of mixture enforcement that
+    * [[mixtureResample]] deliberately caps away: a source BELOW its
+    * target weight is repeated, not merely kept. Rate semantics:
+    * `rate_ppm = min(8·10⁶, total·target_ppm / n_src)` (the 8× cap
+    * bounds repetition blowout of a pathologically tiny source — the
+    * standard "no more than a few epochs of any source" rule). Each doc
+    * emits `⌊rate⌋` copies plus one more iff its content-hash bucket
+    * clears the fractional part (`md5Bucket256·10⁶ < frac_ppm·256` —
+    * the SAME reproducible primitive as the down-sampling side, so
+    * rate 2.3 means 2 copies for every doc + a 3rd for a deterministic
+    * ~30% of them; rate < 1 degenerates to [[mixtureResample]]'s keep
+    * rule exactly). No RNG anywhere; re-running on a resharded corpus
+    * reproduces the emission bit-for-bit.
+    *
+    * Scale shape: the rate frame is ≤|sources| rows and broadcasts;
+    * the emission is a per-row `explode(sequence(1, n_copies))` —
+    * output-proportional, no shuffle of its own (the only shuffles are
+    * the two count aggregates). The driver-checked result aggregates
+    * the emitted stream (total + distinct-doc counts per source), so
+    * the oracle replays the explode with `generate_series` rather than
+    * trusting the closed form. */
+  def mixtureUpsample(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("w",
+        expr("cast(coalesce(nullif(" +
+          "regexp_extract(source, '(\\\\d+)', 1), ''), '0') as int)" +
+          " % 5 + 1").cast("long"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("n_before").as("total_docs"),
+      sum("w").as("total_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target_ppm", expr("w * 1000000 div total_w"))
+      .withColumn("rate_ppm",
+        expr("least(8000000L, cast(total_docs as decimal(38,0))" +
+          " * target_ppm div n_before)").cast("long"))
+      .select("source", "n_before", "target_ppm", "rate_ppm")
+    val emitted = Tables.documents(s, d)
+      .join(broadcast(rates), "source")
+      .withColumn("n_copies",
+        expr("rate_ppm div 1000000") +
+          when(Fns.md5Bucket256(col("text")).cast("long") * 1000000L
+            < pmod(col("rate_ppm"), lit(1000000L)) * 256L, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_n"))
+    rates
+      .join(emitted.groupBy("source")
+        .agg(count(lit(1)).as("n_after"),
+          countDistinct("doc_id").as("n_unique_after")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_before"), col("target_ppm"),
+        col("rate_ppm"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_unique_after"), lit(0L)).as("n_unique_after"))
       .orderBy("source")
   }
 
@@ -794,14 +863,17 @@ object TextAnalysis {
         |    lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
         |  FROM toks),
         |bigrams AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |db AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c_doc
+        |       FROM bigrams GROUP BY doc_id, w1, w2),
         |uni AS (SELECT w AS u_w, count(*)::BIGINT AS c_uni
         |        FROM toks GROUP BY w),
         |vocab AS (SELECT count(*)::BIGINT AS v FROM uni),
-        |bigc AS (SELECT w1 AS b_w1, w2 AS b_w2, count(*)::BIGINT AS c_big
-        |         FROM bigrams GROUP BY w1, w2)
-        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  round(avg(ln((c_big + 1.0) / (c_uni + v))), 4) AS lm_score
-        |FROM bigrams
+        |bigc AS (SELECT w1 AS b_w1, w2 AS b_w2, sum(c_doc)::BIGINT AS c_big
+        |         FROM db GROUP BY w1, w2)
+        |SELECT doc_id, sum(c_doc)::BIGINT AS n_bigrams,
+        |  round(sum(c_doc * ln((c_big + 1.0) / (c_uni + v)))
+        |    / sum(c_doc), 4) AS lm_score
+        |FROM db
         |JOIN bigc ON w1 = b_w1 AND w2 = b_w2
         |JOIN uni ON w1 = u_w
         |CROSS JOIN vocab
@@ -962,7 +1034,8 @@ object TextAnalysis {
     "mixture_resample" ->
       s"""WITH counts AS (
          |  SELECT source, count(*)::BIGINT AS n_before,
-         |    (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 5
+         |    (CAST(coalesce(nullif(
+         |        regexp_extract(source, '(\\d+)', 1), ''), '0') AS INT) % 5
          |      + 1)::BIGINT AS w
          |  FROM documents GROUP BY source),
          |tot AS (SELECT sum(n_before)::BIGINT AS total_docs,
@@ -983,6 +1056,42 @@ object TextAnalysis {
          |SELECT r.source, r.n_before, r.target_ppm, r.accept_ppm,
          |  coalesce(k.n_after, 0)::BIGINT AS n_after
          |FROM rates r LEFT JOIN kept k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
+    "mixture_upsample" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_before,
+         |    (CAST(coalesce(nullif(
+         |        regexp_extract(source, '(\\d+)', 1), ''), '0') AS INT) % 5
+         |      + 1)::BIGINT AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_before)::BIGINT AS total_docs,
+         |    sum(w)::BIGINT AS total_w FROM counts),
+         |rates AS (
+         |  SELECT source, n_before,
+         |    (w * 1000000 // total_w)::BIGINT AS target_ppm,
+         |    least(8000000, total_docs::HUGEINT
+         |      * (w * 1000000 // total_w) // n_before)::BIGINT
+         |      AS rate_ppm
+         |  FROM counts CROSS JOIN tot),
+         |copies AS (
+         |  SELECT d.source, d.doc_id,
+         |    (r.rate_ppm // 1000000
+         |      + (CASE WHEN ${Fns.sqlMd5Bucket256("d.text")}::BIGINT
+         |          * 1000000 < (r.rate_ppm % 1000000) * 256
+         |        THEN 1 ELSE 0 END))::BIGINT AS n_copies
+         |  FROM documents d JOIN rates r ON d.source = r.source),
+         |emitted AS (
+         |  SELECT source, doc_id,
+         |    unnest(generate_series(1, n_copies)) AS copy_n
+         |  FROM copies WHERE n_copies >= 1),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS n_after,
+         |    count(DISTINCT doc_id)::BIGINT AS n_unique_after
+         |  FROM emitted GROUP BY source)
+         |SELECT r.source, r.n_before, r.target_ppm, r.rate_ppm,
+         |  coalesce(a.n_after, 0)::BIGINT AS n_after,
+         |  coalesce(a.n_unique_after, 0)::BIGINT AS n_unique_after
+         |FROM rates r LEFT JOIN agg a ON r.source = a.source
          |ORDER BY r.source""".stripMargin,
     "corpus_mixture" ->
       s"""WITH per AS (

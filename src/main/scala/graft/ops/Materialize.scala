@@ -80,6 +80,27 @@ object Materialize {
   def survivorCorpus(s: SparkSession, dir: String, path: String): Unit =
     partitioned(survivorFrame(s, dir), path, Seq("split"), Seq("doc_id"))
 
+  /** The QUALITY-AWARE survivor corpus — [[survivorFrame]]'s sibling
+    * for the near-dup/best-survivor policy: every document that
+    * `dedup_best_survivor` elects (each near-dup cluster keeps its
+    * highest-logit member; singleton clusters keep themselves), with
+    * the same reproducible split. This is the corpus a real curation
+    * run persists — exact-dedup survivors still carry the worst-OCR'd
+    * copy of every near-dup template cluster. */
+  def bestSurvivorFrame(s: SparkSession, dir: String): DataFrame = {
+    val surv = graft.operators.Dedup.bestSurvivor(s, dir)
+      .select(col("survivor_id").as("doc_id"))
+    Tables.documents(s, dir).join(surv, "doc_id")
+      .withColumn("split", Fns.splitOf(Fns.md5Bucket(col("text"))))
+  }
+
+  /** Materialize the best-survivor corpus `partitionBy(split)`,
+    * doc_id-sorted — the nightly product the NEXT incremental run
+    * dedups its batch against (DedupSpec pins the disk→
+    * `Dedup.incrementalFrames` cycle ≡ the in-memory frame). */
+  def bestSurvivorCorpus(s: SparkSession, dir: String, path: String): Unit =
+    partitioned(bestSurvivorFrame(s, dir), path, Seq("split"), Seq("doc_id"))
+
   /** Materialize the IVF ANN index the way `ann_ivf_topk`'s scale story
     * promises: the (vec_id, embedding, cid) assignment written
     * `partitionBy(cid)` under `path`/index — a query that probes

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, LogAnalytics}
+import graft.operators.{Dedup, LogAnalytics, TextAnalysis}
 
 /** The approx/LSH scale paths must stay close to their exact
   * counterparts on test data — catches a silently broken sketch or a
@@ -26,6 +26,38 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(r.getLong(1) - e) <= 0.05 * e + 2.0,
         s"day ${r.getLong(0)}: approx ${r.getLong(1)} vs exact $e")
     }
+  }
+
+  test("mixture upsample repeats under-weight sources within floor/ceil bounds") {
+    val rows = TextAnalysis.mixtureUpsample(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (nb, rate, na, nu) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nu <= nb && nu <= na, "distinct docs bounded by both sides")
+      assert(na >= (rate / 1000000L) * nb,
+        s"${r.getString(0)}: every doc emits at least ⌊rate⌋ copies")
+      assert(na <= (rate / 1000000L + 1) * nb,
+        s"${r.getString(0)}: no doc emits more than ⌈rate⌉ copies")
+    }
+    assert(rows.exists(r => r.getLong(3) > 1000000L && r.getLong(4) > r.getLong(1)),
+      "testdata should up-sample at least one under-weight source")
+  }
+
+  test("semantic dedup prunes only docs with a real cos≥0.45 smaller-id partner") {
+    // cell bucketing may SPLIT a true pair (recall < 1, the accepted
+    // trade) but must never invent one: every pruned vector needs a
+    // genuine cosine partner of smaller id in the exact pair set
+    val exact = Dedup.embeddingCosine(spark, sf0001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunable = exact.map(_._2)
+    val out = Dedup.semantic(spark, sf0001).collect()
+    val pruned = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(prunable),
+      s"semantic pruned non-near-dup vectors: ${pruned -- prunable}")
+    // output partitions the corpus: one row per vector
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(out.length.toLong === n)
   }
 
   test("approx top-k heavy hitters match the exact top users") {

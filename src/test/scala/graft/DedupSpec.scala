@@ -120,6 +120,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bestSurvivor keeps token-less docs with the default −3000 logit") {
+    // doc 0 has NO [a-z] tokens — qualityLogitScore defines no score for
+    // it (ratio features divide by n_tokens) — yet it must stay in the
+    // partition with the all-features-zero logit, not silently vanish
+    val dir = docsDir(Seq(
+      "1234 5678 !!!", // 0: token-less singleton
+      "alpha beta gamma delta epsilon zeta eta", // 1: near-dup pair …
+      "alpha beta gamma delta epsilon zeta theta", // 2: … with 1
+      "one two three four five six seven" // 3: scored singleton
+    ))
+    val rows = Dedup.bestSurvivor(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L, 3L),
+      "survivor partition must cover every cluster, token-less included")
+    assert(rows(0L) === ((1L, 0L, -3000L)),
+      "token-less singleton survives itself at the default logit")
+    assert(rows(1L)._1 === 2L, "near-dup pair forms one 2-member cluster")
+  }
+
   test("incremental dedup flags new-batch docs against corpus + batch") {
     // ids 0-5, cut = (0+5)/2 = 2: corpus = {0,1}, new batch = {2,3,4,5}
     val dir = docsDir(Seq(
@@ -171,6 +191,42 @@ class DedupSpec extends SparkSpec {
     assert(disk === mem,
       "on-disk survivor corpus flagged differently than in-memory frame")
     assert(disk(100L) === ((1, 1, 0)), "exact dup of persisted survivor")
+    assert(disk(101L) === ((0, 1, 0)), "near dup of persisted survivor")
+    assert(disk(102L) === ((0, 0, 1)), "novel doc survives the cycle")
+  }
+
+  test("nightly cycle with the BEST-SURVIVOR corpus: quality winner persists") {
+    import spark.implicits._
+    // near-dup pair {0,1}: doc 1 carries the stopword "the" → higher
+    // logit (1871 vs 1014 milli) → best-survivor keeps 1 where min-id
+    // would keep 0. The persisted corpus must contain the WINNER, and
+    // tomorrow's batch must dedup against disk exactly as in-memory.
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta eta", // 0: loses on logit
+      "alpha beta gamma delta epsilon zeta the", // 1: near-dup of 0, wins
+      "one two three four five six seven" // 2: singleton survivor
+    ))
+    val path = graft.ops.Scratch.dir("cycle-best-survivors")
+    graft.ops.Materialize.bestSurvivorCorpus(spark, dir, path)
+    val fromDisk = spark.read.parquet(path).select("doc_id", "text")
+    assert(fromDisk.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L),
+      "cluster {0,1} must persist its higher-logit member 1, not min-id 0")
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta the"), // exact dup of kept 1
+      (101L, "one two three four five six eight"), // near dup of kept 2
+      (102L, "red orange yellow green blue indigo violet") // novel
+    ).toDF("doc_id", "text")
+    def flags(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalFrames(fresh, corpus).collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val disk = flags(fromDisk)
+    val mem = flags(graft.ops.Materialize.bestSurvivorFrame(spark, dir)
+      .select("doc_id", "text"))
+    assert(disk === mem,
+      "on-disk best-survivor corpus flagged differently than in-memory")
+    assert(disk(100L) === ((1, 1, 0)), "exact dup of the persisted winner")
     assert(disk(101L) === ((0, 1, 0)), "near dup of persisted survivor")
     assert(disk(102L) === ((0, 0, 1)), "novel doc survives the cycle")
   }

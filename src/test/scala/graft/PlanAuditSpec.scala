@@ -63,6 +63,36 @@ class PlanAuditSpec extends SparkSpec {
       "stats join should be broadcast, not shuffle")
   }
 
+  test("degree dist: endpoints fan out in ONE pass over ONE candidate join") {
+    // the round-5 regression this pins against: building endpoints as
+    // pairs.select(a_id) UNION pairs.select(b_id) duplicated the whole
+    // candidate-join + verify subtree (measured as exactly 2× the cost
+    // of every other pair-frame consumer)
+    val p = plan("neardup_degree_dist")
+    val t = finalTree(p)
+    val joins = """(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+      .findAllIn(t).length
+    assert(joins <= 4, s"near-dup subtree duplicated: $joins joins " +
+      "(candidate join + 2 size joins + corpus left join expected)")
+    val gens = """Generate \(\d+\)""".r.findAllIn(t).length
+    assert(gens === 1,
+      s"endpoint fan-out should be ONE explode(array(a,b)): $gens Generates")
+    assert(shuffles(p) <= 8, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("semantic dedup: pair join is cell-keyed, no cartesian pair space") {
+    val p = plan("dedup_semantic")
+    val t = finalTree(p)
+    // the intra-cell self-join must be an EQUI-join on cid — the full
+    // details section shows its keys; a cartesian pair space would
+    // surface as CartesianProduct (the centroid crossJoins are
+    // broadcast-nested-loop against ≤256-row frames and are fine)
+    assert("""Left keys(?: \[\d+\])?: \[cid""".r.findFirstIn(p).isDefined,
+      "intra-cell pair join should hash on cid")
+    assert(!t.contains("CartesianProduct"),
+      "pair generation degenerated to a cartesian")
+  }
+
   test("ngram jaccard: bounded shuffles, hot-shingle drop is broadcast") {
     val p = plan("dedup_ngram_jaccard")
     assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
@@ -322,6 +352,16 @@ class PlanAuditSpec extends SparkSpec {
       "rate frame must broadcast onto the corpus scan")
     assert(!finalTree(p).contains("SortMergeJoin"),
       "corpus must not shuffle by source for the rate join")
+  }
+
+  test("mixture upsample: rate frame broadcasts; emission is explode, not join") {
+    val p = plan("mixture_upsample")
+    assert(finalTree(p).contains("BroadcastHashJoin"),
+      "rate frame must broadcast onto the corpus scan")
+    assert(finalTree(p).contains("Generate"),
+      "copy emission should be an explode(sequence) Generate")
+    assert(!finalTree(p).contains("CartesianProduct"),
+      "repetition must never become a cartesian")
   }
 
   test("materialized roundtrip read-back prunes the text column") {
