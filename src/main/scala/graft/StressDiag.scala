@@ -59,6 +59,29 @@ object StressDiag {
     }
     copies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings too (same recipe as Stress) so the ANN suite is
+    // diagnosable on the identical scaled corpus
+    spark.range(0, k * 5000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(xxhash64(col("id"), j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0).cast("float")).as("embedding"),
+        pmod(col("id"), lit(10L)).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // relational tables: same K×-fact / fixed-dim recipe as Stress, so
+    // the TPC-H heavy hitters are diagnosable on the identical corpus
+    def scaleFact(name: String, keyCol: String): Unit = {
+      val t = graft.sources.Tables.table(spark, sfDir, name)
+      (0 until k).map(i =>
+          t.withColumn(keyCol, col(keyCol) + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    scaleFact("orders", "o_orderkey")
+    scaleFact("lineitem", "l_orderkey")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      graft.sources.Tables.table(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
 
     stages.synchronized(stages.clear())
     val t0 = System.nanoTime()
