@@ -47,8 +47,112 @@ object Dedup {
     "neardup_degree_dist" -> degreeDist,
     "dedup_best_survivor" -> bestSurvivor,
     "dedup_token_savings" -> tokenSavings,
-    "dedup_semantic" -> semantic
+    "dedup_semantic" -> semantic,
+    "merge_upsert" -> mergeUpsert,
+    "neardup_pagerank" -> pagerank
   )
+
+  /** PageRank over the verified near-dup graph — the hub-scoring stage
+    * that ranks TEMPLATE documents: a boilerplate page near-duplicating
+    * hundreds of others outranks a page in one A/B pair, with mass
+    * flowing through transitive chains that [[degreeDist]]'s flat
+    * degree count cannot see. 3 power iterations, damping 0.85, over
+    * the undirected pair graph (graph nodes only — every node has
+    * degree ≥ 1, so there are no dangling nodes and rank mass is
+    * conserved up to flooring).
+    *
+    * All arithmetic is FIXED-POINT BIGINT (scores scaled by 10¹²,
+    * every division integral — the [[TextAnalysis.qualityLogitScore]]
+    * fixed-point precedent): FP summation order can differ between
+    * engines, but integer sums are associative, so the oracle replays
+    * the exact values with zero rounding slack.
+    *
+    * Scale shape: edges and degrees localCheckpoint once (the pair
+    * subplan runs once, as [[clusters]]); each iteration is one
+    * doc_id-keyed join (share = pr div deg), one edge join, and one
+    * dst-keyed sum with map-side combine — all shuffles on node keys,
+    * nothing corpus-global, the standard edge-partitioned Pregel
+    * round expressed relationally. Iteration count is fixed (3), so
+    * the plan is a bounded chain, no convergence driver loop. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val init = 1000000000000L / n
+    val base = 150000000000L / n // (1 − 0.85)·10¹² div n
+    var pr = deg.select(col("src").as("doc_id"), lit(init).as("pr"))
+    (1 to 3).foreach { _ =>
+      val shares = pr.join(deg, col("doc_id") === col("src"))
+        .select(col("doc_id"), expr("pr div deg").as("share"))
+      pr = edges
+        .join(shares.select(col("doc_id").as("s_id"), col("share")),
+          col("src") === col("s_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum("share").as("insum"))
+        .select(col("doc_id"),
+          (lit(base) + expr("85 * insum div 100")).as("pr"))
+    }
+    pr.join(deg, col("doc_id") === col("src"))
+      .select(col("doc_id"), col("deg").as("degree"), col("pr").as("pr_e12"))
+      .orderBy(col("pr_e12").desc, col("doc_id"))
+  }
+
+  /** Snapshot merge (CDC-style upsert accounting) — the corpus-refresh
+    * stage a recurring build runs when a source re-delivers: diff the
+    * NEW snapshot against the existing corpus by doc_id + content
+    * digest and classify every document `insert` / `delete` / `update`
+    * / `keep`, reported per (action, source). The snapshot is derived
+    * deterministically in-query (drop ids ≡3 mod 11, revise text on
+    * ids ≡2 mod 7, add re-keyed copies of ids ≡5 mod 13) so the oracle
+    * replays the identical derivation — the MERGE semantics are what is
+    * under test, not the synthetic delta.
+    *
+    * Scale shape: both sides reduce to (doc_id, source, digest, len)
+    * projections — 40-ish bytes/doc, never the text — then ONE
+    * full-outer shuffle join on doc_id (both sides hash-partition; at
+    * 100 TB this is the nightly manifest diff, with digests typically
+    * precomputed at ingest) feeding an actions×sources-bounded
+    * aggregate with map-side combine. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val snapshot = docs
+      .filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs
+        .filter(pmod(col("doc_id"), lit(13)) === 5)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("source"), concat(col("text"), lit(" [new]")).as("text")))
+    mergeFrames(docs.select("doc_id", "source", "text"), snapshot)
+  }
+
+  /** Library form of [[mergeUpsert]]: classify `snapshot` against
+    * `corpus` (both (doc_id, source, text); doc_id unique per frame)
+    * into per-(action, source) doc counts and char mass. */
+  def mergeFrames(corpus: DataFrame, snapshot: DataFrame): DataFrame = {
+    def slim(f: DataFrame, p: String): DataFrame =
+      f.select(col("doc_id"), col("source").as(p + "src"),
+        md5(col("text")).as(p + "md5"),
+        length(col("text")).cast("long").as(p + "len"))
+    slim(corpus, "o_").join(slim(snapshot, "n_"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("o_md5").isNull, "insert")
+          .when(col("n_md5").isNull, "delete")
+          .when(col("o_md5") =!= col("n_md5"), "update")
+          .otherwise("keep").as("action"),
+        coalesce(col("n_src"), col("o_src")).as("source"),
+        coalesce(col("n_len"), col("o_len")).as("n_chars"))
+      .groupBy("action", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("action", "source")
+  }
 
   /** SemDeDup-style semantic (embedding-space) dedup — the stage a
     * modern corpus build runs ALONGSIDE n-gram dedup: paraphrases and
@@ -1108,6 +1212,73 @@ object Dedup {
          |    AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${Fns.sqlCosine("a.embedding", "b.embedding")} >= 0.45
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+    "neardup_pagerank" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |p0 AS (
+         |  SELECT src AS doc_id,
+         |    (1000000000000 // (SELECT n FROM nn))::BIGINT AS pr
+         |  FROM deg),
+         |s0 AS (SELECT p.doc_id, (p.pr // d.deg)::BIGINT AS share
+         |  FROM p0 p JOIN deg d ON p.doc_id = d.src),
+         |p1 AS (
+         |  SELECT e.dst AS doc_id,
+         |    ((150000000000 // (SELECT n FROM nn))
+         |      + (85::HUGEINT * sum(s.share) // 100))::BIGINT AS pr
+         |  FROM edges e JOIN s0 s ON e.src = s.doc_id GROUP BY e.dst),
+         |s1 AS (SELECT p.doc_id, (p.pr // d.deg)::BIGINT AS share
+         |  FROM p1 p JOIN deg d ON p.doc_id = d.src),
+         |p2 AS (
+         |  SELECT e.dst AS doc_id,
+         |    ((150000000000 // (SELECT n FROM nn))
+         |      + (85::HUGEINT * sum(s.share) // 100))::BIGINT AS pr
+         |  FROM edges e JOIN s1 s ON e.src = s.doc_id GROUP BY e.dst),
+         |s2 AS (SELECT p.doc_id, (p.pr // d.deg)::BIGINT AS share
+         |  FROM p2 p JOIN deg d ON p.doc_id = d.src),
+         |p3 AS (
+         |  SELECT e.dst AS doc_id,
+         |    ((150000000000 // (SELECT n FROM nn))
+         |      + (85::HUGEINT * sum(s.share) // 100))::BIGINT AS pr
+         |  FROM edges e JOIN s2 s ON e.src = s.doc_id GROUP BY e.dst)
+         |SELECT p3.doc_id, d.deg::BIGINT AS degree, p3.pr AS pr_e12
+         |FROM p3 JOIN deg d ON p3.doc_id = d.src
+         |ORDER BY pr_e12 DESC, doc_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text || ' [new]'
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |m AS (
+        |  SELECT
+        |    CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |         WHEN n.doc_id IS NULL THEN 'delete'
+        |         WHEN md5(o.text) <> md5(n.text) THEN 'update'
+        |         ELSE 'keep' END AS action,
+        |    coalesce(n.source, o.source) AS source,
+        |    coalesce(len(n.text), len(o.text))::BIGINT AS n_chars
+        |  FROM documents o FULL OUTER JOIN snap n ON o.doc_id = n.doc_id)
+        |SELECT action, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM m GROUP BY action, source ORDER BY action, source""".stripMargin
   )
 }

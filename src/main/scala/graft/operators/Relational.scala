@@ -59,8 +59,40 @@ object Relational {
     "q20_part_promotion" -> q20PartPromotion,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "basket_part_pairs" -> basketPartPairs,
-    "window_decile_spend" -> windowDecileSpend
+    "window_decile_spend" -> windowDecileSpend,
+    "skew_key_stats" -> skewKeyStats
   )
+
+  /** Heavy-key diagnostic — the measurement that DECIDES whether a join
+    * needs [[joinSkewSalted]]'s treatment: per-key row counts on the
+    * fact side's join key, reported as the top-20 keys with their
+    * exact integer share (ppm of all rows) and skew factor vs the mean
+    * key (×100). Both ratios are integer math in DECIMAL(26,0)
+    * (`BIGINT·10⁶` overflows Long at ~100 TB row counts — the
+    * [[TextAnalysis.corpusMixture]] precedent), so both engines floor
+    * identically.
+    *
+    * Scale shape: ONE fact shuffle (the per-key count, map-side
+    * combined), then the key-cardinality frame is consumed twice —
+    * a one-row total/mean aggregate broadcast back, and a
+    * TakeOrderedAndProject top-20 (no global sort materializes). The
+    * per-key frame is localCheckpointed: it is |keys|-sized (dimension
+    * cardinality, not fact cardinality), the same budget the
+    * mixture/decile frames already carry. */
+  def skewKeyStats(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val tot = per.agg(sum("n_rows").as("total"), count(lit(1)).as("n_keys"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_custkey"), col("n_rows"),
+        expr("cast(n_rows as decimal(26,0)) * 1000000 div total")
+          .as("share_ppm"),
+        expr("cast(n_rows as decimal(26,0)) * n_keys * 100 div total")
+          .as("skew_x100"))
+      .orderBy(col("n_rows").desc, col("o_custkey"))
+      .limit(20)
+  }
 
   /** Market-basket pair mining: parts that co-occur in the same order,
     * with minimum support 2 — the pairwise-frequent-itemset shape. The
@@ -987,6 +1019,16 @@ object Relational {
         |  round(sum(spend), 2) AS decile_spend
         |FROM seg GROUP BY n_name, decile
         |ORDER BY n_name, decile""".stripMargin,
+    "skew_key_stats" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_rows) AS total, count(*) AS n_keys FROM per)
+        |SELECT o_custkey, n_rows,
+        |  (n_rows::HUGEINT * 1000000 // total)::BIGINT AS share_ppm,
+        |  (n_rows::HUGEINT * n_keys * 100 // total)::BIGINT AS skew_x100
+        |FROM per, tot
+        |ORDER BY n_rows DESC, o_custkey LIMIT 20""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

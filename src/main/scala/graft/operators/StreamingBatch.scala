@@ -21,8 +21,44 @@ object StreamingBatch {
     "stream_session_window" -> sessionWindow,
     "stream_sliding_agg" -> slidingAgg,
     "stream_topk_window" -> topkWindow,
-    "stream_dedup_window" -> dedupWindow
+    "stream_dedup_window" -> dedupWindow,
+    "stream_interval_join" -> intervalJoin
   )
+
+  private val HourUs = 3600000000L
+
+  /** Per-purchase prior-view count — the batch-finalized form of the
+    * stream-stream interval join ([[graft.streaming.Pipelines
+    * .intervalJoinStream]]: purchases × views of the SAME user within
+    * the preceding hour, both sides watermarked; StreamingSpec pins
+    * stream ≡ batch on the matched pairs). The count composes
+    * downstream of the join in both modes. INNER join — a purchase
+    * with no prior view emits nothing, matching what the streaming
+    * join can ever emit.
+    *
+    * Scale shape: the range condition becomes an hour-bucket EQUI-join
+    * (purchase exploded into its 2 candidate buckets, view keyed by
+    * its 1 — the [[LogAnalytics.rangeJoinBucket]] recipe, here
+    * per-user): shuffle keys are (user, hour), so at 100 TB the join
+    * is hash-partitioned, never a broadcast-nested-loop over a raw
+    * time inequality. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"),
+        expr(s"ts_us div $HourUs").as("vb"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts_us"),
+        explode(array(expr(s"ts_us div $HourUs - 1"),
+          expr(s"ts_us div $HourUs"))).as("pb"))
+    purchases.join(views,
+        col("user_id") === col("v_user") && col("pb") === col("vb")
+          && col("v_ts") >= col("p_ts_us") - HourUs
+          && col("v_ts") < col("p_ts_us"))
+      .groupBy("event_id", "user_id", "p_ts_us")
+      .agg(count(lit(1)).as("n_views_1h"))
+      .orderBy("event_id")
+  }
 
   /** Windowed dedup rate — the streaming-ingest dedup stage under the
     * oracle: per 1-hour tumbling window, total events vs distinct
@@ -110,6 +146,16 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" ->
+      s"""WITH $E,
+         |p AS (SELECT event_id, user_id, tu FROM e
+         |      WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, tu FROM e WHERE event_type = 'view')
+         |SELECT p.event_id, p.user_id, p.tu AS p_ts_us,
+         |  count(*) AS n_views_1h
+         |FROM p JOIN v ON p.user_id = v.user_id
+         |  AND v.tu >= p.tu - 3600000000 AND v.tu < p.tu
+         |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
     "stream_dedup_window" ->
       s"""WITH $E
          |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,

@@ -156,6 +156,31 @@ object Pipelines {
         col("session_window.end").as("end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — purchases enriched with the same
+    * user's views from the preceding hour, both sides live streams (the
+    * attribution/enrichment shape): inner join on user_id with the
+    * event-time range `v_ts ∈ [p_ts − 1h, p_ts)`. Both inputs carry a
+    * 2h watermark and the range condition bounds BOTH directions, so
+    * Spark evicts buffered rows once the watermark clears their
+    * match window — state ∝ events per lateness horizon per side, the
+    * same bound every stateful operator here runs under. Emits matched
+    * (purchase, view) pairs; the per-purchase count runs downstream of
+    * the join (over the sink or in `foreachBatch`), exactly as the
+    * batch twin `stream_interval_join` composes it. */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    val views = events.withWatermark("ts", "2 hours")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val purchases = events.withWatermark("ts", "2 hours")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    purchases.join(views,
+      col("user_id") === col("v_user")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("v_ts") < col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("v_ts"), col("value"))
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)

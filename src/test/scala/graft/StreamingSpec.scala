@@ -322,6 +322,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits the batch join's pairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.intervalJoinStream(mem.toDF())
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    val data = Seq(
+      Event(ts(0), 1L, "view", 1.0),
+      Event(ts(30), 1L, "view", 2.0),
+      Event(ts(45), 2L, "view", 3.0), // other user: must not match u1
+      Event(ts(50), 1L, "purchase", 10.0), // ← views @0,@30 in window
+      Event(ts(65), 2L, "purchase", 20.0), // ← view @45 in window
+      Event(ts(130), 1L, "purchase", 30.0)) // >1h after u1 views: none
+    try {
+      // views and purchase arrive in DIFFERENT micro-batches: the join
+      // must buffer the view side in state across batches
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivjoin")
+      val batch = {
+        val df = data.toDS().toDF()
+        val v = df.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        df.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+          .join(v, col("user_id") === col("v_user")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+            && col("v_ts") < col("p_ts"))
+          .select(col("user_id"), col("p_ts"), col("v_ts"), col("value"))
+      }
+      assert(streamed.exceptAll(batch).isEmpty
+          && batch.exceptAll(streamed).isEmpty,
+        "stream-stream interval join pairs != batch interval join pairs")
+      // exactly the 3 expected pairs, and the no-prior-view purchase
+      // emitted nothing
+      assert(batch.count() === 3L)
+    } finally q.stop()
+  }
+
   test("late data: beyond-watermark rows drop, in-watermark rows update") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
