@@ -34,8 +34,124 @@ object Similarity {
     "knn_self_join" -> knnSelfJoin,
     "centroid_per_label" -> centroidPerLabel,
     "label_spread" -> labelSpread,
-    "cluster_kmeans" -> clusterKmeans
+    "cluster_kmeans" -> clusterKmeans,
+    "ann_pq_topk" -> annPq
   )
+
+  /** Product-quantization ANN (the PQ half of the classic IVF-PQ
+    * billion-scale recipe, Jégou et al. 2011): the 64-dim vector is
+    * split into M = 8 contiguous 8-dim subvectors, each quantized
+    * against its own K-centroid codebook (K = clamp(n/4, 16, 256) —
+    * the textbook byte-code at corpus scale, see [[pqK]]), so a vector
+    * stores as 8 one-byte codes — 32× smaller than its 256-byte
+    * float32 form. The probe scores by ASYMMETRIC DISTANCE: the
+    * query's 8×K partial inner products form a lookup table
+    * (broadcast — it is query metadata), and a vector's approximate IP
+    * is the sum of its 8 looked-up partials; top-10 by approx IP,
+    * vec_id tie-break.
+    *
+    * Determinism (same recipe as [[clusterKmeans]], per subspace):
+    * codebook seeds are the K smallest vec_ids' subvectors, exactly 2
+    * Lloyd passes under L2 (argmin distance, smaller-cid tie-break),
+    * centroids rounded to 6 decimals between passes; every fold is the
+    * sequential zip_with aggregate, so repeated runs are bit-identical
+    * (QueriesSmokeSpec double-runs it).
+    *
+    * Scale shape: codebooks are 128 tiny rows — metadata, broadcast
+    * everywhere (like IVF centroids); training assignment is a linear
+    * scan of the n×8 subvector frame against a 16-row broadcast,
+    * collapsed map-side by max_by (the [[kmeansCells]] argument);
+    * encoding emits n×8 (vec_id, sub, code) rows that shuffle ONCE by
+    * vec_id to pack; the probe never touches float vectors — it joins
+    * codes to the broadcast LUT and sums 8 partials per vector
+    * map-side. At 100 TB the codes table is the only per-vector state
+    * resident at query time: that 32× compression is the entire point
+    * of PQ, and recall is bounded by quantization error (ApproxSpec
+    * pins recall vs the exact-IP brute force plus the index-shape
+    * invariants). Rows-only check: recall is data-dependent, as with
+    * every ANN path here. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val (codes, cb) = pqBuild(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val qsub = q.select(col("q_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q_emb"))
+      .select(col("q_id"), col("sub"),
+        slice(col("q_emb"), col("sub") * PqD + 1, lit(PqD)).as("q_svec"))
+    val lut = qsub.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cid"),
+        Fns.dot(col("q_svec"), col("cvec")).as("pip"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(codes("vec_id"), col("q_id"))
+      .agg(sum("pip").as("ip"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), round(col("ip"), 4).as("approx_ip"))
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace
+
+  /** Centroids per subspace codebook: the textbook PQ byte-code is
+    * K = 256 (8 bits/subspace); small corpora train fewer (≈ n/4 so
+    * subspace cells hold ≥ 4 vectors — below that the codebook
+    * memorizes rather than quantizes). Codes stay ≤ 1 byte at every
+    * size, so the 32× compression claim is size-independent. */
+  private[graft] def pqK(n: Long): Int =
+    math.min(256L, math.max(16L, n / 4)).toInt
+
+  /** Squared-L2 over two double arrays as the same sequential fold as
+    * [[Fns.dot]] (bit-stable; PQ codebooks train under L2 even when
+    * the probe scores by inner product — the standard split). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train the per-subspace codebooks and encode the corpus: returns
+    * (codes = (vec_id, sub, code), codebook = (sub, cid, cvec)).
+    * Shared by [[annPq]] and the ApproxSpec pins. */
+  private[graft] def pqBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    // (vec_id, sub, svec): 8 slim rows per vector, consumed by every
+    // Lloyd pass + the final encode
+    val sub = e
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("emb"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("emb"), col("sub") * PqD + 1, lit(PqD)).as("svec"))
+      .localCheckpoint()
+    val k = pqK(e.count())
+    val seedIds = e.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cid"), col("vec_id"))
+    val seeds = sub.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("cid"), col("svec").as("cvec"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "sub")
+        .withColumn("d2", l2sq(col("svec"), col("cvec")))
+        .groupBy("vec_id", "sub")
+        .agg(max_by(col("cid"),
+          struct((lit(0) - col("d2")).as("nd"),
+            (lit(0) - col("cid")).as("tb"))).as("code"))
+    def refresh(assigned: DataFrame): DataFrame =
+      assigned.join(sub, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code").as("cid"),
+          posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(round(avg("v"), 6).as("cv"))
+        .groupBy("sub", "cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+    var cb = seeds
+    (1 to 2).foreach(_ => cb = refresh(assign(cb)))
+    val cbMat = cb.localCheckpoint() // consumed by encode + probe LUT
+    (assign(cbMat), cbMat)
+  }
 
   /** K-means clustering over embeddings UNDER THE ORACLE — the
     * domain-discovery / data-mixing stage (cluster, inspect, reweight).

@@ -60,6 +60,54 @@ class ApproxSpec extends SparkSpec {
     assert(out.length.toLong === n)
   }
 
+  test("PQ ANN: index shape, bounded quantization error, recall vs exact IP") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.ops.Fns
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    val n = e.count()
+    val (codes, cb) = Similarity.pqBuild(spark, sf0001)
+    // index shape: exactly one code per (vector, subspace), codes are
+    // nibbles, codebook is ≤ 8×16 metadata rows
+    val k = Similarity.pqK(n)
+    assert(codes.count() === n * 8L, "one code per (vec, sub)")
+    assert(codes.filter(col("code") < 0 || col("code") >= k).count() === 0L)
+    assert(codes.groupBy("vec_id", "sub").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(cb.count() <= 8L * 256L, "codebook is metadata-sized")
+    // ADC vs exact: the reconstruction ERROR the codebook admits must
+    // be bounded — mean |approx_ip − exact_ip| over the top-10 answer
+    // small relative to the exact-IP spread of the corpus
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), Fns.dot(col("emb"), col("q_emb")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    val exactTop = exact.limit(10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val approxTop = Similarity.annPq(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val recall = approxTop.map(_._1).toSet
+      .intersect(exactTop.map(_._1).toSet).size
+    info(s"PQ recall@10 vs exact IP: $recall/10")
+    val exactIp = exact.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val meanErr = approxTop.map { case (id, aip) =>
+      math.abs(aip - exactIp(id)) }.sum / approxTop.length
+    val spread = exactIp.values.max - exactIp.values.min
+    info(f"PQ mean ADC error on answer set: $meanErr%.3f, corpus IP spread: $spread%.3f")
+    // measured on this deterministic corpus: err 0.044, spread 0.704
+    // (6%), recall 5/10 — bounds carry headroom for the adversarial
+    // input (uniform random directions have no cluster structure for
+    // the codebook to exploit; real embedding corpora sit far above)
+    assert(meanErr <= 0.15 * spread,
+      f"ADC error $meanErr%.3f exceeds 15%% of corpus IP spread $spread%.3f")
+    assert(recall >= 4,
+      s"PQ recall@10 collapsed: $recall/10 vs exact IP top-10")
+  }
+
   test("approx top-k heavy hitters match the exact top users") {
     val exact = LogAnalytics.topUsers(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -15,6 +15,7 @@ class QueriesSmokeSpec extends SparkSpec {
   private val determinismChecked = Set(
     "q3_shipping", "log_top_users", "log_topk_per_type", "text_word_freq",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "knn_self_join",
+    "ann_pq_topk",
     "dedup_minhash_lsh", "dedup_simhash", "mm_feature_extract")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -39,7 +40,7 @@ class QueriesSmokeSpec extends SparkSpec {
       "log_percentiles_approx", "log_daily_active_approx",
       "log_top_users_approx",
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
-      "ann_ivf_from_index", "bloom_decontaminate")
+      "ann_ivf_from_index", "ann_pq_topk", "bloom_decontaminate")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
