@@ -131,6 +131,18 @@ object Stress {
       graft.sources.Tables.table(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // events: K user-offset copies (event ids re-keyed too) — user
+    // count grows K×, per-user timeline density stays constant: the
+    // organic growth direction for sessionization and the stream-
+    // stream interval join (whose state is per-user). ts round-trips
+    // as the raw ns BIGINT (Tables.events re-derives ts_us).
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until k).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * keyOff))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * keyOff)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     // optional 3rd arg: comma-separated subset (delta sweeps for newly
     // added operators without re-running the recorded full curve)
@@ -148,7 +160,9 @@ object Stress {
       "quality_logit_score", "mixture_resample", "mixture_upsample",
       "dedup_semantic",
       "basket_part_pairs", "window_decile_spend", "q9_product_profit",
-      "q21_waiting_supplier")
+      "q21_waiting_supplier",
+      "merge_upsert", "neardup_pagerank", "skew_key_stats",
+      "stream_interval_join", "ann_pq_topk")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

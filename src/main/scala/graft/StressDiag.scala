@@ -82,6 +82,13 @@ object StressDiag {
       graft.sources.Tables.table(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until k).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     stages.synchronized(stages.clear())
     val t0 = System.nanoTime()

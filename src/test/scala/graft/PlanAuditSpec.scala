@@ -375,4 +375,54 @@ class PlanAuditSpec extends SparkSpec {
       "read-back scan must prune the text column")
     assert(shuffles(p) <= 3, s"shuffle budget exceeded: ${shuffles(p)}")
   }
+
+  test("merge upsert: digest projections, ONE join, text never shuffles") {
+    val p = plan("merge_upsert")
+    val t = finalTree(p)
+    val joins = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findAllIn(t).length
+    assert(joins === 1, s"snapshot merge must be ONE full-outer join: $joins")
+    // the in-query snapshot derivation reads the text to digest it, but
+    // nothing past the scan projections may carry the text column —
+    // only (doc_id, source, md5, len) ever reaches the join
+    assert(!t.contains("FullOuter, text") && !t.contains("hashpartitioning(text"),
+      "raw text leaked past the digest projection into the join")
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("interval join rewrites the time range as a bucket equi-join") {
+    val p = plan("stream_interval_join")
+    val t = finalTree(p)
+    assert(!t.contains("BroadcastNestedLoopJoin") && !t.contains("CartesianProduct"),
+      "range condition must not plan as a nested loop at scale")
+    // the join keys must include user and hour bucket — the residual
+    // time inequality rides on the equi-join
+    assert(t.contains("SortMergeJoin") || t.contains("ShuffledHashJoin")
+        || t.contains("BroadcastHashJoin"),
+      "expected a hash-keyed join on (user, bucket)")
+  }
+
+  test("pagerank: bounded join chain, all aggregates partial map-side") {
+    val p = plan("neardup_pagerank")
+    val t = finalTree(p)
+    // 3 iterations × (share join + edge join) + degree join + the
+    // candidate-pair subtree (4 joins, as degree-dist pins) — anything
+    // far beyond that means an iteration duplicated a subplan
+    val joins = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findAllIn(t).length
+    assert(joins <= 11, s"pagerank join chain blew up: $joins joins")
+    assert(!t.contains("CartesianProduct"), "pagerank must stay keyed")
+    assert(t.contains("partial_sum") || t.contains("HashAggregate"),
+      "incoming-mass sums should partial-aggregate map-side")
+  }
+
+  test("PQ probe joins codes to a BROADCAST lookup table") {
+    val p = plan("ann_pq_topk")
+    val t = finalTree(p)
+    assert(t.contains("BroadcastHashJoin"),
+      "ADC lookup table must broadcast — it is query metadata")
+    // the final answer is top-10: TakeOrdered, not a global sort
+    assert(t.contains("TakeOrderedAndProject"),
+      "top-k must run as TakeOrderedAndProject")
+  }
 }
