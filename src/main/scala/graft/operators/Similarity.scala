@@ -35,8 +35,37 @@ object Similarity {
     "centroid_per_label" -> centroidPerLabel,
     "label_spread" -> labelSpread,
     "cluster_kmeans" -> clusterKmeans,
-    "ann_pq_topk" -> annPq
+    "ann_pq_topk" -> annPq,
+    "ann_pq_from_index" -> annPqFromIndex
   )
+
+  /** Corpus dirs whose PQ index is already materialized this session
+    * (scratch path → corpus dir), mirroring [[annIvfFromIndex]]'s
+    * build-once guard. */
+  private val pqWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PQ probe against the MATERIALIZED index
+    * ([[graft.ops.Materialize.pqIndex]]) — the serving path the PQ
+    * scale story is really about: the query reads ONLY the byte-codes
+    * table (8 bytes of payload per vector) and the ≤ 8×256-row
+    * codebook metadata; no float vector is touched after the build.
+    * The index is written once per (JVM, corpus) and reused — the
+    * build is deterministic, so reuse cannot change results
+    * (ApproxSpec pins probe ≡ `ann_pq_topk` and the build-once
+    * behavior, same contract as `ann_ivf_from_index`). Rows-only
+    * check, as every ANN path. */
+  def annPqFromIndex(s: SparkSession, d: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = graft.ops.Scratch.dir("pq-" + key)
+    val prev = pqWritten.putIfAbsent(path, d)
+    if (prev == null) graft.ops.Materialize.pqIndex(s, d, path)
+    else require(prev == d,
+      s"PQ scratch index at $path was built for corpus $prev, probed for $d")
+    pqProbe(s, d,
+      s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/codebooks"))
+  }
 
   /** Product-quantization ANN (the PQ half of the classic IVF-PQ
     * billion-scale recipe, Jégou et al. 2011): the 64-dim vector is
@@ -72,9 +101,18 @@ object Similarity {
     * every ANN path here. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val (codes, cb) = pqBuild(s, d)
-    val e = Tables.embeddings(s, d)
+    pqProbe(s, d, codes, cb)
+  }
+
+  /** The ADC probe shared by [[annPq]] (in-query build) and
+    * [[annPqFromIndex]] (materialized codes): broadcast the query's
+    * 8×K partial-IP lookup table, sum each vector's 8 looked-up
+    * partials map-side, top-10 by approximate IP. */
+  private def pqProbe(s: SparkSession, d: String,
+      codes: DataFrame, cb: DataFrame): DataFrame = {
+    val q = Tables.embeddings(s, d)
       .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
-    val q = e.orderBy("vec_id").limit(1)
+      .orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val qsub = q.select(col("q_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q_emb"))

@@ -112,4 +112,20 @@ object Materialize {
     partitioned(index, s"$path/index", Seq("cid"), Seq("vec_id"))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** Materialize the PQ index `ann_pq_topk`'s scale story promises:
+    * the (vec_id, sub, code) byte-codes under `path`/codes — the ONLY
+    * per-vector state a probe ever reads, 8 bytes of payload per
+    * vector vs 256 for the float32 embedding — plus the (sub, cid,
+    * cvec) codebooks (≤ 8×256 rows of broadcast metadata) under
+    * `path`/codebooks. Codes pack vec_id-sorted so a filtered re-rank
+    * (IVF-PQ composition: cell candidates → ADC scores) prunes row
+    * groups by vec_id range. */
+  def pqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val (codes, cb) = graft.operators.Similarity.pqBuild(s, dir)
+    codes.repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id", "sub")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
 }

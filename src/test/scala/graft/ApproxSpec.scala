@@ -108,6 +108,29 @@ class ApproxSpec extends SparkSpec {
       s"PQ recall@10 collapsed: $recall/10 vs exact IP top-10")
   }
 
+  test("PQ materialized index: probe equals in-query PQ, codes are slim") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val fromIndex = Similarity.annPqFromIndex(spark, sf0001).collect()
+    val inQuery = Similarity.annPq(spark, sf0001).collect()
+    assert(fromIndex.map(_.toString).toSeq === inQuery.map(_.toString).toSeq,
+      "materialized-index PQ probe diverged from the in-query build")
+    // the serving path's only per-vector state: (vec_id, sub, code) —
+    // never an embedding column on disk
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val codes = spark.read
+      .parquet(graft.ops.Scratch.dir("pq-" + key) + "/codes")
+    assert(codes.columns.sorted.toSeq === Seq("code", "sub", "vec_id"),
+      "codes table must carry byte codes only, no float vectors")
+    // build-once: a second probe reuses the index (same scratch dir,
+    // unchanged mtimes) — rebuilds would double every bench pass
+    val dir = new java.io.File(graft.ops.Scratch.dir("pq-" + key))
+    val before = dir.lastModified()
+    Similarity.annPqFromIndex(spark, sf0001).collect()
+    assert(dir.lastModified() === before, "PQ index was rebuilt on reuse")
+  }
+
   test("approx top-k heavy hitters match the exact top users") {
     val exact = LogAnalytics.topUsers(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

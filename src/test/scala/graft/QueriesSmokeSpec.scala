@@ -40,7 +40,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "log_percentiles_approx", "log_daily_active_approx",
       "log_top_users_approx",
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
-      "ann_ivf_from_index", "ann_pq_topk", "bloom_decontaminate")
+      "ann_ivf_from_index", "ann_pq_topk", "ann_pq_from_index",
+      "bloom_decontaminate")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
