@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Fns
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** §2H — retrieval: the serving-side query surface a corpus engine
+  * exposes once the pipeline has curated it. Lexical ranking (BM25),
+  * hybrid lexical+vector fusion (reciprocal-rank fusion, the standard
+  * way production search merges a keyword list with an ANN list), a
+  * kNN label classifier (the "fasttext-style quality/domain tagger
+  * as retrieval" pattern: tag by nearest labeled neighbours), and
+  * chunking (fixed-size overlapping token windows — the unit both RAG
+  * retrieval and sequence-packing training prep operate on).
+  *
+  * All four are ✅SQL: ranking math is either bit-stable (the
+  * sequential-fold cosine, integer rank arithmetic) or folded in a
+  * FIXED summand order on both engines (BM25's per-term conditional
+  * sums), so DuckDB replays hash-exactly.
+  */
+object Retrieval {
+
+  private def cos(a: Column, b: Column): Column =
+    call_function(GraftFunctions.CosineName, a, b)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> bm25TopK,
+    "rrf_fusion" -> rrfFusion,
+    "knn_classify" -> knnClassify,
+    "text_chunk" -> textChunk
+  )
+
+  /** The fixed keyword query all lexical ranking runs against: one
+    * rare term (`dup`, df ≈ 5% of docs — the discriminative signal)
+    * plus three common ones, so scores mix an idf spike with tf/length
+    * normalization. A FIXED query (not a per-row join) keeps the
+    * operator shape = one corpus scan + tiny broadcast frames. */
+  private[graft] val QTerms = Seq("dup", "spark", "hash", "window")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Per-document BM25 scores against [[QTerms]] (internal frame shared
+    * by [[bm25TopK]] and [[rrfFusion]]). Okapi BM25, k1 = 1.2,
+    * b = 0.75: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)), idf = ln(1 + (N − df + ½)/(df + ½)) (the
+    * non-negative Robertson–Sparck-Jones form).
+    *
+    * Cross-engine parity: each (doc, term) contributes exactly one
+    * scored row, so the per-term scores are lifted into FIXED-ORDER
+    * summands (one conditional sum per query term, added left to
+    * right) — both engines fold the identical four doubles in the
+    * identical order, making the result bit-exact before the display
+    * round, not round-absorbed (SURVEY §4).
+    *
+    * Scale shape: ONE corpus scan builds (doc, dl, tok) for query
+    * tokens only (the `isin` prunes before the shuffle, so per-doc
+    * shuffle volume is ≤ |Q| tiny rows, not the token stream); df and
+    * the (N, avgdl) scalars are broadcast frames. No windows, no
+    * self-joins; the final top-20 is a distributed TakeOrdered. At
+    * 100 TB an inverted-index materialization would replace the scan,
+    * but the per-query compute shape (tiny per-term frames × broadcast
+    * stats) is already the right one. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .filter(col("dl") > 0)
+    val g = c.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(QTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ts = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("ts", col("idf") * (col("tf") * lit(K1 + 1.0))
+        / (col("tf")
+          + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))))
+    val termSum = QTerms.map(t =>
+      sum(when(col("tok") === t, col("ts")).otherwise(lit(0.0))).as("s_" + t))
+    ts.groupBy("doc_id").agg(termSum.head, termSum.tail: _*)
+      .select(col("doc_id"),
+        QTerms.map(t => col("s_" + t)).reduce(_ + _).as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
+    * `bm(doc_id, score)`. */
+  private def sqlBm25: String = {
+    val cases = QTerms.map(t =>
+      s"sum(CASE WHEN tok = '$t' THEN ts ELSE 0.0 END)")
+    s"""tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+       |         FROM documents),
+       |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM tokd
+       |      WHERE len(w) > 0),
+       |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
+       |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       |       FROM (SELECT doc_id, dl, unnest(w) AS tok FROM c)
+       |       WHERE tok IN (${QTerms.map("'" + _ + "'").mkString(", ")})
+       |       GROUP BY 1, 2, 3),
+       |dfr AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id, tok,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |      * (tf * ${K1 + 1.0})
+       |      / (tf + $K1 * (${1.0 - B} + $B * (dl / avgdl))) AS ts
+       |  FROM tf JOIN dfr USING (tok), g),
+       |bm AS (SELECT doc_id, ${cases.mkString(" + ")} AS score
+       |       FROM scored GROUP BY doc_id)""".stripMargin
+  }
+
+  /** BM25 top-20 — the lexical retrieval query. See [[bm25Scores]] for
+    * the ranking math, parity argument, and scale shape. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the standard
+    * production recipe for merging a LEXICAL ranking ([[bm25Scores]]
+    * top-50) with a VECTOR ranking (cosine against the suite's
+    * standing probe — the smallest vec_id — top-50; doc_id ≡ vec_id
+    * in the corpus). RRF(d) = Σ_lists 1/(60 + rank_list(d)), here in
+    * EXACT integer fixed-point: 10⁶ div (60 + rank), absent-from-list
+    * contributes 0 — integer sums replay hash-exactly, no float fold
+    * at all (the [[Dedup.pagerank]] precedent).
+    *
+    * Scale shape: each list is a distributed TakeOrdered(50) over its
+    * scoring frame (one corpus scan each); the `row_number` windows
+    * run AFTER the limit, over ≤ 50 rows of metadata — never a global
+    * window over the corpus (the `window_decile_spend` rule). The
+    * fusion join is 50×50 row metadata. k = 60 is the constant from
+    * the original RRF paper (Cormack et al. 2009). */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25Scores(s, d)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(wLex).as("r_lex"))
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wVec = Window.orderBy(col("c").desc, col("vec_id"))
+    val vec = e.crossJoin(broadcast(q))
+      .withColumn("c", cos(col("embedding"), col("q_emb")))
+      .orderBy(col("c").desc, col("vec_id")).limit(50)
+      .select(col("vec_id").as("doc_id"), row_number().over(wVec).as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"),
+        (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+          .as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** kNN label classification — nearest-labeled-neighbour tagging
+    * (domain/quality tagging by embedding proximity, the retrieval
+    * formulation of a corpus tagger): probes = vec_id < 50, train =
+    * the labeled rest, k = 5 cosine neighbours, prediction = majority
+    * label with ties to the smaller label. Emits per-probe prediction
+    * + the probe's own label for confusion accounting.
+    *
+    * Parity: neighbour ranking compares unrounded cosines from the
+    * bit-stable sequential fold (the [[Similarity.knnSelfJoin]]
+    * precedent); votes are integers; the majority argmax is
+    * `max_by(label, (votes, −label))` ≡ the oracle's windowed
+    * first-row — both deterministic.
+    *
+    * Scale shape: probes broadcast (bounded probe set); scored rows
+    * collapse per (probe, label) by map-side-combinable aggregates —
+    * the k-selection is a partitioned window over probe_id (≤ |train|
+    * rows per probe, never global); at real scale the train side
+    * would be the LSH/IVF candidate set instead of the full corpus
+    * (same composition as [[Similarity.annLsh]]). */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("label").as("true_label"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("c").desc, col("vec_id"))
+    e.filter(col("vec_id") >= 50).crossJoin(broadcast(probes))
+      .withColumn("c", cos(col("embedding"), col("p_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("probe_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id", "true_label")
+      .agg(
+        max_by(col("label"),
+          struct(col("votes"), (lit(0) - col("label")).as("tb")))
+          .as("pred_label"),
+        max("votes").as("top_votes"))
+      .select(col("probe_id"), col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"), col("top_votes"))
+      .orderBy("probe_id")
+  }
+
+  /** Chunking: fixed 64-token windows at stride 48 (25% overlap) — the
+    * retrieval/packing unit. Emits one row per chunk with its token
+    * count and content digest; chunk count = max(1, ⌈(dl−64)/48⌉+1)
+    * so every non-empty doc yields ≥ 1 chunk and the last window is
+    * allowed to run short (standard RAG chunking).
+    *
+    * Parity: pure integer index math + md5 over the space-joined
+    * slice; `greatest(1, …)` guards the div-vs-floor divergence for
+    * dl < 17 (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * both reach the guard only when the true count is ≤ 0). Bit-exact.
+    *
+    * Scale shape: linear per-row expansion (explode over the per-doc
+    * chunk count — output volume ≈ corpus × (1 + overlap), the
+    * inherent cost of overlapping chunks), no shuffle at all until the
+    * final presentation sort: chunking is a map-only stage that
+    * pipelines into whatever consumes it. */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val size64 = 64
+    val stride = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), org.apache.spark.sql.functions.size(col("w")).as("dl"))
+      .filter(col("dl") > 0)
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          expr(s"((dl - $size64 + ${stride - 1}) div $stride) + 1")))
+      .select(col("doc_id"), col("w"), col("dl"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("w"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size64)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("cw")).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH $sqlBm25
+         |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $sqlBm25,
+         |lex AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY round(score, 4) + 0.0 DESC, doc_id) AS r_lex
+         |  FROM bm ORDER BY round(score, 4) + 0.0 DESC, doc_id LIMIT 50),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |      FROM embeddings ORDER BY vec_id LIMIT 1),
+         |vsc AS (SELECT vec_id, ${Fns.sqlCosine("embedding", "q_emb")} AS c
+         |        FROM embeddings, q),
+         |vec AS (SELECT vec_id AS doc_id, row_number() OVER
+         |    (ORDER BY c DESC, vec_id) AS r_vec
+         |  FROM vsc ORDER BY c DESC, vec_id LIMIT 50)
+         |SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |  coalesce(r_lex, 0) AS r_lex, coalesce(r_vec, 0) AS r_vec,
+         |  coalesce(1000000 // (60 + r_lex), 0)
+         |    + coalesce(1000000 // (60 + r_vec), 0) AS rrf_e6
+         |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "knn_classify" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb,
+         |    label AS true_label
+         |  FROM embeddings WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT probe_id, true_label, e.vec_id, e.label,
+         |    ${Fns.sqlCosine("e.embedding", "p_emb")} AS c
+         |  FROM embeddings e, probes WHERE e.vec_id >= 50),
+         |ranked AS (
+         |  SELECT probe_id, true_label, label,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY c DESC, vec_id) AS rk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT probe_id, true_label, label, count(*)::BIGINT AS votes
+         |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3),
+         |pick AS (
+         |  SELECT probe_id, true_label, label AS pred_label, votes,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY votes DESC, label) AS vr,
+         |    max(votes) OVER (PARTITION BY probe_id) AS top_votes
+         |  FROM votes)
+         |SELECT probe_id, true_label::BIGINT AS true_label,
+         |  pred_label::BIGINT AS pred_label, top_votes
+         |FROM pick WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+         |           FROM documents),
+         |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM t
+         |      WHERE len(w) > 0),
+         |n AS (SELECT doc_id, w, dl,
+         |        greatest(1, ((dl - 64 + 47) // 48) + 1) AS n_chunks
+         |      FROM c),
+         |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1))
+         |         AS chunk_id, w FROM n)
+         |SELECT doc_id, chunk_id,
+         |  len(w[(chunk_id * 48 + 1)::INT :
+         |        (chunk_id * 48 + 64)::INT])::BIGINT AS n_tokens,
+         |  md5(array_to_string(
+         |    w[(chunk_id * 48 + 1)::INT : (chunk_id * 48 + 64)::INT], ' '))
+         |    AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+  )
+}

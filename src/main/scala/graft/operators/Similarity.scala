@@ -36,8 +36,50 @@ object Similarity {
     "label_spread" -> labelSpread,
     "cluster_kmeans" -> clusterKmeans,
     "ann_pq_topk" -> annPq,
-    "ann_pq_from_index" -> annPqFromIndex
+    "ann_pq_from_index" -> annPqFromIndex,
+    "ann_ivfpq_topk" -> annIvfPq
   )
+
+  /** IVF-PQ — the full billion-scale recipe (Jégou et al. 2011),
+    * composed from the suite's two halves: the IVF coarse quantizer
+    * ([[ivfBuild]]) prunes the corpus to the `nprobe` cells nearest
+    * the query, then PQ ADC scoring ([[annPq]]'s probe) ranks ONLY
+    * those candidates through the broadcast lookup table — float
+    * vectors are touched by neither stage of the probe (cells prune on
+    * ≤ 256 rows of centroid metadata; ADC reads 8 byte-codes/vector).
+    *
+    * Scale shape: candidate selection is an equi-join of the byte-code
+    * table against the cell assignment on vec_id (both hash-partition;
+    * candidates are ~nprobe/C of the corpus), exactly how a FAISS-style
+    * deployment lays out codes cell-partitioned so the probe reads
+    * nprobe/C of the BYTES, not just of the rows —
+    * [[graft.ops.Materialize.ivfIndex]] + [[Materialize.pqIndex]]
+    * already demonstrate both storage halves. Rows-only: recall is
+    * data-dependent (ApproxSpec pins recall vs exact AND ≡ `ann_pq_topk`
+    * when every cell is probed). */
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPqProbe(s, d, None)
+
+  /** [[annIvfPq]] with an explicit `nprobe` (None → C/4, the
+    * production default); ApproxSpec probes all C cells to pin
+    * equivalence with plain PQ. */
+  private[graft] def annIvfPqProbe(s: SparkSession, d: String,
+      nprobeOpt: Option[Int]): DataFrame = {
+    GraftFunctions.register(s)
+    val (index, centDf) = ivfBuild(s, d)
+    val c = centDf.count().toInt
+    val nprobe = nprobeOpt.getOrElse(math.max(2, c / 4))
+    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeCells = centDf.crossJoin(broadcast(q))
+      .withColumn("qc", cos(col("cvec"), Fns.asDouble(col("q_emb"))))
+      .orderBy(col("qc").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    val cand = index.join(broadcast(probeCells), "cid").select("vec_id")
+    val (codes, cb) = pqBuild(s, d)
+    pqProbe(s, d, codes.join(cand, "vec_id"), cb)
+  }
 
   /** Corpus dirs whose PQ index is already materialized this session
     * (scratch path → corpus dir), mirroring [[annIvfFromIndex]]'s
