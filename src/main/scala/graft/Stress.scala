@@ -144,6 +144,15 @@ object Stress {
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // the lexical retrieval terms must exist in the tag-prefixed
+    // synthetic vocabulary: one query-term set per copy tag, so
+    // per-term df stays 1/K of docs and total term-row volume scales
+    // exactly K× (query volume per sub-corpus constant)
+    spark.conf.set(graft.operators.Retrieval.QTermsConf,
+      (0 until k).map(i => "q" + ('a' + i).toChar)
+        .flatMap(t => graft.operators.Retrieval.QTerms.map(t + _))
+        .mkString(","))
+
     // optional 3rd arg: comma-separated subset (delta sweeps for newly
     // added operators without re-running the recorded full curve)
     val queries = if (args.length > 2) args(2).split(",").toSeq
@@ -162,7 +171,9 @@ object Stress {
       "basket_part_pairs", "window_decile_spend", "q9_product_profit",
       "q21_waiting_supplier",
       "merge_upsert", "neardup_pagerank", "skew_key_stats",
-      "stream_interval_join", "ann_pq_topk")
+      "stream_interval_join", "ann_pq_topk",
+      "bm25_topk", "rrf_fusion", "knn_classify", "text_chunk",
+      "ann_ivfpq_topk")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

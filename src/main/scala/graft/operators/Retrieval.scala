@@ -40,6 +40,18 @@ object Retrieval {
     * operator shape = one corpus scan + tiny broadcast frames. */
   private[graft] val QTerms = Seq("dup", "spark", "hash", "window")
 
+  /** Conf key overriding [[QTerms]] (comma-separated) — the stress
+    * harness sets it to the tag-prefixed vocabulary of its synthetic
+    * corpora so the lexical stages do representative work there; the
+    * oracle contract always runs at the default. */
+  private[graft] val QTermsConf = "graft.retrieval.qterms"
+
+  private def qTerms: Seq[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(QTermsConf))
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(QTerms)
+
   private val K1 = 1.2
   private val B = 0.75
 
@@ -71,8 +83,9 @@ object Retrieval {
       .filter(col("dl") > 0)
     val g = c.agg(count(lit(1)).cast("double").as("n"),
       avg("dl").as("avgdl"))
+    val terms = qTerms
     val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-      .filter(col("tok").isin(QTerms: _*))
+      .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ts = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
@@ -82,11 +95,11 @@ object Retrieval {
       .withColumn("ts", col("idf") * (col("tf") * lit(K1 + 1.0))
         / (col("tf")
           + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))))
-    val termSum = QTerms.map(t =>
+    val termSum = terms.map(t =>
       sum(when(col("tok") === t, col("ts")).otherwise(lit(0.0))).as("s_" + t))
     ts.groupBy("doc_id").agg(termSum.head, termSum.tail: _*)
       .select(col("doc_id"),
-        QTerms.map(t => col("s_" + t)).reduce(_ + _).as("score"))
+        terms.map(t => col("s_" + t)).reduce(_ + _).as("score"))
   }
 
   /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in

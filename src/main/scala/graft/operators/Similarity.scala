@@ -37,8 +37,42 @@ object Similarity {
     "cluster_kmeans" -> clusterKmeans,
     "ann_pq_topk" -> annPq,
     "ann_pq_from_index" -> annPqFromIndex,
-    "ann_ivfpq_topk" -> annIvfPq
+    "ann_ivfpq_topk" -> annIvfPq,
+    "ann_pq_rerank" -> annPqRerank
   )
+
+  /** Two-stage serve: ADC shortlist → EXACT re-rank — the standard
+    * production closer over any PQ path (compressed codes give a cheap
+    * top-100 shortlist; the true float vectors are then read for only
+    * those 100 candidates and the final top-10 is exact cosine). This
+    * recovers almost all the recall PQ's quantization loses while
+    * still never scanning float vectors corpus-wide: the second stage
+    * is a semi-join of the embedding table against 100 ids — at
+    * 100 TB, 100 point-reads against a vec_id-sorted store (what
+    * [[graft.ops.Materialize.pqIndex]] lays out) vs a full scan.
+    *
+    * Output shape/semantics match [[annBruteforce]] (exact cosine,
+    * rounded for display) — but computed on the shortlist only.
+    * Rows-only: the shortlist is quantization-dependent; ApproxSpec
+    * pins shortlist containment + recall ≥ plain PQ. */
+  def annPqRerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (codes, cb) = pqBuild(s, d)
+    val shortlist = pqScores(s, d, codes, cb)
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+      .limit(100)
+      .select("vec_id")
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    e.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), (round(col("c"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
 
   /** IVF-PQ — the full billion-scale recipe (Jégou et al. 2011),
     * composed from the suite's two halves: the IVF coarse quantizer
@@ -151,6 +185,14 @@ object Similarity {
     * 8×K partial-IP lookup table, sum each vector's 8 looked-up
     * partials map-side, top-10 by approximate IP. */
   private def pqProbe(s: SparkSession, d: String,
+      codes: DataFrame, cb: DataFrame): DataFrame =
+    pqScores(s, d, codes, cb)
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+      .limit(10)
+
+  /** The full ADC-scored frame (vec_id, approx_ip) behind [[pqProbe]];
+    * [[annPqRerank]] consumes it un-limited for its top-100 shortlist. */
+  private def pqScores(s: SparkSession, d: String,
       codes: DataFrame, cb: DataFrame): DataFrame = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
@@ -169,8 +211,6 @@ object Similarity {
       .agg(sum("pip").as("ip"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), round(col("ip"), 4).as("approx_ip"))
-      .orderBy(col("approx_ip").desc, col("vec_id"))
-      .limit(10)
   }
 
   private val PqM = 8 // subspaces

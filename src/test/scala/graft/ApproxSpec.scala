@@ -146,6 +146,33 @@ class ApproxSpec extends SparkSpec {
       s"IVF-PQ recall@10 collapsed: $recall/10")
   }
 
+  test("PQ re-rank: exact scores on the shortlist, recall recovered") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rerank = Similarity.annPqRerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rerank.length === 10)
+    // re-ranked scores are EXACT cosine — identical values to the
+    // brute-force frame for the same ids (the second stage never
+    // approximates; only the shortlist membership is approximate)
+    val exact = Similarity.annBruteforce(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val exactIds = exact.map(_._1).toSet
+    val exactById = exact.toMap
+    rerank.foreach { case (id, c) =>
+      exactById.get(id).foreach(e => assert(e === c,
+        s"re-ranked cosine for $id diverged from brute force")) }
+    // recall@10 vs exact cosine: the 100-wide shortlist must recover
+    // at least as much as the 10-wide pure-ADC answer does
+    val pqIds = Similarity.annPq(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val rrRecall = rerank.map(_._1).count(exactIds.contains)
+    val pqRecall = pqIds.count(exactIds.contains)
+    info(s"re-rank recall@10: $rrRecall/10, plain-PQ(IP) recall: $pqRecall/10")
+    assert(rrRecall >= math.max(5, pqRecall),
+      s"re-rank recall $rrRecall did not recover over plain PQ $pqRecall")
+  }
+
   test("PQ materialized index: probe equals in-query PQ, codes are slim") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
