@@ -19,11 +19,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LogAnalytics.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      StreamingBatch.queries ++ Retrieval.queries
+      StreamingBatch.queries ++ Retrieval.queries ++ Training.queries
 
   /** DuckDB oracle SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LogAnalytics.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      StreamingBatch.oracles ++ Retrieval.oracles
+      StreamingBatch.oracles ++ Retrieval.oracles ++ Training.oracles
 }

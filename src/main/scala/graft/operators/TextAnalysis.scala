@@ -373,7 +373,17 @@ object TextAnalysis {
     * SAME code is the batch query above and the streaming ingest gate
     * ([[graft.streaming.Pipelines.qualityGateStream]]) — no watermark
     * or state needed, scores flow in append mode. */
-  def logitScoreStage(docs: DataFrame): DataFrame = {
+  def logitScoreStage(docs: DataFrame): DataFrame =
+    qualityFeatures(docs)
+      .withColumn("keep", (col("logit_milli") > 1500).cast("int"))
+      .select("doc_id", "stop_ppm", "uniq_ppm", "logit_milli", "keep")
+
+  /** The per-doc feature frame behind [[logitScoreStage]] — n_tokens
+    * kept so downstream consumers ([[Training.logregQualityTrain]]'s
+    * trainer features, [[Training.qualityThresholdSweep]]'s token
+    * accounting) share the EXACT feature definitions the fixed-weight
+    * gate scores with. Same per-row, shuffle-free shape. */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
     val stop = array(Fns.Stopwords.map(lit): _*)
     docs
       .withColumn("toks", Fns.tokens(col("text")))
@@ -388,9 +398,27 @@ object TextAnalysis {
       .withColumn("logit_milli",
         expr("6 * stop_ppm div 1000 + 4 * uniq_ppm div 1000" +
           " + 2 * least(n_tokens, 400L) - 3000"))
-      .withColumn("keep", (col("logit_milli") > 1500).cast("int"))
-      .select("doc_id", "stop_ppm", "uniq_ppm", "logit_milli", "keep")
   }
+
+  /** DuckDB CTE block mirroring [[qualityFeatures]], ending in
+    * `feat(doc_id, n_tokens, stop_ppm, uniq_ppm, logit_milli)`. */
+  private[operators] def sqlQualityFeatures: String =
+    s"""qf AS (
+       |  SELECT doc_id,
+       |    len(w)::BIGINT AS n_tokens,
+       |    len(list_distinct(w))::BIGINT AS n_distinct,
+       |    len(list_filter(w, t -> list_contains($StopList, t)))::BIGINT
+       |      AS n_stop
+       |  FROM (SELECT doc_id, $Toks AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |feat AS (
+       |  SELECT doc_id, n_tokens,
+       |    n_stop * 1000000 // n_tokens AS stop_ppm,
+       |    n_distinct * 1000000 // n_tokens AS uniq_ppm,
+       |    (6 * (n_stop * 1000000 // n_tokens) // 1000
+       |      + 4 * (n_distinct * 1000000 // n_tokens) // 1000
+       |      + 2 * least(n_tokens, 400) - 3000) AS logit_milli
+       |  FROM qf)""".stripMargin
 
   /** Mixture resampling — the enforcement step after [[corpusMixture]]
     * measures shares: given target weights per source (here a

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Training
+
+class TrainingSpec extends SparkSpec {
+
+  test("logreg trainer converges: final-epoch accuracy >= first and >= 70%") {
+    val rows = Training.logregQualityTrain(spark, sf0001).collect()
+    assert(rows.length === 4)
+    val acc = rows.map(r =>
+      r.getAs[Long]("epoch") -> r.getAs[Long]("acc_ppm")).toMap
+    assert(acc(4L) >= acc(1L),
+      s"accuracy fell across training: ${acc.toSeq.sortBy(_._1)}")
+    assert(acc(4L) >= 700000L,
+      s"final accuracy ${acc(4L)} ppm below the 70% floor")
+    // weights actually moved off the zero init
+    val last = rows.maxBy(_.getAs[Long]("epoch"))
+    val ws = Seq("w0_micro", "w1_micro", "w2_micro", "w3_micro")
+      .map(last.getAs[Long])
+    assert(ws.exists(_ != 0L), "no weight moved in 4 epochs")
+  }
+
+  test("logreg trainer is deterministic (bit-identical re-run)") {
+    val a = Training.logregQualityTrain(spark, sf0001).collect().toSeq
+    val b = Training.logregQualityTrain(spark, sf0001).collect().toSeq
+    assert(a === b)
+  }
+
+  test("BPE merges are hierarchical and counts never increase rank-wise") {
+    val rows = Training.bpeMerges(spark, sf0001).collect()
+    assert(rows.length === 8)
+    val byRank = rows.sortBy(_.getAs[Long]("merge_rank"))
+    // merged symbol = left || right, every rank
+    byRank.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+      assert(r.getAs[Long]("pair_count") > 0L)
+    }
+    // the greedy property: each later merge was available earlier only
+    // at a count <= the pick of its own round, so counts are
+    // non-increasing unless a merge CREATED a better pair (left or
+    // right symbol produced by a previous merge). Check the weaker
+    // invariant that always holds: rank-1 count is the global max.
+    val counts = byRank.map(_.getAs[Long]("pair_count"))
+    assert(counts.head === counts.max,
+      s"rank-1 merge is not the most frequent pair: $counts")
+    // at least one later merge consumes an earlier merged symbol
+    // (hierarchy actually formed on this corpus)
+    val merged = byRank.map(_.getAs[String]("merged"))
+    val consumesEarlier = byRank.zipWithIndex.exists { case (r, i) =>
+      val earlier = merged.take(i).toSet
+      earlier.contains(r.getAs[String]("left_sym")) ||
+        earlier.contains(r.getAs[String]("right_sym"))
+    }
+    assert(consumesEarlier, s"no hierarchical merge among $merged")
+  }
+
+  test("BPE merge application shrinks total symbol count") {
+    // total symbols = chars initially; every applied merge reduces the
+    // weighted symbol count by its pair_count (each merged occurrence
+    // collapses 2 symbols into 1) — the compression BPE exists for.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val totalChars = docs
+      .select(explode(graft.ops.Fns.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    val totalMergedAway = Training.bpeMerges(spark, sf0001)
+      .agg(sum("pair_count")).collect()(0).getLong(0)
+    assert(totalMergedAway > 0L && totalMergedAway < totalChars)
+  }
+
+  test("threshold sweep is monotone and anchored at the gate threshold") {
+    val rows = Training.qualityThresholdSweep(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("thr_milli"))
+    assert(rows.length === 10)
+    // raising the threshold never keeps more docs or tokens
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("docs_kept") >= hi.getAs[Long]("docs_kept"))
+      assert(lo.getAs[Long]("toks_kept") >= hi.getAs[Long]("toks_kept"))
+    }
+    // the -700 row is the trainer's label split: docs_kept there equals
+    // the positive-label count the trainer sees
+    val at700 = rows.find(_.getAs[Long]("thr_milli") === -700L).get
+    val pos = graft.operators.TextAnalysis
+      .qualityFeatures(graft.sources.Tables.documents(spark, sf0001))
+      .filter(col("logit_milli") > -700).count()
+    assert(at700.getAs[Long]("docs_kept") === pos)
+  }
+}
