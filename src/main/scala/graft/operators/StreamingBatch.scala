@@ -22,8 +22,64 @@ object StreamingBatch {
     "stream_sliding_agg" -> slidingAgg,
     "stream_topk_window" -> topkWindow,
     "stream_dedup_window" -> dedupWindow,
-    "stream_interval_join" -> intervalJoin
+    "stream_interval_join" -> intervalJoin,
+    "stream_contamination_hits" -> contaminationHits
   )
+
+  /** Streaming decontamination monitor — contamination hit-mass per
+    * source: every corpus 5-gram is tested against the STATIC benchmark
+    * gram set and each source reports total grams, hit grams, and the
+    * hit rate in ppm. This is the ingest-time twin of
+    * [[TextAnalysis.decontaminate]]: the batch stage flags docs for
+    * removal offline; this stage watches a document FEED for eval-set
+    * leakage as it arrives (a leaked benchmark spike shows up per
+    * source in one micro-batch, not at the next corpus rebuild).
+    *
+    * Stream shape (pinned stream ≡ batch in StreamingSpec): 5-grams
+    * are built PER ROW ([[graft.ops.Fns.shingles5]] — deliberately not
+    * [[TextAnalysis]]'s posexplode+lead window, which cannot run on an
+    * unbounded stream), the benchmark side is a stream-STATIC left
+    * join against a broadcast gram-hash frame, and the per-source
+    * rollup is the query's single aggregation (complete output mode) —
+    * so the whole pipeline is watermark-free and its state is
+    * |sources| rows. Batch and stream run the LITERAL same stage
+    * function. Scale: shuffle carries (source, hit) pairs pre-combined
+    * map-side; the benchmark frame is eval-suite-sized (~10⁴ docs),
+    * the classic broadcast side. */
+  def contaminationHits(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = benchGramHashes(docs)
+    contaminationHitsStage(docs.filter(col("doc_id") >= BenchMax), bench)
+      .orderBy("source")
+  }
+
+  private[graft] val BenchMax = 20L
+
+  /** Distinct 5-gram hashes of the benchmark docs (doc_id < 20 stands
+    * in for the eval suite) — the static side of the stream-static
+    * join, computed ONCE in batch in both modes. */
+  private[graft] def benchGramHashes(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < BenchMax)
+      .select(explode(graft.ops.Fns.shingles5(
+        graft.ops.Fns.tokens(col("text")))).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+
+  /** The shared batch/stream stage: per-source gram totals, benchmark
+    * hits, and hit ppm. `docs` may be a streaming frame; `bench` must
+    * be a static (batch) frame. One aggregation, no watermark, no
+    * window — complete-mode-safe. */
+  private[graft] def contaminationHitsStage(
+      docs: DataFrame, bench: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(graft.ops.Fns.shingles5(
+        graft.ops.Fns.tokens(col("text")))).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_grams"))
+      .select(col("source"), col("n_grams"), col("n_hit_grams"),
+        expr("n_hit_grams * 1000000 div n_grams").as("hit_ppm"))
 
   private val HourUs = 3600000000L
 
@@ -146,6 +202,23 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_contamination_hits" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source,
+         |    unnest(${graft.ops.Fns.sqlShingles5("w")}) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+         |marked AS (
+         |  SELECT c.source, CASE WHEN b.g IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM (SELECT source, g FROM grams WHERE doc_id >= 20) c
+         |  LEFT JOIN bench b ON c.g = b.g)
+         |SELECT source, count(*)::BIGINT AS n_grams,
+         |  sum(hit)::BIGINT AS n_hit_grams,
+         |  sum(hit)::BIGINT * 1000000 // count(*) AS hit_ppm
+         |FROM marked GROUP BY source ORDER BY source""".stripMargin,
     "stream_interval_join" ->
       s"""WITH $E,
          |p AS (SELECT event_id, user_id, tu FROM e

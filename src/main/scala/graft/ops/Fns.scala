@@ -67,6 +67,19 @@ object Fns {
           element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** 5-word shingles, per-row (no window) — the stateless formulation
+    * that streams in append mode; empty array when < 5 tokens. */
+  def shingles5(toks: Column): Column =
+    when(size(toks) >= 5,
+      transform(sequence(lit(0), size(toks) - 5), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3),
+          element_at(toks, i + 4),
+          element_at(toks, i + 5))))
+      .otherwise(array().cast("array<string>"))
+
   /** Sequential left-fold dot product of two double arrays (bit-stable). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -138,6 +151,16 @@ object Fns {
     s"(CASE WHEN len($w) >= 3 THEN " +
       s"[$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] " +
       s"for i in generate_series(1, len($w) - 2)] " +
+      s"ELSE [] END)"
+
+  /** DuckDB SQL fragment: 5-word shingles of token list `w` (mirror of
+    * [[shingles5]]; the oracle joins gram STRINGS where Spark joins
+    * their collision-free 64-bit hashes). */
+  def sqlShingles5(w: String): String =
+    s"(CASE WHEN len($w) >= 5 THEN " +
+      s"[$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3]" +
+      s" || ' ' || $w[i+4] " +
+      s"for i in generate_series(1, len($w) - 4)] " +
       s"ELSE [] END)"
 
   /** DuckDB SQL fragment: sequential dot product of two float lists,

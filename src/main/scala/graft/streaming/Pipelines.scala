@@ -93,6 +93,18 @@ object Pipelines {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.logitScoreStage(docs)
 
+  /** Streaming decontamination monitor — the LITERAL batch stage
+    * ([[graft.operators.StreamingBatch.contaminationHitsStage]]) over a
+    * document stream: per-row 5-grams, stream-static left join against
+    * the broadcast benchmark gram set, one per-source aggregation.
+    * Complete output mode; state is |sources| rows, no watermark
+    * needed (StreamingSpec pins stream ≡ batch).
+    *
+    * Input schema: (doc_id long, source string, text string); `bench`
+    * must be a STATIC frame of benchmark gram hashes (column `h`). */
+  def contaminationMonitorStream(docs: DataFrame, bench: DataFrame): DataFrame =
+    graft.operators.StreamingBatch.contaminationHitsStage(docs, bench)
+
   def nearDupStream(docs: DataFrame): Dataset[NearDupCandidate] = {
     val spark = docs.sparkSession
     graft.plans.SignatureFunctions.register(spark)

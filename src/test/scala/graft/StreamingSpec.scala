@@ -476,4 +476,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming contamination monitor ≡ batch stage (complete mode)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // benchmark doc 1 (< 20) leaks its 5-gram into corpus docs 21/23;
+    // doc 22 is clean; doc 24 is too short to emit any gram
+    val bench5 = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (21L, "src1", s"intro words then $bench5 and a tail of more words"),
+      (22L, "src1", "completely clean text with six tokens here today"),
+      (23L, "src2", s"$bench5 twice over $bench5 ok"),
+      (24L, "src2", "too short"))
+    val benchDocs = Seq((1L, "bench", bench5 + " extra trailing tokens"))
+    val all = (benchDocs ++ corpus).toDF("doc_id", "source", "text")
+    val benchFrame = graft.operators.StreamingBatch.benchGramHashes(all)
+      .localCheckpoint() // static side must not be a streaming plan
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Pipelines.contaminationMonitorStream(
+        mem.toDF().toDF("doc_id", "source", "text"), benchFrame)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("complete").start()
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contam").orderBy("source").collect()
+      val batch = graft.operators.StreamingBatch.contaminationHitsStage(
+          corpus.toDF("doc_id", "source", "text"), benchFrame)
+        .orderBy("source").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      // the leak is visible per source and the clean grams stay clean
+      val bySource = streamed.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+      assert(bySource("src1")._2 > 0L, "src1 leak not detected")
+      assert(bySource("src2")._2 > 0L, "src2 leak not detected")
+      assert(bySource("src1")._2 < bySource("src1")._1,
+        "clean grams were flagged")
+    } finally q.stop()
+  }
 }
