@@ -38,8 +38,65 @@ object Similarity {
     "ann_pq_topk" -> annPq,
     "ann_pq_from_index" -> annPqFromIndex,
     "ann_ivfpq_topk" -> annIvfPq,
-    "ann_pq_rerank" -> annPqRerank
+    "ann_pq_rerank" -> annPqRerank,
+    "embedding_int8_quantize" -> int8Quantize
   )
+
+  /** Scalar int8 quantization — the OTHER embedding-compression recipe
+    * next to PQ (per-dimension affine quantization, the faiss
+    * `SQ8`/ONNX-style scheme every serving stack ships): per-dim
+    * [min, max] over the corpus defines a 256-step grid, each value
+    * stores as `floor((x − mn) · 255 / (mx − mn))`, 4× smaller than
+    * float32 with per-dim calibration. Emits per vector the quantized
+    * codes' digest plus the reconstruction SSE on the 10⁻⁹ grid — the
+    * calibration-quality report a deployment reviews.
+    *
+    * ✅SQL, exactly: quantization is pure IEEE double arithmetic
+    * (identical in both engines), `floor` avoids the round-midpoint
+    * divergence (§4), and EACH DIM's squared error floors onto the
+    * 10⁻⁹ grid separately so the per-row SSE is an integer sum —
+    * associative, immune to float summation order entirely.
+    *
+    * Scale shape: calibration is one posexplode → 64-group min/max
+    * aggregate (map-side combined) collapsed into a broadcast 1-row
+    * array frame; quantization is then a per-row projection — the same
+    * build-once/serve-cheap split as the PQ path, with the "index"
+    * being 128 doubles. */
+  def int8Quantize(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val packed = dims
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(expr("transform(s, e -> e.mn)").as("amn"),
+        expr("transform(s, e -> e.mx)").as("amx"))
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(packed))
+      .withColumn("qs", expr(
+        """transform(embedding, (x, i) -> CASE
+          |  WHEN element_at(amx, i + 1) > element_at(amn, i + 1) THEN
+          |    least(255L, greatest(0L,
+          |      floor((cast(x as double) - element_at(amn, i + 1)) * 255.0
+          |        / (element_at(amx, i + 1) - element_at(amn, i + 1)))))
+          |  ELSE 0L END)""".stripMargin))
+      .withColumn("sse_e9", expr(
+        """aggregate(
+          |  transform(sequence(1, size(embedding)), i -> CASE
+          |    WHEN element_at(amx, i) > element_at(amn, i) THEN
+          |      floor(1e9 * power(cast(element_at(embedding, i) as double)
+          |        - (element_at(amn, i) + cast(element_at(qs, i) as double)
+          |           * (element_at(amx, i) - element_at(amn, i)) / 255.0), 2))
+          |    ELSE 0L END),
+          |  0L, (acc, e) -> acc + e)""".stripMargin))
+      .select(col("vec_id"),
+        md5(concat_ws(",", expr("transform(qs, q -> cast(q as string))")))
+          .as("codes_md5"),
+        col("sse_e9"))
+      .orderBy("vec_id")
+  }
 
   /** Two-stage serve: ADC shortlist → EXACT re-rank — the standard
     * production closer over any PQ path (compressed codes give a cheap
@@ -620,6 +677,32 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "embedding_int8_quantize" ->
+      s"""WITH dims AS (
+         |  SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+         |  FROM (SELECT unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)
+         |  GROUP BY i),
+         |packed AS (SELECT list(mn ORDER BY i) AS amn,
+         |                  list(mx ORDER BY i) AS amx FROM dims),
+         |q AS (
+         |  SELECT vec_id, embedding, amn, amx,
+         |    [CASE WHEN amx[i] > amn[i] THEN
+         |       least(255, greatest(0,
+         |         floor((embedding[i]::DOUBLE - amn[i]) * 255.0
+         |           / (amx[i] - amn[i]))))::BIGINT
+         |     ELSE 0 END
+         |     for i in generate_series(1, len(embedding))] AS qs
+         |  FROM embeddings, packed)
+         |SELECT vec_id, md5(array_to_string(qs, ',')) AS codes_md5,
+         |  list_sum([CASE WHEN amx[i] > amn[i] THEN
+         |      floor(1e9 * pow(embedding[i]::DOUBLE
+         |        - (amn[i] + qs[i]::DOUBLE * (amx[i] - amn[i]) / 255.0),
+         |        2))::BIGINT
+         |    ELSE 0 END
+         |    for i in generate_series(1, len(embedding))])::BIGINT AS sse_e9
+         |FROM q ORDER BY vec_id""".stripMargin,
     "cluster_kmeans" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb

@@ -38,6 +38,7 @@ object TextAnalysis {
     "text_pii_redact" -> piiRedact,
     "corpus_mixture" -> corpusMixture,
     "sample_stratified" -> sampleStratified,
+    "sample_fixed_per_source" -> sampleFixedPerSource,
     "curation_funnel" -> curationFunnel,
     "text_collocations" -> collocations,
     "vocab_coverage" -> vocabCoverage,
@@ -351,6 +352,34 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("sum_chars_kept"), lit(0L)).as("sum_chars_kept"))
       .orderBy("source")
+  }
+
+  /** Fixed-SIZE per-stratum sampling — the third sampling mode next to
+    * [[sampleHashDocs]] (global rate) and [[sampleStratified]]
+    * (per-stratum rate): exactly N = 5 documents per source, selected
+    * by content-hash rank (md5 of the text, doc_id tie-break) — the
+    * eval-holdout / human-review carve-out, where the budget is a COUNT
+    * per stratum, not a rate. Deterministic: re-running on a resharded
+    * corpus reproduces the same N docs, and a doc's selection can only
+    * change if the stratum's membership changes (the reservoir
+    * property, hash-rank formulation).
+    *
+    * Scale shape: one shuffle on source, then a PARTITIONED row_number
+    * (strata are bounded-cardinality; within a partition the rank is a
+    * top-N heap, never a global sort). At skewed stratum sizes the
+    * window input is still one source's rows per task — the same
+    * bound `log_topk_per_type` pins. */
+  def sampleFixedPerSource(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("hk"),
+        col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("source", "rk")
   }
 
   /** Model-based quality filter in the linear-classifier shape: a
@@ -1149,6 +1178,14 @@ object TextAnalysis {
          |FROM counts c CROSS JOIN m
          |LEFT JOIN kept k ON c.source = k.source
          |ORDER BY c.source""".stripMargin,
+    "sample_fixed_per_source" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(text), doc_id)::BIGINT AS rk
+         |  FROM documents)
+         |SELECT source, rk, doc_id, n_chars
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "text_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, list_distinct($Toks) AS dt FROM documents),

@@ -21,6 +21,7 @@ object Training {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "logreg_quality_train" -> logregQualityTrain,
+    "logreg_quality_apply" -> logregQualityApply,
     "bpe_merges" -> bpeMerges,
     "quality_threshold_sweep" -> qualityThresholdSweep
   )
@@ -87,6 +88,30 @@ object Training {
     * partition tree — beyond that the sums move to DECIMAL(38) exactly
     * like `corpus_mixture`'s ppm accounting. */
   def logregQualityTrain(s: SparkSession, d: String): DataFrame = {
+    val (feats, ws) = trainLoop(s, d)
+    val epochs = ws.zipWithIndex.map { case (w, i) =>
+      feats.crossJoin(broadcast(w))
+        .withColumn("z", expr(zExpr))
+        .withColumn("p", expr(pExpr))
+        .groupBy("w0", "w1", "w2", "w3")
+        .agg(sum(when(expr("(p >= 500000)") === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("n_correct"),
+          count(lit(1)).as("n"))
+        .select(lit((i + 1).toLong).as("epoch"),
+          col("w0").as("w0_micro"), col("w1").as("w1_micro"),
+          col("w2").as("w2_micro"), col("w3").as("w3_micro"),
+          col("n_correct"),
+          expr("n_correct * 1000000 div n").as("acc_ppm"))
+    }
+    epochs.reduce(_ unionAll _).orderBy("epoch")
+  }
+
+  /** The shared training loop: the localCheckpoint'd centered feature
+    * frame plus the weight frame after each epoch (consumed by the
+    * per-epoch metrics above and by [[logregQualityApply]]'s serving
+    * path, which wants only `ws.last`). */
+  private def trainLoop(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val raw = TextAnalysis.qualityFeatures(Tables.documents(s, d))
       .select(col("doc_id"),
         expr("stop_ppm div 1000").as("f1"),
@@ -106,7 +131,7 @@ object Training {
       .localCheckpoint()
     var w: DataFrame = s.range(1).select(
       lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
-    val epochs = (1 to Iters).map { it =>
+    val ws = (1 to Iters).map { _ =>
       val scored = feats.crossJoin(broadcast(w))
         .withColumn("z", expr(zExpr))
         .withColumn("p", expr(pExpr))
@@ -121,20 +146,32 @@ object Training {
         expr(s"w2 + ${fdiv("gc", s"n * $LrDen")}").as("w2"),
         expr(s"w3 + ${fdiv("gd", s"n * $LrDen")}").as("w3"))
         .localCheckpoint()
-      feats.crossJoin(broadcast(w))
-        .withColumn("z", expr(zExpr))
-        .withColumn("p", expr(pExpr))
-        .groupBy("w0", "w1", "w2", "w3")
-        .agg(sum(when(expr("(p >= 500000)") === (col("y") === 1L), 1L)
-          .otherwise(0L)).as("n_correct"),
-          count(lit(1)).as("n"))
-        .select(lit(it.toLong).as("epoch"),
-          col("w0").as("w0_micro"), col("w1").as("w1_micro"),
-          col("w2").as("w2_micro"), col("w3").as("w3_micro"),
-          col("n_correct"),
-          expr("n_correct * 1000000 div n").as("acc_ppm"))
+      w
     }
-    epochs.reduce(_ unionAll _).orderBy("epoch")
+    (feats, ws)
+  }
+
+  /** Train-then-serve composition: score every document with the
+    * 4th-epoch weights of [[logregQualityTrain]] — the learned twin of
+    * [[TextAnalysis.qualityLogitScore]]'s hand-set gate, and the same
+    * composition pattern as `ann_ivf_from_index` (build once, serve
+    * from the artifact; here the artifact is a 1-row weight frame that
+    * never leaves the plan). Per-doc output: centered z in micro
+    * units, the keep decision, and the training label for audit.
+    *
+    * Scale shape: the serve side is one broadcast of the weight frame
+    * + a per-row projection over the feature frame — the same
+    * zero-join shape `quality_logit_score` pins; the training subplan
+    * underneath is bounded (4 epochs × slim-frame aggregates). */
+  def logregQualityApply(s: SparkSession, d: String): DataFrame = {
+    val (feats, ws) = trainLoop(s, d)
+    feats.crossJoin(broadcast(ws.last))
+      .withColumn("z", expr(zExpr))
+      .withColumn("p", expr(pExpr))
+      .select(col("doc_id"), col("z").as("z_micro"),
+        (col("p") >= 500000L).cast("int").as("keep"),
+        col("y").as("train_label"))
+      .orderBy("doc_id")
   }
 
   private val BpeIters = 8
@@ -289,6 +326,20 @@ object Training {
          |$epochs
          |$rows
          |ORDER BY epoch""".stripMargin
+    },
+    "logreg_quality_apply" -> {
+      val epochs = (1 to Iters)
+        .map(i => sqlEpoch(i, if (i == 1) "winit" else s"w${i - 1}"))
+        .mkString(",\n")
+      val z = s"(w0 * 1000 + w1 * f1 + w2 * f2 + w3 * f3) // 1000"
+      val p = s"least(1000000, greatest(0, 500000 + ($z) // 4))"
+      s"""WITH $sqlTrainFeat,
+         |winit AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+         |          0::BIGINT AS w2, 0::BIGINT AS w3),
+         |$epochs
+         |SELECT doc_id, ($z)::BIGINT AS z_micro,
+         |  (($p) >= 500000)::INT AS keep, y::BIGINT AS train_label
+         |FROM tf, w$Iters ORDER BY doc_id""".stripMargin
     },
     "bpe_merges" -> {
       val iters = (1 to BpeIters).map { i =>
