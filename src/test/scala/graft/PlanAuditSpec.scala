@@ -425,4 +425,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(t.contains("TakeOrderedAndProject"),
       "top-k must run as TakeOrderedAndProject")
   }
+
+  test("logreg serve stage: broadcast weights, no shuffled join anywhere") {
+    val p = plan("logreg_quality_apply")
+    val t = finalTree(p)
+    // training collapses into localCheckpoint'd slim frames; the serve
+    // side is a per-row projection against broadcast 1-row frames —
+    // a shuffled join anywhere means the weight frame stopped being
+    // plan-local metadata
+    assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
+      "weight/feature join degenerated into a shuffled join")
+    assert(shuffles(p) <= 1,
+      s"serve stage should only exchange for the output sort: ${shuffles(p)}")
+  }
+
+  test("int8 quantize: calibration aggregates, serve side is per-row") {
+    val p = plan("embedding_int8_quantize")
+    val t = finalTree(p)
+    assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
+      "calibration frame must broadcast, not shuffle-join")
+    // posexplode→dim agg (1-2 exchanges incl. the 1-row collect) + the
+    // output sort; the quantization itself adds NO exchange
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("fixed-size sample: partitioned window, no single-partition sort") {
+    val p = plan("sample_fixed_per_source")
+    assert(!finalTree(p).contains("Exchange SinglePartition"),
+      "per-source rank collapsed to a single partition")
+    assert(shuffles(p) <= 2,
+      s"one source shuffle + output sort expected: ${shuffles(p)}")
+  }
+
+  test("contamination hits: benchmark joins broadcast, single agg shuffle") {
+    val p = plan("stream_contamination_hits")
+    val t = finalTree(p)
+    assert(t.contains("BroadcastHashJoin"),
+      "benchmark gram set should broadcast")
+    assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
+      "gram join degenerated into a shuffled join")
+  }
 }
