@@ -173,7 +173,10 @@ object Stress {
       "merge_upsert", "neardup_pagerank", "skew_key_stats",
       "stream_interval_join", "ann_pq_topk",
       "bm25_topk", "rrf_fusion", "knn_classify", "text_chunk",
-      "ann_ivfpq_topk")
+      "ann_ivfpq_topk",
+      "logreg_quality_train", "logreg_quality_apply", "bpe_merges",
+      "quality_threshold_sweep", "stream_contamination_hits",
+      "embedding_int8_quantize", "sample_fixed_per_source")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

@@ -49,8 +49,49 @@ object Dedup {
     "dedup_token_savings" -> tokenSavings,
     "dedup_semantic" -> semantic,
     "merge_upsert" -> mergeUpsert,
-    "neardup_pagerank" -> pagerank
+    "neardup_pagerank" -> pagerank,
+    "neardup_triangles" -> triangles
   )
+
+  /** Triangle census of the verified near-dup graph — the graph-shape
+    * summary next to [[degreeDist]] (local density) and [[pagerank]]
+    * (hub mass): triangles vs open wedges give the global clustering
+    * coefficient, the one-number answer to "are near-dups pairwise
+    * accidents or dense template CLIQUES?" (a template family forms a
+    * clique, so its closure → 1; chained soft paraphrases stay open).
+    * Output: nodes, edges, wedges (Σ deg·(deg−1)/2), triangles, and
+    * closure = 3·triangles/wedges in ppm — all integers, hash-exact.
+    *
+    * Scale shape: the classic edge-partitioned triangle join — the
+    * a<b<c-ordered pair frame (localCheckpoint'd once, the
+    * [[pagerank]] precedent) joins itself on the shared middle vertex
+    * and the closing edge is verified with one more equi-join; both
+    * joins key on node ids, so the work is Σ deg² over the VERIFIED
+    * near-dup graph, whose degrees the df-capped candidate generation
+    * already bounds (measured linear at 16×, docs/STRESS.md). No
+    * enumeration of non-edges, nothing corpus-global. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+    val deg = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    val tri = pairs
+      .join(pairs.select(col("a_id").as("m_id"), col("b_id").as("c_id")),
+        col("b_id") === col("m_id"))
+      .join(pairs.select(col("a_id").as("t_a"), col("b_id").as("t_b")),
+        col("a_id") === col("t_a") && col("c_id") === col("t_b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN" +
+          " 3 * n_triangles * 1000000 div n_wedges ELSE 0 END")
+          .as("closure_ppm"))
+  }
 
   /** PageRank over the verified near-dup graph — the hub-scoring stage
     * that ranks TEMPLATE documents: a boilerplate page near-duplicating
@@ -1259,6 +1300,38 @@ object Dedup {
          |SELECT p3.doc_id, d.deg::BIGINT AS degree, p3.pr AS pr_e12
          |FROM p3 JOIN deg d ON p3.doc_id = d.src
          |ORDER BY pr_e12 DESC, doc_id""".stripMargin,
+    "neardup_triangles" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |deg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS degree
+         |  FROM (SELECT a_id AS doc_id FROM pairs
+         |        UNION ALL SELECT b_id FROM pairs)
+         |  GROUP BY doc_id),
+         |st AS (SELECT count(*)::BIGINT AS n_nodes,
+         |         sum(degree * (degree - 1) // 2)::BIGINT AS n_wedges
+         |       FROM deg),
+         |ed AS (SELECT count(*)::BIGINT AS n_edges FROM pairs),
+         |tri AS (
+         |  SELECT count(*)::BIGINT AS n_triangles
+         |  FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+         |  WHERE EXISTS (SELECT 1 FROM pairs e3
+         |                WHERE e3.a_id = e1.a_id AND e3.b_id = e2.b_id))
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN 3 * n_triangles * 1000000 // n_wedges ELSE 0 END
+         |    AS closure_ppm
+         |FROM st, ed, tri""".stripMargin,
     "merge_upsert" ->
       """WITH snap AS (
         |  SELECT doc_id, source,

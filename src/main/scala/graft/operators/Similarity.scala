@@ -39,8 +39,51 @@ object Similarity {
     "ann_pq_from_index" -> annPqFromIndex,
     "ann_ivfpq_topk" -> annIvfPq,
     "ann_pq_rerank" -> annPqRerank,
-    "embedding_int8_quantize" -> int8Quantize
+    "embedding_int8_quantize" -> int8Quantize,
+    "centroid_classify" -> centroidClassify
   )
+
+  /** Nearest-centroid classification — the O(|labels|) serving path
+    * next to [[Retrieval.knnClassify]]'s O(|train|): each probe scores
+    * against the 10 per-label centroids (the published
+    * `centroid_per_label` artifact — components rounded to the 10⁻⁴
+    * grid, so both engines compare IDENTICAL doubles and the argmax
+    * can never flip on a summation-order ulp) and takes the best
+    * cosine, smaller label on ties. Per-probe prediction + truth for
+    * confusion accounting, exactly [[Retrieval.knnClassify]]'s output
+    * shape so the two classifiers diff directly.
+    *
+    * Scale shape: centroids train on one posexplode aggregate over the
+    * labeled side (map-side combined, |labels|×64 rows out) and
+    * broadcast; classification is a per-row 10-candidate max — no
+    * per-probe corpus scan, no candidate join at all. This is why
+    * production taggers run centroids (or a linear head) at ingest and
+    * keep kNN for offline audit. */
+  def centroidClassify(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") >= 50)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0)).as("cv"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding"),
+        col("label").as("true_label"))
+      .crossJoin(broadcast(cent))
+      .withColumn("c", cos(Fns.asDouble(col("embedding")), col("centroid")))
+      .groupBy("probe_id", "true_label")
+      .agg(max_by(col("c_label"),
+          struct(col("c"), (lit(0) - col("c_label")).as("tb")))
+          .as("pred_label"),
+        (round(max("c"), 4) + lit(0.0)).as("best_cos"))
+      .select(col("probe_id"), col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"), col("best_cos"))
+      .orderBy("probe_id")
+  }
 
   /** Scalar int8 quantization — the OTHER embedding-compression recipe
     * next to PQ (per-dimension affine quantization, the faiss
@@ -677,6 +720,24 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "centroid_classify" ->
+      s"""WITH cent0 AS (
+         |  SELECT label, pos, round(avg(v::DOUBLE), 4) + 0.0 AS cv
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          generate_subscripts(embedding, 1) AS pos
+         |        FROM embeddings WHERE vec_id >= 50)
+         |  GROUP BY label, pos),
+         |cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+         |         FROM cent0 GROUP BY label),
+         |sc AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS true_label, c_label,
+         |    ${Fns.sqlCosine("p.embedding", "centroid")} AS c
+         |  FROM embeddings p, cent WHERE p.vec_id < 50),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY c DESC, c_label) AS rk FROM sc)
+         |SELECT probe_id, true_label::BIGINT AS true_label,
+         |  c_label::BIGINT AS pred_label, round(c, 4) + 0.0 AS best_cos
+         |FROM r WHERE rk = 1 ORDER BY probe_id""".stripMargin,
     "embedding_int8_quantize" ->
       s"""WITH dims AS (
          |  SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx

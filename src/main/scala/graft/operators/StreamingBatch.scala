@@ -60,8 +60,12 @@ object StreamingBatch {
     * join, computed ONCE in batch in both modes. */
   private[graft] def benchGramHashes(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < BenchMax)
-      .select(explode(graft.ops.Fns.shingles5(
-        graft.ops.Fns.tokens(col("text")))).as("g"))
+      // tokenize in its OWN projection: shingles5's lambda references
+      // the token array 5× per gram, and handing it the raw tokenize
+      // EXPRESSION would re-run split+filter per reference (the
+      // lambda-inlining pathology, measured 8× on this very stage)
+      .select(graft.ops.Fns.tokens(col("text")).as("toks"))
+      .select(explode(graft.ops.Fns.shingles5(col("toks"))).as("g"))
       .select(xxhash64(col("g")).as("h")).distinct()
 
   /** The shared batch/stream stage: per-source gram totals, benchmark
@@ -71,8 +75,10 @@ object StreamingBatch {
   private[graft] def contaminationHitsStage(
       docs: DataFrame, bench: DataFrame): DataFrame =
     docs
-      .select(col("source"), explode(graft.ops.Fns.shingles5(
-        graft.ops.Fns.tokens(col("text")))).as("g"))
+      // separate tokenize projection — see [[benchGramHashes]]
+      .select(col("source"), graft.ops.Fns.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(graft.ops.Fns.shingles5(col("toks"))).as("g"))
       .select(col("source"), xxhash64(col("g")).as("h"))
       .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
       .groupBy("source")
