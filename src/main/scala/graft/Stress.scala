@@ -176,7 +176,11 @@ object Stress {
       "ann_ivfpq_topk",
       "logreg_quality_train", "logreg_quality_apply", "bpe_merges",
       "quality_threshold_sweep", "stream_contamination_hits",
-      "embedding_int8_quantize", "sample_fixed_per_source")
+      "embedding_int8_quantize", "sample_fixed_per_source",
+      "text_winnow_fingerprint", "phrase_search", "snippet_extract",
+      "mmr_diversify", "ann_range_search", "feature_hash_bow",
+      "cluster_source_mixture", "agg_incremental_refresh",
+      "stream_stateful_sessions")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

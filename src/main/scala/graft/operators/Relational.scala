@@ -60,8 +60,51 @@ object Relational {
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "basket_part_pairs" -> basketPartPairs,
     "window_decile_spend" -> windowDecileSpend,
-    "skew_key_stats" -> skewKeyStats
+    "skew_key_stats" -> skewKeyStats,
+    "agg_incremental_refresh" -> aggIncrementalRefresh
   )
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every recurring corpus build runs: a per-status stats MV built
+    * from orders BEFORE the cutover date is merged with the partial
+    * aggregate of the DELTA (orders on/after it), and the merge must
+    * equal a full recompute — which is exactly what the oracle does
+    * (it never sees the split), so the hash match IS the
+    * merge-correctness proof. Every statistic is carried in its
+    * MERGEABLE partial form — (count, sum, min, max); avg derives as
+    * sum/count at presentation — the same decomposition Spark's own
+    * partial/final aggregation uses across the shuffle boundary.
+    *
+    * Scale shape: at 100 TB the base frame IS the stored MV —
+    * |groups| rows read back from storage, not a fact scan — so a
+    * nightly refresh costs one scan of the DELTA plus a |groups|-row
+    * union; this query derives the base in-plan (oracle SF) with the
+    * date split pushed to both scans. The final merge aggregates
+    * 2·|groups| rows: free at any corpus size. */
+  def aggIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1996-07-01").cast("timestamp")
+    def partial(f: DataFrame): DataFrame =
+      f.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n_orders"),
+        sum("o_totalprice").as("sum_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+    val o = Tables.orders(s, d)
+    val base = partial(o.filter(col("o_orderdate") < cut))
+    val delta = partial(o.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("sum_price").as("sum_price"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        round(col("sum_price"), 2).as("sum_price"),
+        round(col("min_price"), 2).as("min_price"),
+        round(col("max_price"), 2).as("max_price"),
+        round(col("sum_price") / col("n_orders"), 4).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
 
   /** Heavy-key diagnostic — the measurement that DECIDES whether a join
     * needs [[joinSkewSalted]]'s treatment: per-key row counts on the
@@ -994,6 +1037,17 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // Deliberately a FULL recompute with no date split: the Spark side
+    // merges base + delta partials, so hash equality proves the merge.
+    "agg_incremental_refresh" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(sum(o_totalprice) / count(*), 4) AS avg_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "basket_part_pairs" ->
       """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
         |  count(*) AS n_orders

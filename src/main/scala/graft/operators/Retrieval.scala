@@ -30,8 +30,152 @@ object Retrieval {
     "bm25_topk" -> bm25TopK,
     "rrf_fusion" -> rrfFusion,
     "knn_classify" -> knnClassify,
-    "text_chunk" -> textChunk
+    "text_chunk" -> textChunk,
+    "phrase_search" -> phraseSearch,
+    "snippet_extract" -> snippetExtract,
+    "mmr_diversify" -> mmrDiversify
   )
+
+  /** MMR result diversification (Carbonell & Goldstein 1998) — the
+    * re-rank between retrieval and the result page: from the cosine
+    * top-50 to the standing probe, pick 10 results maximizing
+    * `0.7·relevance − 0.3·max-similarity-to-already-picked`, so a
+    * template family occupies ONE slot instead of ten (the near-dup
+    * suite's diagnosis, applied at serving time). All scoring is exact
+    * integer fixed-point: relevance and pairwise similarity floor onto
+    * the 10⁻⁶ grid (both engines floor identical cosine bits), then
+    * 70·rel − 30·maxsim in BIGINT — the oracle unrolls all 10
+    * selection steps and replays hash-exactly.
+    *
+    * Scale shape: ONE corpus scan produces the top-50 shortlist
+    * (distributed TakeOrdered); everything after operates on ≤50-row
+    * checkpointed metadata frames — the 50×50 pair matrix, 9 bounded
+    * argmax steps, each a broadcast join over ≤10 selected rows. The
+    * greedy loop is inherently sequential (each pick conditions the
+    * next) but its working set is the RESULT PAGE, not the corpus —
+    * this is exactly how production MMR runs at any index size. */
+  def mmrDiversify(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel_e6",
+        floor(cos(col("embedding"), col("q_emb")) * lit(1000000.0)))
+      .orderBy(col("rel_e6").desc, col("vec_id")).limit(50)
+      .select("vec_id", "embedding", "rel_e6")
+      .localCheckpoint()
+    val pairs = cand.as("a")
+      .join(cand.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        floor(cos(col("a.embedding"), col("b.embedding"))
+          * lit(1000000.0)).as("sim_e6"))
+      .localCheckpoint()
+    val rel = cand.select("vec_id", "rel_e6")
+    var selected = rel
+      .orderBy(col("rel_e6").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("rank"), col("rel_e6"),
+        (col("rel_e6") * 70).as("score_e6"))
+      .localCheckpoint()
+    (2 to 10).foreach { k =>
+      val selIds = selected.select(col("vec_id").as("s_id"))
+      val maxsim = pairs
+        .join(broadcast(selIds), col("b_id") === col("s_id"))
+        .groupBy("a_id").agg(max("sim_e6").as("ms"))
+      val next = rel
+        .join(broadcast(selIds), col("vec_id") === col("s_id"), "left_anti")
+        .join(maxsim, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("rel_e6"),
+          (col("rel_e6") * 70 - coalesce(col("ms"), lit(0L)) * 30)
+            .as("score_e6"))
+        .orderBy(col("score_e6").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(k).as("rank"), col("rel_e6"),
+          col("score_e6"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.orderBy("rank")
+  }
+
+  /** Exact-phrase search — the positional-index lookup BM25's
+    * bag-of-words scoring cannot answer: documents containing a literal
+    * 3-token phrase, ranked by occurrence count. The phrase is derived
+    * in-plan as the corpus's top trigram (count desc, lexicographic
+    * tie) so the oracle replays it deterministically — the
+    * [[TextAnalysis.mixtureResample]] in-query-derived-parameter
+    * precedent; a production call passes the phrase as a constant and
+    * skips that scan entirely.
+    *
+    * Scale shape: the positional gram stream is the POSITIONAL INVERTED
+    * INDEX in relational form — the search itself is one equi-join of
+    * that stream against a 1-row broadcast phrase (at 100 TB: a
+    * point-lookup into the gram-keyed index layout, the
+    * [[Similarity.annPqFromIndex]] materialization pattern), then a
+    * per-doc count/min aggregate with map-side combine. No window, no
+    * self-join; the phrase-derivation scan is the disclosed second
+    * scan. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    def grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.shingles3(Fns.tokens(col("text")))))
+      .toDF("doc_id", "pos", "gram")
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(1).select("gram")
+    grams.join(broadcast(top), "gram")
+      .groupBy("doc_id")
+      .agg(max("gram").as("phrase"), count(lit(1)).as("n_hits"),
+        min("pos").as("first_pos"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Snippet extraction — the serving feature after ranking: for the
+    * BM25 top-5 docs, the best 16-token window by query-term hit count
+    * (leftmost window on ties), emitted as (start, hits, window md5).
+    * This is the "why did this doc match" highlight pass every search
+    * UI runs over its result page.
+    *
+    * Parity: hit counts are integers over the shared tokenizer; the
+    * window argmax folds left→right with a STRICT `>` (keeps the
+    * earliest max) ≡ the oracle's `row_number() ORDER BY hits DESC, t`.
+    *
+    * Scale shape: ranking cost is [[bm25Scores]]'s (one corpus scan);
+    * the snippet pass tokenizes ONLY the 5 surviving docs (the text
+    * column joins against the broadcast top-5 frame BEFORE
+    * tokenization), then runs one per-row codegen'd fold —
+    * O(dl·16) integer adds on 5 rows. The term-flag array binds once
+    * as a lambda variable (the [[TextAnalysis.winnowFingerprint]]
+    * anti-inlining pattern). */
+  def snippetExtract(s: SparkSession, d: String): DataFrame = {
+    val terms = qTerms
+    val top = bm25Scores(s, d)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+    def bestWindow(fb: Column, dl: Column): Column =
+      aggregate(
+        sequence(lit(0), greatest(lit(0), dl - 16)),
+        struct(lit(-1).as("t"), lit(-1).as("h")),
+        (acc, t) => {
+          val h = aggregate(slice(fb, t + 1, lit(16)), lit(0),
+            (a, x) => a + x)
+          when(h > acc.getField("h"), struct(t.as("t"), h.as("h")))
+            .otherwise(acc)
+        })
+    Tables.documents(s, d).select("doc_id", "text")
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("bm25"),
+        Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("bm25"), col("w"),
+        element_at(transform(array(transform(col("w"),
+          tok => when(tok.isin(terms: _*), 1).otherwise(0))),
+          fb => bestWindow(fb, size(col("w")))), 1).as("best"))
+      .select(col("doc_id"), col("bm25"),
+        col("best.t").as("best_t"),
+        col("best.h").as("n_hits"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("best.t") + 1, lit(16)))).as("snippet_md5"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
 
   /** The fixed keyword query all lexical ranking runs against: one
     * rare term (`dup`, df ≈ 5% of docs — the discriminative signal)
@@ -257,7 +401,86 @@ object Retrieval {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The MMR oracle unrolls all 10 greedy steps (the
+    * [[Training]] unrolled-epoch precedent): selK-1 feeds step K's
+    * argmax via a correlated max over the pair matrix. */
+  private def sqlMmr: String = {
+    val steps = (2 to 10).map { k =>
+      s"""s$k AS (SELECT c.vec_id, $k::INT AS rank, c.rel_e6,
+         |    c.rel_e6 * 70 - 30 * (
+         |      SELECT max(p.sim_e6) FROM pairs p
+         |      JOIN sel${k - 1} s ON p.b_id = s.vec_id
+         |      WHERE p.a_id = c.vec_id) AS score_e6
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  ORDER BY score_e6 DESC, c.vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1}
+         |          UNION ALL SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings ORDER BY vec_id LIMIT 1),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    floor(${Fns.sqlCosine("embedding", "q_emb")} * 1000000.0)::BIGINT
+       |      AS rel_e6
+       |  FROM embeddings, q WHERE vec_id <> q_id
+       |  ORDER BY rel_e6 DESC, vec_id LIMIT 50),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    floor(${Fns.sqlCosine("a.embedding", "b.embedding")}
+       |      * 1000000.0)::BIGINT AS sim_e6
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, 1::INT AS rank, rel_e6, rel_e6 * 70 AS score_e6
+       |  FROM cand ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT vec_id, rank, rel_e6, score_e6 FROM sel10
+       |ORDER BY rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "mmr_diversify" -> sqlMmr,
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+         |           FROM documents),
+         |sh AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
+         |g AS (SELECT doc_id, unnest(gs) AS gram,
+         |        generate_subscripts(gs, 1) - 1 AS pos
+         |      FROM sh),
+         |top AS (SELECT gram FROM (
+         |  SELECT gram, count(*) AS n FROM g GROUP BY 1
+         |  ORDER BY n DESC, gram LIMIT 1))
+         |SELECT doc_id, max(g.gram) AS phrase, count(*) AS n_hits,
+         |  min(pos)::INT AS first_pos
+         |FROM g JOIN top USING (gram)
+         |GROUP BY doc_id
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+    "snippet_extract" ->
+      s"""WITH $sqlBm25,
+         |top5 AS (SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |         ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |tw AS (SELECT d.doc_id, bm25, ${Fns.sqlTokens("d.text")} AS w
+         |       FROM documents d JOIN top5 USING (doc_id)),
+         |fl AS (SELECT doc_id, bm25, w, len(w)::INT AS dl,
+         |         unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos
+         |       FROM tw),
+         |fb AS (SELECT doc_id, bm25, w, dl, pos,
+         |         CASE WHEN tok IN (${QTerms.map("'" + _ + "'").mkString(", ")})
+         |           THEN 1 ELSE 0 END AS f
+         |       FROM fl),
+         |hs AS (SELECT doc_id, bm25, w, dl, pos AS t,
+         |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS hits
+         |  FROM fb),
+         |pick AS (SELECT doc_id, bm25, w, t, hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY hits DESC, t) AS rn
+         |  FROM hs WHERE t <= greatest(0, dl - 16))
+         |SELECT doc_id, bm25, t::INT AS best_t, hits::INT AS n_hits,
+         |  md5(array_to_string(w[(t + 1)::INT : (t + 16)::INT], ' '))
+         |    AS snippet_md5
+         |FROM pick WHERE rn = 1
+         |ORDER BY bm25 DESC, doc_id""".stripMargin,
     "bm25_topk" ->
       s"""WITH $sqlBm25
          |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm

@@ -23,8 +23,69 @@ object StreamingBatch {
     "stream_topk_window" -> topkWindow,
     "stream_dedup_window" -> dedupWindow,
     "stream_interval_join" -> intervalJoin,
-    "stream_contamination_hits" -> contaminationHits
+    "stream_contamination_hits" -> contaminationHits,
+    "stream_stateful_sessions" -> statefulSessions
   )
+
+  case class SessEv(user_id: Long, tu: Long, event_id: Long, value: Double)
+  case class UserSessSummary(user_id: Long, n_sessions: Long,
+      n_events: Long, max_sess_events: Long, max_sess_span_us: Long,
+      sum_value: Double)
+
+  /** Per-user session summary via the TYPED stateful API — the one
+    * Dataset surface (`groupByKey` → `flatMapGroups`, case-class
+    * `Encoder`s) the oracle gate did not yet cover: the same 30-min
+    * gap-split as [[graft.streaming.Pipelines.sessionizeWithState]]'s
+    * state handler, here batch-finalized (every session closes at
+    * end-of-input, which is what the stream emits once all timeouts
+    * fire). Summary per user: session count, events, largest session,
+    * longest intra-session span — the user-profile row a streaming
+    * sessionizer sinks.
+    *
+    * Parity: split points depend only on the sorted µs sequence
+    * (ties share a timestamp ⇒ gap 0, so tie order cannot move a
+    * boundary); counts/spans are integers; sum_value rounds on the
+    * 0.01 grid after a deterministic in-group fold.
+    *
+    * Scale shape: ONE shuffle by user_id; the per-group sort is the
+    * typed API's contract (group must fit an executor — true for user
+    * sessions, and the STREAMING twin bounds it further by watermark).
+    * For unbounded groups the relational
+    * [[LogAnalytics]].sessionize windows are the 100 TB path; this
+    * operator exists to put the typed imperative surface under the
+    * same oracle as the declarative one. */
+  def statefulSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gap = 1800000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us").as("tu"), col("event_id"),
+        col("value"))
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[SessEv]) =>
+        val ev = it.toArray.sortBy(e => (e.tu, e.event_id))
+        var nSess = 0L; var nEv = 0L; var sum = 0.0
+        var curN = 0L; var curStart = 0L; var last = 0L
+        var maxN = 0L; var maxSpan = 0L
+        def close(): Unit = if (curN > 0) {
+          if (curN > maxN) maxN = curN
+          if (last - curStart > maxSpan) maxSpan = last - curStart
+        }
+        ev.foreach { e =>
+          if (curN == 0L || e.tu - last >= gap) {
+            close(); nSess += 1; curN = 0L; curStart = e.tu
+          }
+          curN += 1; nEv += 1; sum += e.value; last = e.tu
+        }
+        close()
+        if (nEv == 0L) Iterator.empty
+        else Iterator.single(UserSessSummary(uid, nSess, nEv, maxN,
+          maxSpan, sum))
+      }
+      .toDF()
+      .withColumn("sum_value", round(col("sum_value"), 2))
+      .orderBy("user_id")
+  }
 
   /** Streaming decontamination monitor — contamination hit-mass per
     * source: every corpus 5-gram is tested against the STATIC benchmark
@@ -269,6 +330,34 @@ object StreamingBatch {
          |SELECT (tu // 3600000000) * 3600000000 AS win_start_us,
          |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM e GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "stream_stateful_sessions" ->
+      s"""WITH $E,
+         |lagd AS (
+         |  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+         |    AS prev_us FROM e),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR tu - prev_us >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS session_id
+         |  FROM flagged),
+         |per AS (
+         |  SELECT user_id, session_id, count(*) AS n,
+         |    max(tu) - min(tu) AS span_us
+         |  FROM sess GROUP BY 1, 2),
+         |val AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    round(sum(value), 2) AS sum_value
+         |  FROM e GROUP BY 1)
+         |SELECT user_id, count(*) AS n_sessions, n_events,
+         |  max(n) AS max_sess_events, max(span_us) AS max_sess_span_us,
+         |  sum_value
+         |FROM per JOIN val USING (user_id)
+         |GROUP BY user_id, n_events, sum_value
+         |ORDER BY user_id""".stripMargin,
     "stream_session_window" ->
       s"""WITH $E,
          |lagd AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Fns
@@ -47,8 +47,68 @@ object TextAnalysis {
     "text_token_entropy" -> tokenEntropy,
     "quality_logit_score" -> qualityLogitScore,
     "mixture_resample" -> mixtureResample,
-    "mixture_upsample" -> mixtureUpsample
+    "mixture_upsample" -> mixtureUpsample,
+    "text_winnow_fingerprint" -> winnowFingerprint
   )
+
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    * the MOSS algorithm): over each doc's 3-gram hash stream, every
+    * window of 4 consecutive hashes selects its minimum (rightmost on
+    * ties), and the distinct selected (hash, pos) pairs are the doc's
+    * fingerprints. The guarantee that makes this THE robust
+    * fingerprinting scheme: any shared substring of ≥ 6 tokens forces
+    * at least one shared selected hash, while only ~2/(w+1) of grams
+    * are kept — a principled, position-robust alternative to
+    * [[fingerprint]]'s whole-doc hash. Reported per doc: gram count,
+    * selected count, distinct fingerprint count, min/max fingerprint
+    * (the hash-checkable digest of the selected set).
+    *
+    * Parity: the hash is [[Fns.md5Hash24]] (md5-derived, engine-
+    * agnostic); selection is pure integer comparison. The Spark side
+    * folds each window left→right keeping `h ≤ acc.h` (rightmost min);
+    * the oracle's window `min(h, −pos)` picks the same pair.
+    *
+    * Scale shape: map-ONLY — no shuffle before the presentation sort.
+    * Each row's selection runs as one codegen'd HOF chain; the hash
+    * array and selected array are bound ONCE each as lambda variables
+    * (`transform(array(…), hs -> …)`) — binding via a column alias
+    * instead would let CollapseProject inline the md5 transform into
+    * every `element_at`, turning m md5s into m·w (the documented
+    * lambda-inlining trap). Per-row cost is m·w integer compares. */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    def selected(hs: Column): Column = {
+      val m = size(hs)
+      array_distinct(transform(
+        sequence(lit(0), greatest(lit(0), m - w)),
+        t => aggregate(
+          sequence(t, least(t + (w - 1), m - 1)),
+          struct(lit(1L << 24).as("h"), lit(-1).as("p")),
+          (acc, i) => when(element_at(hs, i + 1) <= acc.getField("h"),
+            struct(element_at(hs, i + 1).as("h"), i.as("p")))
+            .otherwise(acc))))
+    }
+    def stats(sel: Column): Column = struct(
+      size(sel).as("n_selected"),
+      size(array_distinct(transform(sel, x => x.getField("h"))))
+        .as("n_fp"),
+      array_min(transform(sel, x => x.getField("h"))).as("min_fp"),
+      array_max(transform(sel, x => x.getField("h"))).as("max_fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Fns.shingles3(Fns.tokens(col("text"))).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        element_at(transform(array(transform(col("g"), Fns.md5Hash24(_))),
+          hs => element_at(transform(array(selected(hs)), stats(_)), 1)), 1)
+          .as("r"))
+      .select(col("doc_id"), col("n_grams"),
+        col("r.n_selected").as("n_selected"),
+        col("r.n_fp").as("n_fp"),
+        col("r.min_fp").as("min_fp"),
+        col("r.max_fp").as("max_fp"))
+      .orderBy("doc_id")
+  }
 
   /** Shannon entropy of each doc's token distribution — the gibberish/
     * repetition quality signal orthogonal to [[repetition]]'s top-token
@@ -897,6 +957,25 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_winnow_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS w FROM documents),
+         |g AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
+         |gr AS (SELECT doc_id, len(gs)::INT AS m, unnest(gs) AS gram,
+         |         generate_subscripts(gs, 1) - 1 AS pos
+         |       FROM g WHERE len(gs) > 0),
+         |h AS (SELECT doc_id, m, pos,
+         |        ${Fns.sqlMd5Hash24("gram")} AS h FROM gr),
+         |wins AS (SELECT doc_id, m, pos AS t,
+         |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id
+         |      ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+         |  FROM h),
+         |pick AS (SELECT DISTINCT doc_id, m, sel.h AS h, -sel.np AS pos
+         |  FROM wins WHERE t <= greatest(0, m - 4))
+         |SELECT doc_id, m AS n_grams, count(*)::INT AS n_selected,
+         |  count(DISTINCT h)::INT AS n_fp,
+         |  min(h) AS min_fp, max(h) AS max_fp
+         |FROM pick GROUP BY doc_id, m ORDER BY doc_id""".stripMargin,
     "text_token_entropy" ->
       s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS w FROM documents),
          |c AS (SELECT doc_id, w, count(*)::DOUBLE AS c

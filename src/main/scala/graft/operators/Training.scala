@@ -23,8 +23,40 @@ object Training {
     "logreg_quality_train" -> logregQualityTrain,
     "logreg_quality_apply" -> logregQualityApply,
     "bpe_merges" -> bpeMerges,
-    "quality_threshold_sweep" -> qualityThresholdSweep
+    "quality_threshold_sweep" -> qualityThresholdSweep,
+    "feature_hash_bow" -> featureHashBow
   )
+
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009) — the
+    * vectorizer that turns raw token streams into FIXED-WIDTH sparse
+    * count vectors without a vocabulary pass: dim = content-hash(token)
+    * mod 16. This is the standard front-end for linear text models
+    * ([[logregQualityTrain]]'s feature row is the hand-crafted cousin);
+    * no vocab join, no OOV problem, reshard-stable. Emitted SPARSE
+    * (long format, zero dims absent) with per-(doc, dim) counts plus
+    * the doc's occupied-dim count — all integers, hash-exact.
+    *
+    * Scale shape: one explode → (doc_id, dim) count with map-side
+    * combine (the shuffle carries ≤ 16 rows per doc, not the token
+    * stream), then a doc-keyed window-free self-agg for n_dims via a
+    * second map-side-combinable groupBy on the ALREADY doc-partitioned
+    * frame (exchange reuse, no extra shuffle). The hash is
+    * [[graft.ops.Fns.md5Bucket]] — engine-agnostic and identical to
+    * the sampling/split primitive, so the whole feature space is
+    * reproducible across runs and engines. */
+  def featureHashBow(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.ops.Fns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), graft.ops.Fns.md5Bucket(col("tok")).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dims = counts.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_dims"))
+    counts.join(dims, "doc_id")
+      .select(col("doc_id"), col("dim"), col("cnt"), col("n_dims"))
+      .orderBy("doc_id", "dim")
+  }
 
   /** Signed integer division: Spark's `div` and DuckDB's integer `//`
     * BOTH truncate toward zero (verified: `-7 // 2 = -3` in DuckDB —
@@ -311,6 +343,19 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    "feature_hash_bow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${graft.ops.Fns.sqlTokens("text")}) AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |        (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)::INT
+         |          AS dim,
+         |        count(*) AS cnt
+         |      FROM toks GROUP BY 1, 2),
+         |d AS (SELECT doc_id, count(*)::INT AS n_dims FROM c GROUP BY 1)
+         |SELECT doc_id, dim, cnt, n_dims
+         |FROM c JOIN d USING (doc_id)
+         |ORDER BY doc_id, dim""".stripMargin,
     "logreg_quality_train" -> {
       val epochs = (1 to Iters)
         .map(i => sqlEpoch(i, if (i == 1) "winit" else s"w${i - 1}"))

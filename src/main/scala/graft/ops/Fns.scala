@@ -107,6 +107,27 @@ object Fns {
       + (instr(lit("0123456789abcdef"), substring(md5(c), 2, 1)) - 1))
       .cast("int")
 
+  /** 24-bit content hash (first SIX md5 hex digits) — the engine-
+    * agnostic integer hash for fingerprint selection (winnowing),
+    * where [[md5Bucket256]]'s 8 bits would collide constantly but a
+    * full 64-bit engine hash (`xxhash64`) has no DuckDB mirror.
+    * 16.7 M values: corpus-wide birthday collisions are a handful and
+    * identical on both engines (same digest, same truncation). */
+  def md5Hash24(c: Column): Column = {
+    val hex = substring(md5(c), 1, 6)
+    (1 to 6).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
+        .cast("long") * (1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB SQL fragment mirroring [[md5Hash24]]. */
+  def sqlMd5Hash24(expr: String): String =
+    (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1)" +
+        s"::BIGINT * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Deterministic train/valid/test assignment from an [[md5Bucket]]
     * (87.5 / 6.25 / 6.25 by bucket ranges). */
   def splitOf(bucket: Column): Column =

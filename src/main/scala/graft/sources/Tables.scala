@@ -28,26 +28,42 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** The parsed job-log table. The driver data carries parquet
-    * TIMESTAMP(NANOS) which Spark's schema INFERENCE rejects
-    * ([PARQUET_TYPE_ILLEGAL]) — so this reader supplies the schema
-    * explicitly with `ts` as BIGINT and inference never runs: the
-    * vectorized reader happily decodes the INT64 ns values into a long
-    * column. This is reader-scoped — no session conf is touched, other
-    * readers in the same session are unaffected. (The alternatives were
-    * tried: `.option("nanosAsLong", true)` is NOT honored by Spark
-    * 4.1's inference path, and the former session-wide
-    * `spark.sql.legacy.parquet.nanosAsLong` leaked into every reader.)
-    * We derive `ts_us` (µs, truncating div) — bit-identical to DuckDB's
-    * ns→µs truncation on the same file, so oracle SQL can use
-    * `epoch_us(ts)`.
+  /** The parsed job-log table. The contract every batch operator codes
+    * against is `ts_us: BIGINT` (epoch µs ≡ DuckDB `epoch_us(ts)` on
+    * the same file); the physical `ts` encoding has CHANGED under us
+    * across driver testdata generations, so this reader handles both:
+    *
+    *  - TIMESTAMP µs (current data): plain schema inference works; `ts`
+    *    arrives as TimestampType/TimestampNTZType and `ts_us` is
+    *    `unix_micros` (sessions run in UTC, so NTZ→TZ is identity);
+    *  - TIMESTAMP(NANOS) (earlier generations): inference REJECTS the
+    *    file ([PARQUET_TYPE_ILLEGAL]), so on that failure we re-read
+    *    with an explicit `ts BIGINT` schema — the vectorized reader
+    *    decodes the raw INT64 ns — and truncate `ts div 1000`,
+    *    bit-identical to DuckDB's ns→µs truncation. Reader-scoped, no
+    *    session conf (`nanosAsLong` is not honored by 4.1 inference;
+    *    the legacy session flag leaked into every reader).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    try {
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts_us", expr("ts div 1000"))
+        case _ =>
+          df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      }
+    } catch {
+      case e: Exception if e.getClass.getName.contains("Analysis")
+        || String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+        spark.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts_us", expr("ts div 1000"))
+    }
+  }
 
   /** All table names this schema ships. */
   val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -465,4 +465,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
       "gram join degenerated into a shuffled join")
   }
+
+  test("incremental refresh: pure partial-merge, no join anywhere") {
+    val p = plan("agg_incremental_refresh")
+    val t = finalTree(p)
+    assert(!"""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoopJoin)""".r
+      .findFirstIn(t).isDefined,
+      "base+delta merge must be union+agg, never a join")
+    // base agg shuffle + delta agg shuffle + merge agg + output sort
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("winnowing is map-only: no hash shuffle before the output sort") {
+    val p = plan("text_winnow_fingerprint")
+    val t = finalTree(p)
+    assert(!t.contains("hashpartitioning"),
+      "winnowing selection should not shuffle — it is per-row HOF math")
+    assert(!"""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findFirstIn(t).isDefined, "winnowing grew a join")
+    // the md5 transform must be bound ONCE per row: a Generate would
+    // mean the per-row fold degenerated into an explode pipeline
+    assert(!t.contains("Generate"),
+      "winnowing should not explode the gram stream")
+  }
+
+  test("phrase search: 1-row phrase broadcasts, no shuffled join") {
+    val p = plan("phrase_search")
+    val t = finalTree(p)
+    assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
+      "phrase lookup should be a broadcast equi-join on the gram key")
+    assert(!t.contains("CartesianProduct") && !t.contains("NestedLoopJoin"),
+      "phrase join degenerated")
+  }
+
+  test("range search aggregates per probe without a window or sort") {
+    val p = plan("ann_range_search")
+    val t = finalTree(p)
+    assert(!t.contains("Window"),
+      "count/max_by need no rank window")
+    assert(!t.contains("SortMergeJoin") && !t.contains("ShuffledHashJoin"),
+      "probe/result joins must stay broadcast")
+  }
+
+  test("feature hashing shuffles dim counts, never the token stream") {
+    val p = plan("feature_hash_bow")
+    val t = finalTree(p)
+    // one Generate (token explode) feeding a partial agg: the exchange
+    // carries (doc, dim) partial counts — ≤16 rows per doc
+    assert(t.contains("HashAggregate"),
+      "dim counts should partial-aggregate before the exchange")
+    assert(!t.contains("SortMergeJoin"),
+      "n_dims join should reuse the doc-keyed layout or broadcast")
+  }
 }

@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("typed flatMapGroups sessions ≡ native session_window rollup") {
+    // two independent implementations of the same 30-min gap semantics:
+    // the TYPED imperative path (groupByKey → flatMapGroups, the
+    // batch-finalized sessionizeWithState) must agree row-for-row with
+    // a rollup of the declarative session_window operator
+    import org.apache.spark.sql.functions._
+    val typed = graft.operators.StreamingBatch
+      .statefulSessions(spark, sf0001).collect().map(_.toString)
+    val declarative = graft.operators.StreamingBatch
+      .sessionWindow(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_sess_events"),
+        max(col("end_us") - col("start_us") - lit(1800000000L))
+          .as("max_sess_span_us"),
+        round(sum("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id").collect().map(_.toString)
+    assert(typed.nonEmpty)
+    assert(typed === declarative)
+  }
+
   test("streaming dedup drops cross-batch duplicates, state is bounded") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
