@@ -180,7 +180,8 @@ object Stress {
       "text_winnow_fingerprint", "phrase_search", "snippet_extract",
       "mmr_diversify", "ann_range_search", "feature_hash_bow",
       "cluster_source_mixture", "agg_incremental_refresh",
-      "stream_stateful_sessions")
+      "stream_stateful_sessions", "quality_score_calibration",
+      "knn_eval_confusion")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

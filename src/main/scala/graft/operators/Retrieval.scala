@@ -401,6 +401,33 @@ object Retrieval {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The kNN classification replay as a reusable CTE block ending in
+    * `pick` (prediction = rows with vr = 1) — shared by `knn_classify`
+    * and [[Training]]'s `knn_eval_confusion`. */
+  private[operators] def sqlKnnPick: String =
+    s"""probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb,
+       |    label AS true_label
+       |  FROM embeddings WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT probe_id, true_label, e.vec_id, e.label,
+       |    ${Fns.sqlCosine("e.embedding", "p_emb")} AS c
+       |  FROM embeddings e, probes WHERE e.vec_id >= 50),
+       |ranked AS (
+       |  SELECT probe_id, true_label, label,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY c DESC, vec_id) AS rk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT probe_id, true_label, label, count(*)::BIGINT AS votes
+       |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3),
+       |pick AS (
+       |  SELECT probe_id, true_label, label AS pred_label, votes,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY votes DESC, label) AS vr,
+       |    max(votes) OVER (PARTITION BY probe_id) AS top_votes
+       |  FROM votes)""".stripMargin
+
   /** The MMR oracle unrolls all 10 greedy steps (the
     * [[Training]] unrolled-epoch precedent): selK-1 feeds step K's
     * argmax via a correlated max over the pair matrix. */
@@ -504,28 +531,7 @@ object Retrieval {
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
     "knn_classify" ->
-      s"""WITH probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS p_emb,
-         |    label AS true_label
-         |  FROM embeddings WHERE vec_id < 50),
-         |scored AS (
-         |  SELECT probe_id, true_label, e.vec_id, e.label,
-         |    ${Fns.sqlCosine("e.embedding", "p_emb")} AS c
-         |  FROM embeddings e, probes WHERE e.vec_id >= 50),
-         |ranked AS (
-         |  SELECT probe_id, true_label, label,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY c DESC, vec_id) AS rk
-         |  FROM scored),
-         |votes AS (
-         |  SELECT probe_id, true_label, label, count(*)::BIGINT AS votes
-         |  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3),
-         |pick AS (
-         |  SELECT probe_id, true_label, label AS pred_label, votes,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY votes DESC, label) AS vr,
-         |    max(votes) OVER (PARTITION BY probe_id) AS top_votes
-         |  FROM votes)
+      s"""WITH $sqlKnnPick
          |SELECT probe_id, true_label::BIGINT AS true_label,
          |  pred_label::BIGINT AS pred_label, top_votes
          |FROM pick WHERE vr = 1 ORDER BY probe_id""".stripMargin,

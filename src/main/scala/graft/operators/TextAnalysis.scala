@@ -75,19 +75,37 @@ object TextAnalysis {
     * instead would let CollapseProject inline the md5 transform into
     * every `element_at`, turning m md5s into m·w (the documented
     * lambda-inlining trap). Per-row cost is m·w integer compares. */
+  /** Winnowing window width (consecutive 3-gram hashes per window) —
+    * detection guarantee: shared token runs of ≥ w + 3 − 1 = 6 tokens
+    * always share a selected fingerprint (PropertySpec pins it). */
+  private val WinnowW = 4
+
+  /** The winnowing selection as a column: distinct (h, p) pairs picked
+    * by rightmost-min over every [[WinnowW]]-window of the gram-hash
+    * stream. `hs` must be a BOUND hash array (lambda variable or
+    * per-row literal) — see [[winnowFingerprint]] on why. Exposed
+    * `private[graft]` so PropertySpec can test the detection guarantee
+    * on the raw fingerprint SETS (the query only ships set stats). */
+  private[graft] def winnowSelected(hs: Column): Column = {
+    val w = WinnowW
+    val m = size(hs)
+    array_distinct(transform(
+      sequence(lit(0), greatest(lit(0), m - w)),
+      t => aggregate(
+        sequence(t, least(t + (w - 1), m - 1)),
+        struct(lit(1L << 24).as("h"), lit(-1).as("p")),
+        (acc, i) => when(element_at(hs, i + 1) <= acc.getField("h"),
+          struct(element_at(hs, i + 1).as("h"), i.as("p")))
+          .otherwise(acc))))
+  }
+
+  /** [[winnowSelected]] over a raw gram array: binds the md5 hash
+    * array once as a lambda variable first. */
+  private[graft] def winnowSelectedFromGrams(g: Column): Column =
+    element_at(transform(array(transform(g, Fns.md5Hash24(_))),
+      hs => winnowSelected(hs)), 1)
+
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
-    val w = 4
-    def selected(hs: Column): Column = {
-      val m = size(hs)
-      array_distinct(transform(
-        sequence(lit(0), greatest(lit(0), m - w)),
-        t => aggregate(
-          sequence(t, least(t + (w - 1), m - 1)),
-          struct(lit(1L << 24).as("h"), lit(-1).as("p")),
-          (acc, i) => when(element_at(hs, i + 1) <= acc.getField("h"),
-            struct(element_at(hs, i + 1).as("h"), i.as("p")))
-            .otherwise(acc))))
-    }
     def stats(sel: Column): Column = struct(
       size(sel).as("n_selected"),
       size(array_distinct(transform(sel, x => x.getField("h"))))
@@ -99,8 +117,8 @@ object TextAnalysis {
         Fns.shingles3(Fns.tokens(col("text"))).as("g"))
       .filter(size(col("g")) > 0)
       .select(col("doc_id"), size(col("g")).as("n_grams"),
-        element_at(transform(array(transform(col("g"), Fns.md5Hash24(_))),
-          hs => element_at(transform(array(selected(hs)), stats(_)), 1)), 1)
+        element_at(transform(array(winnowSelectedFromGrams(col("g"))),
+          sel => stats(sel)), 1)
           .as("r"))
       .select(col("doc_id"), col("n_grams"),
         col("r.n_selected").as("n_selected"),

