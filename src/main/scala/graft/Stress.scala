@@ -98,7 +98,13 @@ object Stress {
         .withColumn("lang", lit("xx"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    copies.reduce(_ unionAll _)
+    // repartition before write: a K-copy union otherwise lands as K
+    // parquet files (1 at K=1), and the driver testdata is a single
+    // sub-128MB file either way — so every CPU-heavy scan (tokenize,
+    // shingle, winnow) would run as ONE task and the curve would
+    // measure packing, not the operator. A real cluster reads
+    // thousands of splits; cpus-many files model that here.
+    copies.reduce(_ unionAll _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val nVecs = k * 5000

@@ -57,7 +57,9 @@ object StressDiag {
         .withColumn("lang", lit("xx"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    copies.reduce(_ unionAll _)
+    // cpus-many files, as in Stress: a 1-file corpus makes every
+    // CPU-heavy scan a single task and the diagnosis measures packing
+    copies.reduce(_ unionAll _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // embeddings too (same recipe as Stress) so the ANN suite is
     // diagnosable on the identical scaled corpus

@@ -115,10 +115,17 @@ object Retrieval {
     * self-join; the phrase-derivation scan is the disclosed second
     * scan. */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    // posexplode_OUTER + null-filter AFTER the Generate: plain
+    // posexplode makes InferFiltersFromGenerate copy the whole
+    // tokenize+shingle child into a size()/isnotnull Filter under the
+    // Generate, evaluating it 3x per row (measured 2x wall on this
+    // query); the outer variant takes no such filter and the null
+    // rows it adds for short docs drop in the cheap column filter
     def grams = Tables.documents(s, d)
       .select(col("doc_id"),
-        posexplode(Fns.shingles3(Fns.tokens(col("text")))))
+        posexplode_outer(Fns.shingles3(Fns.tokens(col("text")))))
       .toDF("doc_id", "pos", "gram")
+      .filter(col("gram").isNotNull)
     val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(1).select("gram")
     grams.join(broadcast(top), "gram")

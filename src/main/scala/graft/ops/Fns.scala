@@ -57,28 +57,50 @@ object Fns {
   def tokensU(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}]+"), t => t =!= "")
 
-  /** 3-word shingles ("w1 w2 w3"), empty array when < 3 tokens. */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
+  /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
+    * variable. An argument expression referenced inside a lambda BODY
+    * is re-evaluated per ELEMENT (lambda bodies evaluate their whole
+    * subtree per iteration, and neither codegen CSE nor subexpression
+    * elimination reaches inside a `LambdaFunction`) — so e.g. shingling
+    * straight off `tokens(text)` re-tokenized the document once per
+    * gram: one 5 000-doc scan measured 15 s inlined vs 0.4 s bound,
+    * and `InferFiltersFromGenerate` triples the cost again by copying
+    * the generator child into a size/isnotnull Filter. Wrapping in a
+    * 1-element array + transform makes the argument a materialized
+    * lambda variable that no optimizer rule can inline through (the
+    * CollapseProject trap documented at `TextAnalysis
+    * .winnowFingerprint`). */
+  def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** 3-word shingles ("w1 w2 w3"), empty array when < 3 tokens. The
+    * token array binds once via [[bound]]: every `element_at` below
+    * sits inside the per-gram lambda, so an unbound `toks` expression
+    * (typically `tokens(text)`) would re-evaluate once per gram. */
+  def shingles3(toks: Column): Column = bound(toks) { tk =>
+    when(size(tk) >= 3,
+      transform(sequence(lit(0), size(tk) - 3), i =>
         concat_ws(" ",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3))))
+          element_at(tk, i + 1),
+          element_at(tk, i + 2),
+          element_at(tk, i + 3))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** 5-word shingles, per-row (no window) — the stateless formulation
-    * that streams in append mode; empty array when < 5 tokens. */
-  def shingles5(toks: Column): Column =
-    when(size(toks) >= 5,
-      transform(sequence(lit(0), size(toks) - 5), i =>
+    * that streams in append mode; empty array when < 5 tokens. Token
+    * array bound once, as in [[shingles3]]. */
+  def shingles5(toks: Column): Column = bound(toks) { tk =>
+    when(size(tk) >= 5,
+      transform(sequence(lit(0), size(tk) - 5), i =>
         concat_ws(" ",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3),
-          element_at(toks, i + 4),
-          element_at(toks, i + 5))))
+          element_at(tk, i + 1),
+          element_at(tk, i + 2),
+          element_at(tk, i + 3),
+          element_at(tk, i + 4),
+          element_at(tk, i + 5))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Sequential left-fold dot product of two double arrays (bit-stable). */
   def dot(a: Column, b: Column): Column =
@@ -113,13 +135,16 @@ object Fns {
     * full 64-bit engine hash (`xxhash64`) has no DuckDB mirror.
     * 16.7 M values: corpus-wide birthday collisions are a handful and
     * identical on both engines (same digest, same truncation). */
-  def md5Hash24(c: Column): Column = {
-    val hex = substring(md5(c), 1, 6)
-    (1 to 6).map { i =>
-      (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
-        .cast("long") * (1L << (4 * (6 - i)))
-    }.reduce(_ + _)
-  }
+  def md5Hash24(c: Column): Column =
+    bound(substring(md5(c), 1, 6)) { hex =>
+      // hex binds once: the 6 digit extractions below would otherwise
+      // each re-hash, and this helper runs inside per-GRAM lambdas
+      // (winnowing) where that means 6 md5s per gram
+      (1 to 6).map { i =>
+        (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
+          .cast("long") * (1L << (4 * (6 - i)))
+      }.reduce(_ + _)
+    }
 
   /** DuckDB SQL fragment mirroring [[md5Hash24]]. */
   def sqlMd5Hash24(expr: String): String =
