@@ -187,7 +187,8 @@ object Stress {
       "mmr_diversify", "ann_range_search", "feature_hash_bow",
       "cluster_source_mixture", "agg_incremental_refresh",
       "stream_stateful_sessions", "quality_score_calibration",
-      "knn_eval_confusion")
+      "knn_eval_confusion", "bpe_apply", "ann_index_upsert",
+      "curation_overlap")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

@@ -42,7 +42,8 @@ object Similarity {
     "embedding_int8_quantize" -> int8Quantize,
     "centroid_classify" -> centroidClassify,
     "ann_range_search" -> annRangeSearch,
-    "cluster_source_mixture" -> clusterSourceMixture
+    "cluster_source_mixture" -> clusterSourceMixture,
+    "ann_index_upsert" -> annIndexUpsert
   )
 
   /** Cluster × source composition — the report a SemDeDup-style
@@ -490,16 +491,30 @@ object Similarity {
     * already materialized (each Lloyd pass re-consumes it). Returns the
     * final (vec_id, cid) assignment; k rows only ever flow as a
     * broadcast frame, nothing collects to the driver. */
-  private[graft] def kmeansCells(e: DataFrame, k: Int): DataFrame = {
+  private[graft] def kmeansCells(e: DataFrame, k: Int): DataFrame =
+    kmeansAssign(e, kmeansFit(e, k))
+
+  /** Nearest-centroid assignment of `(vec_id, emb)` rows against a
+    * `(cid, cvec)` centroid frame — broadcast crossJoin + map-side
+    * max_by argmax (cosine desc, smaller cid on ties). Shared by
+    * [[kmeansCells]] (fit-set assignment) and [[annIndexUpsert]]
+    * (new-batch assignment against FROZEN centroids). */
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame)
+      : DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cc", cos(col("emb"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"),
+        struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
+
+  /** The k-means fit alone: deterministic first-k seeds, 2 Lloyd
+    * iterations with grid-rounded (1e-6) centroid components so the
+    * oracle replays the trajectory exactly; returns the final
+    * `(cid, cvec)` centroid frame (empty cells drop out). */
+  private[graft] def kmeansFit(e: DataFrame, k: Int): DataFrame = {
     val seeds = e.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cid"), col("emb").as("cvec"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cc", cos(col("emb"), col("cvec")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"),
-          struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
     def centroids(assigned: DataFrame): DataFrame =
       assigned.join(e, "vec_id")
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -508,8 +523,55 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("cvec"))
     var cents = seeds
-    (1 to 2).foreach(_ => cents = centroids(assign(cents)))
-    assign(cents)
+    (1 to 2).foreach(_ => cents = centroids(kmeansAssign(e, cents)))
+    cents
+  }
+
+  /** Vector-index UPSERT — the maintenance path every serving index
+    * needs between rebuilds: a new vector batch (here the vec_id ≡ 0
+    * mod 8 slice, ~12.5%) is assigned to the EXISTING centroids of an
+    * index fit on the base corpus — centroids FROZEN, no retrain — and
+    * the operator reports the per-cell delta a deployment reviews
+    * before appending: base cell size, vectors added, growth ppm.
+    * Growth skew here is the rebuild trigger (a cell absorbing most
+    * inserts degrades probe cost until re-fit). Composes [[kmeansFit]]
+    * / [[kmeansAssign]] exactly as [[graft.ops.Materialize.ivfIndex]]
+    * writes and `ann_ivf_from_index` probes.
+    *
+    * Parity: the fit replays under the oracle (grid-rounded centroids,
+    * deterministic seeds/ties); counts and ppm are integers; a FULL
+    * outer join keeps cells that exist only on one side (a cell whose
+    * base members all reassigned away can still absorb batch inserts),
+    * with `greatest(n_base, 1)` guarding the ppm division identically
+    * on both engines.
+    *
+    * Scale shape: assignment is the linear broadcast pass (batch ×
+    * C ≤ 256 scores collapsing map-side); the rollups are ≤ C rows.
+    * The upsert never touches existing index ROWS — only their
+    * per-cell counts — which is the point: maintenance cost is
+    * O(batch), not O(index). */
+  def annIndexUpsert(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // consumed by seeding, 2 Lloyd passes, 2 assigns
+    val base = e.filter(col("vec_id") % 8 =!= 0)
+    val batch = e.filter(col("vec_id") % 8 === 0)
+    // the fit is consumed by BOTH assigns: checkpoint the 8-row
+    // centroid frame so the 2-pass Lloyd subplan runs once (the
+    // neardup_degree_dist double-subplan lesson)
+    val cents = kmeansFit(base, 8).localCheckpoint()
+    val nb = kmeansAssign(base, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n_base"))
+    val ad = kmeansAssign(batch, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n_added"))
+    nb.join(ad, Seq("cid"), "full")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("growth_ppm",
+        expr("n_added * 1000000 div greatest(n_base, 1)"))
+      .orderBy("cid")
   }
 
   /** IVF (inverted-file) ANN — the second classic scale path next to
@@ -797,10 +859,14 @@ object Similarity {
     * 2 Lloyd passes, 10⁻⁶-grid centroids) as a reusable CTE block
     * ending in `a2(vec_id, cid)` — shared by `cluster_kmeans` and
     * `cluster_source_mixture`. */
-  private def sqlKmeans8: String =
+  private def sqlKmeans8: String = sqlKmeans8On("")
+
+  /** [[sqlKmeans8]] with an optional WHERE clause restricting the fit
+    * set (the `ann_index_upsert` oracle fits on the base slice only). */
+  private def sqlKmeans8On(where: String): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |seeds AS (
        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
        |    emb AS cvec
@@ -913,6 +979,27 @@ object Similarity {
     "cluster_kmeans" ->
       s"""WITH $sqlKmeans8
          |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    "ann_index_upsert" ->
+      s"""WITH ${sqlKmeans8On("WHERE vec_id % 8 <> 0")},
+         |nb AS (SELECT cid, count(*)::BIGINT AS n_base FROM a2 GROUP BY 1),
+         |batch AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings WHERE vec_id % 8 = 0),
+         |ba AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM batch CROSS JOIN c2)) WHERE rn = 1),
+         |ad AS (SELECT cid, count(*)::BIGINT AS n_added FROM ba GROUP BY 1)
+         |SELECT coalesce(nb.cid, ad.cid) AS cid,
+         |  coalesce(n_base, 0)::BIGINT AS n_base,
+         |  coalesce(n_added, 0)::BIGINT AS n_added,
+         |  (coalesce(n_added, 0)::BIGINT * 1000000
+         |    // greatest(coalesce(n_base, 0), 1))::BIGINT AS growth_ppm
+         |FROM nb FULL OUTER JOIN ad ON nb.cid = ad.cid
+         |ORDER BY cid""".stripMargin,
     "cluster_source_mixture" ->
       s"""WITH $sqlKmeans8,
          |per AS (

@@ -48,8 +48,56 @@ object TextAnalysis {
     "quality_logit_score" -> qualityLogitScore,
     "mixture_resample" -> mixtureResample,
     "mixture_upsample" -> mixtureUpsample,
-    "text_winnow_fingerprint" -> winnowFingerprint
+    "text_winnow_fingerprint" -> winnowFingerprint,
+    "curation_overlap" -> curationOverlap
   )
+
+  /** Filter-overlap census — the Venn audit next to [[curationFunnel]]:
+    * the funnel applies the gates in ORDER and reports survivors per
+    * stage; this operator crosses the three INDEPENDENT drop decisions
+    * (exact-dedup survivorship × quality gate × decontamination) into
+    * their 8-cell contingency table, with doc and token mass per cell
+    * and corpus share ppm. This is the report that shows whether the
+    * gates are redundant (mass concentrated where flags agree) or
+    * complementary — the question a pipeline owner asks before paying
+    * for all three at 100 TB.
+    *
+    * Population: corpus docs (doc_id ≥ 20 — the benchmark slice is the
+    * decontamination REFERENCE, not a gated document). A doc whose
+    * duplicate group's min-id lies in the benchmark slice counts as
+    * non-survivor (its copy exists, in the benchmark). Token-less docs
+    * carry keep = 0 (the gate's own n_tokens > 0 precondition, see
+    * [[Dedup.bestSurvivor]]'s disclosure of the same edge).
+    *
+    * Composition is plan-level: the per-row token/quality projections,
+    * [[graft.operators.Dedup.exactSurvivors]]'s md5-keyed min-id
+    * frame, and [[decontaminate]]'s gram-join verdicts meet in two
+    * doc_id-keyed left joins; the census collapses to ≤ 8 cells with
+    * map-side combine, and the share ppm runs as a window over those
+    * ≤ 8 METADATA rows (not corpus data). Integer-only — hash-exact. */
+  def curationOverlap(s: SparkSession, d: String): DataFrame = {
+    val benchMax = 20L
+    val corpus = Tables.documents(s, d).filter(col("doc_id") >= benchMax)
+    val base = corpus.select(col("doc_id"),
+      size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val keepQ = logitScoreStage(corpus).select("doc_id", "keep")
+    val surv = Dedup.exactSurvivors(s, d).withColumn("sv", lit(1))
+    val dec = decontaminate(s, d)
+      .select(col("doc_id"), (lit(1) - col("contaminated")).as("clean"))
+    base
+      .join(keepQ, Seq("doc_id"), "left")
+      .join(surv, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"))
+      .select(col("n_toks"),
+        coalesce(col("sv"), lit(0)).as("survivor"),
+        coalesce(col("keep"), lit(0)).as("kept_quality"),
+        col("clean"))
+      .groupBy("survivor", "kept_quality", "clean")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("share_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) over ()"))
+      .orderBy("survivor", "kept_quality", "clean")
+  }
 
   /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
     * the MOSS algorithm): over each doc's 3-gram hash stream, every
@@ -975,6 +1023,45 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "curation_overlap" ->
+      s"""WITH $sqlQualityFeatures,
+         |toksn AS (
+         |  SELECT doc_id, len($Toks)::BIGINT AS n_toks
+         |  FROM documents WHERE doc_id >= 20),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |toks5 AS (SELECT doc_id, $Toks AS w FROM documents),
+         |sh5 AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 5 THEN
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |         || ' ' || w[i+4]
+         |       for i in generate_series(1, len(w) - 4)]
+         |    ELSE [] END) AS g
+         |  FROM toks5),
+         |dsh AS (SELECT DISTINCT doc_id, g FROM sh5),
+         |hits AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM dsh WHERE doc_id >= 20
+         |    AND g IN (SELECT DISTINCT g FROM dsh WHERE doc_id < 20)
+         |  GROUP BY doc_id),
+         |cells AS (
+         |  SELECT
+         |    CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS survivor,
+         |    CASE WHEN coalesce(f.logit_milli, -1000000) > 1500
+         |      THEN 1 ELSE 0 END AS kept_quality,
+         |    CASE WHEN coalesce(h.n, 0) > 0 THEN 0 ELSE 1 END AS clean,
+         |    t.n_toks
+         |  FROM toksn t
+         |  LEFT JOIN feat f ON t.doc_id = f.doc_id
+         |  LEFT JOIN surv s ON t.doc_id = s.doc_id
+         |  LEFT JOIN hits h ON t.doc_id = h.doc_id)
+         |SELECT survivor::INT AS survivor, kept_quality::INT AS kept_quality,
+         |  clean::INT AS clean, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  (count(*)::BIGINT * 1000000
+         |    // sum(count(*)::BIGINT) OVER ())::BIGINT AS share_ppm
+         |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "text_winnow_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS w FROM documents),
          |g AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),

@@ -23,6 +23,7 @@ object Training {
     "logreg_quality_train" -> logregQualityTrain,
     "logreg_quality_apply" -> logregQualityApply,
     "bpe_merges" -> bpeMerges,
+    "bpe_apply" -> bpeApply,
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "feature_hash_bow" -> featureHashBow,
     "quality_score_calibration" -> qualityScoreCalibration,
@@ -297,7 +298,15 @@ object Training {
     * a broadcast 1-row top-pair frame, localCheckpoint'd to keep the
     * 8-deep lineage flat. At 100 TB vocab is ~10⁷ distinct words —
     * still a single-executor-scale frame after the corpus collapses. */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._2.reduce(_ unionAll _).orderBy("merge_rank")
+
+  /** The shared BPE training loop: returns (final vocabulary frame
+    * `(word, freq, sym)` after all [[BpeIters]] merges, one merge-table
+    * row frame per iteration). [[bpeMerges]] publishes the merge rows;
+    * [[bpeApply]] consumes the final vocabulary. */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
     var v = Tables.documents(s, d)
       .select(explode(graft.ops.Fns.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -327,7 +336,82 @@ object Training {
         expr("replace(pstr, ' ', '')").as("merged"),
         col("cnt").as("pair_count"))
     }
-    merges.reduce(_ unionAll _).orderBy("merge_rank")
+    (v, merges)
+  }
+
+  /** BPE ENCODE — the learned tokenizer applied back to the corpus,
+    * the serve half of the [[bpeMerges]] train/apply split (the
+    * [[logregQualityApply]] pattern for the tokenizer): per document,
+    * words encoded with the trained merge table, reporting word count,
+    * alphabetic character count, BPE token count, and fertility
+    * (BPE tokens per word, milli) — the number a tokenizer change is
+    * actually judged by — computed corpus-wide with no per-position
+    * work.
+    *
+    * The key scale move mirrors training: merges are NEVER applied per
+    * occurrence. The training loop already produced the post-merge
+    * symbol sequence per DISTINCT WORD, so encoding the corpus is one
+    * token explode + one word-keyed equi-join against that vocabulary
+    * frame (every corpus word is in it by construction) + a doc_id
+    * rollup — the standard vocabulary-join shape ([[Similarity]] tfidf
+    * precedent). No merge scans over the token stream.
+    *
+    * Parity: counts and the fertility ratio are integer (`div` ≡ `//`);
+    * the oracle replays the training CTE chain and the same join.
+    * Token-less documents (no alphabetic word) have nothing to encode
+    * and are absent from the output, as in the oracle. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeTrain(s, d)._1
+      .select(col("word"), size(split(col("sym"), "  ")).cast("long")
+        .as("n_syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.ops.Fns.tokens(col("text"))).as("word"))
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000 div n_words").as("fertility_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** The BPE training trajectory as a DuckDB CTE chain (`wf`, `v0`,
+    * then `p_i`/`t_i`/`v_i` per iteration) — shared by the
+    * `bpe_merges` and `bpe_apply` oracles, mirroring [[bpeTrain]]. */
+  private def sqlBpeCtes: String = {
+    val iters = (1 to BpeIters).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS (
+         |  SELECT pstr, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT freq,
+         |          unnest([l[k] || ' ' || l[k + 1]
+         |                  for k in generate_series(1, len(l) - 1)])
+         |            AS pstr
+         |        FROM (SELECT freq, string_split(sym, '  ') AS l
+         |              FROM $prev)
+         |        WHERE len(l) >= 2)
+         |  GROUP BY 1),
+         |t$i AS (SELECT pstr, cnt FROM p$i
+         |        ORDER BY cnt DESC, pstr LIMIT 1),
+         |v$i AS (
+         |  SELECT word, freq,
+         |    trim(replace(' ' || sym || ' ',
+         |      ' ' || replace(pstr, ' ', '  ') || ' ',
+         |      ' ' || replace(pstr, ' ', '') || ' ')) AS sym
+         |  FROM $prev, t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (
+       |  SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(${graft.ops.Fns.sqlTokens("text")}) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |         rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym
+       |       FROM wf),
+       |$iters""".stripMargin
   }
 
   /** Threshold values the ablation sweeps (logit milli-units, spanning
@@ -483,45 +567,32 @@ object Training {
          |FROM tf, w$Iters ORDER BY doc_id""".stripMargin
     },
     "bpe_merges" -> {
-      val iters = (1 to BpeIters).map { i =>
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s"""p$i AS (
-           |  SELECT pstr, sum(freq)::BIGINT AS cnt
-           |  FROM (SELECT freq,
-           |          unnest([l[k] || ' ' || l[k + 1]
-           |                  for k in generate_series(1, len(l) - 1)])
-           |            AS pstr
-           |        FROM (SELECT freq, string_split(sym, '  ') AS l
-           |              FROM $prev)
-           |        WHERE len(l) >= 2)
-           |  GROUP BY 1),
-           |t$i AS (SELECT pstr, cnt FROM p$i
-           |        ORDER BY cnt DESC, pstr LIMIT 1),
-           |v$i AS (
-           |  SELECT word, freq,
-           |    trim(replace(' ' || sym || ' ',
-           |      ' ' || replace(pstr, ' ', '  ') || ' ',
-           |      ' ' || replace(pstr, ' ', '') || ' ')) AS sym
-           |  FROM $prev, t$i)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to BpeIters).map(i =>
         s"""SELECT $i::BIGINT AS merge_rank,
            |  string_split(pstr, ' ')[1] AS left_sym,
            |  string_split(pstr, ' ')[2] AS right_sym,
            |  replace(pstr, ' ', '') AS merged, cnt AS pair_count
            |FROM t$i""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH wf AS (
-         |  SELECT word, count(*)::BIGINT AS freq
-         |  FROM (SELECT unnest(${graft.ops.Fns.sqlTokens("text")}) AS word
-         |        FROM documents)
-         |  GROUP BY 1),
-         |v0 AS (SELECT word, freq,
-         |         rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym
-         |       FROM wf),
-         |$iters
+      s"""WITH $sqlBpeCtes
          |$rows
          |ORDER BY merge_rank""".stripMargin
     },
+    "bpe_apply" ->
+      s"""WITH $sqlBpeCtes,
+         |vocab AS (
+         |  SELECT word, len(string_split(sym, '  '))::BIGINT AS n_syms
+         |  FROM v$BpeIters),
+         |dw AS (
+         |  SELECT doc_id, unnest(${graft.ops.Fns.sqlTokens("text")}) AS word
+         |  FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |  sum(length(word))::BIGINT AS n_chars,
+         |  sum(n_syms)::BIGINT AS n_bpe_tokens,
+         |  (sum(n_syms)::BIGINT * 1000 // count(*))::BIGINT
+         |    AS fertility_milli
+         |FROM dw JOIN vocab USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "quality_threshold_sweep" ->
       s"""WITH ${TextAnalysis.sqlQualityFeatures},
          |thr AS (SELECT unnest([${SweepThr.mkString(", ")}])::BIGINT

@@ -517,4 +517,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!t.contains("SortMergeJoin"),
       "n_dims join should reuse the doc-keyed layout or broadcast")
   }
+
+  test("bpe apply: corpus encodes via the vocab join, no merge scans") {
+    val p = plan("bpe_apply")
+    val t = finalTree(p)
+    // the corpus side must carry exactly one Generate (the token
+    // explode); per-position merge application would add more
+    assert("""Generate \(\d+\)""".r.findAllIn(t).length <= 1,
+      "bpe_apply grew per-position work beyond the token explode")
+    assert(!t.contains("CartesianProduct"),
+      "merge table must never cross-join the token stream")
+  }
+
+  test("index upsert: one Lloyd fit feeds both assigns via checkpoint") {
+    val p = plan("ann_index_upsert")
+    val t = finalTree(p)
+    // the 2-pass k-means fit must NOT appear in the plan at all: it
+    // ran once into the checkpointed 8-row centroid frame, so the
+    // query plan is just two scan+assign branches + the census joins
+    // (the neardup_degree_dist double-subplan lesson, pinned)
+    assert(!t.contains("Window"),
+      "assignment must be max_by aggregate, not a rank window (the " +
+        "fit's seed window is checkpointed away)")
+    assert(!t.contains("sort_array"),
+      "centroid reconstruction (sort_array collect_list) in the plan " +
+        "means the Lloyd fit re-runs instead of reading the checkpoint")
+  }
+
+  test("curation overlap: census windows over cells, not the corpus") {
+    val p = plan("curation_overlap")
+    val t = finalTree(p)
+    // the share-ppm window must sit ABOVE the 8-cell aggregate —
+    // i.e. after the last HashAggregate — never over corpus rows
+    // tree prints root-first: the share window must print ABOVE the
+    // census aggregate it consumes; a window that fell below the
+    // first HashAggregate would be running over corpus-scale rows
+    // (decontamination's lead() windows legitimately sit deeper)
+    val wIdx = t.indexOf("Window")
+    assert(wIdx >= 0, "share ppm should be a window over the cells")
+    assert(wIdx < t.indexOf("HashAggregate"),
+      "share window must consume the census cells, not corpus rows")
+  }
 }

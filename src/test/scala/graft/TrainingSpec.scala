@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Training
+import graft.operators.{Similarity, Training}
 
 class TrainingSpec extends SparkSpec {
 
@@ -85,5 +85,58 @@ class TrainingSpec extends SparkSpec {
       .qualityFeatures(graft.sources.Tables.documents(spark, sf0001))
       .filter(col("logit_milli") > -700).count()
     assert(at700.getAs[Long]("docs_kept") === pos)
+  }
+
+  test("BPE encode: token counts sit between words and chars, fertility sane") {
+    val rows = Training.bpeApply(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, b) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      // each word encodes to >= 1 and <= its character count of symbols
+      assert(b >= w, s"doc ${r.get(0)}: fewer BPE tokens than words")
+      assert(b <= c, s"doc ${r.get(0)}: merges cannot exceed char count")
+      assert(r.getAs[Long]("fertility_milli") === b * 1000 / w)
+    }
+    // the 8 learned merges must actually compress: corpus-wide BPE
+    // tokens strictly below raw character count
+    val (tb, tc) = rows.foldLeft((0L, 0L)) { case ((b, c), r) =>
+      (b + r.getAs[Long]("n_bpe_tokens"), c + r.getAs[Long]("n_chars"))
+    }
+    assert(tb < tc, "trained merges produced no compression at all")
+  }
+
+  test("index upsert: masses reconcile with the base/batch split") {
+    val rows = Similarity.annIndexUpsert(spark, sf0001).collect()
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val nBatch = e.filter(col("vec_id") % 8 === 0).count()
+    val nBase = e.filter(col("vec_id") % 8 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_added")).sum === nBatch,
+      "every batch vector must land in exactly one cell")
+    assert(rows.map(_.getAs[Long]("n_base")).sum === nBase,
+      "every base vector must be indexed in exactly one cell")
+    rows.foreach { r =>
+      val (b, a) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_added"))
+      assert(r.getAs[Long]("growth_ppm") === a * 1000000L / math.max(b, 1L))
+    }
+  }
+
+  test("curation overlap: cells partition the corpus, shares sum to ~1e6") {
+    val rows = graft.operators.TextAnalysis.curationOverlap(spark, sf0001)
+      .collect()
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 20).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus,
+      "census cells must partition the gated corpus exactly")
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    // each cell truncates its ppm: total undershoots by < #cells
+    assert(shares > 1000000L - rows.length && shares <= 1000000L,
+      s"share ppm sum $shares out of range for ${rows.length} cells")
+    // flags are strictly 0/1
+    rows.foreach { r =>
+      Seq("survivor", "kept_quality", "clean").foreach { cn =>
+        assert(Set(0, 1).contains(r.getAs[Int](cn)))
+      }
+    }
   }
 }
