@@ -49,6 +49,7 @@ object Dedup {
     "dedup_token_savings" -> tokenSavings,
     "dedup_semantic" -> semantic,
     "merge_upsert" -> mergeUpsert,
+    "vocab_drift" -> vocabDrift,
     "neardup_pagerank" -> pagerank,
     "neardup_triangles" -> triangles
   )
@@ -161,7 +162,16 @@ object Dedup {
     * aggregate with map-side combine. */
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val snapshot = docs
+    mergeFrames(docs.select("doc_id", "source", "text"),
+      syntheticSnapshot(docs))
+  }
+
+  /** The deterministic "tomorrow's crawl" stand-in shared by
+    * [[mergeUpsert]] and [[vocabDrift]]: drops the doc_id ≡ 3 mod 11
+    * slice, revises ≡ 2 mod 7 texts, inserts re-keyed ≡ 5 mod 13
+    * copies — the three snapshot-diff cases in one frame. */
+  private def syntheticSnapshot(docs: DataFrame): DataFrame =
+    docs
       .filter(pmod(col("doc_id"), lit(11)) =!= 3)
       .select(col("doc_id"), col("source"),
         when(pmod(col("doc_id"), lit(7)) === 2,
@@ -171,7 +181,47 @@ object Dedup {
         .filter(pmod(col("doc_id"), lit(13)) === 5)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           col("source"), concat(col("text"), lit(" [new]")).as("text")))
-    mergeFrames(docs.select("doc_id", "source", "text"), snapshot)
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * data-drift monitor next to [[mergeUpsert]]'s doc-level diff: both
+    * sides collapse to their vocabularies (word → occurrence count),
+    * the vocabularies full-outer join on the token, and each token
+    * reports old/new occurrence ppm of its side's token mass plus the
+    * signed delta; output is the top-20 movers by |delta| (token asc
+    * on ties) — the shortlist a crawl operator reviews before
+    * accepting a snapshot (a topic burst, a template leak, or a
+    * scraper bug all surface here first).
+    *
+    * Parity: counts and both ppm columns are integer div; the mover
+    * ranking compares integers (abs delta, then token) — hash-exact.
+    *
+    * Scale shape: each side is one token explode into a map-side-
+    * combined word rollup (the [[Training.bpeMerges]] corpus shuffle);
+    * the join and ranking run on VOCAB-sized frames (~10⁷ rows at
+    * 100 TB, localCheckpoint'd once each since totals and the join
+    * both consume them), and the top-20 is a TakeOrdered — partial
+    * top-k per partition, no global sort shuffle. */
+  def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    def vocab(f: DataFrame, cnt: String): DataFrame =
+      f.select(explode(Fns.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(cnt))
+        .localCheckpoint() // consumed by its total AND the drift join
+    val ov = vocab(docs, "old_n")
+    val nv = vocab(syntheticSnapshot(docs), "new_n")
+    val tots = ov.agg(sum("old_n").as("tot_old"))
+      .crossJoin(nv.agg(sum("new_n").as("tot_new")))
+    ov.join(nv, Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .crossJoin(broadcast(tots))
+      .withColumn("old_ppm", expr("old_n * 1000000 div tot_old"))
+      .withColumn("new_ppm", expr("new_n * 1000000 div tot_new"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+      .select("token", "old_n", "new_n", "old_ppm", "new_ppm", "delta_ppm")
+      .orderBy(abs(col("delta_ppm")).desc, col("token"))
+      .limit(20)
   }
 
   /** Library form of [[mergeUpsert]]: classify `snapshot` against
@@ -1352,6 +1402,42 @@ object Dedup {
         |  FROM documents o FULL OUTER JOIN snap n ON o.doc_id = n.doc_id)
         |SELECT action, source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars
-        |FROM m GROUP BY action, source ORDER BY action, source""".stripMargin
+        |FROM m GROUP BY action, source ORDER BY action, source""".stripMargin,
+    "vocab_drift" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 11 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text || ' [new]'
+         |  FROM documents WHERE doc_id % 13 = 5),
+         |ov AS (
+         |  SELECT token, count(*)::BIGINT AS old_n
+         |  FROM (SELECT unnest(${Fns.sqlTokens("text")}) AS token
+         |        FROM documents)
+         |  GROUP BY 1),
+         |nv AS (
+         |  SELECT token, count(*)::BIGINT AS new_n
+         |  FROM (SELECT unnest(${Fns.sqlTokens("text")}) AS token
+         |        FROM snap)
+         |  GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT sum(old_n)::BIGINT FROM ov) AS tot_old,
+         |         (SELECT sum(new_n)::BIGINT FROM nv) AS tot_new),
+         |j AS (
+         |  SELECT coalesce(ov.token, nv.token) AS token,
+         |    coalesce(old_n, 0)::BIGINT AS old_n,
+         |    coalesce(new_n, 0)::BIGINT AS new_n
+         |  FROM ov FULL OUTER JOIN nv ON ov.token = nv.token)
+         |SELECT token, old_n, new_n,
+         |  (old_n * 1000000 // tot_old)::BIGINT AS old_ppm,
+         |  (new_n * 1000000 // tot_new)::BIGINT AS new_ppm,
+         |  ((new_n * 1000000 // tot_new)
+         |    - (old_n * 1000000 // tot_old))::BIGINT AS delta_ppm
+         |FROM j, tots
+         |ORDER BY abs((new_n * 1000000 // tot_new)
+         |  - (old_n * 1000000 // tot_old)) DESC, token
+         |LIMIT 20""".stripMargin
   )
 }

@@ -232,7 +232,11 @@ object Similarity {
     * pins shortlist containment + recall ≥ plain PQ. */
   def annPqRerank(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val (codes, cb) = pqBuild(s, d)
+    // probe the MATERIALIZED index (build-once, as annPqFromIndex):
+    // rerank is a SERVING query — rebuilding codebooks per call would
+    // re-measure the build ann_pq_topk already measures (it did, 5.8 s
+    // in the round-6 bench; the probe itself is sub-second)
+    val (codes, cb) = pqIndexFrames(s, d)
     val shortlist = pqScores(s, d, codes, cb)
       .orderBy(col("approx_ip").desc, col("vec_id"))
       .limit(100)
@@ -307,6 +311,17 @@ object Similarity {
     * behavior, same contract as `ann_ivf_from_index`). Rows-only
     * check, as every ANN path. */
   def annPqFromIndex(s: SparkSession, d: String): DataFrame = {
+    val (codes, cb) = pqIndexFrames(s, d)
+    pqProbe(s, d, codes, cb)
+  }
+
+  /** Ensure the materialized PQ index for corpus `d` exists (build
+    * once per JVM+corpus, deterministic) and return its (codes,
+    * codebooks) frames — shared by [[annPqFromIndex]] and
+    * [[annPqRerank]], so every SERVING-side query pays only the
+    * byte-code read, never the build. */
+  private def pqIndexFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = graft.ops.Scratch.dir("pq-" + key)
@@ -314,8 +329,7 @@ object Similarity {
     if (prev == null) graft.ops.Materialize.pqIndex(s, d, path)
     else require(prev == d,
       s"PQ scratch index at $path was built for corpus $prev, probed for $d")
-    pqProbe(s, d,
-      s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/codebooks"))
+    (s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/codebooks"))
   }
 
   /** Product-quantization ANN (the PQ half of the classic IVF-PQ

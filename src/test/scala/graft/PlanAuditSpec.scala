@@ -518,6 +518,17 @@ class PlanAuditSpec extends SparkSpec {
       "n_dims join should reuse the doc-keyed layout or broadcast")
   }
 
+  test("vocab drift: top movers via partial top-k, no global sort") {
+    val p = plan("vocab_drift")
+    val t = finalTree(p)
+    assert(t.contains("TakeOrderedAndProject"),
+      "limit-20 over the mover metric must stay a per-partition " +
+        "partial top-k, not a global Sort exchange")
+    // 2 token-keyed join exchanges + 2 single-row total aggregates
+    assert(shuffles(p) <= 4,
+      s"drift should shuffle only vocab joins + totals: ${shuffles(p)}")
+  }
+
   test("bpe apply: corpus encodes via the vocab join, no merge scans") {
     val p = plan("bpe_apply")
     val t = finalTree(p)
