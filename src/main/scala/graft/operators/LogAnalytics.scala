@@ -55,8 +55,62 @@ object LogAnalytics {
     "log_cohort_retention" -> cohortRetention,
     "log_gap_fill" -> gapFill,
     "join_range_bucket" -> rangeJoinBucket,
-    "log_type_transitions" -> typeTransitions
+    "log_type_transitions" -> typeTransitions,
+    "ingest_json_audit" -> ingestJsonAudit
   )
+
+  /** Corpus dirs whose JSON-lines rendering is already written this
+    * session (scratch path → corpus dir) — the [[Similarity]] index
+    * build-once pattern for the ingestion fixture. */
+  private val jsonWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** End-to-end JSON-lines ingestion audit — the OTHER half of log
+    * ingestion next to [[ingestParse]]'s regex path: events rendered
+    * as single-line JSON (written ONCE per JVM+corpus, the
+    * `materialize_survivors` round-trip precedent), with every
+    * event_id ≡ 0 mod 97 line deterministically TRUNCATED (loses its
+    * closing brace — always malformed), then read back through the
+    * real JSON datasource in PERMISSIVE mode with an explicit schema +
+    * `_corrupt_record`. The audit is the per-type row count with
+    * corrupt lines folded into a `_corrupt` bucket — exactly the
+    * accept/quarantine report an ingestion job publishes.
+    *
+    * The oracle never sees the JSON: it derives the same counts from
+    * the parquet ground truth by replaying the corruption rule, so the
+    * gate checks the whole write → corrupt → permissive-parse → audit
+    * loop end to end (a parser that silently drops or mis-attributes
+    * corrupt lines hash-fails).
+    *
+    * Scale shape: one columnar scan + text write (once), then a JSON
+    * scan into a map-side-combined ≤ |types|+1 aggregate — ingestion
+    * cost is the scan itself, the aggregate is metadata. */
+  def ingestJsonAudit(s: SparkSession, d: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = graft.ops.Scratch.dir("jsonlines-" + key)
+    val prev = jsonWritten.putIfAbsent(path, d)
+    if (prev == null) {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))).as("j"))
+        .select(
+          when(pmod(col("event_id"), lit(97)) === 0,
+            expr("substring(j, 1, length(j) - 5)"))
+            .otherwise(col("j")).as("value"))
+        .write.mode("overwrite").text(path)
+    } else require(prev == d,
+      s"JSON fixture at $path was written for corpus $prev, read for $d")
+    s.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, _corrupt_record STRING")
+      .json(path)
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+  }
 
   /** Event-type transition matrix — the Markov-chain view of user
     * behavior (which steps follow which), the generalization of the
@@ -452,6 +506,11 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ingest_json_audit" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
+        |       ELSE event_type END AS event_type,
+        |  count(*)::BIGINT AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_gap_fill" ->
       s"""WITH $E,
          |ev AS (SELECT user_id, tu // 86400000000 AS day FROM e),

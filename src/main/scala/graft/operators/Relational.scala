@@ -61,8 +61,72 @@ object Relational {
     "basket_part_pairs" -> basketPartPairs,
     "window_decile_spend" -> windowDecileSpend,
     "skew_key_stats" -> skewKeyStats,
-    "agg_incremental_refresh" -> aggIncrementalRefresh
+    "agg_incremental_refresh" -> aggIncrementalRefresh,
+    "erasure_cascade_audit" -> erasureCascadeAudit
   )
+
+  /** Right-to-be-forgotten DRY RUN — the deletion-planning sweep every
+    * compliance pipeline publishes before executing an erasure: for a
+    * deterministic deletion cohort (key ≡ 7 mod 53, ~2% of subjects),
+    * the rows that must go from every subject-keyed table, INCLUDING
+    * the relational cascade — erasing a customer erases their orders,
+    * and erasing those orders erases their lineitems (two semi-join
+    * hops), while events erase directly on the user key. Per table:
+    * rows to erase, distinct cascade keys, and erased-rows ppm of the
+    * table — the blast-radius numbers a reviewer signs off on.
+    *
+    * Scale shape: one scan per table; the cascade is customer→orders
+    * (custkey semi join — NO broadcast hint: the victim set is ~2% of
+    * a fact-sized customer table at 100 TB, the `windowDecileSpend`
+    * doctrine; AQE may broadcast at small SF) then orders→lineitem
+    * (orderkey semi join, co-partitioned with every other orderkey
+    * join here). Each per-table report collapses to one row map-side;
+    * totals ride the same scans as conditional aggregates — no second
+    * pass, no global sort beyond the 4-row presentation. */
+  def erasureCascadeAudit(s: SparkSession, d: String): DataFrame = {
+    val victims = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(53)) === 7)
+      .select(col("c_custkey"))
+    val custRep = Tables.customer(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("c_custkey"), lit(53)) === 7, 1L).otherwise(0L))
+          .as("n_erase"))
+      .select(lit("customer").as("table_name"), col("n_erase"),
+        col("n_erase").as("n_keys"), col("n_total"))
+    val vOrders = Tables.orders(s, d)
+      .join(victims, col("o_custkey") === col("c_custkey"), "semi")
+      .select("o_orderkey")
+    val ordRep = Tables.orders(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("o_custkey"), lit(53)) === 7, 1L).otherwise(0L))
+          .as("n_erase"),
+        countDistinct(when(pmod(col("o_custkey"), lit(53)) === 7,
+          col("o_custkey"))).as("n_keys"))
+      .select(lit("orders").as("table_name"), col("n_erase"),
+        col("n_keys"), col("n_total"))
+    val liRep = Tables.lineitem(s, d).select("l_orderkey")
+      .join(vOrders.withColumn("hit", lit(1)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_erase"),
+        countDistinct(when(col("hit") === 1, col("l_orderkey")))
+          .as("n_keys"))
+      .select(lit("lineitem").as("table_name"), col("n_erase"),
+        col("n_keys"), col("n_total"))
+    val evRep = Tables.events(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("user_id"), lit(53)) === 7, 1L).otherwise(0L))
+          .as("n_erase"),
+        countDistinct(when(pmod(col("user_id"), lit(53)) === 7,
+          col("user_id"))).as("n_keys"))
+      .select(lit("events").as("table_name"), col("n_erase"),
+        col("n_keys"), col("n_total"))
+    custRep.unionByName(ordRep).unionByName(liRep).unionByName(evRep)
+      .select(col("table_name"), col("n_erase"), col("n_keys"),
+        col("n_total"),
+        expr("n_erase * 1000000 div n_total").as("erase_ppm"))
+      .orderBy("table_name")
+  }
 
   /** Incremental aggregate maintenance — the materialized-view refresh
     * every recurring corpus build runs: a per-status stats MV built
@@ -1037,6 +1101,42 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "erasure_cascade_audit" ->
+      """WITH vo AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey % 53 = 7),
+        |u AS (
+        |  SELECT 'customer' AS table_name,
+        |    sum(CASE WHEN c_custkey % 53 = 7 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_erase,
+        |    sum(CASE WHEN c_custkey % 53 = 7 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_keys,
+        |    count(*)::BIGINT AS n_total
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    sum(CASE WHEN o_custkey % 53 = 7 THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN o_custkey % 53 = 7
+        |      THEN o_custkey END)::BIGINT,
+        |    count(*)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM vo)
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN l_orderkey IN
+        |      (SELECT o_orderkey FROM vo) THEN l_orderkey END)::BIGINT,
+        |    count(*)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events',
+        |    sum(CASE WHEN user_id % 53 = 7 THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN user_id % 53 = 7
+        |      THEN user_id END)::BIGINT,
+        |    count(*)::BIGINT
+        |  FROM events)
+        |SELECT table_name, n_erase, n_keys, n_total,
+        |  (n_erase * 1000000 // n_total)::BIGINT AS erase_ppm
+        |FROM u ORDER BY table_name""".stripMargin,
     // Deliberately a FULL recompute with no date split: the Spark side
     // merges base + delta partials, so hash equality proves the merge.
     "agg_incremental_refresh" ->
