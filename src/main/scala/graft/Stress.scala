@@ -188,7 +188,8 @@ object Stress {
       "cluster_source_mixture", "agg_incremental_refresh",
       "stream_stateful_sessions", "quality_score_calibration",
       "knn_eval_confusion", "bpe_apply", "ann_index_upsert",
-      "curation_overlap", "vocab_drift")
+      "curation_overlap", "vocab_drift", "corpus_build_manifest",
+      "erasure_cascade_audit")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

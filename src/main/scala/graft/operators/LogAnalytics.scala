@@ -90,27 +90,42 @@ object LogAnalytics {
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = graft.ops.Scratch.dir("jsonlines-" + key)
     val prev = jsonWritten.putIfAbsent(path, d)
-    if (prev == null) {
-      Tables.events(s, d)
-        .select(col("event_id"),
-          to_json(struct(col("event_id"), col("ts_us"), col("user_id"),
-            col("event_type"), col("value"))).as("j"))
-        .select(
-          when(pmod(col("event_id"), lit(97)) === 0,
-            expr("substring(j, 1, length(j) - 5)"))
-            .otherwise(col("j")).as("value"))
+    if (prev == null)
+      jsonLinesFixture(Tables.events(s, d))
         .write.mode("overwrite").text(path)
-    } else require(prev == d,
+    else require(prev == d,
       s"JSON fixture at $path was written for corpus $prev, read for $d")
-    s.read
-      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, _corrupt_record STRING")
-      .json(path)
+    jsonQuarantineStage(s.read.schema(JsonIngestSchema).json(path))
+      .orderBy("event_type")
+  }
+
+  /** The permissive-read schema for [[ingestJsonAudit]]'s fixture. */
+  val JsonIngestSchema: String =
+    "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, _corrupt_record STRING"
+
+  /** Render an events frame as the single-column JSON-lines fixture,
+    * truncating every event_id ≡ 0 mod 97 line (drops the closing
+    * brace — always malformed). */
+  def jsonLinesFixture(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))).as("j"))
+      .select(
+        when(pmod(col("event_id"), lit(97)) === 0,
+          expr("substring(j, 1, length(j) - 5)"))
+          .otherwise(col("j")).as("value"))
+
+  /** The quarantine census over a PERMISSIVE-parsed frame — a pure
+    * projection + aggregate, so the SAME stage runs batch (the query
+    * above) and streaming (FileStreamSpec pins readStream-over-JSON ≡
+    * batch through this literal code). */
+  def jsonQuarantineStage(parsed: DataFrame): DataFrame =
+    parsed
       .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
         .otherwise(col("event_type")).as("event_type"))
       .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
-      .orderBy("event_type")
-  }
 
   /** Event-type transition matrix — the Markov-chain view of user
     * behavior (which steps follow which), the generalization of the

@@ -49,8 +49,92 @@ object TextAnalysis {
     "mixture_resample" -> mixtureResample,
     "mixture_upsample" -> mixtureUpsample,
     "text_winnow_fingerprint" -> winnowFingerprint,
-    "curation_overlap" -> curationOverlap
+    "curation_overlap" -> curationOverlap,
+    "corpus_build_manifest" -> corpusBuildManifest
   )
+
+  /** The CAPSTONE: an entire corpus build as ONE declarative plan —
+    * quality-aware exact dedup → quality gate → decontamination →
+    * mixture enforcement → per-source manifest. This is the end-to-end
+    * composition every stage in this suite exists to serve, and it
+    * runs as a single Spark query whose manifest a build reviewer
+    * signs off on: per source, raw docs in, clean docs surviving the
+    * three gates, the mixture targets measured on the CLEANED
+    * population (rates after cleaning, as a real build orders it —
+    * not on the raw corpus), and the final accepted doc/token mass.
+    *
+    * Stage semantics (each reuses the suite's exact definitions):
+    *  1. exact dedup keeps the BEST-quality copy per md5(text) group
+    *     (max logit, smaller doc_id tie — [[Dedup.bestSurvivor]]'s
+    *     policy on exact groups; token-less docs default to the
+    *     -3000 logit, the disclosed convention);
+    *  2. quality gate: logit_milli > 1500 ([[logitScoreStage]]);
+    *  3. decontamination: zero shared benchmark 5-grams
+    *     ([[decontaminate]]);
+    *  4. mixture: [[mixtureResample]]'s rate rule and content-hash
+    *     accept primitive, computed over the stage-3 survivors.
+    *
+    * Scale shape: one text scan feeds the per-doc flags (md5, bucket,
+    * tokens) + the quality projection; dedup is ONE md5-keyed window
+    * (partitioned, never global); the cleaned frame checkpoints once
+    * as slim metadata (id, source, bucket, n_toks — no text) because
+    * rates and the accept filter both consume it; rates are
+    * |sources|-row broadcasts. The raw per-source counts ride a
+    * separate source-column-only scan (columnar, no text I/O). */
+  def corpusBuildManifest(s: SparkSession, d: String): DataFrame = {
+    val benchMax = 20L
+    val docs = Tables.documents(s, d).filter(col("doc_id") >= benchMax)
+    val q = qualityFeatures(docs)
+      .select(col("doc_id"), col("n_tokens"), col("logit_milli"))
+    val dec = decontaminate(s, d).select("doc_id", "contaminated")
+    val base = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
+        Fns.md5Bucket256(col("text")).cast("long").as("bucket"))
+      .join(q, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text_md5"), col("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_toks"),
+        coalesce(col("logit_milli"), lit(-3000L)).as("logit"),
+        col("contaminated"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text_md5").orderBy(col("logit").desc, col("doc_id"))
+    val clean = base
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("logit") > 1500 && col("contaminated") === 0)
+      .select("doc_id", "source", "bucket", "n_toks")
+      .localCheckpoint() // consumed by rates AND the accept filter
+    val counts = clean.groupBy("source")
+      .agg(count(lit(1)).as("n_clean"), sum("n_toks").as("toks_clean"))
+      .withColumn("w",
+        expr("cast(coalesce(nullif(" +
+          "regexp_extract(source, '(\\\\d+)', 1), ''), '0') as int)" +
+          " % 5 + 1").cast("long"))
+      .localCheckpoint() // consumed by the total AND the rate frame
+    val tot = counts.agg(sum("n_clean").as("total_docs"),
+      sum("w").as("total_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target_ppm", expr("w * 1000000 div total_w"))
+      .withColumn("accept_ppm",
+        expr("least(1000000L, cast(total_docs as decimal(38,0))" +
+          " * target_ppm div n_clean)").cast("long"))
+      .select("source", "n_clean", "toks_clean", "target_ppm", "accept_ppm")
+    val fin = clean
+      .join(broadcast(rates.select("source", "accept_ppm")), "source")
+      .filter(col("bucket") * 1000000L < col("accept_ppm") * 256L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_final"), sum("n_toks").as("toks_final"))
+    val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    raw.join(rates, Seq("source"), "full")
+      .join(fin, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("toks_clean"), lit(0L)).as("toks_clean"),
+        coalesce(col("target_ppm"), lit(0L)).as("target_ppm"),
+        coalesce(col("accept_ppm"), lit(0L)).as("accept_ppm"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("toks_final"), lit(0L)).as("toks_final"))
+      .orderBy("source")
+  }
 
   /** Filter-overlap census — the Venn audit next to [[curationFunnel]]:
     * the funnel applies the gates in ORDER and reports survivors per
@@ -1023,6 +1107,78 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "corpus_build_manifest" ->
+      s"""WITH $sqlQualityFeatures,
+         |corp AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 20),
+         |toks5 AS (SELECT doc_id, $Toks AS w FROM documents),
+         |sh5 AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 5 THEN
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |         || ' ' || w[i+4]
+         |       for i in generate_series(1, len(w) - 4)]
+         |    ELSE [] END) AS g
+         |  FROM toks5),
+         |dsh AS (SELECT DISTINCT doc_id, g FROM sh5),
+         |hits AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM dsh WHERE doc_id >= 20
+         |    AND g IN (SELECT DISTINCT g FROM dsh WHERE doc_id < 20)
+         |  GROUP BY doc_id),
+         |base AS (
+         |  SELECT c.doc_id, c.source, md5(c.text) AS text_md5,
+         |    ${Fns.sqlMd5Bucket256("c.text")}::BIGINT AS bucket,
+         |    coalesce(f.n_tokens, 0)::BIGINT AS n_toks,
+         |    coalesce(f.logit_milli, -3000)::BIGINT AS logit,
+         |    CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END
+         |      AS contaminated
+         |  FROM corp c
+         |  LEFT JOIN feat f ON c.doc_id = f.doc_id
+         |  LEFT JOIN hits h ON c.doc_id = h.doc_id),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT base.*, row_number() OVER (PARTITION BY text_md5
+         |      ORDER BY logit DESC, doc_id) AS rn
+         |    FROM base) WHERE rn = 1),
+         |clean AS (
+         |  SELECT doc_id, source, bucket, n_toks FROM surv
+         |  WHERE logit > 1500 AND contaminated = 0),
+         |counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_clean,
+         |    sum(n_toks)::BIGINT AS toks_clean,
+         |    (CAST(coalesce(nullif(
+         |        regexp_extract(source, '(\\d+)', 1), ''), '0') AS INT) % 5
+         |      + 1)::BIGINT AS w
+         |  FROM clean GROUP BY source),
+         |tot AS (SELECT sum(n_clean)::BIGINT AS total_docs,
+         |    sum(w)::BIGINT AS total_w FROM counts),
+         |rates AS (
+         |  SELECT source, n_clean, toks_clean,
+         |    (w * 1000000 // total_w)::BIGINT AS target_ppm,
+         |    least(1000000, total_docs::HUGEINT
+         |      * (w * 1000000 // total_w) // n_clean)::BIGINT AS accept_ppm
+         |  FROM counts CROSS JOIN tot),
+         |fin AS (
+         |  SELECT c.source, count(*)::BIGINT AS n_final,
+         |    sum(c.n_toks)::BIGINT AS toks_final
+         |  FROM clean c JOIN rates r ON c.source = r.source
+         |  WHERE c.bucket * 1000000 < r.accept_ppm * 256
+         |  GROUP BY c.source),
+         |raw AS (
+         |  SELECT source, count(*)::BIGINT AS n_raw FROM corp
+         |  GROUP BY source)
+         |SELECT source, n_raw,
+         |  coalesce(n_clean, 0)::BIGINT AS n_clean,
+         |  coalesce(toks_clean, 0)::BIGINT AS toks_clean,
+         |  coalesce(target_ppm, 0)::BIGINT AS target_ppm,
+         |  coalesce(accept_ppm, 0)::BIGINT AS accept_ppm,
+         |  coalesce(n_final, 0)::BIGINT AS n_final,
+         |  coalesce(toks_final, 0)::BIGINT AS toks_final
+         |FROM raw
+         |FULL OUTER JOIN rates USING (source)
+         |LEFT JOIN fin USING (source)
+         |ORDER BY source""".stripMargin,
     "curation_overlap" ->
       s"""WITH $sqlQualityFeatures,
          |toksn AS (

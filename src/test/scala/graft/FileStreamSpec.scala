@@ -44,4 +44,47 @@ class FileStreamSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("streaming JSON ingest quarantines corrupt lines == batch audit") {
+    import graft.operators.LogAnalytics
+    val dir = Files.createTempDirectory("graft-jsonstream").toFile
+    try {
+      // same fixture recipe as ingest_json_audit: every event_id
+      // ≡ 0 mod 97 line truncated → malformed
+      val events = graft.sources.Tables.events(spark, sf0001)
+      LogAnalytics.jsonLinesFixture(events)
+        .write.mode("overwrite").text(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema(LogAnalytics.JsonIngestSchema)
+        .json(dir.getAbsolutePath)
+      val q = LogAnalytics.jsonQuarantineStage(stream)
+        .writeStream.format("memory").queryName("json_quarantine")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("json_quarantine")
+          .collect().map(_.toString).sorted
+        val batch = LogAnalytics.jsonQuarantineStage(
+            spark.read.schema(LogAnalytics.JsonIngestSchema)
+              .json(dir.getAbsolutePath))
+          .collect().map(_.toString).sorted
+        assert(streamed.nonEmpty)
+        assert(streamed === batch)
+        // the quarantine bucket is present and holds exactly the
+        // truncated lines
+        val corrupt = spark.table("json_quarantine")
+          .filter(col("event_type") === "_corrupt")
+          .collect().map(_.getLong(1)).headOption
+        val expected = events
+          .filter(pmod(col("event_id"), lit(97)) === 0).count()
+        assert(corrupt === Some(expected),
+          s"corrupt bucket $corrupt != truncated-line count $expected")
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -518,6 +518,21 @@ class PlanAuditSpec extends SparkSpec {
       "n_dims join should reuse the doc-keyed layout or broadcast")
   }
 
+  test("build manifest: gate work runs once into the checkpoint") {
+    val p = plan("corpus_build_manifest")
+    val t = finalTree(p)
+    // the dedup window, quality projection, and decontamination join
+    // all executed ONCE while materializing the slim cleaned frame;
+    // the query plan proper must only see that checkpoint + the
+    // rate/manifest joins
+    assert(!t.contains("Window"),
+      "survivor window leaked into the query plan — the cleaned " +
+        "frame should be checkpointed")
+    assert(t.contains("Scan ExistingRDD"),
+      "manifest should read the checkpointed cleaned frame")
+    assert(broadcasts(p) >= 1, "rate frames should broadcast")
+  }
+
   test("vocab drift: top movers via partial top-k, no global sort") {
     val p = plan("vocab_drift")
     val t = finalTree(p)

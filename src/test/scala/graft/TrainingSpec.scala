@@ -121,6 +121,23 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("build manifest: attrition is monotone and mixture caps hold") {
+    val rows = graft.operators.TextAnalysis
+      .corpusBuildManifest(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, clean, fin) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_clean"), r.getAs[Long]("n_final"))
+      assert(clean <= raw, s"${r.get(0)}: cleaning grew the corpus")
+      assert(fin <= clean, s"${r.get(0)}: mixture accept grew the corpus")
+      assert(r.getAs[Long]("toks_final") <= r.getAs[Long]("toks_clean"))
+      assert(r.getAs[Long]("accept_ppm") <= 1000000L)
+    }
+    // the pipeline as a whole must actually gate something at sf0.001
+    assert(rows.map(_.getAs[Long]("n_final")).sum
+      < rows.map(_.getAs[Long]("n_raw")).sum)
+  }
+
   test("curation overlap: cells partition the corpus, shares sum to ~1e6") {
     val rows = graft.operators.TextAnalysis.curationOverlap(spark, sf0001)
       .collect()
