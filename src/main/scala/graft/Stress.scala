@@ -189,7 +189,7 @@ object Stress {
       "stream_stateful_sessions", "quality_score_calibration",
       "knn_eval_confusion", "bpe_apply", "ann_index_upsert",
       "curation_overlap", "vocab_drift", "corpus_build_manifest",
-      "erasure_cascade_audit")
+      "erasure_cascade_audit", "basket_lift", "neardup_quality_delta")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

@@ -50,6 +50,7 @@ object Dedup {
     "dedup_semantic" -> semantic,
     "merge_upsert" -> mergeUpsert,
     "vocab_drift" -> vocabDrift,
+    "neardup_quality_delta" -> qualityDelta,
     "neardup_pagerank" -> pagerank,
     "neardup_triangles" -> triangles
   )
@@ -181,6 +182,37 @@ object Dedup {
         .filter(pmod(col("doc_id"), lit(13)) === 5)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           col("source"), concat(col("text"), lit(" [new]")).as("text")))
+
+  /** Quality-delta histogram over VERIFIED near-dup pairs — the audit
+    * that decides whether survivor POLICY matters: per pair, the
+    * absolute gap between the two copies' quality logits, bucketed
+    * (500-milli buckets, top bucket open). Mass in bucket 0 means
+    * near-dups are quality-twins and keep-any is safe; mass in high
+    * buckets is exactly the value [[bestSurvivor]]'s keep-the-best
+    * policy recovers over keep-min-id — this query MEASURES that
+    * before a build commits to the cheaper policy. Composes the
+    * verified pair frame with [[TextAnalysis.qualityLogitScore]]
+    * (token-less docs default to the -3000 logit, the shared
+    * convention).
+    *
+    * Scale shape: the pair frame's cost is [[ngramJaccard]]'s
+    * (df-capped, measured linear); the two score joins key on doc id;
+    * the histogram is a ≤ 8-row map-side-combined rollup. */
+  def qualityDelta(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityLogitScore(s, d)
+      .select(col("doc_id"), col("logit_milli"))
+    ngramJaccard(s, d).select("a_id", "b_id")
+      .join(q.select(col("doc_id").as("a_id"),
+        col("logit_milli").as("la")), Seq("a_id"), "left")
+      .join(q.select(col("doc_id").as("b_id"),
+        col("logit_milli").as("lb")), Seq("b_id"), "left")
+      .select(abs(coalesce(col("la"), lit(-3000L))
+        - coalesce(col("lb"), lit(-3000L))).as("delta"))
+      .withColumn("bucket", expr("least(7L, delta div 500)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("delta").as("sum_delta_milli"))
+      .orderBy("bucket")
+  }
 
   /** Token-distribution drift between two corpus snapshots — the
     * data-drift monitor next to [[mergeUpsert]]'s doc-level diff: both
@@ -1403,6 +1435,30 @@ object Dedup {
         |SELECT action, source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM m GROUP BY action, source ORDER BY action, source""".stripMargin,
+    "neardup_quality_delta" ->
+      s"""WITH ${TextAnalysis.sqlQualityFeatures},
+         |sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |deltas AS (
+         |  SELECT abs(coalesce(fa.logit_milli, -3000)
+         |    - coalesce(fb.logit_milli, -3000))::BIGINT AS delta
+         |  FROM pairs
+         |  LEFT JOIN feat fa ON fa.doc_id = a_id
+         |  LEFT JOIN feat fb ON fb.doc_id = b_id)
+         |SELECT least(7, delta // 500)::BIGINT AS bucket,
+         |  count(*)::BIGINT AS n_pairs,
+         |  sum(delta)::BIGINT AS sum_delta_milli
+         |FROM deltas GROUP BY 1 ORDER BY 1""".stripMargin,
     "vocab_drift" ->
       s"""WITH snap AS (
          |  SELECT doc_id, source,

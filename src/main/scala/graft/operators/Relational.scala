@@ -62,8 +62,56 @@ object Relational {
     "window_decile_spend" -> windowDecileSpend,
     "skew_key_stats" -> skewKeyStats,
     "agg_incremental_refresh" -> aggIncrementalRefresh,
-    "erasure_cascade_audit" -> erasureCascadeAudit
+    "erasure_cascade_audit" -> erasureCascadeAudit,
+    "basket_lift" -> basketLift
   )
+
+  /** Association-rule mining over order baskets — [[basketPartPairs]]
+    * taken to its analytical conclusion: per co-occurring part pair,
+    * the SUPPORT counts (orders with p1, with p2, with both) and the
+    * two classic rule metrics in exact integer micro-units — LIFT
+    * (co-occurrence vs independence; > 10⁶ means the pair attracts)
+    * and CONFIDENCE p1→p2. Computed over DISTINCT parts per order
+    * (rule semantics: a basket either contains a part or not), unlike
+    * `basket_part_pairs`' multiplicity census — the two queries answer
+    * different questions and share the shape.
+    *
+    * Scale shape: the same no-self-join design — ONE fact shuffle
+    * builds each order's distinct sorted part array, pairs emit
+    * in-array (i<j, so each co-occurring order contributes exactly one
+    * (p1,p2) row); supports are a second map-side-combined rollup of
+    * the same exploded frame, re-joined part-keyed (both sides
+    * aggregate to ≤ |parts| rows); the basket total is a 1-row
+    * broadcast. Top-20 by lift via TakeOrdered. */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .distinct()
+      .localCheckpoint() // consumed by baskets, pair-gen, and supports
+    val nBaskets = op.select(countDistinct("l_orderkey").as("n_baskets"))
+    val supports = op.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = op
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) ->" +
+          " transform(slice(ps, i + 2, size(ps))," +
+          " y -> struct(x as p1, y as p2))))")).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(supports.select(col("p").as("p1"), col("n_p").as("n_p1")), "p1")
+      .join(supports.select(col("p").as("p2"), col("n_p").as("n_p2")), "p2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
+        col("n_p2"),
+        expr("n_both * n_baskets * 1000000 div (n_p1 * n_p2)")
+          .as("lift_e6"),
+        expr("n_both * 1000000 div n_p1").as("conf_e6"))
+      .orderBy(col("lift_e6").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
 
   /** Right-to-be-forgotten DRY RUN — the deletion-planning sweep every
     * compliance pipeline publishes before executing an erasure: for a
@@ -1101,6 +1149,24 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_lift" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o)::BIGINT AS n_baskets FROM op),
+        |sup AS (SELECT p, count(*)::BIGINT AS n_p FROM op GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS n_both
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, n_both, s1.n_p AS n_p1, s2.n_p AS n_p2,
+        |  (n_both * n_baskets * 1000000 // (s1.n_p * s2.n_p))::BIGINT
+        |    AS lift_e6,
+        |  (n_both * 1000000 // s1.n_p)::BIGINT AS conf_e6
+        |FROM pairs
+        |JOIN sup s1 ON p1 = s1.p
+        |JOIN sup s2 ON p2 = s2.p
+        |CROSS JOIN nb
+        |ORDER BY lift_e6 DESC, p1, p2 LIMIT 20""".stripMargin,
     "erasure_cascade_audit" ->
       """WITH vo AS (
         |  SELECT o_orderkey FROM orders WHERE o_custkey % 53 = 7),
