@@ -119,6 +119,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bound: binding is semantics-free (bound(c)(f) == f(c)) incl. nulls") {
+    // the Fns.bound combinator exists ONLY to stop per-element
+    // re-evaluation; it must never change a value — including the
+    // null/short/empty edge shapes shingles3/5 lean on
+    import spark.implicits._
+    val textGen = Gen.oneOf(
+      Gen.const(""), Gen.const("ab"), Gen.const("one two"),
+      Gen.listOfN(9, Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))
+        .map(_.mkString(" ")),
+      Gen.const("x 9 y 8 z _ w q r s t"))
+    val cases = sample(Gen.listOfN(60, textGen), 97L)
+    val df = (cases :+ null).zipWithIndex.map(_.swap).toDF("i", "text")
+    def naive3(toks: org.apache.spark.sql.Column) =
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), k =>
+          concat_ws(" ", element_at(toks, k + 1), element_at(toks, k + 2),
+            element_at(toks, k + 3))))
+        .otherwise(array().cast("array<string>"))
+    val bad = df.select(
+        Fns.shingles3(Fns.tokens(col("text"))).as("viaBound"),
+        naive3(Fns.tokens(col("text"))).as("naive"),
+        Fns.bound(Fns.md5Hash24(col("text")))(identity).as("hBound"),
+        Fns.md5Hash24(col("text")).as("hPlain"))
+      .filter(not(col("viaBound") <=> col("naive"))
+        || not(col("hBound") <=> col("hPlain")))
+      .count()
+    assert(bad === 0L, "bound changed a value")
+  }
+
   test("winnowing: shared runs of ≥ 6 tokens always share a fingerprint") {
     // the Schleimer et al. detection guarantee for k=3 grams, w=4
     // windows: a common substring of w+k−1 = 6 tokens contains a full
