@@ -33,8 +33,65 @@ object Multimodal {
     "mm_binary_meta" -> binaryMeta,
     "mm_feature_extract" -> featureExtract,
     "mm_frame_sample" -> frameSample,
-    "mm_payload_dedup" -> payloadDedup
+    "mm_payload_dedup" -> payloadDedup,
+    "mm_resize_grid" -> resizeGrid
   )
+
+  /** Resize over the opaque payload — the image-shaped transform in
+    * the decode/extract/RESIZE/frame-sample quartet: the payload is
+    * treated as a W = 16-byte raster (height = ⌊bytes/16⌋ rows) and
+    * downsampled 2×2 by integer block-average — the exact access
+    * pattern of an image downscale (gather a block, reduce, emit one
+    * cell), with the pixel decode itself byte-arithmetic rather than
+    * a codec (no media libs in this environment; the REAL part is the
+    * plumbing: block indexing, bounds, per-row reduction, and that
+    * only (dims, digest) ever leave the row — payload bytes never
+    * shuffle).
+    *
+    * Parity: bytes decode from the hex rendering via the digit-table
+    * trick ([[graft.ops.Fns.md5Hash24]]'s), averages are integer div,
+    * and the output digest is md5 over the re-encoded 2-digit-hex
+    * grid — identical strings on both engines. The hex string binds
+    * ONCE per row (`Fns.bound`) — 4 decodes per output cell would
+    * otherwise re-render the blob per cell.
+    *
+    * Scale shape: pure per-row map (one projection, no shuffle before
+    * the presentation sort); cost ∝ payload bytes, the floor for any
+    * resize. */
+  def resizeGrid(s: SparkSession, d: String): DataFrame = {
+    val hexd = "0123456789ABCDEF"
+    def hexByte(hx: Column, i: Column): Column =
+      (instr(lit(hexd), substring(hx, i * 2 + 1, lit(1))) - 1) * 16 +
+        (instr(lit(hexd), substring(hx, i * 2 + 2, lit(1))) - 1)
+    def toHex(v: Column): Column =
+      concat(
+        substring(lit(hexd), floor(v / 16).cast("int") + 1, lit(1)),
+        substring(lit(hexd), pmod(v, lit(16)).cast("int") + 1, lit(1)))
+    val w = 16
+    Tables.documents(s, d)
+      .withColumn("payload", payloadCol)
+      .select(col("doc_id"),
+        expr("octet_length(payload)").cast("long").as("n_bytes"),
+        hex(col("payload")).as("hx0"))
+      .withColumn("in_h", expr("n_bytes div 16"))
+      .withColumn("n_blocks", expr("cast(in_h div 2 * 8 as int)"))
+      .select(col("doc_id"), col("n_bytes"), col("in_h"),
+        expr("in_h div 2").as("out_h"),
+        when(col("n_blocks") > 0, graft.ops.Fns.bound(col("hx0")) { hx =>
+          md5(concat_ws("", transform(
+            sequence(lit(0), col("n_blocks") - 1),
+            k => {
+              val bx = pmod(k, lit(8)).cast("int")
+              val by = floor(k / 8).cast("int")
+              val base = by * (2 * w) + bx * 2
+              toHex(floor((hexByte(hx, base) + hexByte(hx, base + 1) +
+                hexByte(hx, base + w) + hexByte(hx, base + w + 1)) / 4)
+                .cast("int"))
+            })))
+        }).as("out_md5"))
+      .filter(col("out_h") > 0)
+      .orderBy("doc_id")
+  }
 
   /** Content-hash dedup of binary payloads — the FIRST multimodal
     * curation stage (identical images/audio recur constantly in a
@@ -152,7 +209,42 @@ object Multimodal {
       |      AS payload
       |  FROM blk GROUP BY doc_id, text)""".stripMargin
 
+  /** DuckDB fragment: byte value at 0-based byte offset `i` of the hex
+    * rendering `hx` (digit-table decode, mirroring the Spark side). */
+  private def sqlHexByte(i: String): String =
+    s"((strpos('0123456789ABCDEF', substr(hx, ($i) * 2 + 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789ABCDEF', substr(hx, ($i) * 2 + 2, 1)) - 1))"
+
   val oracles: Map[String, String] = Map(
+    "mm_resize_grid" -> {
+      val avg = s"((${sqlHexByte("base")} + ${sqlHexByte("base + 1")}" +
+        s" + ${sqlHexByte("base + 16")} + ${sqlHexByte("base + 17")}) // 4)"
+      s"""$payloadCte,
+         |h AS (
+         |  SELECT doc_id, octet_length(payload)::BIGINT AS n_bytes,
+         |    hex(payload) AS hx,
+         |    (octet_length(payload) // 16)::BIGINT AS in_h
+         |  FROM p),
+         |ks AS (
+         |  SELECT doc_id, hx,
+         |    unnest(generate_series(0, in_h // 2 * 8 - 1)) AS k
+         |  FROM h WHERE in_h >= 2),
+         |cells AS (
+         |  SELECT doc_id, k, $avg AS v
+         |  FROM (SELECT doc_id, hx, k,
+         |          ((k // 8) * 32 + (k % 8) * 2)::BIGINT AS base
+         |        FROM ks)),
+         |res AS (
+         |  SELECT doc_id, md5(string_agg(
+         |    substr('0123456789ABCDEF', (v // 16 + 1)::INT, 1)
+         |      || substr('0123456789ABCDEF', (v % 16 + 1)::INT, 1),
+         |    '' ORDER BY k)) AS out_md5
+         |  FROM cells GROUP BY doc_id)
+         |SELECT h.doc_id, n_bytes, in_h, (in_h // 2)::BIGINT AS out_h,
+         |  out_md5
+         |FROM h JOIN res ON h.doc_id = res.doc_id
+         |WHERE in_h // 2 > 0 ORDER BY h.doc_id""".stripMargin
+    },
     "mm_payload_dedup" ->
       s"""$payloadCte
          |SELECT md5(hex(payload)) AS payload_md5,
