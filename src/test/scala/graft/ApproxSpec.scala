@@ -298,6 +298,33 @@ class ApproxSpec extends SparkSpec {
     assert(got === want, s"read-path probe diverged from in-query IVF")
   }
 
+  test("IVF-PQ from materialized indexes equals the in-query composition") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FormattedMode
+    val fromIdx = Similarity.annIvfPqFromIndex(spark, sf0001)
+    // cell pruning must reach the IVF index scan's PartitionFilters —
+    // the serving probe reads nprobe/C of the id space, then 8 B/vector
+    // of codes; no float vector on the corpus side
+    val plan = fromIdx.queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"cid probe filter not pushed to partitions:\n$plan")
+    // the pruned index read must be id-ONLY (candidate selection), and
+    // the codes read byte-code columns — the corpus-side scans carry
+    // no float vectors (the one embedding read left is the 1-row
+    // query-vector fetch, which is query metadata)
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"cell-pruned index read is not pruned to ids:\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,sub:int,code:int>"),
+      s"codes scan does not read the byte-code layout:\n$plan")
+    // deterministic builds both sides → the storage composition must
+    // reproduce the in-query ann_ivfpq_topk rows exactly
+    val got = fromIdx.collect().map(_.toString).toSeq
+    val want = Similarity.annIvfPq(spark, sf0001).collect()
+      .map(_.toString).toSeq
+    assert(got === want, "from-index IVF-PQ diverged from in-query")
+  }
+
   test("materialized IVF index is built once per corpus and reused") {
     import graft.operators.Similarity
     // the round-4 fix (build once per JVM+corpus) took the benched read

@@ -41,7 +41,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "log_top_users_approx",
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
       "ann_ivf_from_index", "ann_pq_topk", "ann_pq_from_index",
-      "ann_ivfpq_topk", "ann_pq_rerank", "bloom_decontaminate")
+      "ann_ivfpq_topk", "ann_ivfpq_from_index", "ann_pq_rerank",
+      "bloom_decontaminate")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
