@@ -44,8 +44,65 @@ object Similarity {
     "ann_range_search" -> annRangeSearch,
     "cluster_source_mixture" -> clusterSourceMixture,
     "ann_index_upsert" -> annIndexUpsert,
-    "ann_ivfpq_from_index" -> annIvfPqFromIndex
+    "ann_ivfpq_from_index" -> annIvfPqFromIndex,
+    "cluster_silhouette" -> clusterSilhouette
   )
+
+  /** Clustering-quality audit — the eval that decides whether the
+    * k-means cells are real structure or noise before anything
+    * downstream (semantic dedup, source-mixture discovery) trusts
+    * them: per cell, the mean SEPARATION MARGIN — cosine to the OWN
+    * centroid minus cosine to the best OTHER centroid (a simplified
+    * silhouette; positive = vectors sit closer to their own cell).
+    * Margins are per-vector `floor(cos·10⁶)` BIGINTs before any
+    * aggregation, so sums are associative and the result is
+    * hash-exact despite float cosines underneath (the
+    * [[graft.operators.Dedup.pagerank]] fixed-point rule).
+    *
+    * Membership here is the argmax on the MICRO GRID (cm desc, cid
+    * tie), self-consistent with the margins — it may differ from
+    * `cluster_kmeans`' raw-double argmax only where two cosines agree
+    * to 10⁻⁶.
+    *
+    * Scale shape: ONE n×C scored pass (broadcast centroid frame, the
+    * [[kmeansAssign]] shape) collapsing map-side into a per-vector
+    * sorted C-element array whose head yields own/best-other — no
+    * second corpus pass, no window; the per-cell rollup is ≤ C rows.
+    * The fit checkpoints once. */
+  def clusterSilhouette(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // consumed by seeding + Lloyd passes + scoring
+    val cents = kmeansFit(e, 8).localCheckpoint()
+    val perVec = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        floor(cos(col("emb"), col("cvec")) * 1e6).cast("long").as("cm"),
+        col("cid"))
+      // C rows per vector collapse map-side into one sorted C-element
+      // array; own/best-other fall out of the array head (no window,
+      // no second corpus pass). Desc sort on (cm, -cid) ≡ cm desc with
+      // smaller-cid tie-break.
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(
+        struct(col("cm"), (lit(0) - col("cid")).as("ncid"))), asc = false)
+        .as("cs"))
+      .select(col("vec_id"), Fns.bound(col("cs")) { a =>
+        val t = element_at(a, 1)
+        struct(
+          (lit(0) - t.getField("ncid")).as("own_cid"),
+          t.getField("cm").as("own_cm"),
+          element_at(filter(a,
+            x => x.getField("ncid") =!= t.getField("ncid")), 1)
+            .getField("cm").as("other_cm"))
+      }.as("r"))
+    perVec.groupBy(col("r.own_cid").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(r.own_cm - r.other_cm)").as("sum_margin"))
+      .select(col("cid"), col("n_vecs"),
+        expr("sum_margin div n_vecs").as("mean_margin_micro"))
+      .orderBy("cid")
+  }
 
   /** Cluster × source composition — the report a SemDeDup-style
     * pipeline reads right after clustering: which sources make up each
@@ -1032,6 +1089,29 @@ object Similarity {
     "cluster_kmeans" ->
       s"""WITH $sqlKmeans8
          |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    "cluster_silhouette" ->
+      s"""WITH $sqlKmeans8,
+         |s AS (
+         |  SELECT vec_id, cid,
+         |    floor(${Fns.sqlCosine("emb", "cvec")} * 1e6)::BIGINT AS cm
+         |  FROM e CROSS JOIN c2),
+         |r AS (
+         |  SELECT vec_id, cid, cm,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cm DESC, cid) AS rk
+         |  FROM s),
+         |own AS (SELECT vec_id, cid AS own_cid, cm AS own_cm
+         |        FROM r WHERE rk = 1),
+         |oth AS (
+         |  SELECT r.vec_id, max(r.cm) AS other_cm
+         |  FROM r JOIN own ON r.vec_id = own.vec_id
+         |    AND r.cid <> own.own_cid
+         |  GROUP BY r.vec_id)
+         |SELECT own_cid::INT AS cid, count(*)::BIGINT AS n_vecs,
+         |  (sum(own_cm - other_cm)::BIGINT // count(*))::BIGINT
+         |    AS mean_margin_micro
+         |FROM own JOIN oth ON own.vec_id = oth.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_index_upsert" ->
       s"""WITH ${sqlKmeans8On("WHERE vec_id % 8 <> 0")},
          |nb AS (SELECT cid, count(*)::BIGINT AS n_base FROM a2 GROUP BY 1),
