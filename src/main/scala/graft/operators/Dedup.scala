@@ -248,8 +248,14 @@ object Dedup {
         coalesce(col("old_n"), lit(0L)).as("old_n"),
         coalesce(col("new_n"), lit(0L)).as("new_n"))
       .crossJoin(broadcast(tots))
-      .withColumn("old_ppm", expr("old_n * 1000000 div tot_old"))
-      .withColumn("new_ppm", expr("new_n * 1000000 div tot_new"))
+      // DECIMAL intermediates: count·10⁶ tops 2⁶³ beyond ~9·10¹²
+      // token occurrences (the corpus_mixture precedent)
+      .withColumn("old_ppm",
+        expr("cast(cast(old_n as decimal(38,0)) * 1000000" +
+          " div tot_old as bigint)"))
+      .withColumn("new_ppm",
+        expr("cast(cast(new_n as decimal(38,0)) * 1000000" +
+          " div tot_new as bigint)"))
       .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
       .select("token", "old_n", "new_n", "old_ppm", "new_ppm", "delta_ppm")
       .orderBy(abs(col("delta_ppm")).desc, col("token"))
@@ -1487,13 +1493,13 @@ object Dedup {
          |    coalesce(new_n, 0)::BIGINT AS new_n
          |  FROM ov FULL OUTER JOIN nv ON ov.token = nv.token)
          |SELECT token, old_n, new_n,
-         |  (old_n * 1000000 // tot_old)::BIGINT AS old_ppm,
-         |  (new_n * 1000000 // tot_new)::BIGINT AS new_ppm,
-         |  ((new_n * 1000000 // tot_new)
-         |    - (old_n * 1000000 // tot_old))::BIGINT AS delta_ppm
+         |  (old_n::HUGEINT * 1000000 // tot_old)::BIGINT AS old_ppm,
+         |  (new_n::HUGEINT * 1000000 // tot_new)::BIGINT AS new_ppm,
+         |  ((new_n::HUGEINT * 1000000 // tot_new)
+         |    - (old_n::HUGEINT * 1000000 // tot_old))::BIGINT AS delta_ppm
          |FROM j, tots
-         |ORDER BY abs((new_n * 1000000 // tot_new)
-         |  - (old_n * 1000000 // tot_old)) DESC, token
+         |ORDER BY abs((new_n::HUGEINT * 1000000 // tot_new)
+         |  - (old_n::HUGEINT * 1000000 // tot_old)) DESC, token
          |LIMIT 20""".stripMargin
   )
 }

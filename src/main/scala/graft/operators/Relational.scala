@@ -106,7 +106,10 @@ object Relational {
       .crossJoin(broadcast(nBaskets))
       .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
         col("n_p2"),
-        expr("n_both * n_baskets * 1000000 div (n_p1 * n_p2)")
+        // DECIMAL intermediates: n_both·n_baskets·10⁶ tops 2⁶³ at
+        // ~10⁹ baskets (the corpus_mixture Long-overflow precedent)
+        expr("cast(cast(n_both as decimal(38,0)) * n_baskets * 1000000" +
+          " div (cast(n_p1 as decimal(38,0)) * n_p2) as bigint)")
           .as("lift_e6"),
         expr("n_both * 1000000 div n_p1").as("conf_e6"))
       .orderBy(col("lift_e6").desc, col("p1"), col("p2"))
@@ -1159,8 +1162,8 @@ object Relational {
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT p1, p2, n_both, s1.n_p AS n_p1, s2.n_p AS n_p2,
-        |  (n_both * n_baskets * 1000000 // (s1.n_p * s2.n_p))::BIGINT
-        |    AS lift_e6,
+        |  (n_both::HUGEINT * n_baskets * 1000000
+        |    // (s1.n_p::HUGEINT * s2.n_p))::BIGINT AS lift_e6,
         |  (n_both * 1000000 // s1.n_p)::BIGINT AS conf_e6
         |FROM pairs
         |JOIN sup s1 ON p1 = s1.p
