@@ -176,7 +176,8 @@ object Stress {
       "dedup_semantic",
       "basket_part_pairs", "window_decile_spend", "q9_product_profit",
       "q21_waiting_supplier",
-      "merge_upsert", "neardup_pagerank", "skew_key_stats",
+      "merge_upsert", "neardup_pagerank", "neardup_triangles",
+      "skew_key_stats",
       "stream_interval_join", "ann_pq_topk",
       "bm25_topk", "rrf_fusion", "knn_classify", "text_chunk",
       "ann_ivfpq_topk",
@@ -202,6 +203,35 @@ object Stress {
       graft.operators.Dedup.minhashCandidateStage(spark, dir)._1.count())
     val (_, ngramCands, _) = measure("ngram_candidates")(
       graft.operators.Dedup.ngramCandidateStage(spark, dir)._1.count())
+    // triangle-wedge receipt on a HUB-PLANTED graph (one mega-hub of
+    // degree ~2000·K + a degree-≤3 chain — the boilerplate-template
+    // shape the near-dup graph takes at corpus scale): the
+    // degree-oriented enumeration must stay ~linear in K where the
+    // middle-vertex join a naive pairs⋈pairs would run grows ~K²
+    // (both counts recorded; the mid-vertex one is computed as
+    // Σ_m deg_<(m)·deg_>(m) — no need to materialize the blow-up)
+    val h = k * 2000
+    val hub = (h / 2).toLong
+    val hubPairs = spark.range(1, h + 1).filter(col("id") =!= hub)
+      .select(least(col("id"), lit(hub)).as("a_id"),
+        greatest(col("id"), lit(hub)).as("b_id"))
+      .unionAll(spark.range(1, h)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
+      .distinct().localCheckpoint()
+    // semantic-dedup receipt: intra-cell candidate pairs under the
+    // PRODUCTION cell-size knob (cells ∝ n, target occupancy 256) must
+    // grow ~K — the oracle-mode 256-cell cap would grow them ~K²/C
+    spark.conf.set("graft.semantic.cellSize", "256")
+    val (_, semCands, _) = measure("semantic_candidates_prod")(
+      graft.operators.Dedup.semanticStage(spark, dir)._2.count())
+    spark.conf.unset("graft.semantic.cellSize")
+    val (_, wedgesOriented, _) = measure("triangle_wedges_oriented")(
+      graft.operators.Dedup.triangleWedges(hubPairs).count())
+    val (_, wedgesMid, _) = measure("triangle_wedges_midvertex")(
+      hubPairs.groupBy(col("b_id").as("m")).agg(count(lit(1)).as("dl"))
+        .join(hubPairs.groupBy(col("a_id").as("m"))
+          .agg(count(lit(1)).as("dg")), "m")
+        .agg(sum(col("dl") * col("dg")).as("w")).head().getLong(0))
 
     val qJson = results.map { case (n, s, r, sb) =>
       "\"" + n + "\":{\"sec\":" + s + ",\"rows\":" + r +
@@ -209,6 +239,9 @@ object Stress {
     }.mkString("{", ",", "}")
     println(s"""{"stress_scale":$k,"n_docs":${nBase * k},"n_vecs":$nVecs,""" +
       s""""lsh_candidates":$lshCands,"ngram_candidates":$ngramCands,""" +
+      s""""triangle_wedges_oriented":$wedgesOriented,""" +
+      s""""triangle_wedges_midvertex":$wedgesMid,""" +
+      s""""semantic_candidates_prod":$semCands,""" +
       s""""queries":$qJson}""")
     spark.stop()
   }

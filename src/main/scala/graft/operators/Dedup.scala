@@ -64,27 +64,42 @@ object Dedup {
     * Output: nodes, edges, wedges (Σ deg·(deg−1)/2), triangles, and
     * closure = 3·triangles/wedges in ppm — all integers, hash-exact.
     *
-    * Scale shape: the classic edge-partitioned triangle join — the
-    * a<b<c-ordered pair frame (localCheckpoint'd once, the
-    * [[pagerank]] precedent) joins itself on the shared middle vertex
-    * and the closing edge is verified with one more equi-join; both
-    * joins key on node ids, so the work is Σ deg² over the VERIFIED
-    * near-dup graph, whose degrees the df-capped candidate generation
-    * already bounds (measured linear at 16×, docs/STRESS.md). No
-    * enumeration of non-edges, nothing corpus-global. */
-  def triangles(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+    * Scale shape: DEGREE-ORIENTED (compact-forward, Chiba–Nishizeki)
+    * wedge enumeration. Every edge is oriented from its lower-RANK
+    * endpoint to the higher (rank = (degree, id) — total order, no
+    * ties), and wedges are enumerated at the LOWER-rank vertex: the
+    * self-join of the oriented frame keys on `src`, so per-vertex work
+    * is outdeg(v)², and out-degrees under this orientation are bounded
+    * by O(√m) — total wedge candidates O(m^1.5) REGARDLESS of hub
+    * skew. The naive middle-vertex join (pairs ⋈ pairs on b = m) costs
+    * deg(hub)² at each hub, and near-dup graphs are exactly the graphs
+    * with mega-hubs (one boilerplate template near-duplicating 10⁶
+    * docs ⇒ ~10¹² wedge rows on ONE join key before the closing-edge
+    * semi join prunes anything) — the Stress hub-planted receipt
+    * (docs/STRESS.md) measures the two counts side by side. The
+    * closing edge (lo-rank tip → hi-rank tip, which the orientation
+    * guarantees IS how the edge is stored) is verified with one semi
+    * join; each triangle is counted exactly once, at its minimum-rank
+    * vertex. */
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOf(ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint())
+
+  /** [[triangles]] over an explicit verified-pair frame (a_id < b_id,
+    * distinct) — the graph kernel, reusable for any edge source. The
+    * input must already be materialized (three consumers below). */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
     val deg = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // consumed by stats + both orientation joins
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
     val edges = pairs.agg(count(lit(1)).as("n_edges"))
-    val tri = pairs
-      .join(pairs.select(col("a_id").as("m_id"), col("b_id").as("c_id")),
-        col("b_id") === col("m_id"))
-      .join(pairs.select(col("a_id").as("t_a"), col("b_id").as("t_b")),
-        col("a_id") === col("t_a") && col("c_id") === col("t_b"),
+    val oriented = orientEdges(pairs, deg)
+      .localCheckpoint() // consumed by both wedge sides + the semi join
+    val tri = wedgeCandidates(oriented)
+      .join(oriented.select(col("src").as("t_s"), col("dst").as("t_d")),
+        col("w_lo") === col("t_s") && col("w_hi") === col("t_d"),
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     stats.crossJoin(edges).crossJoin(tri)
@@ -93,6 +108,48 @@ object Dedup {
         expr("CASE WHEN n_wedges > 0 THEN" +
           " 3 * n_triangles * 1000000 div n_wedges ELSE 0 END")
           .as("closure_ppm"))
+  }
+
+  /** Orient each (a_id < b_id) edge low-rank → high-rank under
+    * rank = (degree, id); carries the DST tip's degree so the wedge
+    * join can compare ranks without another degree join. On a degree
+    * tie the smaller id is the lower rank — and a_id < b_id already,
+    * so `da <= db ⇒ a is src` realizes (deg, id) order exactly. */
+  private def orientEdges(pairs: DataFrame, deg: DataFrame): DataFrame =
+    pairs
+      .join(deg.select(col("doc_id").as("a_id"), col("degree").as("da")),
+        "a_id")
+      .join(deg.select(col("doc_id").as("b_id"), col("degree").as("db")),
+        "b_id")
+      .select(
+        when(col("da") <= col("db"), col("a_id")).otherwise(col("b_id"))
+          .as("src"),
+        when(col("da") <= col("db"), col("b_id")).otherwise(col("a_id"))
+          .as("dst"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da"))
+          .as("dst_deg"))
+
+  /** Wedge candidates at the lower-rank vertex: pairs of out-edges
+    * from one `src`, tips ordered by (deg, id) rank so the closing
+    * edge w_lo → w_hi matches the stored orientation. Package-private:
+    * the Stress harness counts these rows on a hub-planted graph —
+    * the O(m^1.5) claim, measured. */
+  private[graft] def wedgeCandidates(oriented: DataFrame): DataFrame =
+    oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src")
+          && (col("e1.dst_deg") < col("e2.dst_deg")
+            || (col("e1.dst_deg") === col("e2.dst_deg")
+              && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w_lo"), col("e2.dst").as("w_hi"))
+
+  /** Degree-orient + enumerate wedges from a raw (a_id, b_id) pair
+    * frame — the Stress receipt entry point. */
+  private[graft] def triangleWedges(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    wedgeCandidates(orientEdges(pairs, deg).localCheckpoint())
   }
 
   /** PageRank over the verified near-dup graph — the hub-scoring stage
@@ -297,36 +354,77 @@ object Dedup {
     * threshold. Output partitions the whole corpus (one row per
     * vector: cell + pruned flag).
     *
-    * Scale shape: quantizer cost is n·C (the capped-C argument of
-    * [[Similarity.annIvf]]); the intra-cell self-join costs
-    * Σ_cell |cell|² ≈ n·√n at balanced cells instead of n² — and at
-    * the C = 256 cap it is n²/256 with perfectly partitionable cells,
-    * which is the standard SemDeDup trade (FAISS-clustered cells,
-    * pairwise only inside). Recall loss is near-dup pairs split across
-    * a cell boundary — the same accepted trade as every bucketed path
-    * here ([[embeddingLsh]], [[Similarity.annIvf]]). */
+    * Scale shape: quantizer cost is n·C; the intra-cell self-join
+    * costs Σ_cell |cell|², so the cell COUNT is the scale knob. Two
+    * regimes, switched by `graft.semantic.cellSize`:
+    *
+    *  - '''oracle mode (conf unset — the default, and what the
+    *    correctness gate runs)''': C = clamp(⌈√n⌉, 8, 256), the
+    *    `cluster_kmeans`-replayable recipe. At the 256-cell cap the
+    *    pair join is n²/256 — fine at test SF, quadratic at corpus
+    *    scale; the cap exists ONLY so DuckDB can replay the k-means
+    *    trajectory.
+    *  - '''production mode (`graft.semantic.cellSize` = target cell
+    *    occupancy, e.g. 256)''': C = max(8, ⌈n/target⌉) — cells hold
+    *    ~target vectors at ANY corpus size, so intra-cell pair volume
+    *    is ~n·target/2, LINEAR in n (the Stress receipt measures it,
+    *    docs/STRESS.md), and the n·C quantizer pass is the same
+    *    accepted build cost as [[Similarity.annIvf]]'s (amortized
+    *    across runs by persisting cells, the `ann_index_upsert`
+    *    composition). This is the standard SemDeDup deployment shape:
+    *    FAISS-scale cell counts, pairwise only inside a cell.
+    *
+    * Recall loss is near-dup pairs split across a cell boundary — the
+    * same accepted trade as every bucketed path here
+    * ([[embeddingLsh]], [[Similarity.annIvf]]). */
   def semantic(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
-      .localCheckpoint() // seeds + every Lloyd pass + both pair sides
-    val n = e.count()
-    val c = math.min(256L,
-      math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    val assigned = Similarity.kmeansCells(e, c)
-      .localCheckpoint() // consumed by both pair sides + the output join
-    val m = assigned.join(e, "vec_id")
-    val pruned = m.as("a").join(m.as("b"),
-        col("a.cid") === col("b.cid")
-          && col("a.vec_id") < col("b.vec_id"))
+    val (assigned, cands) = semanticStage(s, d)
+    val pruned = cands
       .filter(call_function(GraftFunctions.CosineName,
-        col("a.emb"), col("b.emb")) >= 0.45)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+        col("a_emb"), col("b_emb")) >= 0.45)
+      .select(col("b_id").as("vec_id")).distinct()
       .withColumn("pr", lit(1))
     assigned.join(pruned, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("pr"), lit(0)).as("is_pruned"))
       .orderBy("vec_id")
+  }
+
+  /** Cell count for [[semantic]]: the ⌈n/cellSize⌉ production rule
+    * when `graft.semantic.cellSize` is set, else the 256-capped
+    * oracle-replayable √n recipe (see [[semantic]]'s scale note). */
+  private[graft] def semanticCells(s: SparkSession, n: Long): Int =
+    s.conf.getOption("graft.semantic.cellSize") match {
+      case Some(t) =>
+        val target = t.toLong
+        require(target > 0, s"graft.semantic.cellSize must be > 0: $t")
+        math.max(8L, (n + target - 1) / target).toInt
+      case None =>
+        math.min(256L,
+          math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    }
+
+  /** [[semantic]]'s kernel — (cell assignment, intra-cell candidate
+    * pairs BEFORE the cosine verify). Package-private: the Stress
+    * harness counts the candidate rows under the production cell-size
+    * knob (the ~linear-in-n claim, measured), and the verify stage
+    * consumes them filtered. */
+  private[graft] def semanticStage(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // seeds + every Lloyd pass + both pair sides
+    val n = e.count()
+    val assigned = Similarity.kmeansCells(e, semanticCells(s, n))
+      .localCheckpoint() // consumed by both pair sides + the output join
+    val m = assigned.join(e, "vec_id")
+    val cands = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.emb").as("a_emb"), col("b.emb").as("b_emb"))
+    (assigned, cands)
   }
 
   /** Quality-aware survivor selection — the policy layer over

@@ -60,6 +60,27 @@ class ApproxSpec extends SparkSpec {
     assert(out.length.toLong === n)
   }
 
+  test("semantic dedup production cell knob keeps the pruning invariant") {
+    // graft.semantic.cellSize routes C to ⌈n/target⌉ (the linear-pair
+    // production regime); the semantics contract is unchanged: pruned ⊆
+    // exact prunable set, output still partitions the corpus, and the
+    // cell-count rule itself resolves as documented
+    import graft.operators.Dedup
+    assert(Dedup.semanticCells(spark, 1000000L) === 256) // oracle cap
+    try {
+      spark.conf.set("graft.semantic.cellSize", "50")
+      assert(Dedup.semanticCells(spark, 1000000L) === 20000) // n/target
+      val exact = Dedup.embeddingCosine(spark, sf0001)
+        .select("b_id").collect().map(_.getLong(0)).toSet
+      val out = Dedup.semantic(spark, sf0001).collect()
+      val pruned = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+      assert(pruned.subsetOf(exact),
+        s"production-mode semantic pruned non-near-dups: ${pruned -- exact}")
+      val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+      assert(out.length.toLong === n, "output must partition the corpus")
+    } finally spark.conf.unset("graft.semantic.cellSize")
+  }
+
   test("PQ ANN: index shape, bounded quantization error, recall vs exact IP") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity

@@ -93,6 +93,23 @@ class PlanAuditSpec extends SparkSpec {
       "pair generation degenerated to a cartesian")
   }
 
+  test("triangles: wedge join keys on the LOW-RANK vertex (degree-oriented)") {
+    // the round-6 scale weak this pins against: a middle-vertex wedge
+    // join (pairs ⋈ pairs on b_id = m_id) costs deg(hub)² at each hub —
+    // the degree-oriented form keys the self-join on `src`, the
+    // lower-(degree, id)-rank endpoint, bounding wedge work at O(m^1.5)
+    val p = plan("neardup_triangles")
+    val t = finalTree(p)
+    assert("""Left keys(?: \[\d+\])?: \[src""".r.findFirstIn(p).isDefined,
+      "wedge self-join must hash on the oriented src vertex")
+    assert(!"""keys(?: \[\d+\])?: \[b_id""".r.findFirstIn(p).isDefined,
+      "middle-vertex (b_id = m_id) wedge join resurfaced — hub-quadratic")
+    assert(t.contains("LeftSemi"),
+      "closing-edge check should stay a semi join")
+    assert(!t.contains("CartesianProduct"),
+      "triangle enumeration degenerated to a cartesian")
+  }
+
   test("ngram jaccard: bounded shuffles, hot-shingle drop is broadcast") {
     val p = plan("dedup_ngram_jaccard")
     assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
