@@ -179,7 +179,8 @@ object Stress {
       "merge_upsert", "neardup_pagerank", "neardup_triangles",
       "skew_key_stats",
       "stream_interval_join", "ann_pq_topk",
-      "bm25_topk", "rrf_fusion", "knn_classify", "text_chunk",
+      "bm25_topk", "bm25_from_index", "phrase_from_index",
+      "rrf_fusion", "knn_classify", "text_chunk",
       "ann_ivfpq_topk",
       "logreg_quality_train", "logreg_quality_apply", "bpe_merges",
       "quality_threshold_sweep", "stream_contamination_hits",

@@ -59,12 +59,6 @@ object LogAnalytics {
     "ingest_json_audit" -> ingestJsonAudit
   )
 
-  /** Corpus dirs whose JSON-lines rendering is already written this
-    * session (scratch path → corpus dir) — the [[Similarity]] index
-    * build-once pattern for the ingestion fixture. */
-  private val jsonWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** End-to-end JSON-lines ingestion audit — the OTHER half of log
     * ingestion next to [[ingestParse]]'s regex path: events rendered
     * as single-line JSON (written ONCE per JVM+corpus, the
@@ -86,15 +80,11 @@ object LogAnalytics {
     * scan into a map-side-combined ≤ |types|+1 aggregate — ingestion
     * cost is the scan itself, the aggregate is metadata. */
   def ingestJsonAudit(s: SparkSession, d: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.ops.Scratch.dir("jsonlines-" + key)
-    val prev = jsonWritten.putIfAbsent(path, d)
-    if (prev == null)
+    val path = graft.ops.BuildOnce.scratchPath("jsonlines", d)
+    graft.ops.BuildOnce.ensure(path, d) {
       jsonLinesFixture(Tables.events(s, d))
         .write.mode("overwrite").text(path)
-    else require(prev == d,
-      s"JSON fixture at $path was written for corpus $prev, read for $d")
+    }
     jsonQuarantineStage(s.read.schema(JsonIngestSchema).json(path))
       .orderBy("event_type")
   }

@@ -28,10 +28,12 @@ object Retrieval {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25TopK,
+    "bm25_from_index" -> bm25FromIndex,
     "rrf_fusion" -> rrfFusion,
     "knn_classify" -> knnClassify,
     "text_chunk" -> textChunk,
     "phrase_search" -> phraseSearch,
+    "phrase_from_index" -> phraseFromIndex,
     "snippet_extract" -> snippetExtract,
     "mmr_diversify" -> mmrDiversify
   )
@@ -238,6 +240,20 @@ object Retrieval {
     val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    bm25FromTf(tf, g, terms)
+  }
+
+  /** The BM25 scoring kernel over a (doc_id, dl, tok, tf) frame plus
+    * the broadcast (n, avgdl) globals — shared verbatim by
+    * [[bm25Scores]] (corpus scan builds tf per call) and
+    * [[bm25FromIndex]] (tf point-read from the materialized postings):
+    * identical inputs through identical fixed-order per-term summands
+    * make the two paths bit-equal, which is the whole from-index
+    * contract. df is derived from the tf frame itself (count of docs
+    * per term) — on the index path the filtered postings ARE that
+    * term's full document list, so no separate dictionary is needed. */
+  private def bm25FromTf(tf: DataFrame, g: DataFrame,
+      terms: Seq[String]): DataFrame = {
     val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ts = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
       .withColumn("idf",
@@ -251,6 +267,64 @@ object Retrieval {
     ts.groupBy("doc_id").agg(termSum.head, termSum.tail: _*)
       .select(col("doc_id"),
         terms.map(t => col("s_" + t)).reduce(_ + _).as("score"))
+  }
+
+  /** Ensure the materialized lexical index for corpus `d` exists
+    * (build-once per JVM+corpus, the [[Similarity]] index guard) and
+    * return its path. */
+  private def lexIndexPath(s: SparkSession, d: String): String = {
+    val path = graft.ops.BuildOnce.scratchPath("lex", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.lexicalIndex(s, d, path)
+    }
+    path
+  }
+
+  /** BM25 served from the MATERIALIZED inverted index
+    * ([[graft.ops.Materialize.lexicalIndex]]) — the read path a search
+    * deployment actually runs, and the lexical counterpart of
+    * `ann_pq_from_index`: the query touches ONLY the postings rows of
+    * its own terms (the `isin` filter pushes into the tok-range-sorted
+    * parquet, pruning row groups by min/max — PlanAuditSpec pins that
+    * the text column is never read) plus the 1-row stats frame; the
+    * corpus-wide tokenize/df/avgdl work happened once at build time.
+    * Results are BIT-EQUAL to `bm25_topk` (same kernel over identical
+    * inputs — ApproxSpec pins the equality), so the oracle SQL is the
+    * in-query twin's, hash-exact. Build-once per JVM+corpus; the
+    * deterministic build makes reuse result-invariant. */
+  def bm25FromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = lexIndexPath(s, d)
+    val terms = qTerms
+    val post = s.read.parquet(s"$path/postings")
+      .filter(col("tok").isin(terms: _*))
+    val g = s.read.parquet(s"$path/stats")
+    bm25FromTf(post, g, terms)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Exact-phrase search served from the MATERIALIZED positional gram
+    * index — [[phraseSearch]]'s serving twin: the standing phrase is
+    * derived from the vocabulary-sized `gramstats` artifact (top
+    * occurrence count, lexicographic tie — ONE row read driver-side,
+    * the `ann_ivf_from_index` centroid-metadata exception, so the
+    * postings filter below is a LITERAL the scan prunes on), then the
+    * gram-range-sorted postings are point-read for that gram only and
+    * rolled up per doc exactly as the in-query twin does. Bit-equal to
+    * `phrase_search` (ApproxSpec pins it); oracle SQL is the twin's. */
+  def phraseFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = lexIndexPath(s, d)
+    val top = s.read.parquet(s"$path/gramstats")
+      .orderBy(col("n").desc, col("gram")).limit(1)
+      .head().getString(0)
+    s.read.parquet(s"$path/grams")
+      .filter(col("gram") === top)
+      .groupBy("doc_id")
+      .agg(max("gram").as("phrase"), count(lit(1)).as("n_hits"),
+        min("pos").as("first_pos"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(20)
   }
 
   /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
@@ -519,6 +593,29 @@ object Retrieval {
       s"""WITH $sqlBm25
          |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // the from-index twins are BIT-EQUAL to their in-query siblings
+    // (same kernel over identical inputs, ApproxSpec-pinned), so the
+    // oracle replays the same SQL — the hash gate then checks the
+    // whole build → point-read → score loop end to end
+    "bm25_from_index" ->
+      s"""WITH $sqlBm25
+         |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "phrase_from_index" ->
+      s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+         |           FROM documents),
+         |sh AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
+         |g AS (SELECT doc_id, unnest(gs) AS gram,
+         |        generate_subscripts(gs, 1) - 1 AS pos
+         |      FROM sh),
+         |top AS (SELECT gram FROM (
+         |  SELECT gram, count(*) AS n FROM g GROUP BY 1
+         |  ORDER BY n DESC, gram LIMIT 1))
+         |SELECT doc_id, max(g.gram) AS phrase, count(*) AS n_hits,
+         |  min(pos)::INT AS first_pos
+         |FROM g JOIN top USING (gram)
+         |GROUP BY doc_id
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
     "rrf_fusion" ->
       s"""WITH $sqlBm25,
          |lex AS (SELECT doc_id, row_number() OVER

@@ -21,11 +21,6 @@ object Similarity {
   private def cos(a: Column, b: Column): Column =
     call_function(GraftFunctions.CosineName, a, b)
 
-  /** Corpus dirs whose IVF index is already materialized this session
-    * (scratch path → corpus dir); see [[annIvfFromIndex]]. */
-  private val ivfWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> annBruteforce,
     "ann_lsh_topk" -> annLsh,
@@ -352,12 +347,6 @@ object Similarity {
     pqProbe(s, d, codes.join(cand, "vec_id"), cb)
   }
 
-  /** Corpus dirs whose PQ index is already materialized this session
-    * (scratch path → corpus dir), mirroring [[annIvfFromIndex]]'s
-    * build-once guard. */
-  private val pqWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** PQ probe against the MATERIALIZED index
     * ([[graft.ops.Materialize.pqIndex]]) — the serving path the PQ
     * scale story is really about: the query reads ONLY the byte-codes
@@ -380,13 +369,10 @@ object Similarity {
     * byte-code read, never the build. */
   private def pqIndexFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.ops.Scratch.dir("pq-" + key)
-    val prev = pqWritten.putIfAbsent(path, d)
-    if (prev == null) graft.ops.Materialize.pqIndex(s, d, path)
-    else require(prev == d,
-      s"PQ scratch index at $path was built for corpus $prev, probed for $d")
+    val path = graft.ops.BuildOnce.scratchPath("pq", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.pqIndex(s, d, path)
+    }
     (s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/codebooks"))
   }
 
@@ -738,15 +724,10 @@ object Similarity {
     * [[annIvfPqFromIndex]]. */
   private def ivfPrunedCells(s: SparkSession, d: String)
       : (String, Seq[Int]) = {
-    // key the scratch path on the FULL corpus dir (md5, not hashCode —
-    // colliding hashCodes of two dirs must not silently share an index)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.ops.Scratch.dir("ivf-" + key)
-    val prev = ivfWritten.putIfAbsent(path, d)
-    if (prev == null) graft.ops.Materialize.ivfIndex(s, d, path)
-    else require(prev == d,
-      s"IVF scratch index at $path was built for corpus $prev, probed for $d")
+    val path = graft.ops.BuildOnce.scratchPath("ivf", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.ivfIndex(s, d, path)
+    }
     def cosSeq(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
       while (i < a.length) {

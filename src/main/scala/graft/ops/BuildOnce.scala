@@ -1,0 +1,40 @@
+package graft.ops
+
+/** Build-once-per-JVM guard for session-scoped materialized artifacts
+  * (the IVF/PQ/lexical indexes, the JSON-lines ingestion fixture).
+  *
+  * `computeIfAbsent` — not `putIfAbsent` — because the two differ
+  * exactly where concurrency bites: with putIfAbsent a LOSER of the
+  * insertion race returns immediately and may read an artifact the
+  * winner is still writing. computeIfAbsent's contract makes the
+  * mapping-function invocation atomic per key: concurrent callers for
+  * the same path BLOCK until the winner's build completes, and a build
+  * that THROWS records nothing (the next caller retries rather than
+  * trusting a half-written artifact). Harmless under the sequential
+  * driver harness; required for concurrent sessions sharing one JVM.
+  */
+object BuildOnce {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run `build` exactly once per `path` in this JVM; every caller —
+    * including losers of the race — returns only after the build has
+    * completed. `tag` identifies the input (here: the corpus dir);
+    * re-ensuring the same path for a DIFFERENT tag throws, so two
+    * corpora can never silently share one artifact. */
+  def ensure(path: String, tag: String)(build: => Unit): Unit = {
+    val got = built.computeIfAbsent(path, _ => { build; tag })
+    require(got == tag,
+      s"scratch artifact at $path was built for $got, requested for $tag")
+  }
+
+  /** Scratch path for artifact `kind` over corpus `dir`, keyed on the
+    * md5 of the FULL dir (not hashCode — colliding hashCodes of two
+    * dirs must not silently share an artifact). */
+  def scratchPath(kind: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Scratch.dir(kind + "-" + key)
+  }
+}

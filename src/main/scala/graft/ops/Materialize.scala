@@ -113,6 +113,55 @@ object Materialize {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Materialize the LEXICAL inverted index — the serving artifact the
+    * retrieval suite's scale story promises, completing the from-index
+    * matrix on the text side the way [[ivfIndex]]/[[pqIndex]] complete
+    * it on the vector side. `bm25_topk` recomputes df/tf/avgdl from
+    * the corpus per call and `phrase_search` rebuilds the positional
+    * gram stream in-query; a deployment pays that scan once here
+    * and point-reads per query:
+    *
+    *  - `path`/postings: (tok, doc_id, dl, tf) — the document-keyed
+    *    inverted index, one row per distinct (token, doc). Files are
+    *    tok-range-sorted (`repartitionByRange` + sort, the [[pqIndex]]
+    *    layout rule) so a query-term read prunes to the row groups
+    *    whose tok min/max cover it — a point-lookup, not a scan.
+    *  - `path`/grams: (gram, doc_id, pos) positional trigram postings,
+    *    gram-range-sorted the same way — phrase lookups read only the
+    *    matching gram's row groups.
+    *  - `path`/gramstats: (gram, n) occurrence totals — vocabulary-
+    *    sized planner metadata (the phrase twin derives its standing
+    *    query from the top row; a production call passes a constant).
+    *  - `path`/stats: ONE row (n, avgdl) — the BM25 globals, computed
+    *    over dl > 0 docs exactly as the in-query path does, so scores
+    *    from the index are bit-identical to scores from the corpus.
+    */
+  def lexicalIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val c = Tables.documents(s, dir)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .filter(col("dl") > 0)
+      .localCheckpoint() // consumed by the stats agg AND the postings
+    c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    c.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode_outer(Fns.shingles3(Fns.tokens(col("text")))))
+      .toDF("doc_id", "pos", "gram")
+      .filter(col("gram").isNotNull)
+      .localCheckpoint() // consumed by the postings write + the stats
+    grams.repartitionByRange(col("gram"))
+      .sortWithinPartitions("gram", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/grams")
+    grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/gramstats")
+  }
+
   /** Materialize the PQ index `ann_pq_topk`'s scale story promises:
     * the (vec_id, sub, code) byte-codes under `path`/codes — the ONLY
     * per-vector state a probe ever reads, 8 bytes of payload per

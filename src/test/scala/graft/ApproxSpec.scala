@@ -217,6 +217,27 @@ class ApproxSpec extends SparkSpec {
     assert(dir.lastModified() === before, "PQ index was rebuilt on reuse")
   }
 
+  test("lexical materialized index: serving twins equal in-query, build once") {
+    import graft.operators.Retrieval
+    // the from-index contract: BIT-equal results (same kernel over
+    // identical inputs), not merely same top-k membership
+    val bmIdx = Retrieval.bm25FromIndex(spark, sf0001).collect()
+    val bmQ = Retrieval.bm25TopK(spark, sf0001).collect()
+    assert(bmIdx.map(_.toString).toSeq === bmQ.map(_.toString).toSeq,
+      "bm25_from_index diverged from the in-query bm25_topk")
+    val phIdx = Retrieval.phraseFromIndex(spark, sf0001).collect()
+    val phQ = Retrieval.phraseSearch(spark, sf0001).collect()
+    assert(phIdx.map(_.toString).toSeq === phQ.map(_.toString).toSeq,
+      "phrase_from_index diverged from the in-query phrase_search")
+    // build-once: a second serve reuses the index (unchanged mtime) —
+    // rebuilding per call would re-pay the corpus scan serving avoids
+    val dir = new java.io.File(
+      graft.ops.BuildOnce.scratchPath("lex", sf0001))
+    val before = dir.lastModified()
+    Retrieval.bm25FromIndex(spark, sf0001).collect()
+    assert(dir.lastModified() === before, "lexical index rebuilt on reuse")
+  }
+
   test("approx top-k heavy hitters match the exact top users") {
     val exact = LogAnalytics.topUsers(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

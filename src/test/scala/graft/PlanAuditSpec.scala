@@ -433,6 +433,22 @@ class PlanAuditSpec extends SparkSpec {
       "incoming-mass sums should partial-aggregate map-side")
   }
 
+  test("lexical from-index serving never reads text; term filters pushed") {
+    // the serving claim: a query touches its own terms' postings rows
+    // (filter pushed into the tok/gram-range-sorted parquet, pruning
+    // row groups) and the 1-row stats — never the corpus text column
+    val p = plan("bm25_from_index")
+    assert(p.contains("PushedFilters: [In(tok"),
+      "query-term filter must push into the postings scan")
+    assert(!p.contains("text:string"),
+      "bm25 serving path read the corpus text column")
+    val p2 = plan("phrase_from_index")
+    assert(p2.contains("EqualTo(gram"),
+      "literal gram filter must push into the grams scan")
+    assert(!p2.contains("text:string"),
+      "phrase serving path read the corpus text column")
+  }
+
   test("PQ probe joins codes to a BROADCAST lookup table") {
     val p = plan("ann_pq_topk")
     val t = finalTree(p)
