@@ -173,7 +173,7 @@ object Stress {
       "dedup_containment", "dedup_cross_source_rate",
       "neardup_degree_dist", "dedup_best_survivor", "dedup_token_savings",
       "quality_logit_score", "mixture_resample", "mixture_upsample",
-      "dedup_semantic",
+      "dedup_semantic", "dedup_semantic_incremental",
       "basket_part_pairs", "window_decile_spend", "q9_product_profit",
       "q21_waiting_supplier",
       "merge_upsert", "neardup_pagerank", "neardup_triangles",

@@ -48,6 +48,7 @@ object Dedup {
     "dedup_best_survivor" -> bestSurvivor,
     "dedup_token_savings" -> tokenSavings,
     "dedup_semantic" -> semantic,
+    "dedup_semantic_incremental" -> semanticIncremental,
     "merge_upsert" -> mergeUpsert,
     "vocab_drift" -> vocabDrift,
     "neardup_quality_delta" -> qualityDelta,
@@ -172,10 +173,28 @@ object Dedup {
     * doc_id-keyed join (share = pr div deg), one edge join, and one
     * dst-keyed sum with map-side combine — all shuffles on node keys,
     * nothing corpus-global, the standard edge-partitioned Pregel
-    * round expressed relationally. Iteration count is fixed (3), so
-    * the plan is a bounded chain, no convergence driver loop. */
+    * round expressed relationally.
+    *
+    * Iteration count: `graft.pagerank.iters` (default 3, the recipe
+    * the oracle unrolls). 3 rounds suffice for the hub-RANKING use
+    * case — a template hub's mass advantage is established by its
+    * direct edges in round 1 and only sharpens after — but rank mass
+    * on a deep chain (diameter > 3) has not fully propagated at 3;
+    * a deployment that needs converged VALUES (not ranks) raises the
+    * conf, and deep runs (> 3) truncate lineage per round so the plan
+    * stays bounded however many rounds run (the [[clusters]] rule).
+    * DedupSpec pins that the knob is honored and that extra rounds
+    * preserve the degree structure. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    val iters = s.conf.getOption("graft.pagerank.iters").fold(3)(_.toInt)
+    pagerankOf(ngramJaccard(s, d).select("a_id", "b_id"), iters)
+  }
+
+  /** [[pagerank]] over an explicit verified-pair frame — the graph
+    * kernel, shared with the spec (which pins depth semantics on a
+    * chain graph the clique-shaped testdata cannot exhibit). */
+  private[graft] def pagerankOf(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"graft.pagerank.iters must be >= 1: $iters")
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
@@ -186,7 +205,7 @@ object Dedup {
     val init = 1000000000000L / n
     val base = 150000000000L / n // (1 − 0.85)·10¹² div n
     var pr = deg.select(col("src").as("doc_id"), lit(init).as("pr"))
-    (1 to 3).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val shares = pr.join(deg, col("doc_id") === col("src"))
         .select(col("doc_id"), expr("pr div deg").as("share"))
       pr = edges
@@ -196,6 +215,10 @@ object Dedup {
         .agg(sum("share").as("insum"))
         .select(col("doc_id"),
           (lit(base) + expr("85 * insum div 100")).as("pr"))
+      // the default 3-round plan stays one bounded chain (single
+      // action, plan-audited); DEEP runs truncate lineage per round
+      // so plan depth cannot grow with the iteration count
+      if (iters > 3) pr = pr.localCheckpoint()
     }
     pr.join(deg, col("doc_id") === col("src"))
       .select(col("doc_id"), col("deg").as("degree"), col("pr").as("pr_e12"))
@@ -425,6 +448,77 @@ object Dedup {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.emb").as("a_emb"), col("b.emb").as("b_emb"))
     (assigned, cands)
+  }
+
+  /** Incremental SEMANTIC dedup — the embedding-space twin of
+    * [[incrementalFrames]], closing the nightly-refresh gap: a new
+    * vector batch is deduped against the EXISTING corpus cells without
+    * re-running the full [[semantic]] rebuild. Composition of the
+    * suite's two halves: [[Similarity.kmeansFit]] trains centroids on
+    * the BASE corpus only and they are FROZEN (the `ann_index_upsert`
+    * maintenance recipe — no retrain on upsert), then base AND batch
+    * assign to those frozen cells in one linear broadcast pass, and
+    * candidate pairs form ONLY as (earlier vector) × (new vector)
+    * within a cell — every corpus vector counts as earlier than every
+    * batch vector, batch vectors order among themselves by vec_id
+    * (the [[incrementalFrames]] ordering convention). A batch vector
+    * is pruned iff an earlier same-cell vector clears cosine ≥ 0.45.
+    * Output: one row per BATCH vector (cell + pruned flag) — the
+    * operational decision set; the driver query splits vec_id ≡ 0
+    * mod 8 as the batch (the `ann_index_upsert` slice) so the oracle
+    * replays the same split from one table.
+    *
+    * Scale shape: the pair join's b-side is ONLY the batch (the
+    * `is_new` filter — DedupSpec pins it on the optimized plan, the
+    * [[incrementalFrames]] pin), so intra-cell work is
+    * Σ_cell |cell|·|cell_new| — proportional to the BATCH, never
+    * corpus², and old×old pairs never exist. Cell count follows
+    * [[semanticCells]] (production knob included); assignment is the
+    * broadcast-centroid linear pass. Maintenance cost is O(batch),
+    * exactly the upsert promise. */
+  def semanticIncremental(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    semanticIncrementalFrames(
+      e.filter(pmod(col("vec_id"), lit(8)) === 0),
+      e.filter(pmod(col("vec_id"), lit(8)) =!= 0))
+  }
+
+  /** Production form of [[semanticIncremental]]: dedupe `newBatch`
+    * (vec_id, emb) against `corpus` (vec_id, emb) — separate frames,
+    * vec_ids globally unique across both. Centroids fit on `corpus`
+    * alone and frozen; every corpus vector is "earlier" than every
+    * batch vector. */
+  def semanticIncrementalFrames(newBatch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val s = newBatch.sparkSession
+    GraftFunctions.register(s)
+    val tagged = corpus.select(col("vec_id"), col("emb"), lit(0).as("is_new"))
+      .unionAll(newBatch.select(col("vec_id"), col("emb"),
+        lit(1).as("is_new")))
+      .localCheckpoint() // consumed by the fit (base slice) + 2 pair sides
+    val base = tagged.filter(col("is_new") === 0).select("vec_id", "emb")
+    val cents = Similarity.kmeansFit(base, semanticCells(s, base.count()))
+      .localCheckpoint() // frozen — consumed once per assign side
+    val assigned = Similarity
+      .kmeansAssign(tagged.select("vec_id", "emb"), cents)
+      .join(tagged, "vec_id")
+      .localCheckpoint() // consumed by both pair sides + the output join
+    val newSide = assigned.filter(col("is_new") === 1)
+    val pruned = assigned.as("a").join(newSide.as("b"),
+        col("a.cid") === col("b.cid")
+          && (col("a.is_new") === 0
+            || col("a.vec_id") < col("b.vec_id")))
+      .filter(call_function(GraftFunctions.CosineName,
+        col("a.emb"), col("b.emb")) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("pr", lit(1))
+    newSide.select("vec_id", "cid")
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("pr"), lit(0)).as("is_pruned"))
+      .orderBy("vec_id")
   }
 
   /** Quality-aware survivor selection — the policy layer over
@@ -1194,6 +1288,68 @@ object Dedup {
          |SELECT a.vec_id, a.cid,
          |  (CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS is_pruned
          |FROM a2 a LEFT JOIN pr ON a.vec_id = pr.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+    "dedup_semantic_incremental" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+         |    (CASE WHEN vec_id % 8 = 0 THEN 1 ELSE 0 END) AS is_new
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM e WHERE is_new = 0),
+         |p AS (SELECT least(256, greatest(8, ceil(sqrt(count(*)))))::INT
+         |        AS c FROM b),
+         |seeds AS (
+         |  SELECT (rn - 1)::INT AS cid, emb AS cvec
+         |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM b)
+         |  WHERE rn <= (SELECT c FROM p)),
+         |a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM b CROSS JOIN seeds)) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a0.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a0 JOIN b USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM b CROSS JOIN c1)) WHERE rn = 1),
+         |c2 AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT a1.cid, generate_subscripts(emb, 1) AS pos,
+         |        unnest(emb) AS v
+         |      FROM a1 JOIN b USING (vec_id))
+         |    GROUP BY cid, pos) GROUP BY cid),
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM e CROSS JOIN c2)) WHERE rn = 1),
+         |pr AS (
+         |  SELECT DISTINCT bb.vec_id
+         |  FROM af a JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN af bb ON a.cid = bb.cid
+         |  JOIN e eb ON eb.vec_id = bb.vec_id
+         |  WHERE eb.is_new = 1
+         |    AND (ea.is_new = 0 OR a.vec_id < bb.vec_id)
+         |    AND ${Fns.sqlCosine("ea.emb", "eb.emb")} >= 0.45)
+         |SELECT a.vec_id, a.cid,
+         |  (CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS is_pruned
+         |FROM af a JOIN e ON e.vec_id = a.vec_id
+         |LEFT JOIN pr ON a.vec_id = pr.vec_id
+         |WHERE e.is_new = 1
          |ORDER BY a.vec_id""".stripMargin,
     "dedup_best_survivor" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),

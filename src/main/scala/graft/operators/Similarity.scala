@@ -91,7 +91,14 @@ object Similarity {
             x => x.getField("ncid") =!= t.getField("ncid")), 1)
             .getField("cm").as("other_cm"))
       }.as("r"))
-    perVec.groupBy(col("r.own_cid").as("cid"))
+    // degenerate single-surviving-centroid guard: a vector with NO
+    // other centroid (C = 1 after empty-cell drop) has null other_cm —
+    // drop it EXPLICITLY so both engines agree by construction (the
+    // oracle's inner join on the other-centroid side drops it too;
+    // unguarded, Spark would count it in n_vecs with a null-skipped
+    // margin). Unreachable for the k = 8 seeded fit at test SFs.
+    perVec.filter(col("r.other_cm").isNotNull)
+      .groupBy(col("r.own_cid").as("cid"))
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(r.own_cm - r.other_cm)").as("sum_margin"))
       .select(col("cid"), col("n_vecs"),
@@ -126,7 +133,10 @@ object Similarity {
     val tot = per.groupBy("cid").agg(sum("n_docs").as("cell_total"))
     per.join(broadcast(tot), "cid")
       .select(col("cid"), col("source"), col("n_docs"),
-        expr("n_docs * 1000000 div cell_total").as("cell_ppm"))
+        // DECIMAL intermediate: count·10⁶ tops 2⁶³ beyond ~9·10¹² docs
+        // per cell (the corpus_mixture overflow precedent)
+        expr("cast(cast(n_docs as decimal(38,0)) * 1000000" +
+          " div cell_total as bigint)").as("cell_ppm"))
       .orderBy("cid", "source")
   }
 
@@ -1122,7 +1132,7 @@ object Similarity {
          |  GROUP BY 1, 2),
          |tot AS (SELECT cid, sum(n_docs) AS cell_total FROM per GROUP BY 1)
          |SELECT cid, source, n_docs,
-         |  (n_docs * 1000000 // cell_total)::BIGINT AS cell_ppm
+         |  (n_docs::HUGEINT * 1000000 // cell_total)::BIGINT AS cell_ppm
          |FROM per JOIN tot USING (cid)
          |ORDER BY cid, source""".stripMargin,
     "ann_bruteforce_topk" ->

@@ -179,7 +179,10 @@ object TextAnalysis {
       .groupBy("survivor", "kept_quality", "clean")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .withColumn("share_ppm",
-        expr("n_docs * 1000000 div sum(n_docs) over ()"))
+        // DECIMAL intermediate: count·10⁶ tops 2⁶³ beyond ~9·10¹² docs
+        // per cell (the corpus_mixture overflow precedent)
+        expr("cast(cast(n_docs as decimal(38,0)) * 1000000" +
+          " div sum(n_docs) over () as bigint)"))
       .orderBy("survivor", "kept_quality", "clean")
   }
 
@@ -1215,7 +1218,7 @@ object TextAnalysis {
          |SELECT survivor::INT AS survivor, kept_quality::INT AS kept_quality,
          |  clean::INT AS clean, count(*)::BIGINT AS n_docs,
          |  sum(n_toks)::BIGINT AS n_tokens,
-         |  (count(*)::BIGINT * 1000000
+         |  (count(*)::HUGEINT * 1000000
          |    // sum(count(*)::BIGINT) OVER ())::BIGINT AS share_ppm
          |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "text_winnow_fingerprint" ->

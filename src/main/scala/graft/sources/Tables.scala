@@ -55,8 +55,12 @@ object Tables {
           df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       }
     } catch {
-      case e: Exception if e.getClass.getName.contains("Analysis")
-        || String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+      // ONLY the nanos-rejection condition routes to the fallback: a
+      // broad Analysis* guard would also swallow missing-path /
+      // missing-column / corrupt-footer errors and mask them with a
+      // confusing secondary failure from the hardcoded nanos schema
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
         spark.read
           .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING")

@@ -50,6 +50,35 @@ class ContractSpec extends AnyFunSuite {
       s"listed in §2 but not implemented: ${phantom.toSeq.sorted.mkString(", ")}")
   }
 
+  test("README correctness counts derive from SparkEntry (no drift)") {
+    // the round-5/round-6 relapse this pins: README's hand-written
+    // "X/Y oracle-checked" and "the Z … rows-only" counts lagged the
+    // suite twice. ContractSpec protects SURVEY §2; this protects the
+    // README the same way — parse the numbers, assert them derived.
+    val readme = {
+      val src = scala.io.Source.fromFile("README.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val checked = """(\d+)/(\d+) queries are\s+oracle-checked""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the oracle-checked count"))
+    assert(checked.group(1).toInt === SparkEntry.oracleSql.size,
+      "README oracle-checked count != SparkEntry.oracleSql.size")
+    assert(checked.group(2).toInt === SparkEntry.queries.size,
+      "README query count != SparkEntry.queries.size")
+    val rowsOnly = """the (\d+) LSH/sketch/stub queries are rows-only""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the rows-only count"))
+    assert(rowsOnly.group(1).toInt ===
+      SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      "README rows-only count != queries − oracles")
+    // the bench section must not re-grow a hand-copied total: the
+    // number lives in bench_metric.json only
+    assert(!"""\d+\s*s total for \d+ queries""".r
+      .findFirstIn(readme).isDefined,
+      "README re-introduced a hand-copied bench total")
+  }
+
   test("§2 ✅SQL markers == SparkEntry.oracleSql key set") {
     val marked = inventory.collect { case (k, "✅SQL") => k }.toSet
     val sql = SparkEntry.oracleSql.keySet

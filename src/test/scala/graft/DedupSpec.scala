@@ -265,6 +265,81 @@ class DedupSpec extends SparkSpec {
       s"b-side new-batch filter missing from optimized plan:\n$plan")
   }
 
+  test("pagerank iteration knob honored; mass conserved at any depth") {
+    import spark.implicits._
+    // a 5-node CHAIN (diameter 4) — the under-convergence shape the
+    // clique-shaped testdata cannot exhibit (there every component is
+    // a symmetric clique whose fixed point is reached in one round,
+    // which is why the default 3 rounds suffice for hub RANKING)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a_id", "b_id").localCheckpoint()
+    def run(iters: Int): Map[Long, (Long, Long)] =
+      Dedup.pagerankOf(chain, iters).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r3 = run(3)
+    val r6 = run(6)
+    assert(r3.keySet === r6.keySet
+      && r3.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r3.view.mapValues(_._1).toMap ===
+      r6.view.mapValues(_._1).toMap,
+      "extra rounds must not change the node/degree structure")
+    // rank mass conserved up to integer flooring at any depth (no
+    // dangling nodes: every graph node has degree >= 1)
+    Seq(r3, r6).foreach { rs =>
+      val tot = rs.values.map(_._2).sum
+      assert(tot <= 1000000000000L && tot >= 1000000000000L - 500L,
+        s"mass not conserved: $tot")
+    }
+    // on a diameter-4 chain mass is STILL PROPAGATING at round 3 —
+    // deeper runs must move scores (the knob is real), and the default
+    // query honors the conf (same kernel, spec'd via the wrapper)
+    assert(r3.view.mapValues(_._2).toMap !=
+      r6.view.mapValues(_._2).toMap,
+      "6-round scores identical to 3-round on a chain — knob inert")
+    // the conf is plumbed through the driver query: 1 round differs
+    // from the default 3 (integer flooring sheds ~1 unit per round
+    // even on the clique-converged testdata graph)
+    var viaConf: Map[Long, (Long, Long)] = null
+    withConf("graft.pagerank.iters" -> "1") {
+      viaConf = Dedup.pagerank(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val dflt = Dedup.pagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaConf.keySet === dflt.keySet)
+    assert(viaConf !== dflt, "graft.pagerank.iters not honored")
+  }
+
+  test("semantic incremental: frozen cells, batch-scoped output, no old×old") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: 10 ≈ 11 near-identical (old×old — must cost nothing and
+    // appear nowhere); 12 distant. batch: 100 ≈ 10 (pruned by an OLD
+    // vector), 101 novel direction (survives), 102 ≈ 101 (pruned by an
+    // EARLIER NEW vector)
+    def v(seed: Int): Seq[Double] =
+      (0 until 64).map(j => if (j % 8 == seed % 8) 1.0 else 0.02 * seed)
+    val corpus = Seq(
+      (10L, v(1)), (11L, v(1).updated(63, 0.03)), (12L, v(5))
+    ).toDF("vec_id", "emb")
+    val fresh = Seq(
+      (100L, v(1).updated(62, 0.04)), (101L, v(3)),
+      (102L, v(3).updated(61, 0.05))
+    ).toDF("vec_id", "emb")
+    val out = Dedup.semanticIncrementalFrames(fresh, corpus)
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got.keySet === Set(100L, 101L, 102L),
+      "output covers exactly the new batch")
+    assert(got(100L) === 1, "batch vector near an OLD vector is pruned")
+    assert(got(101L) === 0, "novel-direction batch vector survives")
+    assert(got(102L) === 1, "batch vector near an EARLIER NEW one is pruned")
+    // the pair join's b-side is the batch only in the OPTIMIZED plan
+    // (the incrementalFrames pin): old×old pairs can never form
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert("is_new#\\d+ = 1".r.findFirstIn(plan).isDefined,
+      s"b-side new-batch filter missing from optimized plan:\n$plan")
+  }
+
   test("bruteforce baseline refuses to run over the row bound") {
     // sf0.001 has 500 embeddings; a bound of 10 must trip the gate …
     withConf("graft.bruteforce.maxRows" -> "10") {
