@@ -192,7 +192,8 @@ object Stress {
       "knn_eval_confusion", "bpe_apply", "ann_index_upsert",
       "curation_overlap", "vocab_drift", "corpus_build_manifest",
       "erasure_cascade_audit", "basket_lift", "neardup_quality_delta",
-      "mm_resize_grid", "cluster_silhouette", "ann_ivfpq_from_index")
+      "mm_resize_grid", "mm_phash_dedup", "cluster_silhouette",
+      "ann_ivfpq_from_index")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

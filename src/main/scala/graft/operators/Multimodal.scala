@@ -16,8 +16,9 @@ import graft.sources.Tables
   * that nothing leaves the executors.
   *
   * The payload fixture is GENUINELY binary, not text-in-disguise:
-  * [[payloadCol]] concatenates 16-byte `unhex(md5(text || ':' || i))`
-  * blocks (block count scales with doc length), so the column exercises
+  * [[payloadCol]] concatenates 16-byte `unhex(md5(slice_i(text) || ':'
+  * || i))` blocks — one per 64-char text slice, so payload locality
+  * mirrors content locality (see [[phashDedup]]) — and the column exercises
   * full-range bytes — zero bytes, high bit set, no UTF-8 structure —
   * while both engines can rebuild identical blobs (DuckDB:
   * `from_hex(string_agg(md5(...), '' ORDER BY i))`). Spark operates on
@@ -34,8 +35,80 @@ object Multimodal {
     "mm_feature_extract" -> featureExtract,
     "mm_frame_sample" -> frameSample,
     "mm_payload_dedup" -> payloadDedup,
-    "mm_resize_grid" -> resizeGrid
+    "mm_resize_grid" -> resizeGrid,
+    "mm_phash_dedup" -> phashDedup
   )
+
+  /** Byte value at 0-based byte offset `i` of hex rendering `hx`
+    * (digit-table decode — [[graft.ops.Fns.md5Hash24]]'s trick). */
+  private def hexByte(hx: Column, i: Column): Column = {
+    val hexd = "0123456789ABCDEF"
+    (instr(lit(hexd), substring(hx, i * 2 + 1, lit(1))) - 1) * 16 +
+      (instr(lit(hexd), substring(hx, i * 2 + 2, lit(1))) - 1)
+  }
+
+  /** Perceptual-hash near-dup over opaque payloads — the average-hash
+    * (aHash) pipeline every image-dedup stack runs, here over the
+    * stub payloads (the decode is byte arithmetic; the STRUCTURE is
+    * the real content): the payload raster (16 bytes wide, in_h rows)
+    * downsamples to a FIXED 8×8 grid (nearest row (j·in_h) div 8,
+    * 2-byte horizontal sum per cell — size-independent, exactly how a
+    * perceptual hash normalizes any input to one grid), each cell
+    * thresholds against the grid MEAN into one bit, the 64 bits pack
+    * into a BIGINT signature (bitwise-OR fold — the [[Dedup.simhash]]
+    * sign-bit-safe assembly), and near-dup pairs come from 4×16-bit
+    * band equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal band) with
+    * exact `bit_count(xor)` verification on candidates only.
+    *
+    * Parity: cells/mean/bits are pure integer arithmetic over the hex
+    * rendering; the oracle never packs the sign bit — it carries the
+    * bits as a 64-char string, compares band SUBSTRINGS, and counts
+    * differing positions, which is bit-for-bit the same pairs and
+    * hamming values.
+    *
+    * Scale shape: signature build is one per-row projection (the hex
+    * binds once via `Fns.bound`); candidates come from the banded
+    * equi-join — n·4 band rows, never n² — and only (id, sig) pairs
+    * shuffle, 16 bytes/row. The same shape as [[Dedup.simhash]],
+    * applied to the multimodal column. */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .withColumn("payload", payloadCol)
+      .select(col("doc_id"),
+        hex(col("payload")).as("hx0"),
+        expr("octet_length(payload) div 16").cast("int").as("in_h"))
+      .select(col("doc_id"), col("in_h"),
+        graft.ops.Fns.bound(col("hx0")) { hx =>
+          transform(sequence(lit(0), lit(63)), k => {
+            val row = (floor(k / 8).cast("int") * col("in_h")) / 8
+            val off = floor(row).cast("int") * 16 +
+              pmod(k, lit(8)).cast("int") * 2
+            (hexByte(hx, off) + hexByte(hx, off + 1)).cast("long")
+          })
+        }.as("cells"))
+      .withColumn("mean",
+        expr("aggregate(cells, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("sig", (0 until 64).map(k =>
+          when(element_at(col("cells"), k + 1) > col("mean"),
+            lit(1L << k)).otherwise(0L))
+        .reduce(_ bitwiseOR _))
+      .select("doc_id", "sig")
+    val bandCols = array((0 until 4).map(k =>
+      struct(lit(k).as("k"),
+        shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(bandCols).as("kb"))
+      .select(col("doc_id"), col("sig"),
+        col("kb.k").as("k"), col("kb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
 
   /** Resize over the opaque payload — the image-shaped transform in
     * the decode/extract/RESIZE/frame-sample quartet: the payload is
@@ -111,12 +184,19 @@ object Multimodal {
       .orderBy("keeper_id")
 
   /** Deterministic binary payload: `1 + length(text)/64` blocks of
-    * `unhex(md5(text:i))`, 16 bytes each. */
+    * `unhex(md5(text[64-char slice i] : i))`, 16 bytes each. Each
+    * block hashes its OWN slice of the text — payload LOCALITY mirrors
+    * content locality, the way two photos of the same scene share most
+    * of their pixel regions: a local text edit flips only the blocks
+    * covering it (plus any length-shifted tail), so near-dup documents
+    * yield near-dup payloads and [[phashDedup]] has a true signal to
+    * find, while [[payloadDedup]]'s exact digest still separates them. */
   private def payloadCol: Column =
     unhex(array_join(
       transform(
         sequence(lit(0), (length(col("text")) / lit(64)).cast("int")),
-        i => md5(concat(col("text"), lit(":"), i.cast("string")))),
+        i => md5(concat(col("text").substr(i * 64 + 1, lit(64)),
+          lit(":"), i.cast("string")))),
       ""))
 
   /** Frame sampling over an opaque payload — the video-shaped access
@@ -205,8 +285,9 @@ object Multimodal {
       |  FROM documents),
       |p AS (
       |  SELECT doc_id,
-      |    from_hex(string_agg(md5(text || ':' || i), '' ORDER BY i))
-      |      AS payload
+      |    from_hex(string_agg(
+      |      md5(substr(text, (i * 64 + 1)::INT, 64) || ':' || i),
+      |      '' ORDER BY i)) AS payload
       |  FROM blk GROUP BY doc_id, text)""".stripMargin
 
   /** DuckDB fragment: byte value at 0-based byte offset `i` of the hex
@@ -244,6 +325,46 @@ object Multimodal {
          |  out_md5
          |FROM h JOIN res ON h.doc_id = res.doc_id
          |WHERE in_h // 2 > 0 ORDER BY h.doc_id""".stripMargin
+    },
+    "mm_phash_dedup" -> {
+      // the oracle never packs the sign bit: bits ride as a 64-char
+      // string, bands compare substrings, hamming counts positions —
+      // the same pairs and values as the BIGINT signature path
+      val off = "((((k // 8) * in_h) // 8) * 16 + (k % 8) * 2)"
+      s"""$payloadCte,
+         |h AS (
+         |  SELECT doc_id, hex(payload) AS hx,
+         |    (octet_length(payload) // 16)::INT AS in_h
+         |  FROM p),
+         |cell AS (
+         |  SELECT doc_id, k,
+         |    (${sqlHexByte("off")} + ${sqlHexByte("off + 1")})::BIGINT AS v
+         |  FROM (SELECT doc_id, hx, k, $off AS off
+         |        FROM (SELECT doc_id, hx, in_h,
+         |                unnest(generate_series(0, 63)) AS k FROM h))),
+         |sig AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN v > m THEN '1' ELSE '0' END, ''
+         |      ORDER BY k) AS bits
+         |  FROM (SELECT doc_id, k, v,
+         |          sum(v) OVER (PARTITION BY doc_id) // 64 AS m
+         |        FROM cell)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, bits, kb, substr(bits, kb * 16 + 1, 16) AS bh
+         |  FROM (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS kb
+         |        FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.bits AS sa, b.bits AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.kb = b.kb AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id,
+         |    len([i for i in generate_series(1, 64)
+         |         if substr(sa, i, 1) <> substr(sb, i, 1)])::INT AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
     },
     "mm_payload_dedup" ->
       s"""$payloadCte

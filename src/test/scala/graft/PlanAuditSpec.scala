@@ -139,6 +139,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("phash near-dup candidates stay a banded equi-join") {
+    val p = plan("mm_phash_dedup")
+    assert(!finalTree(p).contains("CartesianProduct")
+      && !p.contains("NestedLoopJoin"),
+      "band candidate generation must stay an equi-join")
+    assert(shuffles(p) <= 6, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
   test("source minhash aggregates with map-side partial merge") {
     val p = plan("dedup_source_minhash")
     // the union sketch must run as a two-phase hash aggregate
