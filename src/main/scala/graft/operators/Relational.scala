@@ -63,8 +63,133 @@ object Relational {
     "skew_key_stats" -> skewKeyStats,
     "agg_incremental_refresh" -> aggIncrementalRefresh,
     "erasure_cascade_audit" -> erasureCascadeAudit,
-    "basket_lift" -> basketLift
+    "basket_lift" -> basketLift,
+    "table_profile" -> tableProfile,
+    "referential_integrity_audit" -> refIntegrityAudit
   )
+
+  /** Per-column data-quality profile of the biggest fact table — the
+    * first query anyone runs against an unfamiliar 100 TB drop: per
+    * column, the null count, exact distinct cardinality, and typed
+    * min/max (numeric+timestamp columns in `min_num`/`max_num`,
+    * strings in `min_str`/`max_str`; timestamps profile as epoch-µs so
+    * the bounds sort numerically). One row per column.
+    *
+    * Scale shape: ONE scan of lineitem. The 11 exact `count_distinct`s
+    * compile to a single Expand-based multi-distinct aggregate — the
+    * input fans out ×|columns| but stays one pass with map-side
+    * partial aggregation, the standard Spark plan for multi-column
+    * profiling (Deequ's analyzer layout). The wide 1-row aggregate
+    * then unpivots driver-side via `stack` — 11 rows, no second scan.
+    * At 100 TB the knob is exact→`approx_count_distinct` (HLL, no
+    * Expand): same plan shape minus the fan-out; this query keeps
+    * exact so the DuckDB oracle replays hash-identically. */
+  def tableProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    val all = numCols ++ strCols ++ tsCols
+    val aggs = all.flatMap { c =>
+      val base = Seq(
+        (count(lit(1L)) - count(col(c))).cast("long").as(s"null_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
+      val bounds =
+        if (numCols.contains(c)) Seq(
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"),
+          lit(null).cast("string").as(s"mns_$c"),
+          lit(null).cast("string").as(s"mxs_$c"))
+        else if (tsCols.contains(c)) Seq(
+          // cast: parquet µs-timestamps infer as NTZ; unix_micros
+          // needs TimestampType (UTC session → identity, the
+          // Tables.events precedent)
+          unix_micros(min(col(c)).cast("timestamp"))
+            .cast("double").as(s"mn_$c"),
+          unix_micros(max(col(c)).cast("timestamp"))
+            .cast("double").as(s"mx_$c"),
+          lit(null).cast("string").as(s"mns_$c"),
+          lit(null).cast("string").as(s"mxs_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"mn_$c"),
+          lit(null).cast("double").as(s"mx_$c"),
+          min(col(c)).as(s"mns_$c"),
+          max(col(c)).as(s"mxs_$c"))
+      base ++ bounds
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = all.map { c =>
+      s"'$c', null_$c, nd_$c, mn_$c, mx_$c, mns_$c, mxs_$c"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${all.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)")
+      .orderBy("col_name")
+  }
+
+  /** Referential-integrity audit over the whole star schema — the
+    * constraint check a warehouse without enforced FK/PK constraints
+    * (i.e. every data lake) must run as a query: per declared relation,
+    * total child rows, violating rows, and distinct violating keys.
+    * `fk:` rows count orphans (child keys with no parent); `pk:` rows
+    * count duplicate-key violations (rows under keys occurring > 1×).
+    * All-zero `n_bad_*` is the PASSING certificate, re-checkable after
+    * every ingest batch.
+    *
+    * Scale shape: each FK check is ONE left join of the child's key
+    * column against the DISTINCT parent key — dimension parents
+    * (`part`, `supplier`, `customer`, `nation`) broadcast, only
+    * lineitem→orders shuffles both sides (key-partitioned sort-merge,
+    * AQE-skew-safe); each PK check is one map-side-combined count per
+    * key. All seven branches are independent 1-row aggregates over
+    * pruned single/double-column scans (ReadSchema carries only the
+    * keys), unioned at zero cost. */
+  def refIntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    def fk(rel: String, child: DataFrame, key: String,
+           parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p0 = parent.select(col(pkey)).distinct()
+        .withColumn("hit", lit(1))
+      val p = if (bcast) broadcast(p0) else p0
+      child.select(col(key))
+        .join(p, col(key) === col(pkey), "left")
+        .agg(count(lit(1L)).as("n_rows"),
+          sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_bad_rows"),
+          count_distinct(when(col("hit").isNull, col(key)))
+            .as("n_bad_keys"))
+        .select(lit(rel).as("relation"), col("n_rows"),
+          col("n_bad_rows"), col("n_bad_keys"))
+    }
+    def pk(rel: String, t: DataFrame, keys: Seq[String]): DataFrame =
+      t.groupBy(keys.map(col): _*).agg(count(lit(1L)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+            .as("n_bad_rows"),
+          count(when(col("c") > 1, lit(true))).as("n_bad_keys"))
+        .select(lit(rel).as("relation"), col("n_rows"),
+          col("n_bad_rows"), col("n_bad_keys"))
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    Seq(
+      fk("fk:lineitem.l_orderkey->orders", li, "l_orderkey",
+        o, "o_orderkey", bcast = false),
+      fk("fk:lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true),
+      fk("fk:lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true),
+      fk("fk:orders.o_custkey->customer", o, "o_custkey",
+        c, "c_custkey", bcast = true),
+      fk("fk:customer.c_nationkey->nation", c, "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true),
+      pk("pk:orders.o_orderkey", o, Seq("o_orderkey")),
+      pk("pk:customer.c_custkey", c, Seq("c_custkey")),
+      pk("pk:lineitem.(l_orderkey,l_linenumber)", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .reduce(_.unionByName(_))
+      .orderBy("relation")
+  }
 
   /** Association-rule mining over order baskets — [[basketPartPairs]]
     * taken to its analytical conclusion: per co-occurring part pair,
@@ -1152,6 +1277,95 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "table_profile" -> {
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val branches =
+        numCols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  (count(*) - count($c))::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+             |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+             |FROM lineitem""".stripMargin
+        } ++ strCols.map { c =>
+          s"""SELECT '$c', (count(*) - count($c))::BIGINT,
+             |  count(DISTINCT $c)::BIGINT,
+             |  NULL::DOUBLE, NULL::DOUBLE, min($c), max($c)
+             |FROM lineitem""".stripMargin
+        } ++ Seq(
+          """SELECT 'l_shipdate', (count(*) - count(l_shipdate))::BIGINT,
+            |  count(DISTINCT l_shipdate)::BIGINT,
+            |  epoch_us(min(l_shipdate))::DOUBLE,
+            |  epoch_us(max(l_shipdate))::DOUBLE,
+            |  NULL::VARCHAR, NULL::VARCHAR
+            |FROM lineitem""".stripMargin)
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "referential_integrity_audit" ->
+      """WITH fk AS (
+        |  SELECT 'fk:lineitem.l_orderkey->orders' AS relation,
+        |    count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bad_rows,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l_orderkey
+        |      END)::BIGINT AS n_bad_keys
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'fk:lineitem.l_partkey->part', count(*)::BIGINT,
+        |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l_partkey
+        |      END)::BIGINT
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'fk:lineitem.l_suppkey->supplier', count(*)::BIGINT,
+        |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l_suppkey
+        |      END)::BIGINT
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'fk:orders.o_custkey->customer', count(*)::BIGINT,
+        |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN o_custkey
+        |      END)::BIGINT
+        |  FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'fk:customer.c_nationkey->nation', count(*)::BIGINT,
+        |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN c_nationkey
+        |      END)::BIGINT
+        |  FROM customer LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'pk:orders.o_orderkey', sum(c)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT count(*)::BIGINT AS c FROM orders
+        |        GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'pk:customer.c_custkey', sum(c)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT count(*)::BIGINT AS c FROM customer
+        |        GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'pk:lineitem.(l_orderkey,l_linenumber)', sum(c)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM (SELECT count(*)::BIGINT AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber))
+        |SELECT * FROM fk ORDER BY relation""".stripMargin,
     "basket_lift" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

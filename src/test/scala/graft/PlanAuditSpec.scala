@@ -625,4 +625,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(wIdx < t.indexOf("HashAggregate"),
       "share window must consume the census cells, not corpus rows")
   }
+
+  test("table profile: one Expand multi-distinct pass, pruned to nothing extra") {
+    val p = plan("table_profile")
+    val t = finalTree(p)
+    // the 11 exact count_distincts must compile to ONE Expand-based
+    // multi-distinct aggregate over ONE scan — 11 separate scans (or
+    // a per-column union) would read the table 11×
+    assert(t.contains("Expand"),
+      "multi-distinct should be one Expand aggregate, not N passes")
+    assert("""FileScan parquet""".r.findAllIn(p).length <= 1,
+      "profile must be a single scan of lineitem")
+  }
+
+  test("referential integrity: dims broadcast, only fact-fact shuffles") {
+    val p = plan("referential_integrity_audit")
+    // part/supplier/customer/nation parents broadcast; only
+    // lineitem->orders may shuffle both sides
+    assert(broadcasts(p) >= 4,
+      s"4 dimension parents should broadcast: ${broadcasts(p)}")
+    val rows = SparkEntry.queries("referential_integrity_audit")(
+      spark, sf0001).collect()
+    assert(rows.length == 8)
+    // the synthetic schema is FK-clean and single-column-PK-clean —
+    // but (l_orderkey, l_linenumber) genuinely repeats in the
+    // generated lineitem, so that row is the positive control: the
+    // detector must FIRE there and stay silent everywhere else
+    rows.foreach { r =>
+      if (r.getString(0).startsWith("pk:lineitem"))
+        assert(r.getLong(2) > 0L,
+          "composite-key duplicates exist in the corpus; a zero here " +
+            "means the detector went blind")
+      else
+        assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+          s"unexpected violation for ${r.getString(0)}")
+    }
+  }
 }
