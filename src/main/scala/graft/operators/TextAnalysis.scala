@@ -50,8 +50,60 @@ object TextAnalysis {
     "mixture_upsample" -> mixtureUpsample,
     "text_winnow_fingerprint" -> winnowFingerprint,
     "curation_overlap" -> curationOverlap,
-    "corpus_build_manifest" -> corpusBuildManifest
+    "corpus_build_manifest" -> corpusBuildManifest,
+    "text_template_shingles" -> templateShingles
   )
+
+  /** Per-source TEMPLATE detection — the boilerplate census a web-scale
+    * corpus runs before dedup thresholds are tuned: a 3-gram shingle
+    * appearing in ≥ 2 DISTINCT documents of the same source is template
+    * material (navigation chrome, legal footers, generator scaffolding
+    * — the same-source restriction is what separates boilerplate from
+    * ordinary language). Per source: how many template grams, how many
+    * docs carry at least one, the hottest gram's document frequency,
+    * and the incidence rate (template doc-gram pairs per million
+    * doc-gram pairs) — the inputs to a per-source boilerplate-strip
+    * decision.
+    *
+    * Scale shape: ONE (doc, source, gram)-distinct frame (gram set per
+    * doc, the [[Fns.shingles3]]+explode+distinct idiom, one shuffle)
+    * feeds everything: the (source, gram) document-frequency aggregate
+    * (map-side combined; the source component keeps hot grams
+    * partitioned apart across sources), the per-source totals, and —
+    * via a gram-keyed semi join back — the affected-doc census. No
+    * pair join anywhere: templates are detected from df counts alone,
+    * which is why this runs BEFORE the O(candidates) dedup stages. */
+  def templateShingles(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(Fns.shingles3(Fns.tokens(col("text")))).as("g"))
+      .distinct()
+      .localCheckpoint() // feeds df, totals, and the hit census
+    val df = grams.groupBy("source", "g")
+      .agg(count(lit(1L)).as("n_docs"))
+    val tmpl = df.filter(col("n_docs") >= 2)
+      .localCheckpoint() // feeds the per-source rollup and the semi join
+    val perSrc = tmpl.groupBy("source")
+      .agg(count(lit(1L)).as("n_template_grams"),
+        max("n_docs").as("max_df"),
+        sum("n_docs").as("n_template_pairs"))
+    val hits = grams.as("gr")
+      .join(tmpl.as("t"),
+        col("gr.source") === col("t.source") && col("gr.g") === col("t.g"),
+        "left_semi")
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs_hit"))
+    val totals = grams.groupBy("source")
+      .agg(count(lit(1L)).as("n_pairs"))
+    perSrc.join(hits, Seq("source"), "left")
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_template_grams"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        col("max_df"),
+        expr("cast(cast(n_template_pairs as decimal(38,0)) * 1000000" +
+          " div n_pairs as bigint)").as("hit_ppm"))
+      .orderBy("source")
+  }
 
   /** The CAPSTONE: an entire corpus build as ONE declarative plan —
     * quality-aware exact dedup → quality gate → decontamination →
@@ -1110,6 +1162,33 @@ object TextAnalysis {
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_template_shingles" ->
+      s"""WITH toks AS (SELECT doc_id, source, $Toks AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |         unnest(${Fns.sqlShingles3("w")}) AS g
+         |       FROM toks),
+         |df AS (SELECT source, g, count(*)::BIGINT AS n_docs
+         |       FROM sh GROUP BY 1, 2),
+         |tmpl AS (SELECT * FROM df WHERE n_docs >= 2),
+         |per AS (SELECT source, count(*)::BIGINT AS n_template_grams,
+         |          max(n_docs)::BIGINT AS max_df,
+         |          sum(n_docs)::BIGINT AS n_template_pairs
+         |        FROM tmpl GROUP BY 1),
+         |hits AS (SELECT sh.source,
+         |           count(DISTINCT doc_id)::BIGINT AS n_docs_hit
+         |         FROM sh SEMI JOIN tmpl
+         |           ON sh.source = tmpl.source AND sh.g = tmpl.g
+         |         GROUP BY 1),
+         |tot AS (SELECT source, count(*)::BIGINT AS n_pairs
+         |        FROM sh GROUP BY 1)
+         |SELECT per.source, n_template_grams,
+         |  coalesce(n_docs_hit, 0)::BIGINT AS n_docs_hit, max_df,
+         |  (n_template_pairs::HUGEINT * 1000000 // n_pairs)::BIGINT
+         |    AS hit_ppm
+         |FROM per
+         |LEFT JOIN hits ON per.source = hits.source
+         |JOIN tot ON per.source = tot.source
+         |ORDER BY per.source""".stripMargin,
     "corpus_build_manifest" ->
       s"""WITH $sqlQualityFeatures,
          |corp AS (

@@ -28,6 +28,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("rolling HLL distinct tracks the exact 7-day twin per day") {
+    val exact = LogAnalytics.rollingDistinct(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = LogAnalytics.rollingDistinctHll(spark, sf0001).collect()
+    assert(est.length == exact.size, "sketch twin must cover every day")
+    est.foreach { r =>
+      val e = exact(r.getLong(0)).toDouble
+      assert(math.abs(r.getLong(1) - e) <= 0.02 * e + 1.0,
+        s"day ${r.getLong(0)}: HLL ${r.getLong(1)} vs exact $e")
+    }
+    // determinism: sketches merge associatively; a second run must
+    // land on identical estimates regardless of partition order
+    val again = LogAnalytics.rollingDistinctHll(spark, sf0001).collect()
+    assert(est.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("mixture upsample repeats under-weight sources within floor/ceil bounds") {
     val rows = TextAnalysis.mixtureUpsample(spark, sf0001).collect()
     rows.foreach { r =>
