@@ -40,8 +40,121 @@ object Similarity {
     "cluster_source_mixture" -> clusterSourceMixture,
     "ann_index_upsert" -> annIndexUpsert,
     "ann_ivfpq_from_index" -> annIvfPqFromIndex,
-    "cluster_silhouette" -> clusterSilhouette
+    "cluster_silhouette" -> clusterSilhouette,
+    "embedding_norm_outliers" -> embeddingNormOutliers,
+    "embedding_dim_stats" -> embeddingDimStats,
+    "cluster_assign_drift" -> clusterAssignDrift
   )
+
+  /** Embedding-norm outlier report — the cheapest embedding-quality
+    * gate a pipeline runs before ANY cosine-based stage: vectors whose
+    * L2 norm sits far from the corpus mean are the classic symptoms of
+    * encoder failures (zero vectors, fp overflow, unnormalized batches
+    * mixed into a normalized corpus). Top-20 by absolute deviation.
+    *
+    * Everything after the norm is INTEGER: norms floor onto the 10⁻⁶
+    * grid (`sqrt` is IEEE correctly-rounded, the [[Retrieval
+    * .mmrDiversify]] floor-grid rule), the mean never materializes —
+    * deviation ranks by `|n·norm_e6 − Σnorm_e6| div n`, exact in
+    * DECIMAL(38), so the oracle replays hash-exactly with HUGEINT.
+    *
+    * Scale shape: one scan computes norms (sequential-fold dot, no
+    * shuffle), the 1-row total broadcasts back, top-20 via
+    * TakeOrdered. O(n), no pair anything. */
+  def embeddingNormOutliers(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Fns.asDouble(col("embedding")).as("emb"))
+      .withColumn("norm_e6",
+        floor(sqrt(Fns.dot(col("emb"), col("emb"))) * 1e6).cast("long"))
+      .select("vec_id", "label", "norm_e6")
+      .localCheckpoint() // consumed by the total and the ranking pass
+    val tot = n.agg(count(lit(1L)).as("n_vecs"),
+      sum(col("norm_e6").cast("decimal(38,0)")).as("sum_norm"))
+    n.crossJoin(broadcast(tot))
+      .withColumn("dev_e6",
+        expr("cast(abs(cast(norm_e6 as decimal(38,0)) * n_vecs" +
+          " - sum_norm) div n_vecs as bigint)"))
+      .orderBy(col("dev_e6").desc, col("vec_id"))
+      .limit(20)
+      .select("vec_id", "label", "norm_e6", "dev_e6")
+  }
+
+  /** Per-dimension distribution profile of the embedding matrix — the
+    * drift/collapse diagnostic run per encoder generation (a dimension
+    * whose variance collapses to ~0 is dead; a mean far off the corpus
+    * norm signals a normalization regression). One row per dimension:
+    * exact integer mean and variance on the micro grid plus grid
+    * min/max.
+    *
+    * Exactness: components floor onto the 10⁻⁶ grid per ELEMENT, so
+    * every aggregate is an integer sum — `mean_e6 = Σv div n`,
+    * `var_e12 = (n·Σv² − (Σv)²) div n²` — associative, partitioning-
+    * independent, DECIMAL(38)-wide (Σv² carries ~26 digits at 10¹²
+    * rows), replayed in HUGEINT by the oracle. No float aggregate
+    * anywhere (the round-an-avg trap documented in SURVEY §4 never
+    * arises).
+    *
+    * Scale shape: ONE posexplode scan, d×n rows collapsing map-side
+    * into d (=64) groups — the same Expand-free single pass
+    * [[kmeansFit]]'s centroid step uses; output is d rows. */
+  def embeddingDimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(Fns.asDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+      .withColumn("ve6", floor(col("v") * 1e6).cast("long"))
+      .groupBy("pos")
+      .agg(count(lit(1L)).as("n"),
+        sum(col("ve6").cast("decimal(38,0)")).as("s1"),
+        sum((col("ve6") * col("ve6")).cast("decimal(38,0)")).as("s2"),
+        min("ve6").as("min_e6"), max("ve6").as("max_e6"))
+      .select(col("pos"), col("n"),
+        expr("cast(s1 div n as bigint)").as("mean_e6"),
+        expr("cast((s2 * n - s1 * s1) div (cast(n as decimal(38,0)) * n)" +
+          " as bigint)").as("var_e12"),
+        col("min_e6"), col("max_e6"))
+      .orderBy("pos")
+
+  /** Embedding-distribution DRIFT between two corpus windows — the
+    * monitoring query a nightly pipeline runs to decide whether the
+    * serving index needs a rebuild: fit cells on the REFERENCE window
+    * (even vec_ids), assign BOTH windows against those frozen
+    * centroids ([[annIndexUpsert]]'s maintenance primitive), and
+    * report the per-cell population shift in exact ppm. A large
+    * `delta_ppm` concentration means the new window's distribution
+    * moved — the quantizer is stale.
+    *
+    * Scale shape: the fit is the bounded k-means kernel on half the
+    * corpus; both assignments are linear broadcast passes collapsing
+    * map-side; the drift arithmetic runs on the ≤ C-row joined census
+    * (shares via a window OVER the cells, the [[TextAnalysis
+    * .curationOverlap]] cells-not-corpus rule, DECIMAL-wide per the
+    * ppm precedent). */
+  def clusterAssignDrift(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // consumed by seeding, Lloyd passes, 2 assigns
+    val ref = e.filter(col("vec_id") % 2 === 0)
+    val cur = e.filter(col("vec_id") % 2 === 1)
+    val cents = kmeansFit(ref, 8).localCheckpoint()
+    val nr = kmeansAssign(ref, cents)
+      .groupBy("cid").agg(count(lit(1L)).as("n_ref"))
+    val nc = kmeansAssign(cur, cents)
+      .groupBy("cid").agg(count(lit(1L)).as("n_new"))
+    nr.join(nc, Seq("cid"), "full")
+      .select(col("cid"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("ref_ppm",
+        expr("cast(cast(n_ref as decimal(38,0)) * 1000000" +
+          " div greatest(sum(n_ref) over (), 1) as bigint)"))
+      .withColumn("new_ppm",
+        expr("cast(cast(n_new as decimal(38,0)) * 1000000" +
+          " div greatest(sum(n_new) over (), 1) as bigint)"))
+      .withColumn("delta_ppm", col("new_ppm") - col("ref_ppm"))
+      .orderBy("cid")
+  }
 
   /** Clustering-quality audit — the eval that decides whether the
     * k-means cells are real structure or noise before anything
@@ -1009,6 +1122,68 @@ object Similarity {
        |          FROM e CROSS JOIN c2)) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_norm_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label,
+         |    floor(sqrt(${Fns.sqlDot("emb", "emb")}) * 1000000)::BIGINT
+         |      AS norm_e6
+         |  FROM e),
+         |t AS (SELECT count(*)::BIGINT AS n_vecs,
+         |        sum(norm_e6)::HUGEINT AS sum_norm FROM n)
+         |SELECT vec_id, label, norm_e6,
+         |  (abs(norm_e6::HUGEINT * n_vecs - sum_norm) // n_vecs)::BIGINT
+         |    AS dev_e6
+         |FROM n, t
+         |ORDER BY dev_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "embedding_dim_stats" ->
+      """WITH x0 AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |x AS (SELECT pos, floor(v::DOUBLE * 1000000)::BIGINT AS ve6
+        |      FROM x0),
+        |g AS (
+        |  SELECT pos, count(*)::BIGINT AS n, sum(ve6)::HUGEINT AS s1,
+        |    sum(ve6::HUGEINT * ve6)::HUGEINT AS s2,
+        |    min(ve6)::BIGINT AS min_e6, max(ve6)::BIGINT AS max_e6
+        |  FROM x GROUP BY pos)
+        |SELECT pos::INT AS pos, n, (s1 // n)::BIGINT AS mean_e6,
+        |  ((s2 * n - s1 * s1) // (n::HUGEINT * n))::BIGINT AS var_e12,
+        |  min_e6, max_e6
+        |FROM g ORDER BY pos""".stripMargin,
+    "cluster_assign_drift" ->
+      s"""WITH ${sqlKmeans8On("WHERE vec_id % 2 = 0")},
+         |ce AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |ac AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cc DESC, cid) AS rn
+         |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
+         |          FROM ce CROSS JOIN c2)) WHERE rn = 1),
+         |nr AS (SELECT cid, count(*)::BIGINT AS n_ref FROM a2 GROUP BY 1),
+         |nc AS (SELECT cid, count(*)::BIGINT AS n_new FROM ac GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(nr.cid, nc.cid) AS cid,
+         |    coalesce(n_ref, 0)::BIGINT AS n_ref,
+         |    coalesce(n_new, 0)::BIGINT AS n_new
+         |  FROM nr FULL JOIN nc ON nr.cid = nc.cid),
+         |p AS (
+         |  SELECT cid, n_ref, n_new,
+         |    (n_ref::HUGEINT * 1000000
+         |      // greatest(sum(n_ref) OVER (), 1))::BIGINT AS ref_ppm,
+         |    (n_new::HUGEINT * 1000000
+         |      // greatest(sum(n_new) OVER (), 1))::BIGINT AS new_ppm
+         |  FROM j)
+         |SELECT cid, n_ref, n_new, ref_ppm, new_ppm,
+         |  new_ppm - ref_ppm AS delta_ppm
+         |FROM p ORDER BY cid""".stripMargin,
     "ann_range_search" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p_emb
