@@ -43,8 +43,105 @@ object Similarity {
     "cluster_silhouette" -> clusterSilhouette,
     "embedding_norm_outliers" -> embeddingNormOutliers,
     "embedding_dim_stats" -> embeddingDimStats,
-    "cluster_assign_drift" -> clusterAssignDrift
+    "cluster_assign_drift" -> clusterAssignDrift,
+    "pca_power_topcomp" -> pcaPowerTopcomp
   )
+
+  /** Distributed Gram/covariance accumulation + the centered integer
+    * mean — the two cluster-side passes behind [[pcaPowerTopcomp]],
+    * exposed for PcaSpec's residual check. Returns (G as a dense d×d
+    * covariance in grid² units, n). Components floor onto the 10⁻⁶
+    * grid and center against the exact integer mean, so every Gram
+    * entry is an EXACT integer sum in DECIMAL(38) — associative,
+    * partitioning-independent, deterministic.
+    *
+    * Scale shape: pass 1 is [[embeddingDimStats]]' posexplode mean;
+    * pass 2 fans each row into its d(d+1)/2 upper-triangle products —
+    * CPU O(n·d²) (inherent to Gram) but the shuffle collapses
+    * map-side to ≤ d² rows per partition, so shuffle volume is
+    * |partitions|·d², independent of n. Only d² ≤ 4096 Gram cells ever
+    * reach the driver (bounded metadata, the ≤256-row centroid-collect
+    * exception). */
+  private[graft] def gramMatrix(s: SparkSession, d: String)
+      : (Array[Array[Double]], Long) = {
+    val e = Tables.embeddings(s, d)
+      .select(transform(Fns.asDouble(col("embedding")),
+        v => floor(v * 1e6).cast("long")).as("ve"))
+      .localCheckpoint() // pass 1 (mean) + pass 2 (gram)
+    val meanRows = e
+      .select(posexplode(col("ve")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("s1"),
+        count(lit(1L)).as("c"))
+      .orderBy("pos").collect() // d = 64 rows: bounded metadata
+    val dim = meanRows.length
+    val n = meanRows.head.getLong(2)
+    val mean = meanRows.map(r =>
+      (r.getDecimal(1).toBigInteger.longValue().toDouble / n).round)
+    val meanCol = array(mean.map(m => lit(m)).toSeq: _*)
+    val upper = e
+      .select(zip_with(col("ve"), meanCol, (a, b) => a - b).as("cv"))
+      .select(col("cv"), posexplode(col("cv")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(col("cv")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i")) // symmetric: upper triangle only
+      .groupBy("i", "j")
+      .agg(sum((col("vi") * col("vj")).cast("decimal(38,0)")).as("g"))
+      .collect() // ≤ d(d+1)/2 = 2080 rows: bounded metadata
+    val gm = Array.ofDim[Double](dim, dim)
+    upper.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getDecimal(2).doubleValue() / n
+      gm(i)(j) = v; gm(j)(i) = v
+    }
+    (gm, n)
+  }
+
+  /** Top principal component of the embedding matrix by POWER
+    * ITERATION over the distributed integer Gram — the in-engine PCA
+    * a pipeline uses to whiten/diagnose an encoder (top-component
+    * dominance is the classic "rogue dimension" symptom in
+    * contrastive embeddings). Output per dimension: the unit
+    * eigenvector loading on the micro grid, plus the eigen-variance
+    * and its share of total variance (trace) as constants.
+    *
+    * Determinism: the Gram is exact-integer ([[gramMatrix]]); the
+    * driver-side iteration is a fixed 100 steps from the uniform
+    * vector with a canonical sign (largest-|loading| component
+    * positive), so repeated runs are bit-identical. Rows-only (a SQL
+    * oracle would need a 64-step matrix recursion); PcaSpec pins the
+    * eigen residual ‖Gv−λv‖ ≤ 1%·λ, unit norm, λ ≥ every
+    * per-dimension variance (cross-checked against
+    * [[embeddingDimStats]]), and double-run determinism.
+    *
+    * Scale: the cluster does O(n·d²) work with n-independent shuffle
+    * volume; the driver does O(d²) per step on d² doubles — at d = 64
+    * that is microseconds, and stays driver-cheap to d ~ 2048. */
+  def pcaPowerTopcomp(s: SparkSession, d: String): DataFrame = {
+    val (gm, n) = gramMatrix(s, d)
+    val dim = gm.length
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    (1 to 100).foreach { _ =>
+      val gv = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => gm(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(gv.map(x => x * x).sum)
+      v = gv.map(_ / nrm)
+      lambda = nrm
+    }
+    // canonical sign: the largest-|loading| component points positive
+    val flip = if (v(v.zipWithIndex.maxBy(x => math.abs(x._1))._2) < 0)
+      -1.0 else 1.0
+    v = v.map(_ * flip)
+    val trace = (0 until dim).map(i => gm(i)(i)).sum
+    val eigVarE6 = math.floor(lambda / 1e12 * 1e6).toLong
+    val explainedPpm = math.floor(lambda / trace * 1e6).toLong
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) =>
+      (i, math.floor(x * 1e6).toLong, eigVarE6, explainedPpm)
+    }.toSeq.toDF("pos", "loading_e6", "eig_var_e6", "var_explained_ppm")
+      .orderBy("pos")
+  }
 
   /** Embedding-norm outlier report — the cheapest embedding-quality
     * gate a pipeline runs before ANY cosine-based stage: vectors whose

@@ -42,7 +42,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
       "ann_ivf_from_index", "ann_pq_topk", "ann_pq_from_index",
       "ann_ivfpq_topk", "ann_ivfpq_from_index", "ann_pq_rerank",
-      "bloom_decontaminate")
+      "bloom_decontaminate", "log_rolling_distinct_hll",
+      "pca_power_topcomp")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
