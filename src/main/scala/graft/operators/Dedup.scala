@@ -34,6 +34,7 @@ object Dedup {
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_from_index" -> minhashFromIndex,
     "dedup_simhash" -> simhash,
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
@@ -1143,6 +1144,13 @@ object Dedup {
     // materialized once: consumed three times (signature build + both
     // sides of the candidate verification join)
     val docs = shingleArrays(s, d).localCheckpoint()
+    (minhashBandPairs(minhashBands(docs)), docs)
+  }
+
+  /** The 64 LSH band keys (2 mins per band over the 128-min signature)
+    * for a (doc_id, hs) frame — shared by the in-query candidate stage
+    * and the materialized [[graft.ops.Materialize.minhashIndex]]. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
         .as("sig"))
@@ -1150,16 +1158,67 @@ object Dedup {
       struct(lit(k).as("band"),
         xxhash64(element_at(col("sig"), 2 * k + 1),
           element_at(col("sig"), 2 * k + 2)).as("band_sig"))): _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("kb"))
+    sigs.select(col("doc_id"), explode(bandStructs).as("kb"))
       .select(col("doc_id"), col("kb.band").as("band"),
         col("kb.band_sig").as("band_sig"))
-    val cands = bands.as("a").join(bands.as("b"),
+  }
+
+  /** Distinct candidate pairs from a band frame: bucket equi-join,
+    * a_id < b_id. */
+  private def minhashBandPairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band")
           && col("a.band_sig") === col("b.band_sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    (cands, docs)
+
+  /** The two frames [[graft.ops.Materialize.minhashIndex]] persists:
+    * (doc_id, band, band_sig) band keys and (doc_id, hs, n)
+    * verification signatures. */
+  private[graft] def minhashIndexFrames(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.plans.SignatureFunctions.register(s)
+    val docs = shingleArrays(s, d).localCheckpoint()
+    (minhashBands(docs), docs)
+  }
+
+  private def minhashIndexPath(s: SparkSession, d: String): String = {
+    val path = graft.ops.BuildOnce.scratchPath("minhash", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.minhashIndex(s, d, path)
+    }
+    path
+  }
+
+  /** [[minhashLsh]] served from the MATERIALIZED band-bucket index —
+    * the from-index twin that completes the serving matrix on the
+    * dedup side (the ANN/lexical `*_from_index` pattern): candidates
+    * come from the persisted (band, band_sig) keys and verification
+    * reads the persisted shingle-hash arrays; tokenize → shingle →
+    * 128-min signatures NEVER recompute. Result ≡ [[minhashLsh]]
+    * row-for-row (DedupSpec pins the equality, and pins that the plan
+    * reads NO document text — only index files).
+    *
+    * Scale shape: a nightly re-dedup is then two reads of
+    * band_sig-sorted parquet + the same O(n·bands) bucket join; a
+    * new-batch scope (the [[incremental]] composition) point-reads
+    * only the buckets the batch's 64 band keys hit — nprobe-style
+    * pruning on the dedup index. */
+  def minhashFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = minhashIndexPath(s, d)
+    val bands = s.read.parquet(s"$path/bands")
+    val sigs = s.read.parquet(s"$path/sigs")
+    minhashBandPairs(bands)
+      .join(sigs.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
   }
 
   /** 64-bit SimHash from token-frequency bit votes; hamming ≤ 3 pairs

@@ -113,6 +113,33 @@ object Materialize {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Materialize the MINHASH band-bucket index — the near-dup serving
+    * artifact completing the from-index matrix on the DEDUP side the
+    * way [[lexicalIndex]] completes retrieval and [[ivfIndex]]/
+    * [[pqIndex]] complete ANN. `dedup_minhash_lsh` recomputes
+    * tokenize→shingle→128-min signatures for the WHOLE corpus per
+    * call; a nightly pipeline pays that once here, and every
+    * subsequent candidate generation (full re-dedup, or a new-batch
+    * scope à la `dedup_incremental`) is a pure equi-join over these
+    * files:
+    *
+    *  - `path`/bands: (doc_id, band, band_sig) — the 64 LSH band keys
+    *    per doc, band_sig-range-sorted so a bucket probe prunes to
+    *    matching row groups;
+    *  - `path`/sigs: (doc_id, hs, n) — the shingle-hash arrays the
+    *    verification join reads, doc_id-range-sorted for the id-keyed
+    *    point reads.
+    */
+  def minhashIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val (bands, docs) = graft.operators.Dedup.minhashIndexFrames(s, dir)
+    bands.repartitionByRange(col("band"), col("band_sig"))
+      .sortWithinPartitions("band", "band_sig", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    docs.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
   /** Materialize the LEXICAL inverted index — the serving artifact the
     * retrieval suite's scale story promises, completing the from-index
     * matrix on the text side the way [[ivfIndex]]/[[pqIndex]] complete

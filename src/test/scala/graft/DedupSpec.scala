@@ -361,4 +361,20 @@ class DedupSpec extends SparkSpec {
     assert(survivors.length.toLong === nDistinctTexts)
     assert(survivors.map(_.getLong(0)).distinct.length === survivors.length)
   }
+
+  test("minhash from materialized index equals the in-query twin, reads no text") {
+    val inQuery = Dedup.minhashLsh(spark, sf0001).collect()
+    val df = Dedup.minhashFromIndex(spark, sf0001)
+    val fromIndex = df.collect()
+    assert(fromIndex.map(_.toString).toSeq ===
+      inQuery.map(_.toString).toSeq,
+      "from-index pairs must be row-identical to the in-query LSH")
+    // serving contract: the plan touches ONLY the index files — no
+    // documents scan, no tokenize/shingle/signature recompute
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "from-index plan re-reads the corpus")
+    assert(!plan.contains("minhash_sig"),
+      "from-index plan recomputes signatures")
+  }
 }

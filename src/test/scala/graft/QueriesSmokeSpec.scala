@@ -43,6 +43,7 @@ class QueriesSmokeSpec extends SparkSpec {
       "ann_ivf_from_index", "ann_pq_topk", "ann_pq_from_index",
       "ann_ivfpq_topk", "ann_ivfpq_from_index", "ann_pq_rerank",
       "bloom_decontaminate", "log_rolling_distinct_hll",
+      "dedup_minhash_from_index",
       "pca_power_topcomp")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
