@@ -27,8 +27,71 @@ object Training {
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "feature_hash_bow" -> featureHashBow,
     "quality_score_calibration" -> qualityScoreCalibration,
-    "knn_eval_confusion" -> knnEvalConfusion
+    "knn_eval_confusion" -> knnEvalConfusion,
+    "bigram_lm_holdout" -> bigramLmHoldout
   )
+
+  /** HELD-OUT evaluation of the corpus bigram LM — the train/eval
+    * split [[graft.operators.TextAnalysis.bigramLmScore]] deliberately
+    * skips (it scores docs under a model fit on the SAME corpus; fine
+    * for relative in-corpus ranking, circular as an eval). Here the
+    * model (add-one-smoothed bigram probabilities, the same recipe)
+    * fits on the md5-bucket < 13 content split (~81%, the
+    * reproducible [[graft.ops.Fns.md5Bucket]] primitive — stable
+    * across runs, reshards, and cluster sizes) and is evaluated on
+    * the held-out rest: per source, held-out docs/bigrams and the
+    * mean negative log-likelihood in nats (round-4; perplexity is
+    * `exp(nll)` — left to the reader because cross-engine `exp` bit
+    * parity is not guaranteed, while this `ln`-sum form replays under
+    * the oracle per the `text_bigram_lm_score` precedent). Unseen
+    * words/bigrams get the smoothed floor `1/(0+V)` — the model's
+    * actual production behavior on novel text.
+    *
+    * Scale shape: the train side is two map-side-combined count
+    * aggregates (bigrams, unigrams) + a 1-row vocab broadcast; the
+    * eval side aggregates held-out bigrams per (source, w1, w2)
+    * BEFORE joining the model (the join runs on model-sized keys, not
+    * corpus rows), then left-joins — unseen events stay, which is the
+    * point of an eval — and rolls up per source. */
+  def bigramLmHoldout(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Fns
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Fns.tokens(col("text")).as("w"),
+        Fns.md5Bucket(col("text")).as("bucket"))
+    val train = docs.filter(col("bucket") < 13)
+    val held = docs.filter(col("bucket") >= 13)
+    val n1 = greatest(size(col("w")) - 1, lit(0))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tb = bigrams(train).groupBy(col("w1").as("b_w1"),
+      col("w2").as("b_w2")).agg(count(lit(1)).as("c_big"))
+    val tu = train.select(explode(col("w")).as("t"))
+      .groupBy(col("t").as("u_w")).agg(count(lit(1)).as("c_uni"))
+      .localCheckpoint() // consumed by the vocab total and the join
+    val v = tu.agg(count(lit(1)).as("v"))
+    val nd = held.groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    bigrams(held)
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c"))
+      .join(tb, col("w1") === col("b_w1") && col("w2") === col("b_w2"),
+        "left")
+      .join(tu, col("w1") === col("u_w"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        round(lit(0.0) - sum(col("c")
+            * log((coalesce(col("c_big"), lit(0L)) + lit(1.0))
+              / (coalesce(col("c_uni"), lit(0L)) + col("v"))))
+          / sum("c"), 4).as("heldout_nll"))
+      .join(nd, Seq("source"))
+      .select("source", "n_docs", "n_bigrams", "heldout_nll")
+      .orderBy("source")
+  }
 
   /** Calibration audit of the TRAINED quality classifier — the
     * reliability-diagram aggregate every model-gated pipeline reads
@@ -490,6 +553,46 @@ object Training {
   }
 
   def oracles: Map[String, String] = Map(
+    "bigram_lm_holdout" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w,
+         |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+         |      AS bucket
+         |  FROM documents),
+         |tr AS (SELECT * FROM docs WHERE bucket < 13),
+         |he AS (SELECT * FROM docs WHERE bucket >= 13),
+         |trb AS (
+         |  SELECT w1, lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    AS w2
+         |  FROM (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+         |          unnest(w) AS w1 FROM tr)),
+         |tb AS (SELECT w1 AS b_w1, w2 AS b_w2, count(*)::BIGINT AS c_big
+         |       FROM trb WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         |tu AS (SELECT t AS u_w, count(*)::BIGINT AS c_uni
+         |       FROM (SELECT unnest(w) AS t FROM tr) GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS v FROM tu),
+         |nd AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+         |       FROM he GROUP BY 1),
+         |heb0 AS (
+         |  SELECT doc_id, source, w1,
+         |    lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM (SELECT doc_id, source, generate_subscripts(w, 1) AS pos,
+         |          unnest(w) AS w1 FROM he)),
+         |heb AS (SELECT source, w1, w2, count(*)::BIGINT AS c
+         |        FROM heb0 WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT source, sum(c)::BIGINT AS n_bigrams,
+         |    round(0.0 - sum(c * ln((coalesce(c_big, 0) + 1.0)
+         |        / (coalesce(c_uni, 0) + v))) / sum(c), 4)
+         |      AS heldout_nll
+         |  FROM heb
+         |  LEFT JOIN tb ON w1 = b_w1 AND w2 = b_w2
+         |  LEFT JOIN tu ON w1 = u_w
+         |  CROSS JOIN v
+         |  GROUP BY source)
+         |SELECT sc.source, n_docs, n_bigrams, heldout_nll
+         |FROM sc JOIN nd ON sc.source = nd.source
+         |ORDER BY sc.source""".stripMargin,
     "feature_hash_bow" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${graft.ops.Fns.sqlTokens("text")}) AS tok
