@@ -65,8 +65,58 @@ object Relational {
     "erasure_cascade_audit" -> erasureCascadeAudit,
     "basket_lift" -> basketLift,
     "table_profile" -> tableProfile,
-    "referential_integrity_audit" -> refIntegrityAudit
+    "referential_integrity_audit" -> refIntegrityAudit,
+    "layout_zorder_audit" -> layoutZorderAudit
   )
+
+  /** Z-ORDER layout audit — the data-layout decision quantified
+    * in-engine before anyone rewrites 100 TB: would writing lineitem
+    * Z-ordered on (l_partkey, l_suppkey) beat the linear
+    * partkey-sorted layout for two-dimensional predicates? Each row
+    * maps both keys onto a 256-cell grid (value-range scaled against
+    * broadcast 1-row maxima — NOT ntile, whose unpartitioned global
+    * window is the documented scale killer), bit-interleaves them into
+    * a 16-bit Morton code, and cells form from the TOP SIX BITS of
+    * each layout's sort key (static bit ops, no window anywhere). Per
+    * layout the audit reports the per-cell min/max SPAN of both keys —
+    * exactly the row-group zone-map width that decides parquet
+    * data-skipping: the linear layout collapses `p_span` but leaves
+    * `s_span` at full range (suppkey predicates skip nothing); the
+    * Z-order cells bound BOTH spans, which is the whole trade. All
+    * arithmetic is integer — hash-exact under the oracle.
+    *
+    * Scale shape: one scan, two map-side-combined 64-cell aggregates,
+    * a 1-row broadcast for the maxima. The audited write itself would
+    * be `repartitionByRange(z)` + sortWithin — the
+    * [[graft.ops.Materialize]] layout rule with z as the range key. */
+  def layoutZorderAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+    val mx = li.agg(max("l_partkey").as("max_p"),
+      max("l_suppkey").as("max_s"))
+    val g = li.crossJoin(broadcast(mx))
+      .withColumn("pb", expr("cast(l_partkey * 256 div (max_p + 1) as int)"))
+      .withColumn("sb", expr("cast(l_suppkey * 256 div (max_s + 1) as int)"))
+      .withColumn("z", expr((0 until 8).map(i =>
+        s"(((pb >> $i) & 1) << ${2 * i}) + (((sb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")))
+      .localCheckpoint() // consumed by both layout rollups
+    def spans(cellExpr: String, layout: String): DataFrame = g
+      .groupBy(expr(cellExpr).as("cell"))
+      .agg((max("l_partkey") - min("l_partkey")).as("p_span"),
+        (max("l_suppkey") - min("l_suppkey")).as("s_span"),
+        count(lit(1L)).as("n"))
+      .agg(lit(layout).as("layout"),
+        count(lit(1L)).as("n_cells"),
+        sum(col("p_span") * col("n")).as("w_p_span"),
+        sum(col("s_span") * col("n")).as("w_s_span"),
+        sum("n").as("n_rows"))
+      .select(col("layout"), col("n_cells"),
+        expr("w_p_span div n_rows").as("avg_p_span"),
+        expr("w_s_span div n_rows").as("avg_s_span"))
+    spans("z >> 10", "zorder")
+      .unionByName(spans("pb >> 2", "linear_p"))
+      .orderBy("layout")
+  }
 
   /** Per-column data-quality profile of the biggest fact table — the
     * first query anyone runs against an unfamiliar 100 TB drop: per
@@ -1277,6 +1327,42 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder_audit" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((pb >> $i) & 1) << ${2 * i}) + (((sb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH mx AS (SELECT max(l_partkey) AS max_p,
+         |              max(l_suppkey) AS max_s FROM lineitem),
+         |g0 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey * 256 // (max_p + 1))::INT AS pb,
+         |    (l_suppkey * 256 // (max_s + 1))::INT AS sb
+         |  FROM lineitem, mx),
+         |g AS (SELECT *, ($zExpr) AS z FROM g0),
+         |zc AS (
+         |  SELECT z >> 10 AS cell,
+         |    (max(l_partkey) - min(l_partkey))::BIGINT AS p_span,
+         |    (max(l_suppkey) - min(l_suppkey))::BIGINT AS s_span,
+         |    count(*)::BIGINT AS n
+         |  FROM g GROUP BY 1),
+         |lc AS (
+         |  SELECT pb >> 2 AS cell,
+         |    (max(l_partkey) - min(l_partkey))::BIGINT AS p_span,
+         |    (max(l_suppkey) - min(l_suppkey))::BIGINT AS s_span,
+         |    count(*)::BIGINT AS n
+         |  FROM g GROUP BY 1),
+         |u AS (
+         |  SELECT 'zorder' AS layout, count(*)::BIGINT AS n_cells,
+         |    (sum(p_span * n) // sum(n))::BIGINT AS avg_p_span,
+         |    (sum(s_span * n) // sum(n))::BIGINT AS avg_s_span
+         |  FROM zc
+         |  UNION ALL
+         |  SELECT 'linear_p', count(*)::BIGINT,
+         |    (sum(p_span * n) // sum(n))::BIGINT,
+         |    (sum(s_span * n) // sum(n))::BIGINT
+         |  FROM lc)
+         |SELECT * FROM u ORDER BY layout""".stripMargin
+    },
     "table_profile" -> {
       val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
