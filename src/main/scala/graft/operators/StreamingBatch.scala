@@ -24,8 +24,34 @@ object StreamingBatch {
     "stream_dedup_window" -> dedupWindow,
     "stream_interval_join" -> intervalJoin,
     "stream_contamination_hits" -> contaminationHits,
-    "stream_stateful_sessions" -> statefulSessions
+    "stream_stateful_sessions" -> statefulSessions,
+    "stream_sliding_distinct" -> slidingDistinct
   )
+
+  /** Sliding-window DISTINCT users — the hopping-window unique-visitor
+    * metric ([[slidingAgg]]'s count twin with SET semantics): per
+    * 1h/15min window, distinct active users and raw events. This batch
+    * form is the exact ✅SQL semantics; the STREAMING twin
+    * ([[graft.streaming.Pipelines.slidingDistinctCounts]]) swaps the
+    * exact distinct for `approx_count_distinct`, because an exact
+    * distinct over open windows needs unbounded per-window user sets
+    * as state while the HLL sketch is fixed-size and merge-order-
+    * insensitive — the same exact↔sketch trade as
+    * `log_rolling_distinct` vs its `_hll` twin, here forced by the
+    * streaming state bound rather than chosen for shuffle volume.
+    * StreamingSpec pins stream ≡ batch on identical rows.
+    *
+    * Scale shape: one window-keyed shuffle with partial distinct
+    * merge; each event expands into its 4 overlapping windows
+    * executor-side (bounded fan-out, no self-join). */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    withTs(s, d)
+      .groupBy(window(col("t"), "1 hour", "15 minutes"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_users"), col("n_events"))
+      .orderBy("win_start_us")
 
   case class SessEv(user_id: Long, tu: Long, event_id: Long, value: Double)
   case class UserSessSummary(user_id: Long, n_sessions: Long,
@@ -312,6 +338,17 @@ object StreamingBatch {
          |SELECT win_start_us, event_type, count(*) AS n,
          |  round(sum(value), 2) AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "stream_sliding_distinct" ->
+      s"""WITH $E,
+         |w AS (
+         |  SELECT user_id,
+         |    (tu // 900000000 - k.k) * 900000000 AS win_start_us
+         |  FROM e CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 3)) AS k) k)
+         |SELECT win_start_us,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  count(*)::BIGINT AS n_events
+         |FROM w GROUP BY 1 ORDER BY win_start_us""".stripMargin,
     "stream_topk_window" ->
       s"""WITH $E,
          |a AS (

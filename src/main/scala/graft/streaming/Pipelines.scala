@@ -42,6 +42,25 @@ object Pipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window distinct users, streaming form — the twin of the
+    * batch `stream_sliding_distinct`: identical 1h/15min hopping
+    * windows, but the EXACT `count_distinct` swaps for
+    * `approx_count_distinct` (rsd 0.01), because exact distinct over
+    * open windows keeps every user id as state while the HLL++ sketch
+    * is fixed-size per window — the state bound a 100 TB/day stream
+    * needs. The sketch is merge-order-INSENSITIVE (registers take
+    * max), so the streamed result is deterministic and equals the
+    * batch `approx_count_distinct` over the same rows exactly —
+    * StreamingSpec pins that equality plus sketch-vs-exact closeness. */
+  def slidingDistinctCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("n_users_approx"), col("n_events"))
+
   /** Streaming exact dedup — the ingest-time half of the dedup suite:
     * drops records whose content key (user, type, value) was already
     * seen, keeping state only within the watermark

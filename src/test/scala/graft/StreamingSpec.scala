@@ -300,6 +300,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding distinct-user stream ≡ batch sketch; sketch tracks exact") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Pipelines.slidingDistinctCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_distinct")
+      .outputMode("append").start()
+    // user 1 repeats within a window (counts once); user 2 spans two
+    // slide buckets of one window (still counts once)
+    val data = Seq(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "view", 2.0),
+      Event(ts(10), 2L, "view", 3.0), Event(ts(25), 2L, "click", 4.0),
+      Event(ts(70), 3L, "view", 5.0))
+    try {
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData(Event(ts(360), 9L, "pusher", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_distinct")
+        .filter(col("win_start") < Timestamp.valueOf("2024-01-01 16:00:00"))
+      // the stream must equal the batch SKETCH twin exactly: HLL
+      // registers are merge-order-insensitive, so micro-batching
+      // cannot change the estimate
+      val batchSketch = data.toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(approx_count_distinct(col("user_id"), 0.01)
+          .as("n_users_approx"), count(lit(1)).as("n_events"))
+        .select(col("window.start").as("win_start"),
+          col("n_users_approx"), col("n_events"))
+      assert(streamed.exceptAll(batchSketch).isEmpty
+          && batchSketch.exceptAll(streamed).isEmpty,
+        "streamed sliding distinct != batch approx twin")
+      // and the sketch must be EXACT at this cardinality (≤ 2 users
+      // per window): equality against true distinct, not just ≈
+      val exact = data.toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count_distinct(col("user_id")).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("win_start"),
+          col("n_users_approx"), col("n_events"))
+      assert(streamed.exceptAll(exact).isEmpty,
+        "sketch diverged from exact at trivial cardinality")
+    } finally q.stop()
+  }
+
   test("windowed dedup stream ≡ batch distinct-pair counts per window") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
