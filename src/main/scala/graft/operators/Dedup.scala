@@ -41,6 +41,7 @@ object Dedup {
     "dedup_clusters" -> clusters,
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
+    "compaction_plan" -> compactionPlan,
     "dedup_incremental" -> incremental,
     "dedup_containment" -> containment,
     "dedup_span_flags" -> spanFlags,
@@ -814,6 +815,62 @@ object Dedup {
         min("doc_id").as("min_doc_id"),
         max("doc_id").as("max_doc_id"))
       .orderBy("split", "lang")
+  }
+
+  /** Small-file compaction planner over the survivor corpus — the
+    * lakehouse-maintenance stage after [[materializeSurvivors]]: given
+    * a target output-file size (`graft.compaction.targetChars`, default
+    * 8192), assign every survivor doc (doc_id order within its (split,
+    * lang) partition) to the output file index `prior_chars div
+    * target` — the deterministic size-based rolling writer — and emit
+    * the per-file manifest (doc count, char mass, doc_id range) a
+    * rewrite job would execute.
+    *
+    * Scale shape: the prefix sum is TWO-LEVEL, never a global window.
+    * A naive `sum over (partition by split, lang order by doc_id)`
+    * funnels each of the ~3×|langs| partition values through ONE task —
+    * the exact skew [[graft.ops.Materialize.partitioned]]'s scaladoc
+    * warns about, fatal at 100 TB. Instead: (1) docs bucket by
+    * `doc_id div G` (G = `graft.compaction.planGroup`, default 1024);
+    * (2) per-bucket char sums — n/G rows — take the coarse running
+    * total (a window over the TINY aggregated frame); (3) the
+    * fine-grained within-bucket prefix runs partitioned by (split,
+    * lang, bucket) — bounded G-row groups, no skew. prior = coarse
+    * offset + local prefix equals the global prefix exactly because
+    * doc_id order refines bucket order. The oracle replays the plain
+    * one-level prefix — identical values, so the hash gate also proves
+    * the decomposition correct. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target =
+      s.conf.getOption("graft.compaction.targetChars").fold(8192L)(_.toLong)
+    val group =
+      s.conf.getOption("graft.compaction.planGroup").fold(1024L)(_.toLong)
+    require(target >= 1 && group >= 1,
+      s"compaction knobs must be >= 1: target=$target group=$group")
+    val w = org.apache.spark.sql.expressions.Window
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val base = graft.ops.Materialize.survivorFrame(s, d)
+      .select(col("split"), col("lang"), col("doc_id"), col("n_chars"),
+        expr(s"doc_id div $group").as("grp"))
+    val coarse = base.groupBy("split", "lang", "grp")
+      .agg(sum("n_chars").as("grp_chars"))
+      .withColumn("grp_offset",
+        coalesce(sum("grp_chars").over(
+          w.partitionBy("split", "lang").orderBy("grp")
+            .rowsBetween(unb, -1)), lit(0L)))
+      .select("split", "lang", "grp", "grp_offset")
+    base
+      .withColumn("local_prior",
+        coalesce(sum("n_chars").over(
+          w.partitionBy("split", "lang", "grp").orderBy("doc_id")
+            .rowsBetween(unb, -1)), lit(0L)))
+      .join(coarse, Seq("split", "lang", "grp"))
+      .withColumn("file_idx",
+        expr(s"(grp_offset + local_prior) div $target"))
+      .groupBy("split", "lang", "file_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_chars"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("split", "lang", "file_idx")
   }
 
   /** Corpus-level near-dup profiling with the mergeable MinHash-union
@@ -1632,6 +1689,30 @@ object Dedup {
          |LEFT JOIN near ON near.b_id = d.doc_id
          |WHERE d.doc_id >= (SELECT c FROM cut)
          |ORDER BY d.doc_id""".stripMargin,
+    "compaction_plan" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT documents.* FROM documents JOIN surv USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN b <= 13 THEN 'train'
+        |         WHEN b = 14 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT d.*,
+        |          (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+        |            AS b
+        |        FROM d)),
+        |pre AS (
+        |  SELECT split, lang, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY split, lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior_chars
+        |  FROM sp)
+        |SELECT split, lang, (prior_chars // 8192)::BIGINT AS file_idx,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS file_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM pre GROUP BY split, lang, file_idx
+        |ORDER BY split, lang, file_idx""".stripMargin,
     "materialize_survivors" ->
       """WITH surv AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -377,4 +377,36 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("minhash_sig"),
       "from-index plan recomputes signatures")
   }
+
+  test("compaction plan: two-level prefix equals the naive global prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val twoLevel = Dedup.compactionPlan(spark, sf0001).collect()
+    // reference semantics: ONE window over the whole partition — the
+    // form that does not scale but is trivially correct
+    val target = 8192L
+    val naive = graft.ops.Materialize.survivorFrame(spark, sf0001)
+      .withColumn("prior", coalesce(sum("n_chars").over(
+        Window.partitionBy("split", "lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("file_idx", expr(s"prior div $target"))
+      .groupBy("split", "lang", "file_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_chars"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("split", "lang", "file_idx")
+      .collect()
+    assert(twoLevel.map(_.toString).toSeq === naive.map(_.toString).toSeq,
+      "bucketed prefix-sum decomposition diverged from the global prefix")
+    // every planned file except a partition's last must come within
+    // one max-doc of the target (a doc can spill past a boundary but
+    // never leave the file shorter than target - max_doc_chars)
+    val maxDoc = graft.ops.Materialize.survivorFrame(spark, sf0001)
+      .agg(max("n_chars")).collect()(0).getLong(0)
+    val byPart = twoLevel.groupBy(r => (r.getString(0), r.getString(1)))
+    byPart.values.foreach { files =>
+      files.sortBy(_.getLong(2)).dropRight(1).foreach { r =>
+        assert(r.getLong(4) > target - maxDoc,
+          s"non-final planned file far below target: $r")
+      }
+    }
+  }
 }

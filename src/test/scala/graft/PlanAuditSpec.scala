@@ -361,6 +361,24 @@ class PlanAuditSpec extends SparkSpec {
       "nation dim should broadcast")
   }
 
+  test("compaction plan: doc-level prefix window is bucket-partitioned") {
+    val p = plan("compaction_plan")
+    // the fine-grained running total must be partitioned by (split,
+    // lang, grp) — a doc-level window keyed only on (split, lang)
+    // funnels each partition value through one task at corpus scale.
+    // The coarse offset window runs over the aggregated n/G-row frame
+    // and is the only (split, lang)-keyed one. Window partition lists
+    // render in the details section as `], [<keys>], [<order>]` — find
+    // the doc_id-ordered (doc-level) window and check its keys.
+    val docLevel = """\], \[([^\]]*)\], \[doc_id#\d+L ASC""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(docLevel.nonEmpty, "expected a doc_id-ordered window")
+    assert(docLevel.forall(_.contains("grp")),
+      "doc-level prefix sum lost its bucket partitioning key")
+    assert(!finalTree(p).contains("Exchange SinglePartition"),
+      "compaction planner collapsed to a single partition")
+  }
+
   test("logit quality score: pure per-row plan, no shuffle before sort") {
     val p = plan("quality_logit_score")
     // one scan → project → filter → output sort; the only exchange
