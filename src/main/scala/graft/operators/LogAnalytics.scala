@@ -56,6 +56,7 @@ object LogAnalytics {
     "log_gap_fill" -> gapFill,
     "join_range_bucket" -> rangeJoinBucket,
     "log_type_transitions" -> typeTransitions,
+    "event_paths_topk" -> pathsTopk,
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll
@@ -203,6 +204,33 @@ object LogAnalytics {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Top session paths — the length-3 generalization of
+    * [[typeTransitions]]' bigram matrix, scoped to SESSIONS (the
+    * [[sessionized]] 30-min-gap boundary) so a path never spans a
+    * returning visit: per session, every run of three consecutive
+    * event types is one path occurrence; the corpus-wide top 20 by
+    * count answers "what do users actually do, in order?". Two leads
+    * over the (user, session)-keyed window — fine-grained keys, no
+    * skew — then a map-side-combining count whose key space is
+    * |types|³ ≤ 125: metadata-sized at any corpus scale, so the final
+    * top-k is a TakeOrdered over a tiny frame, not a global sort of
+    * data. Ordering (n DESC, then the three steps) is total → the
+    * oracle hash is exact. */
+  def pathsTopk(s: SparkSession, d: String): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts_us", "event_id")
+    sessionized(s, d)
+      .select(col("user_id"), col("session_id"), col("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("step2", lead("event_type", 1).over(bySess))
+      .withColumn("step3", lead("event_type", 2).over(bySess))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
   }
 
   /** Time-series gap fill: the dense (user × day) grid with zero-filled
@@ -749,6 +777,19 @@ object LogAnalytics {
       s"""$SessCte
          |SELECT user_id, event_id, tu AS ts_us, session_id
          |FROM sess ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "event_paths_topk" ->
+      s"""$SessCte,
+         |tri AS (
+         |  SELECT event_type AS step1,
+         |    lead(event_type, 1) OVER w AS step2,
+         |    lead(event_type, 2) OVER w AS step3
+         |  FROM sess
+         |  WINDOW w AS (PARTITION BY user_id, session_id
+         |    ORDER BY tu, event_id))
+         |SELECT step1, step2, step3, count(*)::BIGINT AS n
+         |FROM tri WHERE step3 IS NOT NULL
+         |GROUP BY step1, step2, step3
+         |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "log_session_stats" ->
       s"""$SessCte
          |SELECT user_id, session_id, count(*) AS n_events,

@@ -66,7 +66,8 @@ object Relational {
     "basket_lift" -> basketLift,
     "table_profile" -> tableProfile,
     "referential_integrity_audit" -> refIntegrityAudit,
-    "layout_zorder_audit" -> layoutZorderAudit
+    "layout_zorder_audit" -> layoutZorderAudit,
+    "skyline_pareto" -> skylinePareto
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1326,7 +1327,73 @@ object Relational {
       .limit(100)
   }
 
+  /** Pareto skyline over part on (minimize p_retailprice, minimize
+    * p_size): a part survives iff no other part is ≤ on both axes and
+    * < on at least one — the multi-objective "best tradeoffs" query
+    * optimizers and catalog-curation pipelines both need. NOT the
+    * textbook NOT-EXISTS self-join (O(n²) pairs — the oracle replays
+    * that form, which is fine for DuckDB at test SF and fatal for the
+    * engine at 100 TB). The sweep form: a part is on the skyline iff
+    * (1) its size is minimal within its exact price point and (2) its
+    * size is strictly below the minimum size of every strictly-cheaper
+    * part. (2) is a running min over price order — computed with the
+    * same TWO-LEVEL decomposition as [[Dedup.compactionPlan]]'s prefix
+    * sums (min is associative too): per-price mins aggregate once
+    * (fine-grained keys), $10-band coarse mins take the cross-band
+    * running min over a metadata-sized band frame, and the within-band
+    * running min windows over band-local keys. Prices compare as
+    * centi-cents BIGINT (exact); the emitted price is the stored
+    * double, untouched. */
+  def skylinePareto(s: SparkSession, d: String): DataFrame =
+    skylineOf(Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("pc")))
+
+  /** [[skylinePareto]]'s sweep kernel over an explicit (p_partkey,
+    * p_retailprice, p_size, pc) frame — package-private so the spec
+    * can pin tie semantics (equal points co-survive) and the
+    * two-level ≡ naive-window equality on planted frames. */
+  private[graft] def skylineOf(part: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // (1) per exact price point: minimal size at that price
+    val grpMin = part.groupBy("pc").agg(min("p_size").as("grp_min_size"))
+      .withColumn("band", expr("pc div 1000"))
+    // (2) running min of size over all strictly-cheaper prices,
+    // two-level: coarse prior-band min + within-band prior-price min
+    val coarse = grpMin.groupBy("band")
+      .agg(min("grp_min_size").as("band_min"))
+      .withColumn("prior_band_min", min("band_min").over(
+        w.orderBy("band").rowsBetween(w.unboundedPreceding, -1)))
+      .select("band", "prior_band_min")
+    val priorMin = grpMin
+      .withColumn("local_prior", min("grp_min_size").over(
+        w.partitionBy("band").orderBy("pc")
+          .rowsBetween(w.unboundedPreceding, -1)))
+      .join(coarse, "band")
+      .select(col("pc"),
+        least(coalesce(col("prior_band_min"), lit(Int.MaxValue)),
+          coalesce(col("local_prior"), lit(Int.MaxValue)))
+          .as("prior_min"))
+    part
+      .join(grpMin.select("pc", "grp_min_size"), "pc")
+      .join(priorMin, "pc")
+      .filter(col("p_size") === col("grp_min_size")
+        && col("p_size") < col("prior_min"))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_size", "p_partkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "skyline_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size < p.p_size))
+        |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin,
     "layout_zorder_audit" -> {
       val zExpr = (0 until 8).map(i =>
         s"(((pb >> $i) & 1) << ${2 * i}) + (((sb >> $i) & 1) << ${2 * i + 1})")

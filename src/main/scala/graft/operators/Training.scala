@@ -28,7 +28,8 @@ object Training {
     "feature_hash_bow" -> featureHashBow,
     "quality_score_calibration" -> qualityScoreCalibration,
     "knn_eval_confusion" -> knnEvalConfusion,
-    "bigram_lm_holdout" -> bigramLmHoldout
+    "bigram_lm_holdout" -> bigramLmHoldout,
+    "feature_pit_join" -> featurePitJoin
   )
 
   /** HELD-OUT evaluation of the corpus bigram LM — the train/eval
@@ -552,7 +553,82 @@ object Training {
        |  FROM tf, w$i GROUP BY 1, 2, 3, 4)""".stripMargin
   }
 
+  /** Point-in-time (leakage-safe) feature join — the feature-store
+    * primitive every supervised pipeline over event streams needs:
+    * each training example (here: a purchase event) joins the user's
+    * feature snapshot AS OF THE END OF THE PRIOR DAY — n_events,
+    * n_purchases, value mass (centi-units BIGINT, exact), and active
+    * days over strictly earlier days. Same-day events are excluded by
+    * construction: features come from the per-(user, day) daily
+    * aggregate's prior-day cumulative window, so a label can never
+    * leak into its own features — the bug this operator exists to
+    * make impossible, and the invariant TrainingSpec pins (features
+    * of a user's first-ever day are all zero).
+    *
+    * Scale shape: one (user, day) aggregate over the stream (map-side
+    * combine), cumulative windows partitioned per USER (fine-grained
+    * keys — no global or low-cardinality window), then an equi-join
+    * back to purchases on (user, day): the purchase's own day row
+    * always exists, so no as-of gap search is needed. */
+  def featurePitJoin(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr(s"ts_us div $dayUs").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v_centi"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum("v_centi").as("v_sum"))
+    val prior = w.partitionBy("user_id").orderBy("day")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val feats = daily
+      .withColumn("n_events_prior", coalesce(sum("n").over(prior), lit(0L)))
+      .withColumn("n_purchases_prior",
+        coalesce(sum("n_purch").over(prior), lit(0L)))
+      .withColumn("value_centi_prior",
+        coalesce(sum("v_sum").over(prior), lit(0L)))
+      .withColumn("days_active_prior",
+        coalesce(count(lit(1)).over(prior), lit(0L)))
+      .select("user_id", "day", "n_events_prior", "n_purchases_prior",
+        "value_centi_prior", "days_active_prior")
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "day")
+      .join(feats, Seq("user_id", "day"))
+      .select("event_id", "user_id", "day", "n_events_prior",
+        "n_purchases_prior", "value_centi_prior", "days_active_prior")
+      .orderBy("event_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    "feature_pit_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    round(value * 100)::BIGINT AS v_centi
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_purch,
+        |    sum(v_centi)::BIGINT AS v_sum
+        |  FROM ev GROUP BY user_id, day),
+        |feats AS (
+        |  SELECT user_id, day,
+        |    coalesce(sum(n) OVER w, 0)::BIGINT AS n_events_prior,
+        |    coalesce(sum(n_purch) OVER w, 0)::BIGINT AS n_purchases_prior,
+        |    coalesce(sum(v_sum) OVER w, 0)::BIGINT AS value_centi_prior,
+        |    count(*) OVER w AS days_active_prior
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT e.event_id, e.user_id, e.day, f.n_events_prior,
+        |  f.n_purchases_prior, f.value_centi_prior, f.days_active_prior
+        |FROM ev e JOIN feats f ON e.user_id = f.user_id AND e.day = f.day
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "bigram_lm_holdout" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w,

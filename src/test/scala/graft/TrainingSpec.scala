@@ -156,4 +156,37 @@ class TrainingSpec extends SparkSpec {
       }
     }
   }
+
+  test("PIT feature join is leakage-free: features replay as strictly-prior-day stats") {
+    val got = Training.featurePitJoin(spark, sf0001).collect()
+    assert(got.nonEmpty, "no purchase examples at sf0.001")
+    // brute-force expected features from the raw stream
+    val dayUs = 86400L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr(s"ts_us div $dayUs").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    got.foreach { r =>
+      val (eid, uid, day) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val prior = ev.filter(e => e._2 == uid && e._4 < day)
+      assert(r.getLong(3) === prior.length.toLong, s"n_events_prior $eid")
+      assert(r.getLong(4) ===
+        prior.count(_._3 == "purchase").toLong, s"n_purchases_prior $eid")
+      assert(r.getLong(5) === prior.map(_._5).sum, s"value_centi_prior $eid")
+      assert(r.getLong(6) ===
+        prior.map(_._4).distinct.length.toLong, s"days_active_prior $eid")
+    }
+    // the structural guarantee: a user's first-day purchases see zeros
+    val firstDay = ev.groupBy(_._2).view.mapValues(_.map(_._4).min).toMap
+    val firstDayRows = got.filter(r =>
+      firstDay(r.getLong(1)) == r.getLong(2))
+    assert(firstDayRows.nonEmpty, "no first-day purchase in the fixture")
+    firstDayRows.foreach { r =>
+      assert((3 to 6).forall(r.getLong(_) == 0L),
+        s"first-day features must be all-zero: $r")
+    }
+  }
 }
