@@ -55,7 +55,10 @@ object Dedup {
     "vocab_drift" -> vocabDrift,
     "neardup_quality_delta" -> qualityDelta,
     "neardup_pagerank" -> pagerank,
-    "neardup_triangles" -> triangles
+    "neardup_triangles" -> triangles,
+    "neardup_kcore" -> kcore,
+    "cc_incremental" -> ccIncremental,
+    "embedding_threshold_sweep" -> embeddingThresholdSweep
   )
 
   /** Triangle census of the verified near-dup graph — the graph-shape
@@ -225,6 +228,73 @@ object Dedup {
     pr.join(deg, col("doc_id") === col("src"))
       .select(col("doc_id"), col("deg").as("degree"), col("pr").as("pr_e12"))
       .orderBy(col("pr_e12").desc, col("doc_id"))
+  }
+
+  /** Coreness (k-core number) of every node in the verified near-dup
+    * graph — the community-strength layer of the graph suite:
+    * [[degreeDist]] sees local edge counts, [[pagerank]] global hub
+    * mass, [[triangles]] one closure number; coreness tells HOW DEEP
+    * each doc sits in a dense template community (a node of coreness k
+    * survives peeling every node of degree < k — a clique of c
+    * boilerplate docs holds coreness c−1 however many loose paraphrase
+    * chains hang off it).
+    *
+    * Algorithm: iterated neighborhood h-index (Lü et al. 2016 — H(0)=
+    * degree; H(t+1)(v) = h-index of its neighbors' H(t); the fixpoint
+    * IS the coreness, reached in ≤ graph-diameter-ish rounds).
+    * Per round: one edges⋈H join, a per-node rank window (partitioned
+    * by the node — fine-grained keys, hub work deg·log deg), and
+    * max(min(rank, nbr_h)) per node. The sequence is monotone
+    * non-increasing, so convergence is guaranteed; non-convergence
+    * within `graft.kcore.maxIters` (default 30) throws loudly ([[
+    * clusters]]' guard precedent). Rows-only 🔶 (iterative fixpoint —
+    * no SQL oracle); DedupSpec pins the result against brute-force
+    * min-degree peeling and double-runs for determinism. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(ngramJaccard(s, d).select("a_id", "b_id"),
+      s.conf.getOption("graft.kcore.maxIters").fold(30)(_.toInt))
+
+  /** [[kcore]] over an explicit pair frame — the spec entry point. */
+  private[graft] def kcoreOf(pairs: DataFrame, maxIters: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val edges = pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .repartition(col("src")) // co-partition with the per-round join key
+      .localCheckpoint()
+    var h = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("h")).localCheckpoint()
+    var prev: DataFrame = h
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrH = edges.join(h, col("src") === col("doc_id"))
+        .select(col("dst"), col("src"), col("h").as("nh"))
+      // h-index of the neighbor multiset: rank neighbors by nh desc,
+      // h' = max(min(rank, nh)) — tie order cannot change the max
+      val hNew = nbrH
+        .withColumn("r", row_number().over(
+          w.partitionBy("dst").orderBy(col("nh").desc, col("src")))
+          .cast("long"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(max(least(col("r"), col("nh"))).as("h2"))
+      val joined = h.join(hNew, "doc_id")
+        .select(col("doc_id"), col("h"), col("h2"))
+        .localCheckpoint() // truncate per-round lineage (ccLoop note)
+      changed = joined.filter(col("h") =!= col("h2")).count()
+      prev.unpersist()
+      prev = joined
+      h = joined.select(col("doc_id"), col("h2").as("h"))
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"k-core h-index iteration did not converge in $maxIters " +
+          s"rounds ($changed nodes still changing); raise " +
+          "graft.kcore.maxIters")
+    h.select(col("doc_id"), col("h").as("coreness"))
+      .orderBy("doc_id")
   }
 
   /** Snapshot merge (CDC-style upsert accounting) — the corpus-refresh
@@ -982,18 +1052,30 @@ object Dedup {
     * (root keeps, rest drop). */
   def clusters(s: SparkSession, d: String): DataFrame = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    ccLoop(Tables.documents(s, d).select("doc_id"),
+        ngramJaccard(s, d).select("a_id", "b_id"), maxIters)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** [[clusters]]' min-label + pointer-jump loop over an explicit
+    * (nodes, a_id<b_id pairs) graph — (doc_id, label) out, label = min
+    * id reachable. `nodes` must contain every pair endpoint (the jump
+    * self-join is total only then). Package-private: [[ccIncremental]]
+    * runs it twice (old subgraph; contracted delta graph). */
+  private[graft] def ccLoop(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     // localCheckpoint (not a mere persist): it materializes AND truncates
     // the logical plan to a scan, so the per-round plan stays O(1) —
-    // otherwise each round embeds the full jaccard pipeline and the jump
+    // otherwise each round embeds the full upstream pipeline and the jump
     // self-join TRIPLES the tree per round (exponential planning blowup)
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .repartition(col("src")) // co-partition with the per-round join key
       .localCheckpoint()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     var cached: DataFrame = null // the persisted round output (unpersist
     // must target the exact cached plan, not a projection of it)
     var changed = 1L
@@ -1006,7 +1088,7 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("mid"))
         .persist() // read twice below (jump self-join)
-      // pointer jump: label ← label(label); every label IS a doc_id, so
+      // pointer jump: label ← label(label); every label IS a node id, so
       // the inner self-join is total
       val next = prop
         .join(prop.select(col("doc_id").as("p_id"), col("mid").as("p_label")),
@@ -1026,9 +1108,84 @@ object Dedup {
         s"connected-components did not converge in $maxIters rounds " +
           s"($changed labels still changing); raise graft.cc.maxIters")
     labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** Incremental connected-components maintenance — the nightly-refresh
+    * twin of [[clusters]], composing the [[incremental]] scoping idiom
+    * with component CONTRACTION: when a new batch lands, the existing
+    * labeling is not recomputed; old components collapse to one
+    * super-node each (their label — the component's min doc_id), the
+    * delta edges (pairs touching ≥ 1 new doc) are rewritten onto
+    * super-nodes, and the iterative loop runs ONLY on that contracted
+    * delta graph — new docs plus the old components the batch actually
+    * touches; an untouched old component never enters a loop round
+    * (DedupSpec pins the contracted node count ≪ corpus). Final labels
+    * for old docs come from one join (their super-node's new root, or
+    * their old label if untouched); correctness is absolute, not
+    * approximate: min(merged component) = min(old minima, new ids), so
+    * the output is row-identical to a full [[clusters]] recompute —
+    * which is exactly what the DuckDB oracle replays (recursive-CTE
+    * closure of the FULL graph). Old state is derived in-query from
+    * the sub-cut subgraph (test-harness reality, as in
+    * [[incremental]]); production persists it. */
+  def ccIncremental(s: SparkSession, d: String): DataFrame = {
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+    // existing state: labels over the old subgraph (a_id < b_id, so a
+    // pair is old×old exactly when b_id < cut)
+    val oldLabels = ccLoop(
+        docs.filter(col("doc_id") < cut).select("doc_id"),
+        pairs.filter(col("b_id") < cut), maxIters)
+      .localCheckpoint()
+    val (touchedSup, contractedPairs) =
+      contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
+    // every new doc participates (isolated ones label themselves);
+    // old components enter ONLY via their touched super-nodes
+    val cLabels = ccLoop(
+        docs.filter(col("doc_id") >= cut).select("doc_id")
+          .unionAll(touchedSup).distinct(),
+        contractedPairs, maxIters)
+      .localCheckpoint()
+    // old docs: one join through their super-node; new docs: direct
+    val oldFinal = oldLabels
+      .join(cLabels.select(col("doc_id").as("label"),
+          col("label").as("new_root")),
+        Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("label")).as("cluster_id"))
+    val newFinal = cLabels.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    oldFinal.unionAll(newFinal)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** Contract delta pairs onto old-component super-nodes: an old
+    * endpoint becomes its component label, a new endpoint stays
+    * itself. Returns (touched super-nodes, contracted pairs) — the
+    * touched set is the ONLY way an old component reaches the loop
+    * (the DedupSpec working-set pin). Re-orients each contracted edge
+    * so a_id < b_id (ccLoop's contract); a delta pair landing inside
+    * one super-node contracts to a self-loop and is dropped. */
+  private[graft] def contractDelta(oldLabels: DataFrame,
+      deltaPairs: DataFrame, cut: Long): (DataFrame, DataFrame) = {
+    val sup = oldLabels.select(col("doc_id").as("a_id"),
+      col("label").as("a_sup"))
+    val mapped = deltaPairs
+      .join(sup, Seq("a_id"), "left")
+      .select(coalesce(col("a_sup"), col("a_id")).as("u"),
+        col("b_id").as("v"))
+    val cPairs = mapped.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a_id"),
+        greatest(col("u"), col("v")).as("b_id"))
+      .distinct()
+    val touched = mapped.filter(col("u") < cut)
+      .select(col("u").as("doc_id")).distinct()
+    (touched, cPairs)
   }
 
   def exact(s: SparkSession, d: String): DataFrame =
@@ -1339,6 +1496,55 @@ object Dedup {
       .filter(col("cos") >= 0.45)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Cosine-threshold ablation for the embedding dedup gate — the
+    * [[graft.operators.Training.qualityThresholdSweep]] idiom applied
+    * to the 0.45 cosine cut that [[embeddingCosine]] and
+    * `dedup_semantic` hard-code: pair counts and flagged-doc counts at
+    * every candidate threshold 0.30–0.70 (permil steps of 50), the
+    * curve a curator reads before committing a gate. Pairs are scored
+    * ONCE at the loosest threshold, then fan out over the 9-row
+    * threshold spine (explode on metadata, not data); comparisons are
+    * `cos >= t/1000.0` — both engines compute the identical double, so
+    * the boundary is hash-exact. Same all-pairs oracle-baseline guard
+    * as [[embeddingCosine]]: the scale path would sweep over
+    * [[embeddingLsh]] candidates instead. */
+  def embeddingThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val maxRows = s.conf.getOption("graft.bruteforce.maxRows")
+      .fold(100000L)(_.toLong)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"embedding_threshold_sweep scores all pairs (oracle baseline): " +
+        s"corpus has $n rows > graft.bruteforce.maxRows=$maxRows. " +
+        "Sweep over dedup_embedding_lsh candidates instead, or raise " +
+        "the bound deliberately.")
+    val swept = e.toDF("a_id", "a_emb").join(e.toDF("b_id", "b_emb"),
+        col("a_id") < col("b_id"))
+      .withColumn("cos", call_function(GraftFunctions.CosineName,
+        col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.30)
+      .select(col("a_id"), col("b_id"), col("cos"),
+        explode(expr("sequence(300, 700, 50)")).as("thr_permil"))
+      .filter(col("cos") >= col("thr_permil").cast("double") / lit(1000.0))
+      .select(col("thr_permil").cast("long").as("thr_permil"),
+        col("a_id"), col("b_id"))
+    val np = swept.groupBy("thr_permil").agg(count(lit(1)).as("n_pairs"))
+    val flagged = swept.select(col("thr_permil"),
+        explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("thr_permil")
+      .agg(countDistinct("doc_id").as("n_docs_flagged"))
+    val spine = s.range(1)
+      .select(explode(expr("sequence(300, 700, 50)")).as("t"))
+      .select(col("t").cast("long").as("thr_permil"))
+    spine.join(np, Seq("thr_permil"), "left")
+      .join(flagged, Seq("thr_permil"), "left")
+      .select(col("thr_permil"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+      .orderBy("thr_permil")
   }
 
   private val Sh =
@@ -1660,6 +1866,55 @@ object Dedup {
          |SELECT doc AS doc_id, min(r) AS cluster_id,
          |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "cc_incremental" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
+         |SELECT doc AS doc_id, min(r) AS cluster_id,
+         |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "embedding_threshold_sweep" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${Fns.sqlCosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |thr AS (
+         |  SELECT unnest(generate_series(300, 700, 50))::BIGINT
+         |    AS thr_permil),
+         |sw AS (
+         |  SELECT t.thr_permil, p.a_id, p.b_id
+         |  FROM p JOIN thr t ON p.cos >= t.thr_permil / 1000.0),
+         |np AS (
+         |  SELECT thr_permil, count(*)::BIGINT AS n_pairs
+         |  FROM sw GROUP BY 1),
+         |fl AS (
+         |  SELECT thr_permil, count(DISTINCT doc_id)::BIGINT
+         |    AS n_docs_flagged
+         |  FROM (SELECT thr_permil, a_id AS doc_id FROM sw
+         |        UNION ALL SELECT thr_permil, b_id FROM sw)
+         |  GROUP BY 1)
+         |SELECT t.thr_permil, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(fl.n_docs_flagged, 0)::BIGINT AS n_docs_flagged
+         |FROM thr t
+         |LEFT JOIN np ON np.thr_permil = t.thr_permil
+         |LEFT JOIN fl ON fl.thr_permil = t.thr_permil
+         |ORDER BY t.thr_permil""".stripMargin,
     "dedup_incremental" ->
       s"""WITH cut AS (
          |  SELECT (min(doc_id) + max(doc_id)) // 2 AS c FROM documents),

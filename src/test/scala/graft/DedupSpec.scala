@@ -378,6 +378,85 @@ class DedupSpec extends SparkSpec {
       "from-index plan recomputes signatures")
   }
 
+  test("k-core h-index fixpoint equals brute-force peeling, and is deterministic") {
+    val got = Dedup.kcore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Dedup.kcore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === again, "k-core result not deterministic across runs")
+    // brute-force min-degree peeling on the same verified pair graph
+    val pairs = Dedup.ngramJaccard(spark, sf0001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.values.map(_.size).min.toLong
+      k = math.max(k, minDeg)
+      val v = adj.filter(_._2.size == minDeg).keys.min
+      brute(v) = k
+      // keep isolated leftovers: their coreness is the k at isolation
+      adj = (adj - v).map { case (u, s) => u -> (s - v) }
+    }
+    assert(got === brute.toMap, "h-index fixpoint != peeling coreness")
+    assert(got.values.max >= 1L, "degenerate graph: no core structure")
+  }
+
+  test("incremental CC: row-identical to full recompute, loop scoped to the contracted delta") {
+    val full = Dedup.clusters(spark, sf0001).collect().map(_.toString).toSeq
+    val inc = Dedup.queries("cc_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(inc === full,
+      "incremental maintenance diverged from full recompute")
+    // working-set pin: the contracted loop sees new docs + touched
+    // super-nodes ONLY — strictly fewer nodes than the corpus, and
+    // touched super-nodes are a subset of old component roots
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val pairs = Dedup.ngramJaccard(spark, sf0001).select("a_id", "b_id")
+      .localCheckpoint()
+    val oldLabels = Dedup.ccLoop(
+      docs.filter(col("doc_id") < cut).select("doc_id"),
+      pairs.filter(col("b_id") < cut), 50)
+    val (touched, cPairs) = Dedup.contractDelta(
+      oldLabels, pairs.filter(col("b_id") >= cut), cut)
+    val touchedIds = touched.collect().map(_.getLong(0)).toSet
+    val oldRoots = oldLabels.collect().map(_.getLong(1)).toSet
+    assert(touchedIds.subsetOf(oldRoots),
+      "a contracted endpoint is not an old component root")
+    val nNew = docs.filter(col("doc_id") >= cut).count()
+    val nOld = docs.filter(col("doc_id") < cut).count()
+    assert(touchedIds.size < nOld,
+      "contraction admitted (nearly) every old doc — no working-set win")
+    // contracted pairs never connect two old super-nodes both < cut on
+    // both ends unless merged through a new doc — every contracted pair
+    // must touch the delta: at least one endpoint is a new doc OR the
+    // pair came from a delta edge by construction; check edge count
+    // stays <= delta pair count
+    val nDelta = pairs.filter(col("b_id") >= cut).count()
+    assert(cPairs.count() <= nDelta,
+      "contraction grew the edge set")
+    assert(nNew > 0 && nDelta > 0, "degenerate fixture: empty delta")
+  }
+
+  test("embedding threshold sweep is monotone and anchored at the 0.45 gate") {
+    val rows = Dedup.embeddingThresholdSweep(spark, sf0001).collect()
+    assert(rows.length === 9, "expected the 9-threshold spine")
+    val byThr = rows.map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2)))).sortBy(_._1)
+    // counts are non-increasing in the threshold
+    byThr.sliding(2).foreach { case Array((t1, (p1, f1)), (t2, (p2, f2))) =>
+      assert(p1 >= p2 && f1 >= f2, s"sweep not monotone at $t1 -> $t2")
+    }
+    // the 450-permil row replays the committed gate exactly
+    val n45 = Dedup.embeddingCosine(spark, sf0001).count()
+    assert(byThr.toMap.apply(450L)._1 === n45,
+      "sweep row at 450 permil != dedup_embedding_bruteforce pair count")
+  }
+
   test("compaction plan: two-level prefix equals the naive global prefix") {
     import org.apache.spark.sql.expressions.Window
     val twoLevel = Dedup.compactionPlan(spark, sf0001).collect()
