@@ -57,6 +57,7 @@ object LogAnalytics {
     "join_range_bucket" -> rangeJoinBucket,
     "log_type_transitions" -> typeTransitions,
     "event_paths_topk" -> pathsTopk,
+    "user_engagement_decay" -> engagementDecay,
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll
@@ -231,6 +232,32 @@ object LogAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(20)
+  }
+
+  /** Exponentially time-decayed engagement score per user — the
+    * recency-weighted activity feature ranking models use instead of
+    * raw counts (an event last week outweighs fifty from last year).
+    * Half-life = one week, computed EXACTLY: each event contributes
+    * `1000000 div 2^age_weeks` micro-points (age measured back from
+    * the corpus max day; exponent capped at 19 so the weight floors at
+    * 1 and the shift stays in int range) — a power-of-two decay is the
+    * one exponential both engines reproduce bit-exactly with integer
+    * shifts, no pow()/exp() parity risk. One 1-row max-day broadcast,
+    * one map-side-combined per-user aggregate; output ordered by score
+    * for the leaderboard read. */
+  def engagementDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        expr("least((max_day - day) div 7, 19)").as("age_w"))
+      .select(col("user_id"),
+        expr("1000000 div shiftleft(1, cast(age_w as int))").as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("w").as("decay_score_micro"))
+      .orderBy(col("decay_score_micro").desc, col("user_id"))
   }
 
   /** Time-series gap fill: the dense (user × day) grid with zero-filled
@@ -777,6 +804,18 @@ object LogAnalytics {
       s"""$SessCte
          |SELECT user_id, event_id, tu AS ts_us, session_id
          |FROM sess ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "user_engagement_decay" ->
+      s"""WITH $E,
+         |d AS (SELECT user_id, tu // 86400000000 AS day FROM e),
+         |m AS (SELECT max(day) AS max_day FROM d),
+         |w AS (
+         |  SELECT user_id,
+         |    1000000 // (1 << least((max_day - day) // 7, 19)) AS w
+         |  FROM d, m)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |  sum(w)::BIGINT AS decay_score_micro
+         |FROM w GROUP BY user_id
+         |ORDER BY decay_score_micro DESC, user_id""".stripMargin,
     "event_paths_topk" ->
       s"""$SessCte,
          |tri AS (

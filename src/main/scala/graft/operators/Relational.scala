@@ -67,7 +67,8 @@ object Relational {
     "table_profile" -> tableProfile,
     "referential_integrity_audit" -> refIntegrityAudit,
     "layout_zorder_audit" -> layoutZorderAudit,
-    "skyline_pareto" -> skylinePareto
+    "skyline_pareto" -> skylinePareto,
+    "seasonality_profile" -> seasonalityProfile
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1383,7 +1384,48 @@ object Relational {
       .orderBy("p_retailprice", "p_size", "p_partkey")
   }
 
+  /** Day-of-week seasonality profile of the order stream — the
+    * calendar-decomposition read (is Monday volume real signal or
+    * noise?) a forecasting pipeline takes before modeling: per
+    * weekday, order count, spend mass, and the volume index vs a
+    * uniform week in ppm (n·7·10⁶ div total — integer, exact).
+    * Weekday comes from epoch-day arithmetic ((days+3) mod 7, 0 =
+    * Monday), NOT the engines' dayofweek() — Spark counts Sunday=1,
+    * DuckDB Sunday=0, and this operator must hash identically on
+    * both. Spend sums in cents BIGINT. One map-side-combined
+    * aggregate over orders onto a 7-row result; the ppm join is a
+    * broadcast of the 1-row total. */
+  def seasonalityProfile(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val o = Tables.orders(s, d)
+      // NTZ → TZ cast under the fixed UTC session zone keeps the wall
+      // clock (the Tables.events ts idiom), so epoch-day math is exact
+      .select(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          s" div $dayUs + 3").mod(7).as("dow"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val per = o.groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_cents"))
+    val total = per.agg(sum("n_orders").as("n_total"))
+    per.crossJoin(broadcast(total))
+      .select(col("dow"), col("n_orders"), col("spend_cents"),
+        expr("n_orders * 7 * 1000000 div n_total").as("volume_index_ppm"))
+      .orderBy("dow")
+  }
+
   val oracles: Map[String, String] = Map(
+    "seasonality_profile" ->
+      """WITH o AS (
+        |  SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 AS dow,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |per AS (
+        |  SELECT dow, count(*)::BIGINT AS n_orders,
+        |    sum(cents)::BIGINT AS spend_cents
+        |  FROM o GROUP BY dow)
+        |SELECT dow, n_orders, spend_cents,
+        |  (n_orders * 7 * 1000000 //
+        |    (SELECT sum(n_orders) FROM per))::BIGINT AS volume_index_ppm
+        |FROM per ORDER BY dow""".stripMargin,
     "skyline_pareto" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p

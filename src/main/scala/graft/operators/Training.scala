@@ -29,7 +29,8 @@ object Training {
     "quality_score_calibration" -> qualityScoreCalibration,
     "knn_eval_confusion" -> knnEvalConfusion,
     "bigram_lm_holdout" -> bigramLmHoldout,
-    "feature_pit_join" -> featurePitJoin
+    "feature_pit_join" -> featurePitJoin,
+    "feature_pit_from_index" -> featurePitFromIndex
   )
 
   /** HELD-OUT evaluation of the corpus bigram LM — the train/eval
@@ -570,21 +571,23 @@ object Training {
     * keys — no global or low-cardinality window), then an equi-join
     * back to purchases on (user, day): the purchase's own day row
     * always exists, so no as-of gap search is needed. */
-  def featurePitJoin(s: SparkSession, d: String): DataFrame = {
+  def featurePitJoin(s: SparkSession, d: String): DataFrame =
+    pitJoinExamples(s, d, pitFeatureFrame(s, d))
+
+  /** The (user_id, day) → prior-day feature snapshot frame — the
+    * feature-store TABLE [[featurePitJoin]] computes in-query and
+    * [[graft.ops.Materialize.featureStore]] persists for the
+    * from-index twin. */
+  private[graft] def pitFeatureFrame(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val dayUs = 86400L * 1000000L
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr(s"ts_us div $dayUs").as("day"),
-        expr("cast(round(value * 100) as bigint)").as("v_centi"))
-    val daily = ev.groupBy("user_id", "day")
+    val daily = pitEvents(s, d).groupBy("user_id", "day")
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purch"),
         sum("v_centi").as("v_sum"))
     val prior = w.partitionBy("user_id").orderBy("day")
       .rowsBetween(w.unboundedPreceding, -1)
-    val feats = daily
+    daily
       .withColumn("n_events_prior", coalesce(sum("n").over(prior), lit(0L)))
       .withColumn("n_purchases_prior",
         coalesce(sum("n_purch").over(prior), lit(0L)))
@@ -594,17 +597,47 @@ object Training {
         coalesce(count(lit(1)).over(prior), lit(0L)))
       .select("user_id", "day", "n_events_prior", "n_purchases_prior",
         "value_centi_prior", "days_active_prior")
-    ev.filter(col("event_type") === "purchase")
+  }
+
+  private def pitEvents(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr(s"ts_us div $dayUs").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v_centi"))
+  }
+
+  /** Join purchase examples to a feature frame on (user_id, day). */
+  private def pitJoinExamples(s: SparkSession, d: String,
+      feats: DataFrame): DataFrame =
+    pitEvents(s, d).filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "day")
       .join(feats, Seq("user_id", "day"))
       .select("event_id", "user_id", "day", "n_events_prior",
         "n_purchases_prior", "value_centi_prior", "days_active_prior")
       .orderBy("event_id")
+
+  /** [[featurePitJoin]] served from the MATERIALIZED feature store —
+    * the from-index twin ([[graft.operators.Dedup.minhashFromIndex]]
+    * pattern) for the feature family: the daily snapshot table is
+    * written once per refresh ([[graft.ops.Materialize.featureStore]],
+    * (user_id, day)-range-sorted so a training join's point reads
+    * prune row groups) and every training-set build joins it WITHOUT
+    * recomputing the cumulative windows — TrainingSpec pins row
+    * equality with the in-query twin AND that this plan contains no
+    * window at all. */
+  def featurePitFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ops.BuildOnce.scratchPath("featstore", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.featureStore(s, d, path)
+    }
+    pitJoinExamples(s, d, s.read.parquet(path))
   }
 
-  def oracles: Map[String, String] = Map(
-    "feature_pit_join" ->
-      """WITH ev AS (
+  /** Shared by the in-query and from-index PIT twins: the result is
+    * defined to be identical, so the oracle is too. */
+  private val PitOracle =
+    """WITH ev AS (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 86400000000 AS day,
         |    round(value * 100)::BIGINT AS v_centi
@@ -628,7 +661,11 @@ object Training {
         |  f.n_purchases_prior, f.value_centi_prior, f.days_active_prior
         |FROM ev e JOIN feats f ON e.user_id = f.user_id AND e.day = f.day
         |WHERE e.event_type = 'purchase'
-        |ORDER BY e.event_id""".stripMargin,
+        |ORDER BY e.event_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "feature_pit_join" -> PitOracle,
+    "feature_pit_from_index" -> PitOracle,
     "bigram_lm_holdout" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w,

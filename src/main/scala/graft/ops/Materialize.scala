@@ -204,4 +204,15 @@ object Materialize {
       .write.mode("overwrite").parquet(s"$path/codes")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
+
+  /** Materialize the point-in-time FEATURE STORE — the (user_id, day)
+    * → prior-day snapshot table behind `feature_pit_join`: written
+    * once per refresh, (user_id, day)-range-sorted so a training-set
+    * build's equi-join point-reads prune row groups by user range,
+    * and no consumer ever re-runs the cumulative windows. */
+  def featureStore(s: SparkSession, dir: String, path: String): Unit =
+    graft.operators.Training.pitFeatureFrame(s, dir)
+      .repartitionByRange(col("user_id"), col("day"))
+      .sortWithinPartitions("user_id", "day")
+      .write.mode("overwrite").parquet(path)
 }

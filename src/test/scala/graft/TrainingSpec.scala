@@ -189,4 +189,20 @@ class TrainingSpec extends SparkSpec {
         s"first-day features must be all-zero: $r")
     }
   }
+
+  test("PIT from the materialized feature store: row-identical, no window recompute") {
+    val inQuery = Training.featurePitJoin(spark, sf0001).collect()
+    val df = Training.featurePitFromIndex(spark, sf0001)
+    val fromIndex = df.collect()
+    assert(fromIndex.map(_.toString).toSeq ===
+      inQuery.map(_.toString).toSeq,
+      "from-index PIT join must be row-identical to the in-query twin")
+    // serving contract: the stored snapshot is JOINED, never re-derived
+    // — the plan must contain no window (the cumulative sums) at all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "from-index plan recomputes the cumulative feature windows")
+    assert(plan.contains("featstore"),
+      "from-index plan does not read the materialized feature store")
+  }
 }
