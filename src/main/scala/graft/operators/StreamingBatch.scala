@@ -25,8 +25,31 @@ object StreamingBatch {
     "stream_interval_join" -> intervalJoin,
     "stream_contamination_hits" -> contaminationHits,
     "stream_stateful_sessions" -> statefulSessions,
-    "stream_sliding_distinct" -> slidingDistinct
+    "stream_sliding_distinct" -> slidingDistinct,
+    "stream_feature_snapshot" -> featureSnapshot
   )
+
+  /** Per-user LATEST feature snapshot — the online-serving view the
+    * streaming PIT pipeline ([[graft.streaming.Pipelines
+    * .pitFeatureStream]]) maintains: each user's most recent purchase
+    * with the leakage-safe features it saw ([[graft.operators.Training
+    * .featurePitJoin]] semantics, end-of-prior-day barrier). Batch
+    * form: the PIT join + one row_number over the per-user (day,
+    * event_id) order — fine-grained window keys; the streaming twin
+    * keeps the same snapshot in 8 longs of state per user
+    * (StreamingSpec pins stream ≡ this batch form AND the full
+    * emitted purchase stream ≡ the batch PIT join). */
+  def featureSnapshot(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("day").desc, col("event_id").desc)
+    graft.operators.Training.featurePitJoin(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "day", "n_events_prior",
+        "n_purchases_prior", "value_centi_prior", "days_active_prior")
+      .orderBy("user_id")
+  }
 
   /** Sliding-window DISTINCT users — the hopping-window unique-visitor
     * metric ([[slidingAgg]]'s count twin with SET semantics): per
@@ -295,6 +318,15 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_feature_snapshot" ->
+      s"""WITH base AS (${graft.operators.Training.PitOracle}),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY day DESC, event_id DESC) AS rn
+         |  FROM base)
+         |SELECT user_id, event_id, day, n_events_prior,
+         |  n_purchases_prior, value_centi_prior, days_active_prior
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_contamination_hits" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w

@@ -634,9 +634,10 @@ object Training {
     pitJoinExamples(s, d, s.read.parquet(path))
   }
 
-  /** Shared by the in-query and from-index PIT twins: the result is
-    * defined to be identical, so the oracle is too. */
-  private val PitOracle =
+  /** Shared by the in-query and from-index PIT twins (and wrapped by
+    * the `stream_feature_snapshot` oracle): the result is defined to
+    * be identical, so the oracle is too. */
+  private[graft] val PitOracle =
     """WITH ev AS (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 86400000000 AS day,

@@ -214,6 +214,14 @@ object Pipelines {
 
   case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  case class PitEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  case class PitState(cumN: Long, cumPurch: Long, cumValCenti: Long,
+      cumDays: Long, curDay: Long, dayN: Long, dayPurch: Long,
+      dayValCenti: Long)
+  case class PurchaseFeatures(event_id: Long, user_id: Long, day: Long,
+      n_events_prior: Long, n_purchases_prior: Long,
+      value_centi_prior: Long, days_active_prior: Long)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
@@ -225,6 +233,57 @@ object Pipelines {
     * `flatMapGroupsWithState` for semantics `session_window` can't
     * express (e.g. emitting partial sessions, custom close conditions).
     */
+  /** Streaming point-in-time feature serving — the ingest-time twin of
+    * the batch `feature_pit_join` (graft.operators.Training): per-user
+    * state carries (cumulative-through-prior-days, current-day
+    * partials); a day rollover folds the partial into the cumulative,
+    * and every purchase emits its features FROM THE CUMULATIVE ONLY —
+    * the same end-of-prior-day leakage barrier as the batch windows,
+    * enforced by the state layout itself (a same-day event physically
+    * cannot be in the emitted snapshot). Emitted rows are
+    * row-identical to the batch join when events arrive in event-time
+    * order (StreamingSpec pins it); out-of-order arrivals across day
+    * boundaries would need a watermark-delayed day-close — the batch
+    * twin remains the oracle-checked recovery path. State is O(1) per
+    * user: eight longs, no event retention. */
+  def pitFeatureStream(events: Dataset[PitEvent])
+      : Dataset[PurchaseFeatures] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PurchaseFeatures](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[PitEvent],
+         state: GroupState[PitState]) =>
+          // only day-granularity order matters: features exclude the
+          // current day entirely, so intra-day order cannot leak
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime * 1000L / dayUs, e.event_id))
+          var st = state.getOption.getOrElse(
+            PitState(0L, 0L, 0L, 0L, Long.MinValue, 0L, 0L, 0L))
+          val out = Seq.newBuilder[PurchaseFeatures]
+          sorted.foreach { e =>
+            val day = e.ts.getTime * 1000L / dayUs
+            if (st.curDay == Long.MinValue) st = st.copy(curDay = day)
+            else if (day > st.curDay) // fold the finished day(s)
+              st = PitState(st.cumN + st.dayN, st.cumPurch + st.dayPurch,
+                st.cumValCenti + st.dayValCenti, st.cumDays + 1L,
+                day, 0L, 0L, 0L)
+            if (e.event_type == "purchase")
+              out += PurchaseFeatures(e.event_id, userId, day,
+                st.cumN, st.cumPurch, st.cumValCenti, st.cumDays)
+            st = st.copy(dayN = st.dayN + 1L,
+              dayPurch = st.dayPurch +
+                (if (e.event_type == "purchase") 1L else 0L),
+              dayValCenti = st.dayValCenti + math.round(e.value * 100))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def sessionizeWithState(events: Dataset[Event])
       : Dataset[ClosedSession] = {
     val spark = events.sparkSession

@@ -585,4 +585,53 @@ class StreamingSpec extends SparkSpec {
         "clean grams were flagged")
     } finally q.stop()
   }
+
+  test("streaming PIT features ≡ batch join; final snapshots ≡ batch snapshot") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Pipelines.PitEvent
+    // the REAL sf0.001 event stream, fed in event-time order across
+    // three micro-batches — the arrival order the pipeline documents
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts_us", "event_id").collect()
+      .map(r => PitEvent(r.getLong(0),
+        new java.sql.Timestamp(r.getLong(1) / 1000L), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[PitEvent]
+    val q = Pipelines.pitFeatureStream(mem.toDS())
+      .writeStream.format("memory").queryName("pitfeat")
+      .outputMode("append").start()
+    try {
+      val third = evs.length / 3
+      mem.addData(evs.take(third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2 * third): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pitfeat").orderBy("event_id")
+        .collect().map(_.toString).toSeq
+      val batch = graft.operators.Training
+        .featurePitJoin(spark, sf0001).collect().map(_.toString).toSeq
+      assert(streamed === batch,
+        "streamed purchase features != batch PIT join")
+      // the per-user LAST emitted row is the serving snapshot
+      val lastPerUser = spark.table("pitfeat")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("day").desc, col("event_id").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id").collect().map(_.toString).toSeq
+      val snap = graft.operators.StreamingBatch
+        .featureSnapshot(spark, sf0001)
+        .select("event_id", "user_id", "day", "n_events_prior",
+          "n_purchases_prior", "value_centi_prior", "days_active_prior")
+        .orderBy("user_id").collect().map(_.toString).toSeq
+      assert(lastPerUser === snap,
+        "streaming snapshot state != batch snapshot query")
+    } finally q.stop()
+  }
 }
