@@ -37,7 +37,12 @@ object ServeBench {
     "bm25_from_index" -> "lexical (from index)",
     "phrase_from_index" -> "lexical (from index)",
     "snippet_extract" -> "lexical (in-query build)",
-    "mmr_diversify" -> "re-rank (post-retrieval)")
+    "mmr_diversify" -> "re-rank (post-retrieval)",
+    "dedup_minhash_lsh" -> "dedup (in-query build)",
+    "dedup_minhash_from_index" -> "dedup (from index)",
+    "feature_pit_join" -> "features (in-query build)",
+    "feature_pit_from_index" -> "features (from index)",
+    "stream_feature_snapshot" -> "features (snapshot view)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

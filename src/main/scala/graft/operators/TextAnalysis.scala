@@ -51,8 +51,75 @@ object TextAnalysis {
     "text_winnow_fingerprint" -> winnowFingerprint,
     "curation_overlap" -> curationOverlap,
     "corpus_build_manifest" -> corpusBuildManifest,
-    "text_template_shingles" -> templateShingles
+    "text_template_shingles" -> templateShingles,
+    "active_learning_pick" -> activeLearningPick,
+    "mixture_token_budget_plan" -> mixtureTokenBudgetPlan
   )
+
+  /** Uncertainty sampling for the quality gate — the active-learning
+    * loop's pick step: the 20 docs whose fixed-weight logit sits
+    * CLOSEST to the 1500-milli gate threshold are exactly the ones a
+    * human label moves the decision boundary most for. Margin is
+    * integer milli-logits, ordering total (margin, doc_id) → the
+    * top-k is a TakeOrdered over the per-row score stream, no shuffle
+    * before it. */
+  def activeLearningPick(s: SparkSession, d: String): DataFrame =
+    logitScoreStage(Tables.documents(s, d))
+      .select(col("doc_id"), col("logit_milli"),
+        abs(col("logit_milli") - 1500).as("margin_milli"))
+      .orderBy(col("margin_milli"), col("doc_id"))
+      .limit(20)
+
+  /** Token-budget WATERFILLING across sources — the mixture planner
+    * that answers "we can afford B training tokens; how much of each
+    * source?" with the classic fair-allocation rule: find the level L
+    * so every source keeps min(tokens, L) and the total just fits B —
+    * small sources keep everything, big sources cap at L (the
+    * max-min-fair allocation). B = total · `graft.mixture.budgetPct`
+    * (default 60) div 100, derived in-engine so the oracle replays it.
+    *
+    * The level has a closed relational form (no iteration): sort
+    * sources by tokens ASC with prefix sums; over segment k the spend
+    * is P(k−1) + (n−k+1)·L, so L* = max over k of min(Tₖ−1,
+    * (B − P(k−1)) div (n−k+1)) — concavity makes every other segment's
+    * candidate a lower bound (PropertySpec re-proves maximality by
+    * brute force: spend(L*) ≤ B < spend(L*+1)). All integer; signed
+    * `div` truncates identically on both engines (the Training
+    * trajectory precedent). The sort/prefix windows run over the
+    * PER-SOURCE frame — metadata-sized at any corpus scale (sources
+    * ≪ docs); the only data-sized work is one token-count aggregate. */
+  def mixtureTokenBudgetPlan(s: SparkSession, d: String): DataFrame = {
+    val pct = s.conf.getOption("graft.mixture.budgetPct").fold(60L)(_.toLong)
+    require(pct >= 1 && pct <= 100, s"budgetPct out of range: $pct")
+    val w = org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, d)
+      .select(col("source"), size(Fns.tokens(col("text"))).cast("long")
+        .as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val ord = src
+      .withColumn("k", row_number().over(
+        w.orderBy(col("n_tokens"), col("source"))).cast("long"))
+      .withColumn("pk", sum("n_tokens").over(
+        w.orderBy(col("n_tokens"), col("source"))
+          .rowsBetween(w.unboundedPreceding, 0)))
+    val tot = src.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n"))
+      .select(col("total"), col("n"),
+        expr(s"total * $pct div 100").as("budget"))
+    val level = ord.crossJoin(broadcast(tot))
+      .select(col("total"), col("budget"),
+        when(col("total") <= col("budget"), col("n_tokens"))
+          .otherwise(least(col("n_tokens") - 1,
+            expr("(budget - (pk - n_tokens)) div (n - k + 1)")))
+          .as("cand"))
+      .groupBy("total", "budget").agg(max("cand").as("level"))
+    src.crossJoin(broadcast(level))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), col("level")).as("alloc_tokens"),
+        (col("n_tokens") > col("level")).cast("int").as("capped"),
+        col("level").as("level_tokens"))
+      .orderBy("source")
+  }
 
   /** Per-source TEMPLATE detection — the boilerplate census a web-scale
     * corpus runs before dedup thresholds are tuned: a 3-gram shingle
@@ -1489,6 +1556,48 @@ object TextAnalysis {
          |  md5(redacted) AS redacted_md5,
          |  length(redacted)::BIGINT AS n_chars_redacted
          |FROM r ORDER BY doc_id""".stripMargin,
+    "active_learning_pick" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(w)::BIGINT AS n_tokens,
+         |    len(list_distinct(w))::BIGINT AS n_distinct,
+         |    len(list_filter(w, t -> list_contains($StopList, t)))::BIGINT
+         |      AS n_stop
+         |  FROM (SELECT doc_id, $Toks AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |sc AS (
+         |  SELECT doc_id,
+         |    (6 * (n_stop * 1000000 // n_tokens) // 1000
+         |      + 4 * (n_distinct * 1000000 // n_tokens) // 1000
+         |      + 2 * least(n_tokens, 400) - 3000) AS logit_milli
+         |  FROM f)
+         |SELECT doc_id, logit_milli,
+         |  abs(logit_milli - 1500) AS margin_milli
+         |FROM sc ORDER BY margin_milli, doc_id LIMIT 20""".stripMargin,
+    "mixture_token_budget_plan" ->
+      s"""WITH src AS (
+         |  SELECT source, sum(len($Toks))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source),
+         |ord AS (
+         |  SELECT source, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens, source) AS k,
+         |    sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+         |  FROM src),
+         |tot AS (
+         |  SELECT sum(n_tokens)::BIGINT AS total, count(*)::BIGINT AS n,
+         |    (sum(n_tokens) * 60 // 100)::BIGINT AS budget
+         |  FROM src),
+         |lv AS (
+         |  SELECT max(CASE WHEN total <= budget THEN n_tokens
+         |    ELSE least(n_tokens - 1,
+         |      (budget - (pk - n_tokens)) // (n - k + 1)) END)::BIGINT
+         |    AS level
+         |  FROM ord, tot)
+         |SELECT source, n_tokens,
+         |  least(n_tokens, level)::BIGINT AS alloc_tokens,
+         |  (n_tokens > level)::INT AS capped, level AS level_tokens
+         |FROM src, lv ORDER BY source""".stripMargin,
     "quality_logit_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,

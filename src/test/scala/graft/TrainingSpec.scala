@@ -190,6 +190,33 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("waterfilling budget plan: level is maximal and the allocation max-min fair") {
+    val rows = graft.operators.TextAnalysis
+      .mixtureTokenBudgetPlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val t = rows.map(_.getAs[Long]("n_tokens"))
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    val level = rows.map(_.getAs[Long]("level_tokens")).distinct
+    assert(level.length === 1, "level must be one corpus-wide value")
+    val lv = level(0)
+    val budget = t.sum * 60L / 100L
+    def spend(l: Long): Long = t.map(math.min(_, l)).sum
+    // the closed-form level is the brute-force maximal feasible level
+    assert(spend(lv) === alloc.sum, "alloc rows disagree with min(T, L)")
+    assert(spend(lv) <= budget, "allocation exceeds the budget")
+    assert(spend(lv + 1) > budget,
+      "level is not maximal: one more token per capped source still fits")
+    // max-min fairness: every uncapped source keeps everything
+    rows.foreach { r =>
+      if (r.getAs[Int]("capped") === 0)
+        assert(r.getAs[Long]("alloc_tokens") === r.getAs[Long]("n_tokens"))
+      else assert(r.getAs[Long]("alloc_tokens") === lv)
+    }
+    // at least one source must actually be capped at sf0.001 (60% cut)
+    assert(rows.exists(_.getAs[Int]("capped") === 1),
+      "degenerate fixture: budget did not bind")
+  }
+
   test("PIT from the materialized feature store: row-identical, no window recompute") {
     val inQuery = Training.featurePitJoin(spark, sf0001).collect()
     val df = Training.featurePitFromIndex(spark, sf0001)
