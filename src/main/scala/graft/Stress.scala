@@ -193,7 +193,14 @@ object Stress {
       "curation_overlap", "vocab_drift", "corpus_build_manifest",
       "erasure_cascade_audit", "basket_lift", "neardup_quality_delta",
       "mm_resize_grid", "mm_phash_dedup", "cluster_silhouette",
-      "ann_ivfpq_from_index")
+      "ann_ivfpq_from_index",
+      // round-7 additions (embedding_threshold_sweep excluded: it is
+      // the guarded all-pairs oracle baseline, quadratic by contract)
+      "compaction_plan", "event_paths_topk", "skyline_pareto",
+      "seasonality_profile", "user_engagement_decay",
+      "feature_pit_join", "feature_pit_from_index",
+      "stream_feature_snapshot", "neardup_kcore", "cc_incremental",
+      "active_learning_pick", "mixture_token_budget_plan")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())
