@@ -35,6 +35,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_from_index" -> minhashFromIndex,
+    "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
@@ -1241,6 +1242,14 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
 
+  /** Frame-input variant of [[shingleArrays]] for batch-scoped
+    * consumers ([[minhashIncremental]]'s old/new split). */
+  private def shingleArraysOf(docs: DataFrame): DataFrame =
+    shingleRowsOf(docs.select(col("doc_id"), col("text"),
+        lit(0).as("is_new")))
+      .groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+
   /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join.
     *
     * Scale guard: the inverted-index self-join costs Σ_shingle df², so a
@@ -1387,6 +1396,58 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
+  /** Incremental MinHash dedup against the PERSISTED band index — the
+    * nightly-ingest composition the [[minhashFromIndex]] scaladoc
+    * promises: the index (bands + verification sigs) exists for the
+    * OLD corpus only; the new batch computes its own 64 band keys
+    * in-query and candidates come from (a) point-probing the stored
+    * buckets those keys hit — band_sig-sorted parquet, so row groups
+    * outside the probed buckets never load — and (b) the new×new
+    * bucket join. Old docs are NEVER re-tokenized or re-signed: their
+    * verification arrays read from the index (DedupSpec pins the plan
+    * — the documents scan pushes `doc_id >= cut`, and the old side is
+    * index files only). Work ∝ batch × bands, not corpus². Output =
+    * [[minhashLsh]] restricted to pairs touching the new batch
+    * (DedupSpec pins that equality row-for-row). Rows-only 🔶 like
+    * the other MinHash paths (LSH recall < 1 by design). */
+  def minhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val path = graft.ops.BuildOnce.scratchPath("minhash-old", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.minhashIndexOf(s,
+        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+    }
+    graft.plans.SignatureFunctions.register(s)
+    val newArr = shingleArraysOf(
+        docs.filter(col("doc_id") >= cut).select("doc_id", "text"))
+      .localCheckpoint()
+    val newBands = minhashBands(newArr).localCheckpoint()
+    val oldBands = s.read.parquet(s"$path/bands")
+    val oldSigs = s.read.parquet(s"$path/sigs")
+    // old ids < cut <= new ids, so old-side a_id < b_id by construction
+    val newOld = newBands.as("n").join(oldBands.as("o"),
+        col("n.band") === col("o.band")
+          && col("n.band_sig") === col("o.band_sig"))
+      .select(col("o.doc_id").as("a_id"), col("n.doc_id").as("b_id"))
+      .distinct()
+    val cands = newOld.unionAll(minhashBandPairs(newBands)).distinct()
+    val aSide = oldSigs.select(col("doc_id").as("a_id"),
+        col("hs").as("hs_a"), col("n").as("na"))
+      .unionAll(newArr.select(col("doc_id").as("a_id"),
+        col("hs").as("hs_a"), col("n").as("na")))
+    cands
+      .join(aSide, "a_id")
+      .join(newArr.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+  }
+
   /** The two frames [[graft.ops.Materialize.minhashIndex]] persists:
     * (doc_id, band, band_sig) band keys and (doc_id, hs, n)
     * verification signatures. */
@@ -1395,6 +1456,15 @@ object Dedup {
     graft.plans.SignatureFunctions.register(s)
     val docs = shingleArrays(s, d).localCheckpoint()
     (minhashBands(docs), docs)
+  }
+
+  /** Frame-input variant of [[minhashIndexFrames]] — the index build
+    * over an explicit (doc_id, text) corpus slice. */
+  private[graft] def minhashIndexFramesOf(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+    graft.plans.SignatureFunctions.register(s)
+    val arr = shingleArraysOf(docs).localCheckpoint()
+    (minhashBands(arr), arr)
   }
 
   private def minhashIndexPath(s: SparkSession, d: String): String = {

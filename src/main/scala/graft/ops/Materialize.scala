@@ -130,8 +130,21 @@ object Materialize {
     *    verification join reads, doc_id-range-sorted for the id-keyed
     *    point reads.
     */
-  def minhashIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val (bands, docs) = graft.operators.Dedup.minhashIndexFrames(s, dir)
+  def minhashIndex(s: SparkSession, dir: String, path: String): Unit =
+    writeMinhashIndex(graft.operators.Dedup.minhashIndexFrames(s, dir),
+      path)
+
+  /** [[minhashIndex]] over an explicit corpus slice — the
+    * OLD-corpus-only state `dedup_minhash_incremental` probes. */
+  def minhashIndexOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    writeMinhashIndex(
+      graft.operators.Dedup.minhashIndexFramesOf(s, docs), path)
+
+  private def writeMinhashIndex(
+      frames: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame), path: String): Unit = {
+    val (bands, docs) = frames
     bands.repartitionByRange(col("band"), col("band_sig"))
       .sortWithinPartitions("band", "band_sig", "doc_id")
       .write.mode("overwrite").parquet(s"$path/bands")

@@ -378,6 +378,33 @@ class DedupSpec extends SparkSpec {
       "from-index plan recomputes signatures")
   }
 
+  test("incremental minhash probes the stored index: ≡ full LSH on new pairs, no old recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val full = Dedup.minhashLsh(spark, sf0001)
+      .filter(col("b_id") >= cut).collect().map(_.toString).toSeq
+    val df = Dedup.minhashIncremental(spark, sf0001)
+    val inc = df.collect().map(_.toString).toSeq
+    assert(inc === full,
+      "incremental minhash != full LSH restricted to new-batch pairs")
+    assert(inc.nonEmpty, "degenerate fixture: no pairs touch the batch")
+    // serving contract (the minhashFromIndex pin style): the final
+    // verify stage reads the persisted index + the checkpointed new
+    // arrays — never the corpus text, never a signature recompute
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "final plan re-reads the corpus")
+    assert(!plan.contains("minhash_sig"),
+      "final plan recomputes signatures")
+    // the old-corpus index really was materialized on disk
+    val idx = new java.io.File(
+      graft.ops.BuildOnce.scratchPath("minhash-old", sf0001))
+    assert(new java.io.File(idx, "bands").exists()
+        && new java.io.File(idx, "sigs").exists(),
+      "old-corpus band index not materialized")
+  }
+
   test("k-core h-index fixpoint equals brute-force peeling, and is deterministic") {
     val got = Dedup.kcore(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
