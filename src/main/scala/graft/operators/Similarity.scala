@@ -27,6 +27,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvf,
     "ann_ivf_from_index" -> annIvfFromIndex,
     "knn_self_join" -> knnSelfJoin,
+    "knn_graph_ivf" -> knnGraphIvf,
     "centroid_per_label" -> centroidPerLabel,
     "label_spread" -> labelSpread,
     "cluster_kmeans" -> clusterKmeans,
@@ -1120,6 +1121,54 @@ object Similarity {
   /** k-NN join: top-3 neighbours for each probe (vec_id < 50). Probe set
     * is broadcast; at 100 TB the probe side stays bounded (it is a query
     * workload, not the corpus) so this shape holds. */
+  /** Full kNN GRAPH (top-3 neighbors for EVERY vector) from the
+    * materialized IVF index — the scale path for embedding-graph
+    * construction ([[knnSelfJoin]] is the 50-probe exact window into
+    * the same semantics; an all-vectors exact graph is n² and off the
+    * table at corpus scale). Per vector: rank the ≤256 broadcast
+    * centroids (map-side, the [[ivfBuild]] no-window discipline —
+    * top-2 cells come from a bounded `collect_list` sort per vector,
+    * never a row_number over the n×C stream), probe its best TWO
+    * cells' members (nprobe=2 halves the split-pair misses of
+    * own-cell-only), exact cosine on the ~2·cellsize candidates, keep
+    * 3 by a probe-keyed window (fine-grained keys). Work ∝ n·cellsize
+    * — the `graft.semantic.cellSize` scaling story applies unchanged.
+    * Rows-only 🔶: cell pruning loses true neighbors (recall < 1 by
+    * design); ApproxSpec measures recall@3 against the exact graph
+    * and pins reported similarities bit-exact. */
+  def knnGraphIvf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val path = graft.ops.BuildOnce.scratchPath("ivf", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.ivfIndex(s, d, path)
+    }
+    val idx = s.read.parquet(s"$path/index")
+    val cents = s.read.parquet(s"$path/centroids")
+    val top2 = idx.select("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cc", cos(Fns.asDouble(col("embedding")), col("cvec")))
+      .groupBy("vec_id")
+      .agg(slice(transform(
+        sort_array(collect_list(struct((lit(0.0) - col("cc")).as("nc"),
+          col("cid")))),
+        x => x.getField("cid")), 1, 2).as("cells"))
+    val probes = top2.select(col("vec_id").as("probe_id"),
+      explode(col("cells")).as("cid"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes
+      .join(idx.select(col("cid"), col("vec_id"), col("embedding")), "cid")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(idx.select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb")), "probe_id")
+      .withColumn("cos", cos(col("embedding"), col("p_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy("probe_id", "rk")
+  }
+
   def knnSelfJoin(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)

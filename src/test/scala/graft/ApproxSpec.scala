@@ -507,4 +507,52 @@ class ApproxSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"non-verified pairs: ${lsh -- exact}")
     assert(lsh.nonEmpty, "LSH path found no pairs (recall collapse)")
   }
+
+  test("IVF kNN graph: full coverage, exact similarities, recall vs exact graph") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Fns
+    import graft.sources.Tables
+    val got = graft.operators.Similarity.knnGraphIvf(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // every vector gets rows, at most 3, ranks contiguous from 1
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet === vecs.map(_._1).toSet,
+      "graph does not cover every vector")
+    byProbe.values.foreach { ns =>
+      assert(ns.length <= 3 && ns.map(_._3).sorted.toSeq ===
+        (1 to ns.length), s"bad rank structure: ${ns.toSeq}")
+    }
+    // reported cosines are EXACT (same sequential-fold arithmetic)
+    def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(aa * bb)
+    }
+    val emb = vecs.toMap
+    got.foreach { case (p, nb, _, cs) =>
+      val exact = BigDecimal(cosSeq(emb(p), emb(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(cs === exact, s"reported cos not exact for ($p,$nb)")
+    }
+    // recall@3 vs the exact graph (uniform random directions = the
+    // adversarial no-cluster case; bound carries headroom)
+    val ids = vecs.map(_._1)
+    var hit = 0; var tot = 0
+    ids.foreach { p =>
+      val exactTop = ids.filter(_ != p)
+        .map(o => (cosSeq(emb(p), emb(o)), o))
+        .sortBy { case (c, o) => (-c, o) }.take(3).map(_._2).toSet
+      val gotTop = byProbe(p).map(_._2).toSet
+      hit += exactTop.intersect(gotTop).size; tot += 3
+    }
+    val recall = hit.toDouble / tot
+    info(f"IVF kNN-graph recall@3: $recall%.3f")
+    assert(recall >= 0.3, f"kNN graph recall collapsed: $recall%.3f")
+  }
 }

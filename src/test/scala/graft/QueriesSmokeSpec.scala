@@ -44,7 +44,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "ann_ivfpq_topk", "ann_ivfpq_from_index", "ann_pq_rerank",
       "bloom_decontaminate", "log_rolling_distinct_hll",
       "dedup_minhash_from_index",
-      "pca_power_topcomp", "neardup_kcore", "dedup_minhash_incremental")
+      "pca_power_topcomp", "neardup_kcore", "dedup_minhash_incremental",
+      "knn_graph_ivf")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
