@@ -54,6 +54,7 @@ object Dedup {
     "dedup_semantic_incremental" -> semanticIncremental,
     "merge_upsert" -> mergeUpsert,
     "vocab_drift" -> vocabDrift,
+    "quality_drift_bins" -> qualityDriftBins,
     "neardup_quality_delta" -> qualityDelta,
     "neardup_pagerank" -> pagerank,
     "neardup_triangles" -> triangles,
@@ -335,6 +336,45 @@ object Dedup {
         .filter(pmod(col("doc_id"), lit(13)) === 5)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           col("source"), concat(col("text"), lit(" [new]")).as("text")))
+
+  /** Quality-score DRIFT report between the corpus and the next
+    * snapshot — the model-input monitoring twin of [[vocabDrift]]
+    * (vocab watches the tokens; this watches the quality-gate inputs):
+    * both corpora score under the SAME fixed-weight logit
+    * ([[TextAnalysis.logitScoreStage]]), scores bucket into 500-milli
+    * bins (clamped ±8, integer `div` — trunc-toward-zero on both
+    * engines), and each bin reports prior/new counts, ppm shares, and
+    * the ppm delta: a quality regression in tomorrow's crawl shows as
+    * mass sliding into low bins before any model retrains on it.
+    * Snapshot = the shared deterministic [[syntheticSnapshot]].
+    *
+    * Scale shape: two per-row scoring passes + two 17-bin map-side
+    * aggregates; the bin spine and the 1-row totals broadcast. */
+  def qualityDriftBins(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def binned(f: DataFrame, p: String): DataFrame =
+      TextAnalysis.logitScoreStage(f)
+        .select(least(greatest(expr("logit_milli div 500"), lit(-8L)),
+          lit(8L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(p + "n"))
+    val prior = binned(docs.select("doc_id", "text"), "prior_")
+    val now = binned(syntheticSnapshot(docs).select("doc_id", "text"),
+      "new_")
+    val totals = prior.agg(sum("prior_n").as("prior_total"))
+      .crossJoin(now.agg(sum("new_n").as("new_total")))
+    s.range(-8, 9).select(col("id").as("bin"))
+      .join(prior, Seq("bin"), "left")
+      .join(now, Seq("bin"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bin"),
+        coalesce(col("prior_n"), lit(0L)).as("prior_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        expr("coalesce(prior_n, 0) * 1000000 div prior_total")
+          .as("prior_ppm"),
+        expr("coalesce(new_n, 0) * 1000000 div new_total").as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("prior_ppm"))
+      .orderBy("bin")
+  }
 
   /** Quality-delta histogram over VERIFIED near-dup pairs — the audit
     * that decides whether survivor POLICY matters: per pair, the
@@ -2139,6 +2179,49 @@ object Dedup {
          |    THEN 3 * n_triangles * 1000000 // n_wedges ELSE 0 END
          |    AS closure_ppm
          |FROM st, ed, tri""".stripMargin,
+    "quality_drift_bins" -> {
+      def binCte(src: String, name: String, cn: String) =
+        s"""${name}_f AS (
+           |  SELECT len(w)::BIGINT AS n_tokens,
+           |    len(list_distinct(w))::BIGINT AS n_distinct,
+           |    len(list_filter(w, t -> list_contains($StopL, t)))::BIGINT
+           |      AS n_stop
+           |  FROM (SELECT $Toks AS w FROM $src) WHERE len(w) > 0),
+           |$name AS (
+           |  SELECT least(greatest(
+           |      (6 * (n_stop * 1000000 // n_tokens) // 1000
+           |        + 4 * (n_distinct * 1000000 // n_tokens) // 1000
+           |        + 2 * least(n_tokens, 400) - 3000) // 500, -8), 8)
+           |      AS bin,
+           |    count(*)::BIGINT AS $cn
+           |  FROM ${name}_f GROUP BY bin)""".stripMargin
+      s"""WITH snap AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 11 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text || ' [new]'
+         |  FROM documents WHERE doc_id % 13 = 5),
+         |${binCte("documents", "pbins", "prior_n")},
+         |${binCte("snap", "nbins", "new_n")},
+         |sp AS (SELECT unnest(generate_series(-8, 8))::BIGINT AS bin)
+         |SELECT sp.bin,
+         |  coalesce(p.prior_n, 0)::BIGINT AS prior_n,
+         |  coalesce(nw.new_n, 0)::BIGINT AS new_n,
+         |  (coalesce(p.prior_n, 0) * 1000000 //
+         |    (SELECT sum(prior_n) FROM pbins))::BIGINT AS prior_ppm,
+         |  (coalesce(nw.new_n, 0) * 1000000 //
+         |    (SELECT sum(new_n) FROM nbins))::BIGINT AS new_ppm,
+         |  ((coalesce(nw.new_n, 0) * 1000000 //
+         |      (SELECT sum(new_n) FROM nbins))
+         |    - (coalesce(p.prior_n, 0) * 1000000 //
+         |      (SELECT sum(prior_n) FROM pbins)))::BIGINT AS delta_ppm
+         |FROM sp
+         |LEFT JOIN pbins p ON p.bin = sp.bin
+         |LEFT JOIN nbins nw ON nw.bin = sp.bin
+         |ORDER BY sp.bin""".stripMargin
+    },
     "merge_upsert" ->
       """WITH snap AS (
         |  SELECT doc_id, source,

@@ -58,6 +58,7 @@ object LogAnalytics {
     "log_type_transitions" -> typeTransitions,
     "event_paths_topk" -> pathsTopk,
     "user_engagement_decay" -> engagementDecay,
+    "log_changepoint_cusum" -> changepointCusum,
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll
@@ -232,6 +233,52 @@ object LogAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(20)
+  }
+
+  /** CUSUM changepoint per event type — where did the rate SHIFT? The
+    * level-change detector next to [[anomalyZscore]]'s point-outlier
+    * view: on the zero-filled hourly grid, the classic CUSUM statistic
+    * S_h = Σ_{t≤h}(c_t − mean) peaks exactly at a sustained rate
+    * change. Computed fully INTEGER by scaling with the hour count
+    * (S'_h = H·prefix_h − h·total = H·S_h — same argmax, no division):
+    * the reported hour maximizes |S'| (tie → earliest), `direction`
+    * reads `drop` when early mass ran above pro-rata (rate fell after
+    * the peak) and `rise` otherwise.
+    *
+    * Scale shape: the raw stream collapses to the (type × hour) grid
+    * first — calendar-bounded metadata at any corpus scale — so the
+    * per-type prefix windows run over H grid rows, not events; the
+    * hour spine is a 1-row sequence broadcast ([[gapFill]] idiom). */
+  def changepointCusum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
+    val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy("event_type")
+      .agg(sum("c").as("total"), count(lit(1)).as("hh"))
+    grid
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("pref", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(tot, "event_type")
+      .withColumn("sstat", col("hh") * col("pref")
+        - col("idx") * col("total"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("sstat")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), (col("h") * 3600L).as("change_hour_ts"),
+        abs(col("sstat")).as("cusum_scaled"),
+        when(col("sstat") > 0, lit("drop")).otherwise(lit("rise"))
+          .as("direction"))
+      .orderBy("event_type")
   }
 
   /** Exponentially time-decayed engagement score per user — the
@@ -804,6 +851,37 @@ object LogAnalytics {
       s"""$SessCte
          |SELECT user_id, event_id, tu AS ts_us, session_id
          |FROM sess ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "log_changepoint_cusum" ->
+      s"""WITH $E,
+         |evh AS (SELECT event_type, tu // 3600000000 AS h FROM e),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT min(h) FROM evh),
+         |    (SELECT max(h) FROM evh))) AS h),
+         |ty AS (SELECT DISTINCT event_type FROM evh),
+         |cnt AS (SELECT event_type, h, count(*)::BIGINT AS c
+         |  FROM evh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT ty.event_type, sp.h, coalesce(cnt.c, 0) AS c
+         |  FROM ty CROSS JOIN sp
+         |  LEFT JOIN cnt ON cnt.event_type = ty.event_type
+         |    AND cnt.h = sp.h),
+         |tot AS (SELECT event_type, sum(c)::BIGINT AS total,
+         |  count(*)::BIGINT AS hh FROM grid GROUP BY 1),
+         |st AS (
+         |  SELECT g.event_type, g.h,
+         |    (t.hh * sum(g.c) OVER (PARTITION BY g.event_type ORDER BY g.h
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - row_number() OVER (PARTITION BY g.event_type
+         |          ORDER BY g.h) * t.total)::BIGINT AS sstat
+         |  FROM grid g JOIN tot t ON t.event_type = g.event_type),
+         |pick AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY abs(sstat) DESC, h) AS rk
+         |  FROM st)
+         |SELECT event_type, h * 3600 AS change_hour_ts,
+         |  abs(sstat)::BIGINT AS cusum_scaled,
+         |  CASE WHEN sstat > 0 THEN 'drop' ELSE 'rise' END AS direction
+         |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "user_engagement_decay" ->
       s"""WITH $E,
          |d AS (SELECT user_id, tu // 86400000000 AS day FROM e),
