@@ -59,6 +59,7 @@ object LogAnalytics {
     "event_paths_topk" -> pathsTopk,
     "user_engagement_decay" -> engagementDecay,
     "log_changepoint_cusum" -> changepointCusum,
+    "log_anomaly_seasonal" -> anomalySeasonal,
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll
@@ -235,6 +236,25 @@ object LogAnalytics {
       .limit(20)
   }
 
+  /** Zero-filled (event_type × epoch-hour) count grid — the shared
+    * first stage of [[changepointCusum]] and [[anomalySeasonal]]: the
+    * raw stream collapses to per-hour counts (calendar-bounded
+    * metadata at any corpus scale), then a 1-row hour-spine sequence
+    * broadcast ([[gapFill]] idiom) restores the zero-activity hours
+    * both detectors need (a silent hour IS the anomaly). */
+  private def hourlyGrid(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
+    val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    ev.select("event_type").distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
   /** CUSUM changepoint per event type — where did the rate SHIFT? The
     * level-change detector next to [[anomalyZscore]]'s point-outlier
     * view: on the zero-filled hourly grid, the classic CUSUM statistic
@@ -245,22 +265,11 @@ object LogAnalytics {
     * reads `drop` when early mass ran above pro-rata (rate fell after
     * the peak) and `rise` otherwise.
     *
-    * Scale shape: the raw stream collapses to the (type × hour) grid
-    * first — calendar-bounded metadata at any corpus scale — so the
-    * per-type prefix windows run over H grid rows, not events; the
-    * hour spine is a 1-row sequence broadcast ([[gapFill]] idiom). */
+    * Scale shape: [[hourlyGrid]] collapses the stream first, so the
+    * per-type prefix windows run over H grid rows, not events. */
   def changepointCusum(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
-    val ev = Tables.events(s, d)
-      .select(col("event_type"), expr(s"ts_us div $HourUs").as("h"))
-    val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val grid = ev.select("event_type").distinct()
-      .crossJoin(broadcast(spine))
-      .join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"),
-        coalesce(col("c"), lit(0L)).as("c"))
+    val grid = hourlyGrid(s, d)
     val tot = grid.groupBy("event_type")
       .agg(sum("c").as("total"), count(lit(1)).as("hh"))
     grid
@@ -280,6 +289,44 @@ object LogAnalytics {
           .as("direction"))
       .orderBy("event_type")
   }
+
+  /** Seasonally-adjusted anomaly per event type — the residual-spike
+    * detector that closes the monitoring triad: [[anomalyZscore]]
+    * flags outliers vs a GLOBAL mean (so every Monday 9am looks
+    * anomalous on a weekly-cycled stream), [[changepointCusum]] finds
+    * sustained LEVEL shifts, and this one scores each hour against its
+    * own hour-of-week slot (Monday 9am vs the other Monday 9ams —
+    * [[Relational.seasonalityProfile]]'s calendar decomposition turned
+    * into a baseline). Fully INTEGER via deviation scaling: for cell
+    * (type, h) in slot w, dev' = c·n_w − slot_total = n_w·(c − mean_w)
+    * — same argmax as the residual, no division. Reports each type's
+    * most seasonally-surprising hour (tie → earliest) with the
+    * pro-rata ratio in ppm. Slot key = (h+72) mod 168, 0 = Monday
+    * 00:00 (epoch hour 0 is a Thursday; the +3-day shift matches the
+    * seasonality profile's dow convention).
+    *
+    * Scale shape: [[hourlyGrid]] collapses the stream; the slot
+    * baseline is a (type × 168)-row aggregate joined back on the grid
+    * — everything after the first shuffle is calendar-bounded. */
+  def anomalySeasonal(s: SparkSession, d: String): DataFrame =
+    hourlyGrid(s, d)
+      .withColumn("how", (col("h") + 72L) % 168L)
+      .withColumn("slot_total",
+        sum("c").over(Window.partitionBy("event_type", "how")))
+      .withColumn("n_weeks",
+        count(lit(1)).over(Window.partitionBy("event_type", "how")))
+      .withColumn("dev", col("c") * col("n_weeks") - col("slot_total"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("dev")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), (col("h") * 3600L).as("hour_ts"),
+        col("how"), col("c").as("n_events"), col("slot_total"),
+        col("n_weeks"), abs(col("dev")).as("dev_scaled"),
+        when(col("slot_total") > 0,
+          expr("c * n_weeks * 1000000 div slot_total"))
+          .otherwise(lit(0L)).as("ratio_ppm"))
+      .orderBy("event_type")
 
   /** Exponentially time-decayed engagement score per user — the
     * recency-weighted activity feature ranking models use instead of
@@ -882,6 +929,40 @@ object LogAnalytics {
          |  abs(sstat)::BIGINT AS cusum_scaled,
          |  CASE WHEN sstat > 0 THEN 'drop' ELSE 'rise' END AS direction
          |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "log_anomaly_seasonal" ->
+      s"""WITH $E,
+         |evh AS (SELECT event_type, tu // 3600000000 AS h FROM e),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT min(h) FROM evh),
+         |    (SELECT max(h) FROM evh))) AS h),
+         |ty AS (SELECT DISTINCT event_type FROM evh),
+         |cnt AS (SELECT event_type, h, count(*)::BIGINT AS c
+         |  FROM evh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT ty.event_type, sp.h, coalesce(cnt.c, 0) AS c,
+         |    (sp.h + 72) % 168 AS how
+         |  FROM ty CROSS JOIN sp
+         |  LEFT JOIN cnt ON cnt.event_type = ty.event_type
+         |    AND cnt.h = sp.h),
+         |st AS (
+         |  SELECT event_type, h, how, c,
+         |    sum(c) OVER (PARTITION BY event_type, how)::BIGINT
+         |      AS slot_total,
+         |    count(*) OVER (PARTITION BY event_type, how)::BIGINT
+         |      AS n_weeks
+         |  FROM grid),
+         |dv AS (
+         |  SELECT *, (c * n_weeks - slot_total)::BIGINT AS dev,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(c * n_weeks - slot_total) DESC, h) AS rk
+         |  FROM st)
+         |SELECT event_type, h * 3600 AS hour_ts, how,
+         |  c AS n_events, slot_total, n_weeks,
+         |  abs(dev)::BIGINT AS dev_scaled,
+         |  CASE WHEN slot_total > 0
+         |    THEN c * n_weeks * 1000000 // slot_total ELSE 0 END::BIGINT
+         |    AS ratio_ppm
+         |FROM dv WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "user_engagement_decay" ->
       s"""WITH $E,
          |d AS (SELECT user_id, tu // 86400000000 AS day FROM e),
