@@ -50,6 +50,7 @@ object Dedup {
     "neardup_degree_dist" -> degreeDist,
     "dedup_best_survivor" -> bestSurvivor,
     "dedup_token_savings" -> tokenSavings,
+    "dedup_soft_weights" -> softWeights,
     "dedup_semantic" -> semantic,
     "dedup_semantic_incremental" -> semanticIncremental,
     "merge_upsert" -> mergeUpsert,
@@ -690,6 +691,44 @@ object Dedup {
         (col("toks_total") - coalesce(col("toks_kept"), lit(0L)))
           .as("toks_removed"))
       .orderBy("source")
+  }
+
+  /** SOFT dedup weights — the train-time alternative to dropping
+    * duplicates: instead of keeping one survivor per near-dup cluster
+    * ([[bestSurvivor]]), every copy stays in the corpus with sampling
+    * weight 1/k (k = cluster size), so each cluster contributes ONE
+    * document's worth of expected training mass while distributional
+    * coverage (every source/phrasing variant) is preserved — the
+    * standard downweighting recipe when hard dedup over-deletes
+    * templated-but-distinct documents. Reported as a cluster-size
+    * histogram: per k, document count, cluster count (= n_docs div k,
+    * exact), the 1/k weight in ppm, raw token mass, and the
+    * weight-adjusted effective token mass in micro-tokens (per-doc
+    * trunc-div mirrored by the oracle) — the "how many tokens does my
+    * sampler actually see" number a token-budget plan consumes
+    * (`mixture_token_budget_plan`'s input under soft dedup).
+    *
+    * Scale shape: reuses [[clusters]]' pointer-jumping components
+    * (O(log diameter) rounds, the cost IS the algorithm), then one
+    * cluster-keyed size aggregate joined back and a ≤ max-k-row
+    * histogram aggregate — nothing after the CC loop exceeds the
+    * cluster-size key space. */
+  def softWeights(s: SparkSession, d: String): DataFrame = {
+    val cl = clusters(s, d).select("doc_id", "cluster_id")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), size(Fns.tokens(col("text"))).cast("long")
+        .as("n_toks"))
+    val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    cl.join(sz, "cluster_id").join(toks, "doc_id")
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("raw_tokens"),
+        sum(expr("n_toks * 1000000 div csize")).as("eff_tokens_micro"))
+      .select(col("csize"), col("n_docs"),
+        expr("n_docs div csize").as("n_clusters"),
+        expr("1000000 div csize").as("weight_ppm"),
+        col("raw_tokens"), col("eff_tokens_micro"))
+      .orderBy("csize")
   }
 
   /** Degree distribution of the verified near-dup graph — the health
@@ -1843,6 +1882,41 @@ object Dedup {
          |    AS toks_removed
          |FROM toks t LEFT JOIN kept k ON t.source = k.source
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |cl AS (SELECT doc AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |tk AS (SELECT doc_id, len($Toks)::BIGINT AS n_toks FROM documents),
+         |szc AS (SELECT cluster_id, count(*)::BIGINT AS csize
+         |  FROM cl GROUP BY 1),
+         |j AS (
+         |  SELECT szc.csize, tk.n_toks
+         |  FROM cl JOIN szc ON szc.cluster_id = cl.cluster_id
+         |  JOIN tk ON tk.doc_id = cl.doc_id)
+         |SELECT csize, count(*)::BIGINT AS n_docs,
+         |  (count(*) // csize)::BIGINT AS n_clusters,
+         |  (1000000 // csize)::BIGINT AS weight_ppm,
+         |  sum(n_toks)::BIGINT AS raw_tokens,
+         |  sum(n_toks * 1000000 // csize)::BIGINT AS eff_tokens_micro
+         |FROM j GROUP BY csize ORDER BY csize""".stripMargin,
     "neardup_degree_dist" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
