@@ -53,7 +53,8 @@ object TextAnalysis {
     "corpus_build_manifest" -> corpusBuildManifest,
     "text_template_shingles" -> templateShingles,
     "active_learning_pick" -> activeLearningPick,
-    "mixture_token_budget_plan" -> mixtureTokenBudgetPlan
+    "mixture_token_budget_plan" -> mixtureTokenBudgetPlan,
+    "token_spell_correct" -> spellCorrect
   )
 
   /** Uncertainty sampling for the quality gate — the active-learning
@@ -1225,10 +1226,109 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).cast("long").as("n_uniq_shingles"))
       .orderBy("doc_id")
 
+  /** All delete-one-character variants of `w` — the SymSpell
+    * (symmetric-delete) neighborhood key set. A plain attribute binds
+    * free inside the lambda, so no [[Fns.bound]] needed here; callers
+    * passing computed expressions must bind first. */
+  private def deletes1(w: Column): Column =
+    transform(sequence(lit(1), length(w)),
+      i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))
+
+  /** SymSpell-style spelling correction over the corpus vocabulary —
+    * the OCR/typo-repair stage of a corpus cleaning pipeline, built on
+    * the symmetric-delete trick: edit-distance-1 candidates are exactly
+    * the pairs sharing a key in {w} ∪ deletes1(w), so candidate
+    * generation is an EQUI-JOIN on O(Σ len(w)) keys instead of the
+    * O(|rare| · |vocab|) brute-force distance matrix — the same
+    * quadratic→linear blocking move as MinHash banding, applied to
+    * strings. The dirty side is synthesized from the vocabulary itself
+    * (the [[Dedup.syntheticSnapshot]] idiom): every word of length ≥ 4
+    * drops the character at position md5-hash mod len, and typos that
+    * collide with a real vocabulary word are discarded (undetectable
+    * by any frequency prior). Correction = the distance-1 candidate
+    * with the highest document frequency (tie → lexicographic), the
+    * classic unigram-prior channel model; `n_cands` reports ambiguity.
+    * Verification uses the engines' shared `levenshtein` (unit-cost
+    * edit distance in both).
+    *
+    * Scale shape: one corpus scan builds the vocab df frame (explode →
+    * word-keyed partial agg, vocabulary-bounded after that); key
+    * generation multiplies the VOCAB frame (not the corpus) by word
+    * length; the key join is equi-hash on short strings. At 100 TB the
+    * vocab frame is millions of rows — every stage after the df scan
+    * is vocabulary-sized. */
+  def spellCorrect(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(array_distinct(Fns.tokens(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // consumed 3×: typo synthesis, anti join, keys
+    val typos = vocab.filter(length(col("w")) >= 4)
+      .select(element_at(deletes1(col("w")),
+        (Fns.md5Hash24(col("w")) % length(col("w"))).cast("int") + 1)
+        .as("typo"))
+      .distinct()
+      .join(vocab.select(col("w").as("typo")), Seq("typo"), "anti")
+    val vkeys = vocab.select(col("w"), col("df"),
+      explode(array_union(array(col("w")), deletes1(col("w")))).as("k"))
+    val tkeys = typos.select(col("typo"),
+      explode(array_union(array(col("typo")), deletes1(col("typo"))))
+        .as("k"))
+    tkeys.join(vkeys, "k")
+      .select("typo", "w", "df").distinct()
+      .filter(levenshtein(col("typo"), col("w")) === 1)
+      .withColumn("n_cands",
+        count(lit(1)).over(Window.partitionBy("typo")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("typo").orderBy(col("df").desc, col("w"))))
+      .filter(col("rk") === 1)
+      .select(col("typo"), col("w").as("correction"), col("df"),
+        col("n_cands"))
+      .orderBy("typo")
+  }
+
   private val Toks = Fns.sqlTokens("text")
   private val StopList = Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB fragment: SymSpell delete-1 list of column `c` (mirror of
+    * [[deletes1]]). */
+  private def sqlDeletes1(c: String): String =
+    s"[substr($c, 1, i - 1) || substr($c, i + 1, len($c)) " +
+      s"for i in generate_series(1, len($c))]"
+
   val oracles: Map[String, String] = Map(
+    "token_spell_correct" ->
+      s"""WITH tokd AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct($Toks)) AS w
+         |  FROM documents),
+         |vocab AS (SELECT w, count(*)::BIGINT AS df FROM tokd GROUP BY w),
+         |ty0 AS (
+         |  SELECT (${sqlDeletes1("w")})[
+         |      (${Fns.sqlMd5Hash24("w")} % len(w))::INT + 1] AS typo
+         |  FROM vocab WHERE len(w) >= 4),
+         |typos AS (
+         |  SELECT DISTINCT typo FROM ty0
+         |  WHERE typo NOT IN (SELECT w FROM vocab)),
+         |vkeys AS (
+         |  SELECT w, df,
+         |    unnest(list_distinct(list_append(${sqlDeletes1("w")}, w))) AS k
+         |  FROM vocab),
+         |tkeys AS (
+         |  SELECT typo,
+         |    unnest(list_distinct(list_append(${sqlDeletes1("typo")}, typo)))
+         |      AS k
+         |  FROM typos),
+         |cands AS (
+         |  SELECT DISTINCT t.typo, v.w, v.df
+         |  FROM tkeys t JOIN vkeys v ON t.k = v.k
+         |  WHERE levenshtein(t.typo, v.w) = 1),
+         |r AS (
+         |  SELECT typo, w, df,
+         |    count(*) OVER (PARTITION BY typo)::BIGINT AS n_cands,
+         |    row_number() OVER (PARTITION BY typo
+         |      ORDER BY df DESC, w) AS rk
+         |  FROM cands)
+         |SELECT typo, w AS correction, df, n_cands
+         |FROM r WHERE rk = 1 ORDER BY typo""".stripMargin,
     "text_template_shingles" ->
       s"""WITH toks AS (SELECT doc_id, source, $Toks AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, source,
