@@ -23,6 +23,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> annBruteforce,
+    "ann_dim_ablation" -> annDimAblation,
     "ann_lsh_topk" -> annLsh,
     "ann_ivf_topk" -> annIvf,
     "ann_ivf_from_index" -> annIvfFromIndex,
@@ -1061,6 +1062,54 @@ object Similarity {
     (assign(centFrame(cents)), centFrame(cents))
   }
 
+  /** Matryoshka-style DIMENSION-TRUNCATION recall ablation — the
+    * measurement that decides whether the ANN index can run on a
+    * prefix of the embedding: per truncation width dp ∈ {16, 32, 64},
+    * each of 8 probes ranks the corpus by cosine over the FIRST dp
+    * dimensions only, and the dp-truncated top-10 is scored against
+    * the full-width top-10 (recall in ppm). A 32-dim index at
+    * near-full recall halves index memory, shuffle bytes, and ADC
+    * compute corpus-wide — this op is the evidence gate for flipping
+    * that knob (the `embedding_threshold_sweep` ablation pattern,
+    * applied to width instead of threshold). Exact and SQL-checked:
+    * one (probe × dims)-fanned scan, the [[annBruteforce]]
+    * round-4dp + vec_id tiebreak ranking idiom, then a top-k-sized
+    * self-annotation join — no index structure involved, so the
+    * result isolates the TRUNCATION error from indexing error.
+    *
+    * Scale shape: the scan fans out 8 probes × 3 widths = 24 rows per
+    * vector (broadcast probe frame, no shuffle before the per-(dp,
+    * probe) TakeOrdered-style rank); everything after the rank is
+    * top-k-sized metadata. */
+  def annDimAblation(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ranked = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("q_id"),
+        explode(array(lit(16), lit(32), lit(64))).as("dp"),
+        col("embedding"), col("q_emb"))
+      .withColumn("cs",
+        round(cos(slice(col("embedding"), lit(1), col("dp")),
+          slice(col("q_emb"), lit(1), col("dp"))), 4) + lit(0.0))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dp", "q_id")
+          .orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("dp", "q_id", "vec_id")
+    val ref = ranked.filter(col("dp") === 64)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("in_ref"))
+    ranked.join(ref, Seq("q_id", "vec_id"), "left")
+      .groupBy("dp")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("in_ref"), lit(0L))).as("n_hits"))
+      .select(col("dp"), col("n_ranked"), col("n_hits"),
+        expr("n_hits * 1000000 div n_ranked").as("recall_ppm"))
+      .orderBy("dp")
+  }
+
   /** Exact cosine top-10 against the vec_id-min query vector. */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
@@ -1463,6 +1512,30 @@ object Similarity {
          |  round(${Fns.sqlCosine("embedding", "q_emb")}, 4) + 0.0 AS cos_sim
          |FROM embeddings, q WHERE vec_id <> q_id
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_dim_ablation" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |dims AS (SELECT unnest([16, 32, 64]) AS dp),
+         |sc AS (
+         |  SELECT d.dp, q.q_id, e.vec_id,
+         |    round(${Fns.sqlCosine(
+               "array_slice(e.embedding, 1, d.dp)",
+               "array_slice(q.q_emb, 1, d.dp)")}, 4) + 0.0 AS cs
+         |  FROM embeddings e, q, dims d WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT dp, q_id, vec_id, row_number() OVER (
+         |    PARTITION BY dp, q_id ORDER BY cs DESC, vec_id) AS r
+         |  FROM sc),
+         |topk AS (SELECT dp, q_id, vec_id FROM rk WHERE r <= 10),
+         |ref AS (SELECT q_id, vec_id FROM topk WHERE dp = 64)
+         |SELECT t.dp, count(*)::BIGINT AS n_ranked,
+         |  sum(CASE WHEN ref.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         |    AS n_hits,
+         |  (sum(CASE WHEN ref.vec_id IS NULL THEN 0 ELSE 1 END) * 1000000
+         |    // count(*))::BIGINT AS recall_ppm
+         |FROM topk t LEFT JOIN ref
+         |  ON ref.q_id = t.q_id AND ref.vec_id = t.vec_id
+         |GROUP BY t.dp ORDER BY t.dp""".stripMargin,
     "knn_self_join" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p_emb
