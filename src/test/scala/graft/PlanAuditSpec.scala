@@ -644,16 +644,25 @@ class PlanAuditSpec extends SparkSpec {
       "share window must consume the census cells, not corpus rows")
   }
 
-  test("table profile: one Expand multi-distinct pass, pruned to nothing extra") {
+  test("table profile: one melted scan, narrow (col,value) aggregate") {
     val p = plan("table_profile")
     val t = finalTree(p)
-    // the 11 exact count_distincts must compile to ONE Expand-based
-    // multi-distinct aggregate over ONE scan — 11 separate scans (or
-    // a per-column union) would read the table 11×
-    assert(t.contains("Expand"),
-      "multi-distinct should be one Expand aggregate, not N passes")
+    // the profile must be ONE scan melted via Generate (inline) into
+    // narrow (col, value) pairs — NOT the single-aggregate
+    // multi-count_distinct plan, whose Expand widens every row to all
+    // agg inputs ×12 and measured 25.5 s vs 3 s for the melt on the
+    // same sf0.1 input; and NOT 11 per-column scans either
+    assert(t.contains("Generate"),
+      "profile should melt via inline/Generate into (col,value) pairs")
+    assert(!t.contains("Expand"),
+      "multi-count_distinct Expand plan regressed in: the melt " +
+        "aggregates narrow pairs instead")
     assert("""FileScan parquet""".r.findAllIn(p).length <= 1,
       "profile must be a single scan of lineitem")
+    // two aggregation levels: (col,value) distinct frame, then the
+    // per-column rollup (each may print once in the AQE final tree)
+    assert("""HashAggregate""".r.findAllIn(t).length >= 2,
+      "expected aggregates at both melt levels")
   }
 
   test("referential integrity: dims broadcast, only fact-fact shuffles") {
