@@ -29,6 +29,7 @@ object Retrieval {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25TopK,
     "bm25_from_index" -> bm25FromIndex,
+    "bm25_prf" -> bm25Prf,
     "rrf_fusion" -> rrfFusion,
     "knn_classify" -> knnClassify,
     "text_chunk" -> textChunk,
@@ -359,6 +360,69 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion) —
+    * the classic recall-repair loop between first-pass retrieval and
+    * the result page: run the base query, treat its top-5 documents as
+    * relevant, harvest their 3 strongest non-stopword non-query terms
+    * (total tf, tie → lexicographic), and re-score the corpus against
+    * the EXPANDED term set with the same Okapi kernel
+    * ([[bm25FromTf]]). Output: expanded top-20 with an
+    * `in_base_top20` flag, so the delta the expansion bought is
+    * visible in the result itself.
+    *
+    * Parity: the expanded per-doc score folds its ≤ 7 per-term
+    * summands in LEXICOGRAPHIC term order on both engines (Spark:
+    * fixed-order conditional sums over the sorted literal term list;
+    * DuckDB: left-to-right fold of `list(ts ORDER BY tok)`) — IEEE
+    * addition of interleaved +0.0 summands is exact, so both engines
+    * fold the identical doubles in the identical order (the
+    * [[bm25Scores]] argument, generalized to a data-dependent term
+    * set). The base ranking reuses the kernel's QTerms-order fold
+    * verbatim.
+    *
+    * Scale shape: two corpus scans (base score pass; expanded-tf
+    * pass) plus one ≤ 3-row driver collect of the expansion terms —
+    * the standing-query-derivation exception ([[phraseFromIndex]]'s
+    * gramstats top-row precedent): expansion terms must become plan
+    * LITERALS so the `isin` pushes into the scan. Feedback-doc term
+    * harvesting is a 5-document semi join — constant work however
+    * large the corpus. */
+  def bm25Prf(s: SparkSession, d: String): DataFrame = {
+    val terms = qTerms
+    val base = bm25Scores(s, d)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("b4"))
+    val fb = base.orderBy(col("b4").desc, col("doc_id")).limit(5)
+      .select("doc_id")
+    val exp = Tables.documents(s, d)
+      .join(fb, Seq("doc_id"), "semi")
+      .select(explode(Fns.tokens(col("text"))).as("tok"))
+      .filter(!col("tok").isin(Fns.Stopwords: _*)
+        && !col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(3)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val allTerms = (terms ++ exp).distinct.sorted
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .filter(col("dl") > 0)
+    val g = c.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val base20 = base.orderBy(col("b4").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), lit(1).as("in_base"))
+    bm25FromTf(tf, g, allTerms)
+      .select(col("doc_id"),
+        (round(col("score"), 4) + lit(0.0)).as("bm25_prf"))
+      .join(base20, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_prf"),
+        coalesce(col("in_base"), lit(0)).as("in_base_top20"))
+      .orderBy(col("bm25_prf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion: the standard
     * production recipe for merging a LEXICAL ranking ([[bm25Scores]]
     * top-50) with a VECTOR ranking (cosine against the suite's
@@ -601,6 +665,40 @@ object Retrieval {
       s"""WITH $sqlBm25
          |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_prf" -> {
+      val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
+      val qt = QTerms.map("'" + _ + "'").mkString(", ")
+      s"""WITH $sqlBm25,
+         |fb AS (SELECT doc_id FROM bm
+         |  ORDER BY round(score, 4) + 0.0 DESC, doc_id LIMIT 5),
+         |exp AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS n
+         |    FROM (SELECT unnest(w) AS tok FROM c JOIN fb USING (doc_id))
+         |    WHERE tok NOT IN ($stop) AND tok NOT IN ($qt)
+         |    GROUP BY tok ORDER BY n DESC, tok LIMIT 3)),
+         |tfx AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM c)
+         |  WHERE tok IN ($qt) OR tok IN (SELECT tok FROM exp)
+         |  GROUP BY 1, 2, 3),
+         |dfx AS (SELECT tok, count(*)::BIGINT AS df FROM tfx GROUP BY 1),
+         |scx AS (SELECT doc_id, tok,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |      * (tf * ${K1 + 1.0})
+         |      / (tf + $K1 * (${1.0 - B} + $B * (dl / avgdl))) AS ts
+         |  FROM tfx JOIN dfx USING (tok), g),
+         |lst AS (SELECT doc_id, list(ts ORDER BY tok) AS l
+         |  FROM scx GROUP BY doc_id),
+         |prf AS (SELECT doc_id,
+         |  ${(1 to 7).map(i => s"coalesce(l[$i], 0.0)").mkString(" + ")}
+         |    AS score FROM lst),
+         |b20 AS (SELECT doc_id FROM bm
+         |  ORDER BY round(score, 4) + 0.0 DESC, doc_id LIMIT 20)
+         |SELECT p.doc_id, round(p.score, 4) + 0.0 AS bm25_prf,
+         |  CASE WHEN b20.doc_id IS NULL THEN 0 ELSE 1 END AS in_base_top20
+         |FROM prf p LEFT JOIN b20 ON b20.doc_id = p.doc_id
+         |ORDER BY bm25_prf DESC, p.doc_id LIMIT 20""".stripMargin
+    },
     "phrase_from_index" ->
       s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
          |           FROM documents),
