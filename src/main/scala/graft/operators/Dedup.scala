@@ -46,6 +46,7 @@ object Dedup {
     "dedup_incremental" -> incremental,
     "dedup_containment" -> containment,
     "dedup_span_flags" -> spanFlags,
+    "dedup_substring_runs" -> substringRuns,
     "dedup_cross_source_rate" -> crossSourceRate,
     "neardup_degree_dist" -> degreeDist,
     "dedup_best_survivor" -> bestSurvivor,
@@ -821,6 +822,74 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         count(col("dup_h")).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Maximal duplicated-substring RUNS per document — the interval form
+    * of [[spanFlags]] (the "ExactSubstr" accounting of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * position is duplicated when its 8-token span starting there also
+    * appears in ≥ 1 OTHER document; consecutive/overlapping duplicated
+    * spans then merge into maximal token intervals, so the output
+    * answers "WHICH stretches of this doc are copied, how long is the
+    * longest, and what fraction of the doc would substring-excision
+    * remove" — the numbers an excision pass (cut the runs, keep the
+    * unique remainder) acts on, which per-span occurrence counts can't
+    * give because overlapping spans double-count their shared tokens.
+    *
+    * Plan: the [[spanFlags]] span stream (tokenize once, 7 `lead`s over
+    * one (doc_id, pos) window, 8-byte span hash), cross-doc span set
+    * via one hash-keyed groupBy (df ≥ 2 over DISTINCT docs — a doc
+    * repeating its own paragraph is self-similarity, not duplication),
+    * LEFT SEMI back onto positions, then the classic interval merge as
+    * two per-doc windows: a span starts a new run iff its position
+    * exceeds the running `max(pos+7)` of all earlier spans by ≥ 2
+    * (touching intervals merge — tokens 0-7 + 8-15 are one contiguous
+    * copied region), and `sum(is_start)` numbers the runs. Covered
+    * tokens per run = max(pos)+7−min(pos)+1 — exact interval-union
+    * length, immune to overlap double-counting. Everything after the
+    * one span-hash shuffle is doc_id-partitioned windows + a doc-keyed
+    * rollup: linear in tokens, no pair join, same 100 TB shape as
+    * [[spanFlags]]. Span identity travels as xxhash64 (the shared
+    * 64-bit-collision stance); the oracle compares full span STRINGS,
+    * so a collision would hash-FAIL the gate, not hide. */
+  def substringRuns(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
+    val spans = toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w") +: (1 to 7).map(i => lead("w", i).over(w)): _*)
+          .as("span"),
+        lead("w", 7).over(w).as("w8"))
+      .filter(col("w8").isNotNull)
+      .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+    val dup = spans.join(shared, Seq("h"), "left_semi")
+    val prevEnd = max(col("pos") + lit(7))
+      .over(w.rowsBetween(W.unboundedPreceding, -1))
+    val runs = dup
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") > coalesce(prevEnd, lit(-9)) + lit(1), 1)
+          .otherwise(0).as("is_start"))
+      .withColumn("run_id", sum("is_start").over(w))
+      .groupBy("doc_id", "run_id")
+      .agg((max("pos") + lit(7) - min("pos") + lit(1)).cast("long")
+        .as("run_tokens"))
+    val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum("run_tokens").as("dup_tokens"),
+        max("run_tokens").as("max_run_tokens"))
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_runs"), col("dup_tokens"),
+        col("max_run_tokens"), col("n_tokens"),
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
       .orderBy("doc_id")
   }
 
@@ -1983,6 +2052,50 @@ object Dedup {
         |    AS n_dup_spans
         |FROM spans s LEFT JOIN common c USING (span)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_substring_runs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  t -> t <> '') AS ws
+        |    FROM documents)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    concat_ws(' ', w, lead(w,1) OVER win, lead(w,2) OVER win,
+        |      lead(w,3) OVER win, lead(w,4) OVER win, lead(w,5) OVER win,
+        |      lead(w,6) OVER win, lead(w,7) OVER win) AS span,
+        |    lead(w,7) OVER win AS w8
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |spans AS (SELECT doc_id, pos, span FROM sp WHERE w8 IS NOT NULL),
+        |shared AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (
+        |  SELECT doc_id, pos FROM spans
+        |  WHERE span IN (SELECT span FROM shared)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 7) OVER
+        |        (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+        |      THEN 1 ELSE 0 END AS is_start
+        |  FROM dup),
+        |runs AS (
+        |  SELECT doc_id, run_id,
+        |    (max(pos) + 7 - min(pos) + 1)::BIGINT AS run_tokens
+        |  FROM (SELECT doc_id, pos,
+        |      sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        |    FROM fl)
+        |  GROUP BY doc_id, run_id),
+        |nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+        |  FROM toks GROUP BY doc_id)
+        |SELECT r.doc_id, count(*)::BIGINT AS n_runs,
+        |  sum(run_tokens)::BIGINT AS dup_tokens,
+        |  max(run_tokens)::BIGINT AS max_run_tokens, n_tokens,
+        |  (sum(run_tokens) * 1000000 // n_tokens)::BIGINT AS dup_ppm
+        |FROM runs r JOIN nt USING (doc_id)
+        |GROUP BY r.doc_id, n_tokens
         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,

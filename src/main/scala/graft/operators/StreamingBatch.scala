@@ -26,8 +26,42 @@ object StreamingBatch {
     "stream_contamination_hits" -> contaminationHits,
     "stream_stateful_sessions" -> statefulSessions,
     "stream_sliding_distinct" -> slidingDistinct,
-    "stream_feature_snapshot" -> featureSnapshot
+    "stream_feature_snapshot" -> featureSnapshot,
+    "stream_upsert_latest" -> upsertLatest
   )
+
+  /** CDC latest-wins materialized view — the upsert-sink semantics every
+    * streaming warehouse ingest needs (Kafka compacted topic → serving
+    * table): per KEY (user) the single most recent event wins, with the
+    * deterministic (ts, event_id) tie-break, and the view rolls up to a
+    * per-final-state census — how many users currently sit in each
+    * event_type, their latest-value mass (exact centi-units — value
+    * lives on the 0.01 grid, so `round(value·100)` is an integer and
+    * the per-type sum is associative), and the freshest timestamp. The
+    * STREAMING twin ([[graft.streaming.Pipelines.upsertLatestStream]])
+    * maintains the same per-user row in 4 fields of
+    * `mapGroupsWithState` state — O(1) per key, no event retention —
+    * and StreamingSpec pins the stream's final emission per user ≡ the
+    * batch row_number pick on the same events.
+    *
+    * Scale shape: ONE shuffle by user_id, a per-user window (fine keys,
+    * millions of partitionsworth of parallelism), then a ≤ |types|-row
+    * map-side-combined rollup. */
+  def upsertLatest(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_centi"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("v_centi").as("value_centi_mass"),
+        max("ts_us").as("latest_ts_us"))
+      .orderBy("event_type")
+  }
 
   /** Per-user LATEST feature snapshot — the online-serving view the
     * streaming PIT pipeline ([[graft.streaming.Pipelines
@@ -318,6 +352,18 @@ object StreamingBatch {
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_latest" ->
+      s"""WITH $E,
+         |r AS (
+         |  SELECT event_type, round(value * 100)::BIGINT AS v_centi, tu,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY tu DESC, event_id DESC) AS rn
+         |  FROM e)
+         |SELECT event_type, count(*)::BIGINT AS n_users,
+         |  sum(v_centi)::BIGINT AS value_centi_mass,
+         |  max(tu)::BIGINT AS latest_ts_us
+         |FROM r WHERE rn = 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_feature_snapshot" ->
       s"""WITH base AS (${graft.operators.Training.PitOracle}),
          |r AS (

@@ -222,6 +222,10 @@ object Pipelines {
   case class PurchaseFeatures(event_id: Long, user_id: Long, day: Long,
       n_events_prior: Long, n_purchases_prior: Long,
       value_centi_prior: Long, days_active_prior: Long)
+  case class LatestState(tsUs: Long, eventId: Long, eventType: String,
+      valueCenti: Long)
+  case class UserLatest(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value_centi: Long)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
@@ -281,6 +285,43 @@ object Pipelines {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** CDC latest-wins upsert view, streaming form — the twin of the
+    * batch `stream_upsert_latest` (graft.operators.StreamingBatch):
+    * per-user state holds exactly the current winning row — (ts_us,
+    * event_id, event_type, value_centi), four fields, O(1) per key, no
+    * event retention — and every micro-batch emits the key's refreshed
+    * row (update-mode semantics: downstream upsert sinks overwrite by
+    * user_id). The winner rule is the same total order as the batch
+    * row_number pick: larger ts wins, event_id breaks timestamp ties —
+    * so arrival ORDER cannot change the final state (each comparison
+    * is against the max-so-far, a commutative fold), which is what
+    * StreamingSpec pins: final emission per user ≡ the batch pick,
+    * regardless of micro-batch boundaries. */
+  def upsertLatestStream(events: Dataset[PitEvent]): Dataset[UserLatest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, UserLatest](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[PitEvent],
+         state: GroupState[LatestState]) =>
+          var st = state.getOption.getOrElse(
+            LatestState(Long.MinValue, Long.MinValue, "", 0L))
+          rows.foreach { e =>
+            // µs-exact: getTime alone floors to ms; the sub-ms part of
+            // the event time rides in the Timestamp's nanos field
+            val us = e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+            if (us > st.tsUs || (us == st.tsUs && e.event_id > st.eventId))
+              st = LatestState(us, e.event_id, e.event_type,
+                math.round(e.value * 100))
+          }
+          state.update(st)
+          UserLatest(userId, st.tsUs, st.eventId, st.eventType,
+            st.valueCenti)
       }
   }
 

@@ -515,4 +515,56 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("substring runs: planted shared paragraph yields one exact run") {
+    // 12 shared tokens embedded at different offsets in two docs whose
+    // surrounding tokens are globally unique; a third doc is all-unique
+    val shared = (0 until 12).map(i => s"sh${alpha(i)}").mkString(" ")
+    val dir = docsDir(Seq(
+      s"pa pb pc pd pe $shared qa qb qc qd qe", // 5 + 12 + 5 = 22 tokens
+      s"ra rb rc $shared sa sb",                // 3 + 12 + 2 = 17 tokens
+      "ta tb tc td te tf tg th ti tj tk tl"))   // 12 unique tokens
+    val rows = Dedup.substringRuns(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L)) // doc 2 absent
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // the merged interval is exactly the 12 shared tokens: 5 dup span
+    // starts (12 − 8 + 1) coalesce into ONE run of 12 covered tokens
+    assert(byId(0L).getAs[Long]("n_runs") === 1L)
+    assert(byId(0L).getAs[Long]("dup_tokens") === 12L)
+    assert(byId(0L).getAs[Long]("max_run_tokens") === 12L)
+    assert(byId(0L).getAs[Long]("n_tokens") === 22L)
+    assert(byId(0L).getAs[Long]("dup_ppm") === 12L * 1000000 / 22)
+    assert(byId(1L).getAs[Long]("dup_tokens") === 12L)
+    assert(byId(1L).getAs[Long]("n_tokens") === 17L)
+  }
+
+  test("substring runs: disjoint shared regions stay separate runs") {
+    // two 12-token shared regions split by ONE unique token — the
+    // interval merge must NOT bridge the gap (pos > prev_end + 1)
+    val s1 = (0 until 12).map(i => s"xa${alpha(i)}").mkString(" ")
+    val s2 = (0 until 12).map(i => s"xb${alpha(i)}").mkString(" ")
+    val dir = docsDir(Seq(
+      s"$s1 gap $s2",          // 12 + 1 + 12 = 25 tokens
+      s"ya yb $s1 yc",         // donor for s1
+      s"za $s2 zb zc"))        // donor for s2
+    val r0 = Dedup.substringRuns(spark, dir).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(r0.getAs[Long]("n_runs") === 2L)
+    assert(r0.getAs[Long]("dup_tokens") === 24L)
+    assert(r0.getAs[Long]("max_run_tokens") === 12L)
+    assert(r0.getAs[Long]("n_tokens") === 25L)
+  }
+
+  test("substring runs invariants on testdata") {
+    val rows = Dedup.substringRuns(spark, sf0001).collect()
+    rows.foreach { r =>
+      val dup = r.getAs[Long]("dup_tokens")
+      val n = r.getAs[Long]("n_tokens")
+      val mx = r.getAs[Long]("max_run_tokens")
+      assert(r.getAs[Long]("n_runs") >= 1L)
+      assert(mx >= 8L, s"a run covers at least one 8-token span: $r")
+      assert(mx <= dup && dup <= n, s"interval-union bounds violated: $r")
+      assert(r.getAs[Long]("dup_ppm") === dup * 1000000 / n)
+    }
+  }
 }

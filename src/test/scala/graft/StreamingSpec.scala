@@ -634,4 +634,66 @@ class StreamingSpec extends SparkSpec {
         "streaming snapshot state != batch snapshot query")
     } finally q.stop()
   }
+
+  test("streaming upsert-latest: final state ≡ batch pick under adversarial arrival order") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Pipelines.PitEvent
+    // REVERSE event-time arrival — every event is "late" relative to
+    // the previous one; the latest-wins fold must not care
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts_us").desc, col("event_id").desc).collect()
+      .map { r =>
+        val us = r.getLong(1)
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos((us % 1000000L).toInt * 1000) // keep µs precision
+        PitEvent(r.getLong(0), t, r.getLong(2), r.getString(3),
+          r.getDouble(4))
+      }
+    val mem = MemoryStream[PitEvent]
+    val q = Pipelines.upsertLatestStream(mem.toDS())
+      .writeStream.format("memory").queryName("upsertlatest")
+      .outputMode("update").start()
+    try {
+      val third = evs.length / 3
+      mem.addData(evs.take(third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2 * third): _*)
+      q.processAllAvailable()
+      // emitted snapshots grow monotonically in (ts_us, event_id), so
+      // the final state per user is the max emitted row
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val finals = spark.table("upsertlatest")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val batchPick = graft.sources.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("value_centi"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select("user_id", "ts_us", "event_id", "event_type", "value_centi")
+      assert(finals.select("user_id", "ts_us", "event_id", "event_type",
+          "value_centi").orderBy("user_id").collect().map(_.toString).toSeq ===
+        batchPick.orderBy("user_id").collect().map(_.toString).toSeq,
+        "streamed final state != batch latest-wins pick")
+      // and the rollup of finals ≡ the oracle-checked batch query
+      val rolled = finals.groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_users"),
+          org.apache.spark.sql.functions.sum("value_centi")
+            .as("value_centi_mass"),
+          org.apache.spark.sql.functions.max("ts_us").as("latest_ts_us"))
+        .orderBy("event_type").collect().map(_.toString).toSeq
+      val batchQuery = graft.operators.StreamingBatch
+        .upsertLatest(spark, sf0001).collect().map(_.toString).toSeq
+      assert(rolled === batchQuery,
+        "rollup of streamed finals != stream_upsert_latest")
+    } finally q.stop()
+  }
 }
