@@ -33,6 +33,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "minhash_tuning_curve" -> minhashTuningCurve,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_from_index" -> minhashFromIndex,
     "dedup_minhash_incremental" -> minhashIncremental,
@@ -1421,6 +1422,55 @@ object Dedup {
     jaccardVerify(cands, sizes)
   }
 
+  /** MinHash-LSH parameter tuning curve — the measured S-curve behind
+    * the (bands × rows) knob [[minhashLsh]] hard-codes at 64×2: for
+    * every 128-hash split (2×64, 4×32, 8×16, 16×8) and every VERIFIED
+    * near-dup pair, the probability the banding scheme would surface
+    * that pair as a candidate, P = 1 − (1 − j^r)^b, evaluated at the
+    * pair's TRUE Jaccard. Per config: pair count, mean catch ppm, and
+    * worst-pair catch ppm — the table that says which split trades how
+    * much recall at the j = 0.5 threshold for how much bucket
+    * selectivity (longer bands ⇒ fewer sub-threshold candidates but a
+    * steeper recall cliff). Data-driven, not the textbook curve at a
+    * hypothetical j: it integrates over the corpus's actual
+    * near-duplicate similarity distribution.
+    *
+    * Cross-engine exactness: j = inter/union divides the same BIGINTs
+    * into the same double; j^r and (1−j^r)^b are explicit
+    * REPEATED-SQUARING chains (identical multiplication trees on both
+    * engines — IEEE doubles, no libm `pow` whose ulp varies), and each
+    * pair's probability floors onto the 10⁻⁶ grid BEFORE the mean, so
+    * the aggregate is an associative integer sum. Scale: one scan over
+    * [[ngramJaccard]]'s verified pairs (already linear via the
+    * df-capped index), 4-row fan-out, ≤ 4-group rollup. */
+  def minhashTuningCurve(s: SparkSession, d: String): DataFrame = {
+    def sq(c: Column, k: Int): Column = (1 to k).foldLeft(c)((a, _) => a * a)
+    def ppm(jr: Column, sqk: Int): Column =
+      floor((lit(1.0) - sq(lit(1.0) - jr, sqk)) * 1000000).cast("long")
+    ngramJaccard(s, d)
+      .select((col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))).as("j"))
+      .withColumn("j2", col("j") * col("j"))
+      .withColumn("j4", col("j2") * col("j2"))
+      .withColumn("j8", col("j4") * col("j4"))
+      .withColumn("j16", col("j8") * col("j8"))
+      .select(explode(array(
+        struct(lit(2).as("rows_per_band"), lit(64).as("bands"),
+          ppm(col("j2"), 6).as("catch_ppm")),
+        struct(lit(4).as("rows_per_band"), lit(32).as("bands"),
+          ppm(col("j4"), 5).as("catch_ppm")),
+        struct(lit(8).as("rows_per_band"), lit(16).as("bands"),
+          ppm(col("j8"), 4).as("catch_ppm")),
+        struct(lit(16).as("rows_per_band"), lit(8).as("bands"),
+          ppm(col("j16"), 3).as("catch_ppm")))).as("cfg"))
+      .select("cfg.*")
+      .groupBy("rows_per_band", "bands")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(catch_ppm) div count(1)").as("mean_catch_ppm"),
+        min("catch_ppm").as("min_catch_ppm"))
+      .orderBy("rows_per_band")
+  }
+
   /** Candidate stage of [[ngramJaccard]] — (candidate pairs with
     * intersection counts, per-doc sizes) — exposed package-private so
     * the Stress harness can count raw shared-shingle candidates: the
@@ -2053,6 +2103,46 @@ object Dedup {
         |FROM spans s LEFT JOIN common c USING (span)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "minhash_tuning_curve" ->
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pj AS (
+         |  SELECT inter::DOUBLE / (sa.n + sb.n - inter) AS j
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |a1 AS (SELECT j, j*j AS j2 FROM pj),
+         |a2 AS (SELECT *, j2*j2 AS j4 FROM a1),
+         |a3 AS (SELECT *, j4*j4 AS j8 FROM a2),
+         |a4 AS (SELECT *, j8*j8 AS j16 FROM a3),
+         |q0 AS (SELECT 1.0 - j2 AS a, 1.0 - j4 AS b, 1.0 - j8 AS c,
+         |         1.0 - j16 AS dd FROM a4),
+         |s1 AS (SELECT a*a AS a, b*b AS b, c*c AS c, dd*dd AS dd FROM q0),
+         |s2 AS (SELECT a*a AS a, b*b AS b, c*c AS c, dd*dd AS dd FROM s1),
+         |s3 AS (SELECT a*a AS a, b*b AS b, c*c AS c, dd*dd AS dd FROM s2),
+         |s4 AS (SELECT a*a AS a, b*b AS b, c*c AS c, dd FROM s3),
+         |s5 AS (SELECT a*a AS a, b*b AS b, c, dd FROM s4),
+         |s6 AS (SELECT a*a AS a, b, c, dd FROM s5),
+         |cfg AS (
+         |  SELECT 2 AS rows_per_band, 64 AS bands,
+         |    floor((1.0 - a) * 1000000)::BIGINT AS catch_ppm FROM s6
+         |  UNION ALL SELECT 4, 32,
+         |    floor((1.0 - b) * 1000000)::BIGINT FROM s6
+         |  UNION ALL SELECT 8, 16,
+         |    floor((1.0 - c) * 1000000)::BIGINT FROM s6
+         |  UNION ALL SELECT 16, 8,
+         |    floor((1.0 - dd) * 1000000)::BIGINT FROM s6)
+         |SELECT rows_per_band, bands, count(*)::BIGINT AS n_pairs,
+         |  (sum(catch_ppm) // count(*))::BIGINT AS mean_catch_ppm,
+         |  min(catch_ppm)::BIGINT AS min_catch_ppm
+         |FROM cfg GROUP BY rows_per_band, bands
+         |ORDER BY rows_per_band""".stripMargin,
     "dedup_substring_runs" ->
       """WITH toks AS (
         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w

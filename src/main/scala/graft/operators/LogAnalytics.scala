@@ -62,8 +62,57 @@ object LogAnalytics {
     "log_anomaly_seasonal" -> anomalySeasonal,
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
-    "log_rolling_distinct_hll" -> rollingDistinctHll
+    "log_rolling_distinct_hll" -> rollingDistinctHll,
+    "log_ab_uplift" -> abUplift
   )
+
+  /** A/B experiment readout — the analysis every product log pipeline
+    * runs on its event stream: users split 50/50 into variants by
+    * content hash (md5 of user_id — the [[graft.ops.Fns.md5Bucket]]
+    * assignment used by `split_assign`: reproducible across runs,
+    * reshards, and engines, unlike seeded RNG), conversion = the user
+    * ever purchased. One row out: per-variant user and converter
+    * counts, conversion rates in exact integer ppm, the uplift (B − A)
+    * in ppm, and the two-proportion z statistic in milli-units (pooled
+    * standard error; the single-row float math — divisions and one
+    * sqrt — is IEEE-identical on both engines, floored to the 10⁻³
+    * grid; degenerate pools of all-converters/none guard to 0).
+    *
+    * Scale shape: one scan, one user-keyed shuffle with map-side
+    * partial max (converted is a boolean max), then a single
+    * conditional aggregate onto ONE row — no joins, no windows. */
+  def abUplift(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .withColumn("variant",
+        when(graft.ops.Fns.md5Bucket(col("user_id").cast("string")) <= 7, "A")
+          .otherwise("B"))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A", 1).otherwise(0)).as("n_a"),
+        sum(when(col("variant") === "B", 1).otherwise(0)).as("n_b"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0))
+          .as("conv_a"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0))
+          .as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("conv_a * 1000000 div n_a").as("conv_a_ppm"),
+        expr("conv_b * 1000000 div n_b").as("conv_b_ppm"),
+        expr("conv_b * 1000000 div n_b - conv_a * 1000000 div n_a")
+          .as("uplift_ppm"),
+        expr("""CASE
+            WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+              floor(
+                (cast(conv_b as double) / n_b - cast(conv_a as double) / n_a)
+                / sqrt(
+                    (cast(conv_a + conv_b as double) / (n_a + n_b))
+                    * (1.0 - cast(conv_a + conv_b as double) / (n_a + n_b))
+                    * (cast(1 as double) / n_a + cast(1 as double) / n_b))
+                * 1000)
+            ELSE 0 END""").cast("long").as("z_milli"))
 
   /** 7-day rolling DISTINCT active users per day — the retention/WAU
     * metric a plain window cannot express (count distinct over a
@@ -727,6 +776,41 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_ab_uplift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(user_id::VARCHAR), 1, 1)) - 1) <= 7
+        |      THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM u),
+        |t AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)::BIGINT
+        |      AS conv_a,
+        |    sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)::BIGINT
+        |      AS conv_b
+        |  FROM v)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  (conv_a * 1000000 // n_a)::BIGINT AS conv_a_ppm,
+        |  (conv_b * 1000000 // n_b)::BIGINT AS conv_b_ppm,
+        |  (conv_b * 1000000 // n_b - conv_a * 1000000 // n_a)::BIGINT
+        |    AS uplift_ppm,
+        |  (CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |    THEN floor(
+        |      (conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
+        |      / sqrt(
+        |          ((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |          * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |          * (1::DOUBLE / n_a + 1::DOUBLE / n_b))
+        |      * 1000)
+        |    ELSE 0 END)::BIGINT AS z_milli
+        |FROM t""".stripMargin,
     "ingest_json_audit" ->
       """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
         |       ELSE event_type END AS event_type,

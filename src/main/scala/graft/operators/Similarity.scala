@@ -46,8 +46,78 @@ object Similarity {
     "embedding_norm_outliers" -> embeddingNormOutliers,
     "embedding_dim_stats" -> embeddingDimStats,
     "cluster_assign_drift" -> clusterAssignDrift,
-    "pca_power_topcomp" -> pcaPowerTopcomp
+    "pca_power_topcomp" -> pcaPowerTopcomp,
+    "cluster_dbscan" -> clusterDbscan
   )
+
+  /** DBSCAN density clustering over embeddings — the non-parametric
+    * complement of [[clusterKmeans]]: no K to pick, clusters are
+    * maximal density-connected regions, and sparse vectors are labeled
+    * NOISE instead of being force-assigned to the nearest centroid
+    * (exactly the vectors a curation run should inspect, not average
+    * away). Neighborhood = cosine ≥ 0.35; CORE = ≥ 2 neighbors
+    * (minPts 3 counting the point itself, the Ester et al. 1996
+    * default); clusters = connected components of the core-core graph
+    * (min-vec_id labels via [[Dedup.ccLoop]]'s pointer-jumping rounds);
+    * BORDER = non-core adjacent to ≥ 1 core, deterministically joined
+    * to the smallest adjacent core label; everything else is noise
+    * (cluster −1). Output: one row per vector (role, cluster).
+    *
+    * Scale shape: this entry is the ORACLE BASELINE — the pair stage is
+    * the same guarded all-pairs join as [[Dedup.embeddingCosine]]
+    * (`graft.bruteforce.maxRows`), because DBSCAN's SEMANTICS are the
+    * checkable contract here. At 100 TB the pair frame swaps for
+    * [[Dedup.embeddingLsh]]'s hyperplane-bucketed candidates (exact
+    * cosine verify on candidates only — same output columns), and the
+    * CC loop is already the O(log diameter) pointer-jumping path;
+    * degree/border stages are one explode + key-shuffles, linear in
+    * edges. */
+  def clusterDbscan(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val maxRows = s.conf.getOption("graft.bruteforce.maxRows")
+      .fold(100000L)(_.toLong)
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      s"cluster_dbscan scores all pairs (oracle baseline): corpus has " +
+        s"$n rows > graft.bruteforce.maxRows=$maxRows. Swap the pair " +
+        "stage for dedup_embedding_lsh candidates at scale.")
+    // reused by degree, core-edge, and border stages — materialize once
+    val pairs = e.toDF("a_id", "a_emb")
+      .join(e.toDF("b_id", "b_emb"), col("a_id") < col("b_id"))
+      .filter(cos(col("a_emb"), col("b_emb")) >= 0.35)
+      .select("a_id", "b_id")
+      .localCheckpoint()
+    val core = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select("vec_id")
+      .localCheckpoint() // 3 consumers (2 edge semis + border anti)
+    val coreEdges = pairs
+      .join(core.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(core.toDF("b_id"), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+    val coreLabels = Dedup
+      .ccLoop(core.toDF("doc_id"), coreEdges, maxIters)
+      .toDF("vec_id", "cluster_id")
+    val adj = pairs.select(col("a_id").as("vec_id"), col("b_id").as("nbr"))
+      .unionAll(pairs.select(col("b_id").as("vec_id"), col("a_id").as("nbr")))
+    val borderLabels = adj
+      .join(core.toDF("vec_id"), Seq("vec_id"), "left_anti")
+      .join(coreLabels.toDF("nbr", "nbr_label"), Seq("nbr"))
+      .groupBy("vec_id").agg(min("nbr_label").as("cluster_id"))
+    val assigned = coreLabels
+      .select(col("vec_id"), col("cluster_id"), lit("core").as("role"))
+      .unionAll(borderLabels
+        .select(col("vec_id"), col("cluster_id"), lit("border").as("role")))
+    e.select("vec_id").join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+      .orderBy("vec_id")
+  }
 
   /** Distributed Gram/covariance accumulation + the centered integer
     * mean — the two cluster-side passes behind [[pcaPowerTopcomp]],
@@ -1317,6 +1387,46 @@ object Similarity {
        |          FROM e CROSS JOIN c2)) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cluster_dbscan" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${Fns.sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+         |core AS (
+         |  SELECT id FROM (
+         |    SELECT id, count(*) AS deg
+         |    FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p)
+         |    GROUP BY id)
+         |  WHERE deg >= 2),
+         |ce AS (
+         |  SELECT a_id AS src, b_id AS dst FROM p
+         |  WHERE a_id IN (SELECT id FROM core)
+         |    AND b_id IN (SELECT id FROM core)
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM p
+         |  WHERE a_id IN (SELECT id FROM core)
+         |    AND b_id IN (SELECT id FROM core)),
+         |reach(v, r) AS (
+         |  SELECT id, id FROM core
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN ce e ON e.src = reach.v),
+         |corelab AS (SELECT v AS id, min(r) AS cluster_id
+         |  FROM reach GROUP BY v),
+         |adj AS (SELECT a_id AS id, b_id AS nbr FROM p
+         |  UNION ALL SELECT b_id, a_id FROM p),
+         |border AS (
+         |  SELECT adj.id, min(cl.cluster_id) AS cluster_id
+         |  FROM adj JOIN corelab cl ON adj.nbr = cl.id
+         |  WHERE adj.id NOT IN (SELECT id FROM core)
+         |  GROUP BY adj.id),
+         |lab AS (
+         |  SELECT id, cluster_id, 'core' AS role FROM corelab
+         |  UNION ALL
+         |  SELECT id, cluster_id, 'border' AS role FROM border)
+         |SELECT e.vec_id, coalesce(l.role, 'noise') AS role,
+         |  coalesce(l.cluster_id, -1)::BIGINT AS cluster_id
+         |FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.id
+         |ORDER BY vec_id""".stripMargin,
     "embedding_norm_outliers" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,

@@ -555,4 +555,51 @@ class ApproxSpec extends SparkSpec {
     info(f"IVF kNN-graph recall@3: $recall%.3f")
     assert(recall >= 0.3, f"kNN graph recall collapsed: $recall%.3f")
   }
+
+  test("DBSCAN: roles partition the corpus and satisfy density definitions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    graft.plans.GraftFunctions.register(spark)
+    val out = Similarity.clusterDbscan(spark, sf0001).collect()
+    val role = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // recompute the eps-graph independently (same native cosine path)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    val pairs = e.toDF("a_id", "a_emb")
+      .join(e.toDF("b_id", "b_emb"), col("a_id") < col("b_id"))
+      .filter(call_function(graft.plans.GraftFunctions.CosineName,
+        col("a_emb"), col("b_emb")) >= 0.35)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs.map(p => p._1 -> p._2) ++
+      pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.foreach { r =>
+      val (id, rl, cl) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val deg = nbrs.get(id).map(_.size).getOrElse(0)
+      rl match {
+        case "core" =>
+          assert(deg >= 2, s"core $id has degree $deg")
+          assert(cl >= 0 && cl <= id, s"core label not a component min: $r")
+        case "border" =>
+          assert(deg < 2, s"border $id is actually core (deg $deg)")
+          val coreNbrLabels = nbrs(id).filter(role(_) == "core")
+            .map(cluster)
+          assert(coreNbrLabels.nonEmpty, s"border $id has no core neighbor")
+          assert(cl === coreNbrLabels.min, s"border label not min: $r")
+        case "noise" =>
+          assert(cl === -1L)
+          assert(nbrs.get(id).forall(_.forall(role(_) != "core")),
+            s"noise $id touches a core")
+        case other => fail(s"unknown role $other")
+      }
+    }
+    // density-connectivity: every core-core edge is intra-cluster
+    pairs.foreach { case (a, b) =>
+      if (role(a) == "core" && role(b) == "core")
+        assert(cluster(a) === cluster(b), s"core edge ($a,$b) split")
+    }
+    assert(out.map(_.getString(1)).toSet === Set("core", "border", "noise"))
+  }
 }

@@ -555,6 +555,24 @@ class DedupSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_tokens") === 25L)
   }
 
+  test("minhash tuning curve: recall monotone in band length; 64×2 near-perfect") {
+    val rows = Dedup.minhashTuningCurve(spark, sf0001).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((2, 64), (4, 32), (8, 16), (16, 8)))
+    // same verified-pair population under every config
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length === 1)
+    assert(rows(0).getAs[Long]("n_pairs") > 0)
+    // longer bands = steeper cliff: mean catch must fall monotonically
+    val means = rows.map(_.getAs[Long]("mean_catch_ppm")).toSeq
+    means.sliding(2).foreach { w =>
+      assert(w(0) >= w(1), s"catch not monotone in r: $means")
+    }
+    // the 64×2 operating point catches essentially every j ≥ 0.5 pair
+    // (worst case j = 0.5 exactly: 1 − 0.75^64 ≈ 1 − 1e-8)
+    assert(rows(0).getAs[Long]("min_catch_ppm") >= 999999L,
+      s"64×2 should be near-lossless at j ≥ 0.5: ${rows(0)}")
+  }
+
   test("substring runs invariants on testdata") {
     val rows = Dedup.substringRuns(spark, sf0001).collect()
     rows.foreach { r =>
