@@ -68,7 +68,8 @@ object Relational {
     "referential_integrity_audit" -> refIntegrityAudit,
     "layout_zorder_audit" -> layoutZorderAudit,
     "skyline_pareto" -> skylinePareto,
-    "seasonality_profile" -> seasonalityProfile
+    "seasonality_profile" -> seasonalityProfile,
+    "orders_forecast_ewma" -> forecastEwma
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1405,7 +1406,70 @@ object Relational {
       .orderBy("dow")
   }
 
+  /** One-step-ahead EWMA forecast of the daily order volume — the
+    * capacity-planning view next to [[seasonalityProfile]] (what load
+    * to EXPECT tomorrow, vs how load cycles within a week): for every
+    * calendar day, the α = 1/2 exponentially-weighted moving average
+    * of the preceding days, f_t = Σ_{k=1..20} x_{t−k} / 2^k
+    * (weights sum to 1 − 2⁻²⁰ — the truncation both engines replay
+    * identically), plus the absolute forecast error. All EXACT
+    * integer: each term is `count · 10⁶ div 2^k` (shift-based powers
+    * of two, the [[graft.operators.LogAnalytics.engagementDecay]]
+    * precedent — no float exp crosses engines), missing days
+    * zero-fill off a `sequence` spine so gaps read as true zero load.
+    *
+    * Scale shape: ONE orderkey-free aggregate collapses the fact table
+    * to ≤ |days| rows map-side; the 20-lag window then runs over the
+    * CALENDAR-BOUNDED day spine — metadata (a decade is 3 653 rows),
+    * the `log_changepoint_cusum` grid argument, so the single-
+    * partition window never touches order rows. */
+  def forecastEwma(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val o = Tables.orders(s, d)
+      .select(expr(
+        s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+        .as("day"))
+    val counts = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+    val spine = o.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val lagged = (1 to 20).foldLeft(
+      spine.join(counts, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))) {
+      (df, k) =>
+        df.withColumn(s"l$k",
+          coalesce(lag(col("n_orders"), k).over(w), lit(0L)))
+    }
+    lagged
+      .withColumn("forecast_e6", expr((1 to 20)
+        .map(k => s"l$k * 1000000 div ${1L << k}").mkString(" + ")))
+      .select(col("day"), col("n_orders"), col("forecast_e6"),
+        expr("abs(n_orders * 1000000 - forecast_e6)").as("abs_err_e6"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "orders_forecast_ewma" ->
+      ("""WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |c AS (SELECT day, count(*)::BIGINT AS n_orders FROM o
+        |  GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+        |series AS (
+        |  SELECT s.day, coalesce(c.n_orders, 0)::BIGINT AS n_orders
+        |  FROM spine s LEFT JOIN c USING (day)),
+        |f AS (SELECT day, n_orders, (""".stripMargin
+        + (1 to 20).map(k =>
+            s"coalesce(lag(n_orders, $k) OVER win, 0) * 1000000 // ${1L << k}")
+          .mkString("\n    + ")
+        + """) AS forecast_e6
+        |  FROM series WINDOW win AS (ORDER BY day))
+        |SELECT day, n_orders, forecast_e6::BIGINT AS forecast_e6,
+        |  abs(n_orders * 1000000 - forecast_e6)::BIGINT AS abs_err_e6
+        |FROM f ORDER BY day""".stripMargin),
     "seasonality_profile" ->
       """WITH o AS (
         |  SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 AS dow,
