@@ -200,7 +200,12 @@ object Stress {
       "seasonality_profile", "user_engagement_decay",
       "feature_pit_join", "feature_pit_from_index",
       "stream_feature_snapshot", "neardup_kcore", "cc_incremental",
-      "active_learning_pick", "mixture_token_budget_plan")
+      "active_learning_pick", "mixture_token_budget_plan",
+      // round-7b additions (cluster_dbscan excluded: its pair stage is
+      // the guarded all-pairs oracle baseline, quadratic by contract —
+      // the scale path swaps in dedup_embedding_lsh candidates)
+      "dedup_substring_runs", "minhash_tuning_curve", "log_ab_uplift",
+      "stream_upsert_latest", "orders_forecast_ewma")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())
@@ -219,14 +224,6 @@ object Stress {
     // middle-vertex join a naive pairs⋈pairs would run grows ~K²
     // (both counts recorded; the mid-vertex one is computed as
     // Σ_m deg_<(m)·deg_>(m) — no need to materialize the blow-up)
-    val h = k * 2000
-    val hub = (h / 2).toLong
-    val hubPairs = spark.range(1, h + 1).filter(col("id") =!= hub)
-      .select(least(col("id"), lit(hub)).as("a_id"),
-        greatest(col("id"), lit(hub)).as("b_id"))
-      .unionAll(spark.range(1, h)
-        .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
-      .distinct().localCheckpoint()
     // semantic-dedup receipt: intra-cell candidate pairs under the
     // PRODUCTION cell-size knob (cells ∝ n, target occupancy 256) must
     // grow ~K — the oracle-mode 256-cell cap would grow them ~K²/C
@@ -234,6 +231,20 @@ object Stress {
     val (_, semCands, _) = measure("semantic_candidates_prod")(
       graft.operators.Dedup.semanticStage(spark, dir)._2.count())
     spark.conf.unset("graft.semantic.cellSize")
+    // no persistence on hubPairs: measure()'s hygiene pass unpersists
+    // every RDD between measurements, which would invalidate a
+    // localCheckpoint before the second wedge receipt reads it
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — a checkpoint truncates
+    // lineage, so unlike a plain persist it cannot recompute); the
+    // frame is synthetic range math, trivially re-derivable
+    val h = k * 2000
+    val hub = (h / 2).toLong
+    val hubPairs = spark.range(1, h + 1).filter(col("id") =!= hub)
+      .select(least(col("id"), lit(hub)).as("a_id"),
+        greatest(col("id"), lit(hub)).as("b_id"))
+      .unionAll(spark.range(1, h)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
+      .distinct()
     val (_, wedgesOriented, _) = measure("triangle_wedges_oriented")(
       graft.operators.Dedup.triangleWedges(hubPairs).count())
     val (_, wedgesMid, _) = measure("triangle_wedges_midvertex")(

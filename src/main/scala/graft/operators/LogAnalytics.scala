@@ -63,8 +63,51 @@ object LogAnalytics {
     "ingest_json_audit" -> ingestJsonAudit,
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll,
-    "log_ab_uplift" -> abUplift
+    "log_ab_uplift" -> abUplift,
+    "log_mad_outliers" -> madOutliers
   )
+
+  /** Robust (median/MAD) outlier census per event type — the
+    * heavy-tail-safe twin of [[anomalyZscore]]: mean/stddev are
+    * themselves dragged by the outliers they're meant to find, while
+    * the median and the median-absolute-deviation have a 50%
+    * breakdown point, so one stuck client logging value=10⁹ cannot
+    * hide its siblings. Flags values with |v − median| > 3·MAD; per
+    * type: population, median, MAD, outlier count + ppm.
+    *
+    * Cross-engine parity: `percentile` (Spark) and `quantile_cont`
+    * (DuckDB) interpolate with formulas that can differ in the last
+    * ulp, so the flag threshold carries an explicit 10⁻⁴ epsilon —
+    * `value` lives on the 0.01 grid, medians on 0.005, MADs on 0.0025,
+    * so any REAL margin is ≥ 1.25·10⁻³ ≫ epsilon ≫ ulp noise and the
+    * count cannot flip; emitted median/MAD round at 4 decimals (grid
+    * points, no midpoints). Scale shape: two grouped exact percentiles
+    * (each one shuffle; the 100 TB swap is `approx_percentile`, the
+    * [[percentiles]] twin pattern) + broadcast 5-row med/MAD frames
+    * back onto the stream — no windows, no self-join. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("mad")), 4).as("mad_r"), // constant per group
+        sum(when(col("dev") > col("mad") * 3 + 0.0001, 1).otherwise(0))
+          .as("n_outliers"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("med"), 4).as("median"),
+        col("mad_r").as("mad"),
+        col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+      .orderBy("event_type")
+  }
 
   /** A/B experiment readout — the analysis every product log pipeline
     * runs on its event stream: users split 50/50 into variants by
@@ -776,6 +819,28 @@ object LogAnalytics {
        |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "log_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  round(max(m2.med), 4) AS median,
+        |  round(max(m3.mad), 4) AS mad,
+        |  sum(CASE WHEN d.dev > m3.mad * 3 + 0.0001 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_outliers,
+        |  (sum(CASE WHEN d.dev > m3.mad * 3 + 0.0001 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*))::BIGINT AS outlier_ppm
+        |FROM dev d
+        |JOIN med m2 USING (event_type)
+        |JOIN mad m3 USING (event_type)
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
     "log_ab_uplift" ->
       """WITH u AS (
         |  SELECT user_id,

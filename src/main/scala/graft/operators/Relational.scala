@@ -1449,7 +1449,66 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Open-order backlog curve — the queue-depth view of the order
+    * stream (the operational twin of [[forecastEwma]]'s arrival-rate
+    * view): an order opens on o_orderdate and closes when its LAST
+    * lineitem ships; per calendar day, openings, closings, and the
+    * running backlog (opened-so-far − closed-so-far). A growing curve
+    * is the earliest fulfilment-capacity alarm — visible long before
+    * any per-order lateness predicate fires.
+    *
+    * Scale shape: lineitem collapses to per-order close days via ONE
+    * orderkey shuffle with map-side partial max, then both sides
+    * aggregate to ≤ |days| rows; the running sum is a window over the
+    * calendar-bounded day spine — metadata, the [[forecastEwma]]
+    * argument. No order ever joins a lineitem row directly. */
+  def backlogCurve(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val opens = Tables.orders(s, d)
+      .select(expr(
+        s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+        .as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_opened"))
+    val closes = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs")
+          .as("sday"))
+      .groupBy("l_orderkey").agg(max("sday").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_closed"))
+    val spine = opens.agg(min("day").as("d0"))
+      .crossJoin(closes.agg(max("day").as("d1")))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(opens, Seq("day"), "left").join(closes, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog", sum(col("n_opened") - col("n_closed"))
+        .over(org.apache.spark.sql.expressions.Window.orderBy("day")))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "orders_backlog_curve" ->
+      """WITH op AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    count(*)::BIGINT AS n_opened
+        |  FROM orders GROUP BY 1),
+        |cl AS (
+        |  SELECT day, count(*)::BIGINT AS n_closed
+        |  FROM (SELECT l_orderkey,
+        |      max(epoch_us(l_shipdate) // 86400000000) AS day
+        |    FROM lineitem GROUP BY 1)
+        |  GROUP BY day),
+        |b AS (SELECT (SELECT min(day) FROM op) AS d0,
+        |             (SELECT max(day) FROM cl) AS d1),
+        |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b)
+        |SELECT s.day, coalesce(op.n_opened, 0)::BIGINT AS n_opened,
+        |  coalesce(cl.n_closed, 0)::BIGINT AS n_closed,
+        |  sum(coalesce(op.n_opened, 0) - coalesce(cl.n_closed, 0))
+        |    OVER (ORDER BY s.day)::BIGINT AS backlog
+        |FROM spine s
+        |LEFT JOIN op USING (day) LEFT JOIN cl USING (day)
+        |ORDER BY s.day""".stripMargin,
     "orders_forecast_ewma" ->
       ("""WITH o AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day

@@ -36,8 +36,39 @@ object Retrieval {
     "phrase_search" -> phraseSearch,
     "phrase_from_index" -> phraseFromIndex,
     "snippet_extract" -> snippetExtract,
-    "mmr_diversify" -> mmrDiversify
+    "mmr_diversify" -> mmrDiversify,
+    "rag_context_pack" -> ragContextPack
   )
+
+  /** RAG context packing — the step between retrieval and the prompt:
+    * take the BM25 top-20 in rank order and admit documents while the
+    * RUNNING token total stays within the context budget (256 tokens
+    * here; rank-order prefix packing, the standard context-fill rule —
+    * no skip-and-continue knapsack, which would re-order evidence
+    * against relevance). Output, one row per ADMITTED document: rank,
+    * score, its token count, and the running total the prompt builder
+    * needs for offset bookkeeping.
+    *
+    * Scale shape: the ranking pass is [[bm25Scores]]' single corpus
+    * scan; token counts are computed ONLY for the 20 survivors (join
+    * before tokenize — the [[snippetExtract]] rule), and the
+    * prefix-sum window runs post-limit over ≤ 20 metadata rows. */
+  def ragContextPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val top = bm25Scores(s, d)
+      .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    Tables.documents(s, d).select("doc_id", "text")
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("bm25"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("rank", "doc_id", "bm25", "n_tokens", "cum_tokens")
+      .orderBy("rank")
+  }
 
   /** MMR result diversification (Carbonell & Goldstein 1998) — the
     * re-rank between retrieval and the result page: from the cosine
@@ -612,6 +643,22 @@ object Retrieval {
 
   def oracles: Map[String, String] = Map(
     "mmr_diversify" -> sqlMmr,
+    "rag_context_pack" ->
+      s"""WITH $sqlBm25,
+         |top20 AS (
+         |  SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |wt AS (
+         |  SELECT t.doc_id, t.bm25,
+         |    len(${Fns.sqlTokens("d.text")})::BIGINT AS n_tokens
+         |  FROM top20 t JOIN documents d ON d.doc_id = t.doc_id),
+         |p AS (
+         |  SELECT row_number() OVER win AS rank, doc_id, bm25, n_tokens,
+         |    sum(n_tokens) OVER win AS cum_tokens
+         |  FROM wt WINDOW win AS (ORDER BY bm25 DESC, doc_id))
+         |SELECT rank, doc_id, bm25, n_tokens, cum_tokens::BIGINT
+         |  AS cum_tokens
+         |FROM p WHERE cum_tokens <= 256 ORDER BY rank""".stripMargin,
     "phrase_search" ->
       s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
          |           FROM documents),
