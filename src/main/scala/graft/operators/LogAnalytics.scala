@@ -142,12 +142,17 @@ object LogAnalytics {
         sum(when(col("variant") === "B", col("converted")).otherwise(0))
           .as("conv_b"))
       .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-        expr("conv_a * 1000000 div n_a").as("conv_a_ppm"),
-        expr("conv_b * 1000000 div n_b").as("conv_b_ppm"),
-        expr("conv_b * 1000000 div n_b - conv_a * 1000000 div n_a")
+        expr("CASE WHEN n_a > 0 THEN conv_a * 1000000 div n_a ELSE 0 END")
+          .as("conv_a_ppm"),
+        expr("CASE WHEN n_b > 0 THEN conv_b * 1000000 div n_b ELSE 0 END")
+          .as("conv_b_ppm"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0
+            THEN conv_b * 1000000 div n_b - conv_a * 1000000 div n_a
+            ELSE 0 END""")
           .as("uplift_ppm"),
         expr("""CASE
-            WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+            WHEN n_a > 0 AND n_b > 0
+              AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
               floor(
                 (cast(conv_b as double) / n_b - cast(conv_a as double) / n_a)
                 / sqrt(
@@ -862,11 +867,16 @@ object LogAnalytics {
         |      AS conv_b
         |  FROM v)
         |SELECT n_a, n_b, conv_a, conv_b,
-        |  (conv_a * 1000000 // n_a)::BIGINT AS conv_a_ppm,
-        |  (conv_b * 1000000 // n_b)::BIGINT AS conv_b_ppm,
-        |  (conv_b * 1000000 // n_b - conv_a * 1000000 // n_a)::BIGINT
+        |  (CASE WHEN n_a > 0 THEN conv_a * 1000000 // n_a ELSE 0 END)::BIGINT
+        |    AS conv_a_ppm,
+        |  (CASE WHEN n_b > 0 THEN conv_b * 1000000 // n_b ELSE 0 END)::BIGINT
+        |    AS conv_b_ppm,
+        |  (CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN conv_b * 1000000 // n_b - conv_a * 1000000 // n_a
+        |    ELSE 0 END)::BIGINT
         |    AS uplift_ppm,
-        |  (CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |  (CASE WHEN n_a > 0 AND n_b > 0
+        |    AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
         |    THEN floor(
         |      (conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
         |      / sqrt(

@@ -69,7 +69,8 @@ object Relational {
     "layout_zorder_audit" -> layoutZorderAudit,
     "skyline_pareto" -> skylinePareto,
     "seasonality_profile" -> seasonalityProfile,
-    "orders_forecast_ewma" -> forecastEwma
+    "orders_forecast_ewma" -> forecastEwma,
+    "orders_backlog_curve" -> backlogCurve
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
