@@ -231,6 +231,57 @@ object Stress {
     val (_, semCands, _) = measure("semantic_candidates_prod")(
       graft.operators.Dedup.semanticStage(spark, dir)._2.count())
     spark.conf.unset("graft.semantic.cellSize")
+    // dbscan production receipt: under the occupancy-scaled plane
+    // count (buckets ∝ n, the embeddingLsh rule) the hyperplane
+    // candidate volume and the full production DBSCAN must grow ~K —
+    // the guarded all-pairs oracle baseline would grow ~K²
+    val dbPlanes = math.max(4,
+      math.ceil(math.log(nVecs / 64.0) / math.log(2)).toInt)
+    spark.conf.set("graft.dbscan.lshPlanes", dbPlanes.toString)
+    val (_, dbCands, _) = measure("dbscan_candidates_prod")(
+      graft.operators.Dedup.hyperplaneCandidates(
+        graft.sources.Tables.embeddings(spark, dir)
+          .select("vec_id", "embedding"), nBands = 8, nPlanes = dbPlanes)
+        .count())
+    measure("cluster_dbscan_prod")(
+      SparkEntry.queries("cluster_dbscan")(spark, dir).count())
+    spark.conf.unset("graft.dbscan.lshPlanes")
+    // phash hot-band receipt on a DEGENERATE corpus (every payload
+    // identical — the blank-frame pile-up): all rows land in 4 band
+    // buckets; the df-cap must report them and bound the candidate
+    // join to ZERO surviving band rows, while the potential pair
+    // volume (Σ df·(df−1)/2, computed from the dfs, never
+    // materialized) records the quadratic blow-up that was avoided
+    val nDeg = k * 5000L
+    spark.range(0, nDeg)
+      .select(col("id").as("doc_id"),
+        lit("the same blank frame payload every single time").as("text"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir-deg/documents.parquet")
+    // both numbers read inside ONE measured action: measure()'s
+    // hygiene pass unpersists localCheckpoint blocks afterwards, so a
+    // second read of the stage frames would hit
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the hubPairs note)
+    var phashAvoided = 0L
+    val (_, phashSurvivors, _) = measure("phash_capped_band_rows") {
+      val (bandedDeg, hotDeg) =
+        graft.operators.Multimodal.phashBandStage(spark, s"$dir-deg")
+      phashAvoided = hotDeg
+        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      bandedDeg.count()
+    }
+    // cc_incremental working-set receipt: the contracted loop input
+    // (touched super-nodes + contracted delta edges) must stay a small
+    // fraction of the full graph at every K — the "untouched
+    // components never enter the loop" claim, measured
+    var ccContracted = 0L
+    val (_, ccTouched, _) = measure("cc_inc_working_set") {
+      val (touched, contracted) =
+        graft.operators.Dedup.ccIncrementalStage(spark, dir)
+      ccContracted = contracted.count()
+      touched.count()
+    }
     // no persistence on hubPairs: measure()'s hygiene pass unpersists
     // every RDD between measurements, which would invalidate a
     // localCheckpoint before the second wedge receipt reads it
@@ -262,6 +313,12 @@ object Stress {
       s""""triangle_wedges_oriented":$wedgesOriented,""" +
       s""""triangle_wedges_midvertex":$wedgesMid,""" +
       s""""semantic_candidates_prod":$semCands,""" +
+      s""""dbscan_candidates_prod":$dbCands,""" +
+      s""""dbscan_lsh_planes":$dbPlanes,""" +
+      s""""phash_capped_band_rows":$phashSurvivors,""" +
+      s""""phash_avoided_pairs":$phashAvoided,""" +
+      s""""cc_inc_touched_supernodes":$ccTouched,""" +
+      s""""cc_inc_contracted_edges":$ccContracted,""" +
       s""""queries":$qJson}""")
     spark.stop()
   }

@@ -1125,6 +1125,47 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Hyperplane-LSH candidate generation shared by [[embeddingLsh]]
+    * and [[Similarity.clusterDbscan]]'s production mode: `nBands`
+    * independent bands of `nPlanes` random hyperplanes (deterministic
+    * MurmurHash3 plane components keyed on (band, plane, dim)) bucket
+    * each vector into a `nPlanes`-bit signature per band; candidates
+    * are same-band-bucket id pairs (a_id < b_id), unioned across bands
+    * and deduped. Candidates carry ids only — the band union + dedup
+    * shuffles 16-byte rows, never 0.5 KB embedding arrays; callers
+    * join vectors back for their exact verification.
+    *
+    * The caller picks the recall/volume point: more planes per band →
+    * smaller buckets (less candidate volume) but lower per-band
+    * collision probability (1 − θ/π)^planes for angle θ. */
+  private[graft] def hyperplaneCandidates(
+      e: DataFrame, nBands: Int, nPlanes: Int): DataFrame = {
+    def plane(band: Int, p: Int): Column = {
+      val comps = (0 until 64).map { j =>
+        (scala.util.hashing.MurmurHash3
+          .productHash((band, p, j)) % 1000) / 1000.0
+      }
+      array(comps.map(c => lit(c)): _*)
+    }
+    // materialized once: the per-band self-joins consume `bucketed`
+    // 2×nBands times, and the nBands×nPlanes cosine projections would
+    // otherwise re-run for every consumer (only exchanges get reused)
+    val bucketed = (0 until nBands).foldLeft(e) { (df, band) =>
+      df.withColumn(s"bucket_$band",
+        (0 until nPlanes).map(p =>
+          when(call_function(graft.plans.GraftFunctions.CosineName,
+            graft.ops.Fns.asDouble(col("embedding")), plane(band, p)) > 0,
+            lit(1L << p)).otherwise(0L))
+          .reduce(_ + _))
+    }.drop("embedding").localCheckpoint()
+    (0 until nBands).map { band =>
+      bucketed.as("a").join(bucketed.as("b"),
+          col(s"a.bucket_$band") === col(s"b.bucket_$band")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    }.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
+  }
+
   /** The 100 TB path for [[embeddingCosine]]: hyperplane-LSH bucketing
     * (8 independent bands × nPlanes planes) turns candidate generation
     * into equi-joins on bucket ids; exact cosine verification runs on
@@ -1143,36 +1184,9 @@ object Dedup {
     * as before. */
   def embeddingLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val nBands = 8
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val nPlanes = Fns.lshPlanes(s, "graft.lsh.planes", e.count())
-    def plane(band: Int, p: Int): Column = {
-      val comps = (0 until 64).map { j =>
-        (scala.util.hashing.MurmurHash3
-          .productHash((band, p, j)) % 1000) / 1000.0
-      }
-      array(comps.map(c => lit(c)): _*)
-    }
-    // materialized once: the per-band self-joins consume `bucketed`
-    // 2×nBands times, and the 8×nPlanes cosine projections would
-    // otherwise re-run for every consumer (only exchanges get reused)
-    val bucketed = (0 until nBands).foldLeft(e) { (df, band) =>
-      df.withColumn(s"bucket_$band",
-        (0 until nPlanes).map(p =>
-          when(call_function(graft.plans.GraftFunctions.CosineName,
-            graft.ops.Fns.asDouble(col("embedding")), plane(band, p)) > 0,
-            lit(1L << p)).otherwise(0L))
-          .reduce(_ + _))
-    }.drop("embedding").localCheckpoint()
-    // candidates carry ids only — the 8-band union + dedup shuffles
-    // 16-byte rows, not 0.5 KB embedding arrays; vectors are joined
-    // back just for the exact verification of surviving candidates
-    val cands = (0 until nBands).map { band =>
-      bucketed.as("a").join(bucketed.as("b"),
-          col(s"a.bucket_$band") === col(s"b.bucket_$band")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-    }.reduce(_ unionAll _).dropDuplicates("a_id", "b_id")
+    val cands = hyperplaneCandidates(e, nBands = 8, nPlanes = nPlanes)
     cands
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         "a_id")
@@ -1292,6 +1306,32 @@ object Dedup {
       .localCheckpoint()
     val (touchedSup, contractedPairs) =
       contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
+    ccIncrementalTail(docs, cut, oldLabels, touchedSup, contractedPairs,
+      maxIters)
+  }
+
+  /** [[ccIncremental]]'s contracted loop input — (touched
+    * super-nodes, contracted delta edges) for the same in-query
+    * old/new split. Package-private: the Stress harness counts both
+    * frames across K — the measured "untouched components never
+    * enter the loop" receipt next to DedupSpec's plan pin. */
+  private[graft] def ccIncrementalStage(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+    val oldLabels = ccLoop(
+        docs.filter(col("doc_id") < cut).select("doc_id"),
+        pairs.filter(col("b_id") < cut), maxIters)
+      .localCheckpoint()
+    contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
+  }
+
+  private def ccIncrementalTail(docs: DataFrame, cut: Long,
+      oldLabels: DataFrame, touchedSup: DataFrame,
+      contractedPairs: DataFrame, maxIters: Int): DataFrame = {
     // every new doc participates (isolated ones label themselves);
     // old components enter ONLY via their touched super-nodes
     val cLabels = ccLoop(

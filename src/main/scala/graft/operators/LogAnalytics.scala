@@ -64,8 +64,40 @@ object LogAnalytics {
     "log_rolling_distinct" -> rollingDistinct,
     "log_rolling_distinct_hll" -> rollingDistinctHll,
     "log_ab_uplift" -> abUplift,
-    "log_mad_outliers" -> madOutliers
+    "log_mad_outliers" -> madOutliers,
+    "log_mad_outliers_approx" -> madOutliersApprox
   )
+
+  /** The 100 TB path for [[madOutliers]]: both grouped medians swap
+    * for sketch-based `approx_percentile` (mergeable, single pass,
+    * bounded memory — the [[percentilesApprox]] twin pattern), the
+    * deviation/flag/census plumbing is IDENTICAL. Rows-only check
+    * (sketches are engine-specific); ApproxSpec pins the estimated
+    * median/MAD within 10% of the exact twin's and the outlier count
+    * within the band the threshold shift can move it. */
+  def madOutliersApprox(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("approx_percentile(dev, 0.5, 1000)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("mad")), 4).as("mad_r"), // constant per group
+        sum(when(col("dev") > col("mad") * 3 + 0.0001, 1).otherwise(0))
+          .as("n_outliers"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("med"), 4).as("median"),
+        col("mad_r").as("mad"),
+        col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+      .orderBy("event_type")
+  }
 
   /** Robust (median/MAD) outlier census per event type — the
     * heavy-tail-safe twin of [[anomalyZscore]]: mean/stddev are

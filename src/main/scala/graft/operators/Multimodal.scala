@@ -70,8 +70,39 @@ object Multimodal {
     * binds once via `Fns.bound`); candidates come from the banded
     * equi-join — n·4 band rows, never n² — and only (id, sig) pairs
     * shuffle, 16 bytes/row. The same shape as [[Dedup.simhash]],
-    * applied to the multimodal column. */
+    * applied to the multimodal column. HOT-BAND GUARD: degenerate
+    * payloads (constant rasters — blank/black frames at 100 TB of
+    * images) all hash to the same band values, and one such bucket
+    * makes the candidate join quadratic in its size; band buckets
+    * with df > `graft.phash.maxBandDf` (default 100) are dropped via
+    * a broadcast anti-join — the `graft.dedup.maxShingleDf` idiom
+    * applied to band buckets. Parity with the uncapped oracle holds
+    * because no fixture bucket approaches the cap (measured max band
+    * df: 7 at sf0.01, 29 at sf0.1 — if testdata ever outgrows the
+    * cap the hash gate breaks here first, the maxShingleDf contract);
+    * and the dominant real-world hot bucket — many IDENTICAL blank
+    * rasters — is exactly what the digest pass ([[payloadDedup]])
+    * already catches without any pair join. */
   def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val (banded, _) = phashBandStage(s, d)
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** [[phashDedup]]'s banded-signature stage after the hot-band cap —
+    * (surviving band rows, capped (k, bh, df) buckets). Package-
+    * private: the Stress harness counts both sides on a degenerate-
+    * payload corpus (the bounded-candidates receipt), and the spec
+    * pins that capping df > 2 on the fixture changes candidates. */
+  private[graft] def phashBandStage(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val maxDf = s.conf.getOption("graft.phash.maxBandDf").fold(100)(_.toInt)
     val sigs = Tables.documents(s, d)
       .withColumn("payload", payloadCol)
       .select(col("doc_id"),
@@ -96,18 +127,17 @@ object Multimodal {
     val bandCols = array((0 until 4).map(k =>
       struct(lit(k).as("k"),
         shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)
+    // consumed by the hot-bucket agg AND the anti-join probe (and the
+    // caller's self-join twice) — materialize the 4n band rows once
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(bandCols).as("kb"))
       .select(col("doc_id"), col("sig"),
         col("kb.k").as("k"), col("kb.bh").as("bh"))
-    banded.as("a").join(banded.as("b"),
-        col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("a_id", "b_id")
+      .localCheckpoint()
+    val hot = banded.groupBy("k", "bh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    (banded.join(broadcast(hot.select("k", "bh")),
+      Seq("k", "bh"), "left_anti"), hot)
   }
 
   /** Resize over the opaque payload — the image-shaped transform in

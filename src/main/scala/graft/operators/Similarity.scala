@@ -63,32 +63,30 @@ object Similarity {
     * to the smallest adjacent core label; everything else is noise
     * (cluster −1). Output: one row per vector (role, cluster).
     *
-    * Scale shape: this entry is the ORACLE BASELINE — the pair stage is
-    * the same guarded all-pairs join as [[Dedup.embeddingCosine]]
+    * Scale shape — DUAL MODE (the `dedup_semantic` cellSize
+    * precedent): with `graft.dbscan.lshPlanes` UNSET this entry is
+    * the ORACLE BASELINE — the pair stage is the same guarded
+    * all-pairs join as [[Dedup.embeddingCosine]]
     * (`graft.bruteforce.maxRows`), because DBSCAN's SEMANTICS are the
-    * checkable contract here. At 100 TB the pair frame swaps for
-    * [[Dedup.embeddingLsh]]'s hyperplane-bucketed candidates (exact
-    * cosine verify on candidates only — same output columns), and the
-    * CC loop is already the O(log diameter) pointer-jumping path;
-    * degree/border stages are one explode + key-shuffles, linear in
-    * edges. */
+    * checkable contract here. With the conf SET (production, 100 TB),
+    * the pair stage routes through
+    * [[Dedup.hyperplaneCandidates]] — 8 hyperplane-LSH bands of
+    * `lshPlanes` planes turn candidate generation into bucket
+    * equi-joins, and the exact cosine ≥ 0.35 verify runs on
+    * candidates only (same output columns, precision 1 by
+    * construction; recall trades against candidate volume via the
+    * plane count — ε = 0.35 is a WIDE neighborhood, θ ≈ 69.5°, so
+    * per-band collision is 0.614^planes and deployments keep planes
+    * small: DedupSpec pins the fixture recall and the ⊆-of-exact
+    * invariant). The CC loop is already the O(log diameter)
+    * pointer-jumping path; degree/border stages are one explode +
+    * key-shuffles, linear in edges. */
   def clusterDbscan(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val maxRows = s.conf.getOption("graft.bruteforce.maxRows")
-      .fold(100000L)(_.toLong)
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val n = e.count()
-    if (n > maxRows) throw new IllegalArgumentException(
-      s"cluster_dbscan scores all pairs (oracle baseline): corpus has " +
-        s"$n rows > graft.bruteforce.maxRows=$maxRows. Swap the pair " +
-        "stage for dedup_embedding_lsh candidates at scale.")
     // reused by degree, core-edge, and border stages — materialize once
-    val pairs = e.toDF("a_id", "a_emb")
-      .join(e.toDF("b_id", "b_emb"), col("a_id") < col("b_id"))
-      .filter(cos(col("a_emb"), col("b_emb")) >= 0.35)
-      .select("a_id", "b_id")
-      .localCheckpoint()
+    val pairs = dbscanPairs(s, e).localCheckpoint()
     val core = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("vec_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("deg"))
@@ -118,6 +116,44 @@ object Similarity {
         coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
       .orderBy("vec_id")
   }
+
+  /** [[clusterDbscan]]'s ε-graph stage — (a_id, b_id) pairs with
+    * cosine ≥ 0.35, a_id < b_id. Mode picked by
+    * `graft.dbscan.lshPlanes`: UNSET → guarded all-pairs (oracle
+    * baseline, throws above `graft.bruteforce.maxRows`); SET →
+    * hyperplane-LSH candidates ([[Dedup.hyperplaneCandidates]], 8
+    * bands × that many planes) with the SAME exact cosine verify, so
+    * production edges are always a subset of the oracle ε-graph.
+    * Package-private: DedupSpec pins the subset/recall invariants and
+    * the Stress harness counts candidate rows under the knob. */
+  private[graft] def dbscanPairs(s: SparkSession, e: DataFrame)
+      : DataFrame =
+    s.conf.getOption("graft.dbscan.lshPlanes") match {
+      case Some(p) =>
+        val nPlanes = p.toInt
+        require(nPlanes > 0 && nPlanes <= 24,
+          s"graft.dbscan.lshPlanes must be in [1, 24]: $p")
+        Dedup.hyperplaneCandidates(e, nBands = 8, nPlanes = nPlanes)
+          .join(e.select(col("vec_id").as("a_id"),
+            col("embedding").as("a_emb")), "a_id")
+          .join(e.select(col("vec_id").as("b_id"),
+            col("embedding").as("b_emb")), "b_id")
+          .filter(cos(col("a_emb"), col("b_emb")) >= 0.35)
+          .select("a_id", "b_id")
+      case None =>
+        val maxRows = s.conf.getOption("graft.bruteforce.maxRows")
+          .fold(100000L)(_.toLong)
+        val n = e.count()
+        if (n > maxRows) throw new IllegalArgumentException(
+          s"cluster_dbscan scores all pairs (oracle baseline): corpus " +
+            s"has $n rows > graft.bruteforce.maxRows=$maxRows. Set " +
+            "graft.dbscan.lshPlanes to route the pair stage through " +
+            "hyperplane-LSH candidates at scale.")
+        e.toDF("a_id", "a_emb")
+          .join(e.toDF("b_id", "b_emb"), col("a_id") < col("b_id"))
+          .filter(cos(col("a_emb"), col("b_emb")) >= 0.35)
+          .select("a_id", "b_id")
+    }
 
   /** Distributed Gram/covariance accumulation + the centered integer
     * mean — the two cluster-side passes behind [[pcaPowerTopcomp]],

@@ -18,6 +18,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx MAD outliers track the exact twin: median/MAD within " +
+      "10%, census bounded by the threshold shift") {
+    val exact = LogAnalytics.madOutliers(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val approx = LogAnalytics.madOutliersApprox(spark, sf0001).collect()
+    assert(approx.length == exact.size, "one row per event type")
+    approx.foreach { r =>
+      val (med, mad, nOut) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(2) - med) <= 0.1 * math.abs(med) + 1.0,
+        s"${r.getString(0)}: approx median ${r.getDouble(2)} vs $med")
+      assert(math.abs(r.getDouble(3) - mad) <= 0.1 * mad + 1.0,
+        s"${r.getString(0)}: approx MAD ${r.getDouble(3)} vs $mad")
+      // a shifted threshold can only move the census by the mass near
+      // the 3·MAD boundary — on the fixture that is a narrow band
+      assert(math.abs(r.getLong(4) - nOut) <= math.max(2L, nOut / 5),
+        s"${r.getString(0)}: approx census ${r.getLong(4)} vs $nOut")
+    }
+  }
+
   test("approx daily active within 5% of exact") {
     val exact = LogAnalytics.dailyActive(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -573,6 +573,35 @@ class DedupSpec extends SparkSpec {
       s"64×2 should be near-lossless at j ≥ 0.5: ${rows(0)}")
   }
 
+  test("dbscan production (LSH) pairs are a subset of the exact eps-graph " +
+      "with pinned fixture recall, and the role census survives routing") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    def pairSet(): Set[(Long, Long)] =
+      Similarity.dbscanPairs(spark, e).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet()
+    assert(exact.nonEmpty)
+    withConf("graft.dbscan.lshPlanes" -> "2",
+        // the routing must bypass the all-pairs guard entirely: a
+        // 10-row bound would throw if the oracle branch ever ran
+        "graft.bruteforce.maxRows" -> "10") {
+      val prod = pairSet()
+      assert(prod.subsetOf(exact),
+        "exact verify on candidates ⇒ production edges ⊆ ε-graph")
+      val recall = prod.size.toDouble / exact.size
+      info(s"fixture recall = $recall (${prod.size}/${exact.size})")
+      assert(recall >= 0.90,
+        s"8 bands × 2 planes must catch ≥90% of ε-edges: $recall")
+      // end-to-end: production-mode DBSCAN runs and labels every vector
+      val out = Similarity.clusterDbscan(spark, sf0001).collect()
+      assert(out.length == e.count())
+      val roles = out.map(_.getAs[String]("role")).toSet
+      assert(roles.subsetOf(Set("core", "border", "noise")))
+    }
+  }
+
   test("substring runs invariants on testdata") {
     val rows = Dedup.substringRuns(spark, sf0001).collect()
     rows.foreach { r =>

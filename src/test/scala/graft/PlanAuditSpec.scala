@@ -147,6 +147,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 6, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("phash hot-band cap: fixture buckets sit far under the default, " +
+      "and a tightened cap verifiably drops hot buckets") {
+    import org.apache.spark.sql.functions._
+    val (banded, hot) =
+      graft.operators.Multimodal.phashBandStage(spark, sf0001)
+    assert(hot.count() === 0L,
+      "default cap (100) must drop nothing at oracle SFs — parity contract")
+    val maxDf = banded.groupBy("k", "bh").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    info(s"fixture max band df = $maxDf")
+    assert(maxDf <= 10L,
+      s"fixture band buckets must stay tiny vs the 100 cap: $maxDf")
+    val uncapped = banded.count()
+    try {
+      spark.conf.set("graft.phash.maxBandDf", "1")
+      val (capped, hot1) =
+        graft.operators.Multimodal.phashBandStage(spark, sf0001)
+      val nHot = hot1.count()
+      assert(nHot > 0L, "a df>1 cap must flag buckets on the fixture")
+      // every surviving bucket is now a singleton: no candidate pair
+      // can form — the degenerate-payload pile-up is provably bounded
+      assert(capped.count() === uncapped -
+        hot1.agg(sum("df")).head().getLong(0))
+      assert(graft.operators.Multimodal.phashDedup(spark, sf0001)
+        .count() === 0L, "df ≤ 1 buckets cannot produce pairs")
+    } finally spark.conf.unset("graft.phash.maxBandDf")
+  }
+
   test("source minhash aggregates with map-side partial merge") {
     val p = plan("dedup_source_minhash")
     // the union sketch must run as a two-phase hash aggregate
