@@ -1282,17 +1282,24 @@ object Similarity {
     * the same semantics; an all-vectors exact graph is n² and off the
     * table at corpus scale). Per vector: rank the ≤256 broadcast
     * centroids (map-side, the [[ivfBuild]] no-window discipline —
-    * top-2 cells come from a bounded `collect_list` sort per vector,
-    * never a row_number over the n×C stream), probe its best TWO
-    * cells' members (nprobe=2 halves the split-pair misses of
-    * own-cell-only), exact cosine on the ~2·cellsize candidates, keep
-    * 3 by a probe-keyed window (fine-grained keys). Work ∝ n·cellsize
-    * — the `graft.semantic.cellSize` scaling story applies unchanged.
-    * Rows-only 🔶: cell pruning loses true neighbors (recall < 1 by
-    * design); ApproxSpec measures recall@3 against the exact graph
-    * and pins reported similarities bit-exact. */
+    * top cells come from a bounded `collect_list` sort per vector,
+    * never a row_number over the n×C stream), probe its best
+    * `graft.knngraph.nprobe` cells' members (default 2 — halves the
+    * split-pair misses of own-cell-only; the `graft.pagerank.iters`
+    * conf pattern, so a deployment buys recall with probe work
+    * without a code change), exact cosine on the ~nprobe·cellsize
+    * candidates, keep 3 by a probe-keyed window (fine-grained keys).
+    * Work ∝ n·nprobe·cellsize — the `graft.semantic.cellSize`
+    * scaling story applies unchanged. Rows-only 🔶: cell pruning
+    * loses true neighbors (recall < 1 by design); ApproxSpec measures
+    * recall@3 against the exact graph, pins reported similarities
+    * bit-exact, and pins recall MONOTONE in nprobe (a candidate set
+    * that only grows can only raise exact-verified recall). */
   def knnGraphIvf(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val nprobe = s.conf.getOption("graft.knngraph.nprobe").fold(2)(_.toInt)
+    require(nprobe >= 1 && nprobe <= 256,
+      s"graft.knngraph.nprobe must be in [1, 256]: $nprobe")
     val path = graft.ops.BuildOnce.scratchPath("ivf", d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.ivfIndex(s, d, path)
@@ -1306,7 +1313,7 @@ object Similarity {
       .agg(slice(transform(
         sort_array(collect_list(struct((lit(0.0) - col("cc")).as("nc"),
           col("cid")))),
-        x => x.getField("cid")), 1, 2).as("cells"))
+        x => x.getField("cid")), 1, nprobe).as("cells"))
     val probes = top2.select(col("vec_id").as("probe_id"),
       explode(col("cells")).as("cid"))
     val w = Window.partitionBy("probe_id")

@@ -576,6 +576,49 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.3, f"kNN graph recall collapsed: $recall%.3f")
   }
 
+  test("IVF kNN graph recall is monotone in the nprobe conf") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Fns
+    import graft.sources.Tables
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(aa * bb)
+    }
+    val emb = vecs.toMap
+    val ids = vecs.map(_._1)
+    val exactTop = ids.map { p =>
+      p -> ids.filter(_ != p)
+        .map(o => (cosSeq(emb(p), emb(o)), o))
+        .sortBy { case (c, o) => (-c, o) }.take(3).map(_._2).toSet
+    }.toMap
+    def recallAt(nprobe: Int): Double = {
+      spark.conf.set("graft.knngraph.nprobe", nprobe.toString)
+      try {
+        val byProbe = graft.operators.Similarity.knnGraphIvf(spark, sf0001)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        ids.map(p => exactTop(p)
+          .intersect(byProbe.getOrElse(p, Set.empty)).size).sum /
+          (3.0 * ids.length)
+      } finally spark.conf.unset("graft.knngraph.nprobe")
+    }
+    val rs = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info(rs.map { case (np, r) => f"nprobe=$np r@3=$r%.3f" }.mkString("  "))
+    rs.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1,
+        f"recall must not drop as probes widen: nprobe=$np1 $r1%.3f -> " +
+          f"nprobe=$np2 $r2%.3f")
+    }
+    assert(rs.last._2 > rs.head._2 + 0.1,
+      "widening 1 -> 8 probes should buy material recall on the fixture")
+  }
+
   test("DBSCAN: roles partition the corpus and satisfy density definitions") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity

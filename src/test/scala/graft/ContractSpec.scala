@@ -79,6 +79,25 @@ class ContractSpec extends AnyFunSuite {
       "README re-introduced a hand-copied bench total")
   }
 
+  test("latest §7x round-narrative coverage counts derive from SparkEntry") {
+    // the round-7 relapse this pins: §7f's hand-written "Coverage 166 →
+    // 210 queries (186 oracle-checked, 24 rows-only" went stale when
+    // three queries landed in the final snapshot. Only the LATEST
+    // narrative line needs to be current (earlier sections are
+    // historical records of past rounds); parse the last one.
+    val Cov =
+      """Coverage \d+ → (\d+) queries \((\d+) oracle-checked, (\d+) rows-only""".r
+    val last = surveyLines.flatMap(Cov.findFirstMatchIn(_)).lastOption
+      .getOrElse(fail("SURVEY has no §7x coverage narrative line"))
+    assert(last.group(1).toInt === SparkEntry.queries.size,
+      "latest §7x narrative query count != SparkEntry.queries.size")
+    assert(last.group(2).toInt === SparkEntry.oracleSql.size,
+      "latest §7x narrative oracle count != SparkEntry.oracleSql.size")
+    assert(last.group(3).toInt ===
+      SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      "latest §7x narrative rows-only count != queries − oracles")
+  }
+
   test("§2 ✅SQL markers == SparkEntry.oracleSql key set") {
     val marked = inventory.collect { case (k, "✅SQL") => k }.toSet
     val sql = SparkEntry.oracleSql.keySet
