@@ -282,6 +282,17 @@ object Stress {
       ccContracted = contracted.count()
       touched.count()
     }
+    // kcore rounds receipt: h-index rounds-to-fixpoint must track the
+    // densest component's coreness diameter, NOT corpus size — flat
+    // across K on the namespaced-copy corpus
+    var kcoreRounds = 0
+    measure("kcore_rounds_to_fixpoint") {
+      val (res, r) = graft.operators.Dedup.kcoreWithRounds(
+        graft.operators.Dedup.ngramJaccard(spark, dir)
+          .select("a_id", "b_id"), 30)
+      kcoreRounds = r
+      res.count()
+    }
     // no persistence on hubPairs: measure()'s hygiene pass unpersists
     // every RDD between measurements, which would invalidate a
     // localCheckpoint before the second wedge receipt reads it
@@ -319,6 +330,7 @@ object Stress {
       s""""phash_avoided_pairs":$phashAvoided,""" +
       s""""cc_inc_touched_supernodes":$ccTouched,""" +
       s""""cc_inc_contracted_edges":$ccContracted,""" +
+      s""""kcore_rounds":$kcoreRounds,""" +
       s""""queries":$qJson}""")
     spark.stop()
   }

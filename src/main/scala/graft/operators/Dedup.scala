@@ -63,8 +63,38 @@ object Dedup {
     "neardup_triangles" -> triangles,
     "neardup_kcore" -> kcore,
     "cc_incremental" -> ccIncremental,
-    "embedding_threshold_sweep" -> embeddingThresholdSweep
+    "embedding_threshold_sweep" -> embeddingThresholdSweep,
+    "dedup_cluster_size_dist" -> clusterSizeDist
   )
+
+  /** Near-dup cluster-size distribution — the power-law check every
+    * dedup audit runs before trusting its clustering: if sizes decay
+    * smoothly the near-dups are organic; a spike at one large size is
+    * a template family ([[Dedup.triangles]]' clique diagnosis read
+    * from the other end). Per distinct component size: cluster count,
+    * docs covered, and the exact-ppm share of the corpus (1-row
+    * broadcast total). Singletons included — the `size = 1` row IS
+    * the denominator sanity check (corpus total must reconcile).
+    *
+    * Scale shape: [[clusters]]' pointer-jumping labels (O(log
+    * diameter) rounds), then two metadata-sized aggregates: label →
+    * size (one key shuffle of 16-byte rows), size → census (≤ \|max
+    * size\| rows). Nothing after the CC loop touches text. */
+  def clusterSizeDist(s: SparkSession, d: String): DataFrame = {
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
+    val docs = Tables.documents(s, d).select("doc_id")
+    val labels = ccLoop(docs,
+      ngramJaccard(s, d).select("a_id", "b_id"), maxIters)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    labels.groupBy("label").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("size").as("cluster_size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        expr("size * n_clusters * 1000000 div n_total")
+          .as("doc_share_ppm"))
+      .orderBy("cluster_size")
+  }
 
   /** Triangle census of the verified near-dup graph — the graph-shape
     * summary next to [[degreeDist]] (local density) and [[pagerank]]
@@ -260,7 +290,16 @@ object Dedup {
       s.conf.getOption("graft.kcore.maxIters").fold(30)(_.toInt))
 
   /** [[kcore]] over an explicit pair frame — the spec entry point. */
-  private[graft] def kcoreOf(pairs: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def kcoreOf(pairs: DataFrame, maxIters: Int): DataFrame =
+    kcoreWithRounds(pairs, maxIters)._1
+
+  /** [[kcoreOf]] plus the rounds-to-fixpoint count — the Stress
+    * harness records the round growth across K (the h-index
+    * iteration's convergence claim, measured: rounds track the
+    * CORENESS DIAMETER of the densest component, not corpus size, so
+    * namespaced K-copies must hold it flat). */
+  private[graft] def kcoreWithRounds(pairs: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
     val w = org.apache.spark.sql.expressions.Window
     val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -298,8 +337,8 @@ object Dedup {
         s"k-core h-index iteration did not converge in $maxIters " +
           s"rounds ($changed nodes still changing); raise " +
           "graft.kcore.maxIters")
-    h.select(col("doc_id"), col("h").as("coreness"))
-      .orderBy("doc_id")
+    (h.select(col("doc_id"), col("h").as("coreness"))
+      .orderBy("doc_id"), iter)
   }
 
   /** Snapshot merge (CDC-style upsert accounting) — the corpus-refresh
@@ -2316,6 +2355,35 @@ object Dedup {
          |SELECT doc AS doc_id, min(r) AS cluster_id,
          |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_size_dist" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |labels AS (SELECT doc, min(r) AS cid FROM reach GROUP BY doc),
+         |sizes AS (SELECT cid, count(*)::BIGINT AS size
+         |  FROM labels GROUP BY cid),
+         |t AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+         |SELECT size AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |  (size * count(*))::BIGINT AS n_docs,
+         |  (size * count(*) * 1000000 // n_total)::BIGINT AS doc_share_ppm
+         |FROM sizes CROSS JOIN t
+         |GROUP BY size, n_total ORDER BY cluster_size""".stripMargin,
     "embedding_threshold_sweep" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

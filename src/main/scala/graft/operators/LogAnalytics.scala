@@ -65,8 +65,55 @@ object LogAnalytics {
     "log_rolling_distinct_hll" -> rollingDistinctHll,
     "log_ab_uplift" -> abUplift,
     "log_mad_outliers" -> madOutliers,
-    "log_mad_outliers_approx" -> madOutliersApprox
+    "log_mad_outliers_approx" -> madOutliersApprox,
+    "log_out_of_order_stats" -> outOfOrderStats
   )
+
+  /** Out-of-order arrival census — the measurement that SIZES a
+    * streaming watermark before anyone picks one ([[graft.streaming]]
+    * ops assume a delay; this op is where the delay comes from): per
+    * user, an event's lateness is how far the per-user running max
+    * event-time had already advanced past it on arrival. Census
+    * buckets: in order, < 1 min, < 1 h, ≥ 1 h late — plus each
+    * bucket's user count and worst lateness. Read "99.9% under a
+    * minute" → a 1-min watermark loses 0.1%; the ≥ 1 h row is the
+    * data you must accept losing or run a batch backfill for.
+    *
+    * The testdata stream is perfectly ordered (event_id ≡ time
+    * order), so the ARRIVAL SEQUENCE is simulated in-query with a
+    * deterministic delay rule both engines replay (the
+    * [[Dedup.mergeUpsert]] synthetic-derivation idiom — the census
+    * SEMANTICS are what is under test, not the delays): events with
+    * event_id ≡ 0 mod 17 / 29 / 97 arrive 101 / 10 007 / 1 000 003
+    * sequence positions late (97 wins on overlap). Production drops
+    * the simulation and orders by the real ingest sequence.
+    *
+    * Scale shape: ONE user-keyed shuffle for the running-max window
+    * (per-user state, the sessionize discipline — never a global
+    * arrival window), then a map-side-combined 4-row census. */
+  def outOfOrderStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("arr", col("event_id")
+        + when(col("event_id") % 97 === 0, 1000003L)
+          .when(col("event_id") % 29 === 0, 10007L)
+          .when(col("event_id") % 17 === 0, 101L)
+          .otherwise(0L))
+      .withColumn("late_us", max("ts_us").over(w) - col("ts_us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0L, "0_in_order")
+          .when(col("late_us") < 60L * 1000000L, "1_lt_1m")
+          .when(col("late_us") < 3600L * 1000000L, "2_lt_1h")
+          .otherwise("3_ge_1h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max("late_us").as("max_late_us"))
+      .orderBy("bucket")
+  }
 
   /** The 100 TB path for [[madOutliers]]: both grouped medians swap
     * for sketch-based `approx_percentile` (mergeable, single pass,
@@ -918,6 +965,32 @@ object LogAnalytics {
         |      * 1000)
         |    ELSE 0 END)::BIGINT AS z_milli
         |FROM t""".stripMargin,
+    "log_out_of_order_stats" ->
+      s"""WITH $E,
+         |a AS (
+         |  SELECT user_id, event_id, tu,
+         |    event_id + CASE WHEN event_id % 97 = 0 THEN 1000003
+         |      WHEN event_id % 29 = 0 THEN 10007
+         |      WHEN event_id % 17 = 0 THEN 101
+         |      ELSE 0 END AS arr
+         |  FROM e),
+         |lat AS (
+         |  SELECT user_id,
+         |    max(tu) OVER (PARTITION BY user_id ORDER BY arr, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tu
+         |      AS late_us
+         |  FROM a),
+         |b AS (
+         |  SELECT user_id, late_us,
+         |    CASE WHEN late_us = 0 THEN '0_in_order'
+         |      WHEN late_us < 60000000 THEN '1_lt_1m'
+         |      WHEN late_us < 3600000000 THEN '2_lt_1h'
+         |      ELSE '3_ge_1h' END AS bucket
+         |  FROM lat)
+         |SELECT bucket, count(*)::BIGINT AS n_events,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  max(late_us)::BIGINT AS max_late_us
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ingest_json_audit" ->
       """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
         |       ELSE event_type END AS event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -70,7 +70,11 @@ object Relational {
     "skyline_pareto" -> skylinePareto,
     "seasonality_profile" -> seasonalityProfile,
     "orders_forecast_ewma" -> forecastEwma,
-    "orders_backlog_curve" -> backlogCurve
+    "orders_backlog_curve" -> backlogCurve,
+    "supplier_scorecard" -> supplierScorecard,
+    "customer_ltv_cohort" -> customerLtvCohort,
+    "orders_rfm_segments" -> rfmSegments,
+    "fulfilment_latency_profile" -> fulfilmentLatency
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1488,7 +1492,250 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Supplier scorecard — the vendor-management rollup every
+    * procurement pipeline runs off the fact table: per supplier the
+    * line count, revenue (EXACT integer 10⁻⁴-dollar units:
+    * centi-price × (100 − discount-pct), both factors exact BIGINTs
+    * recovered from the 2-decimal stored doubles — no float product
+    * ever meets round(), the midpoint-free money discipline), return
+    * rate (returnflag = 'R') and revenue share in exact integer ppm
+    * against the 1-row broadcast grand total, with supplier/nation
+    * names from broadcast dims.
+    *
+    * Scale shape: ONE lineitem scan collapsing map-side onto suppkey
+    * (|suppliers| rows out), broadcast dim joins, 1-row total
+    * broadcast — no windows, no fact-fact join. */
+  def supplierScorecard(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("is_ret"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)")
+          * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e4"))
+    val per = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("is_ret").as("n_returned"),
+        sum("rev_e4").as("rev_e4"))
+    val total = per.agg(sum("rev_e4").as("tot_e4"))
+    per
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .crossJoin(broadcast(total))
+      .select(col("s_suppkey"), col("s_name"),
+        col("n_name").as("nation"),
+        col("n_lines"), col("n_returned"),
+        expr("n_returned * 1000000 div n_lines").as("return_ppm"),
+        col("rev_e4"),
+        expr("cast(rev_e4 as decimal(38,0)) * 1000000 div tot_e4")
+          .cast("long").as("rev_share_ppm"))
+      .orderBy(col("rev_e4").desc, col("s_suppkey"))
+  }
+
+  /** Customer lifetime-value cohort matrix — the retention×revenue
+    * triangle every subscription/commerce analytics stack draws: each
+    * customer joins the cohort of their FIRST order month; for every
+    * (cohort month, month offset) cell, the active-customer count,
+    * order count, and revenue (o_totalprice cents). Reading a row
+    * across shows how a cohort's spend decays; reading the diagonal
+    * shows acquisition quality drift — the batch twin of
+    * `log_cohort_retention` with money attached.
+    *
+    * Months are pure integer calendar arithmetic (year·12 + month —
+    * no epoch-day division drift across month lengths); cohort is
+    * emitted as yyyymm. Scale shape: one custkey shuffle for first
+    * months (map-side partial min), one custkey-keyed join back onto
+    * the same shuffle layout (ReuseExchange-friendly), then a
+    * map-side-combined aggregate onto ≤ |months|² cells. */
+  def customerLtvCohort(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+    o.join(first, "o_custkey")
+      .groupBy(col("m0"), (col("m") - col("m0")).as("offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("rev_cents"))
+      .select(
+        (expr("(m0 - 1) div 12") * 100 + (expr("(m0 - 1) % 12") + 1))
+          .as("cohort_yyyymm"),
+        col("offset"), col("n_customers"), col("n_orders"),
+        col("rev_cents"))
+      .orderBy("cohort_yyyymm", "offset")
+  }
+
+  /** RFM customer segmentation — the classic marketing cut of the
+    * order file: per customer Recency (days since last order, against
+    * the corpus max day), Frequency (order count) and Monetary (spend
+    * cents), each scored 1-5 against the customer-population quintile
+    * boundaries, then the segment census (customers per (r,f,m) cell
+    * + cell totals). Quintile boundaries come from ONE 4-value
+    * `percentile` aggregate per measure over the per-customer frame
+    * (broadcast back — never an ntile/global window over customers,
+    * which cannot scale past one partition); recency scores REVERSED
+    * (recent = 5). Boundary comparisons carry a 10⁻⁹ epsilon so both
+    * engines' bit-identical interpolated boundaries score integer
+    * measures identically. 100 TB knob: swap the exact percentile for
+    * `approx_percentile` — same plan shape, mergeable sketch.
+    *
+    * Scale shape: one custkey shuffle (map-side partials) to the
+    * per-customer frame, one 1-row boundary broadcast, one
+    * map-side-combined census aggregate onto ≤125 cells. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+          .as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val per = o.groupBy("o_custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+        sum("cents").as("mny"))
+    val maxDay = o.agg(max("day").as("max_day"))
+    val rfm = per.crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"), (col("max_day") - col("last_day")).as("r"),
+        col("f"), col("mny"))
+    val bounds = rfm.agg(
+      expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(mny, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(v: Column, b: Column): Column =
+      lit(1L) + (1 to 4).map(i =>
+        (v > element_at(b, i) + lit(1e-9)).cast("long")).reduce(_ + _)
+    rfm.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("mny"),
+        (lit(6L) - score(col("r").cast("double"), col("rb")))
+          .as("r_score"), // low recency-days = best
+        score(col("f").cast("double"), col("fb")).as("f_score"),
+        score(col("mny").cast("double"), col("mb")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("mny").as("rev_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Order-fulfilment latency profile — the SLA view of the order
+    * stream: per order the days from order date to FIRST shipment
+    * (map-side partial min over one orderkey shuffle), then per
+    * order-priority the order count and the p50/p90/max latency.
+    * Latencies are integer days, so the exact percentiles land on the
+    * .5 grid and 4-decimal rounding has no midpoint exposure (the
+    * `log_percentiles` discipline); the 100 TB swap is
+    * `approx_percentile`, same shape. */
+  def fulfilmentLatency(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val firstShip = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs")
+          .as("sday"))
+      .groupBy("l_orderkey").agg(min("sday").as("ship_day"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+          .as("oday"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("oday")).as("lat"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
+        max("lat").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "supplier_scorecard" ->
+      """WITH li AS (
+        |  SELECT l_suppkey,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret,
+        |    round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT) AS rev_e4
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT l_suppkey, count(*)::BIGINT AS n_lines,
+        |    sum(is_ret)::BIGINT AS n_returned,
+        |    sum(rev_e4)::BIGINT AS rev_e4
+        |  FROM li GROUP BY 1),
+        |t AS (SELECT sum(rev_e4)::HUGEINT AS tot_e4 FROM per)
+        |SELECT s_suppkey, s_name, n_name AS nation, n_lines, n_returned,
+        |  (n_returned * 1000000 // n_lines)::BIGINT AS return_ppm,
+        |  rev_e4,
+        |  (rev_e4::HUGEINT * 1000000 // tot_e4)::BIGINT AS rev_share_ppm
+        |FROM per
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |CROSS JOIN t
+        |ORDER BY rev_e4 DESC, s_suppkey""".stripMargin,
+    "customer_ltv_cohort" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1)
+        |SELECT ((m0 - 1) // 12 * 100 + ((m0 - 1) % 12) + 1)::BIGINT
+        |    AS cohort_yyyymm,
+        |  (m - m0)::BIGINT AS offset,
+        |  count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(cents)::BIGINT AS rev_cents
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY m0, m - m0
+        |ORDER BY cohort_yyyymm, "offset"""".stripMargin,
+    "orders_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |per AS (
+        |  SELECT o_custkey, max(day) AS last_day,
+        |    count(*)::BIGINT AS f, sum(cents)::BIGINT AS mny
+        |  FROM o GROUP BY 1),
+        |rfm AS (
+        |  SELECT o_custkey, (SELECT max(day) FROM o) - last_day AS r,
+        |    f, mny
+        |  FROM per),
+        |b AS (
+        |  SELECT quantile_cont(r::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |    quantile_cont(f::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |    quantile_cont(mny::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM rfm),
+        |scored AS (
+        |  SELECT o_custkey, mny,
+        |    6 - (1 + (r > rb[1] + 1e-9)::BIGINT + (r > rb[2] + 1e-9)::BIGINT
+        |      + (r > rb[3] + 1e-9)::BIGINT + (r > rb[4] + 1e-9)::BIGINT)
+        |      AS r_score,
+        |    1 + (f > fb[1] + 1e-9)::BIGINT + (f > fb[2] + 1e-9)::BIGINT
+        |      + (f > fb[3] + 1e-9)::BIGINT + (f > fb[4] + 1e-9)::BIGINT
+        |      AS f_score,
+        |    1 + (mny > mb[1] + 1e-9)::BIGINT + (mny > mb[2] + 1e-9)::BIGINT
+        |      + (mny > mb[3] + 1e-9)::BIGINT + (mny > mb[4] + 1e-9)::BIGINT
+        |      AS m_score
+        |  FROM rfm CROSS JOIN b)
+        |SELECT r_score, f_score, m_score,
+        |  count(*)::BIGINT AS n_customers,
+        |  sum(mny)::BIGINT AS rev_cents
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "fulfilment_latency_profile" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey,
+        |    min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+        |  FROM lineitem GROUP BY 1),
+        |lat AS (
+        |  SELECT o_orderpriority,
+        |    ship_day - epoch_us(o_orderdate) // 86400000000 AS lat
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  round(quantile_cont(lat::DOUBLE, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(lat::DOUBLE, 0.9), 4) AS p90_days,
+        |  max(lat)::BIGINT AS max_days
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_backlog_curve" ->
       """WITH op AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,

@@ -175,6 +175,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("graft.phash.maxBandDf")
   }
 
+  test("supplier scorecard: dims broadcast, one fact shuffle, no window") {
+    val p = plan("supplier_scorecard")
+    assert(broadcasts(p) >= 3, "supplier/nation/total should broadcast")
+    assert(!finalTree(p).contains("Window"),
+      "scorecard must not grow a window")
+    // suppkey agg + 1-row grand total + presentation sort (+AQE split)
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("rfm segments: quintile boundaries broadcast, no global ntile") {
+    val p = plan("orders_rfm_segments")
+    assert(!finalTree(p).contains("Window"),
+      "scoring must come from broadcast boundaries, not a window")
+    assert(broadcasts(p) >= 2, "max-day and boundary frames broadcast")
+    // custkey agg + three 1-row global aggs (max-day, boundaries) +
+    // the ≤125-cell census + presentation sort — the 1-row exchanges
+    // move metadata, not customers
+    assert(shuffles(p) <= 7, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("ltv cohort: first-month join reuses the custkey layout") {
+    val p = plan("customer_ltv_cohort")
+    assert(!finalTree(p).contains("Window"))
+    assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
+  test("fulfilment latency: orderkey min then priority agg, bounded") {
+    val p = plan("fulfilment_latency_profile")
+    assert(!finalTree(p).contains("CartesianProduct")
+      && !p.contains("NestedLoopJoin"))
+    assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
+  }
+
   test("source minhash aggregates with map-side partial merge") {
     val p = plan("dedup_source_minhash")
     // the union sketch must run as a two-phase hash aggregate
