@@ -91,7 +91,26 @@ object LogAnalytics {
     * Scale shape: ONE user-keyed shuffle for the running-max window
     * (per-user state, the sessionize discipline — never a global
     * arrival window), then a map-side-combined 4-row census. */
-  def outOfOrderStats(s: SparkSession, d: String): DataFrame = {
+  def outOfOrderStats(s: SparkSession, d: String): DataFrame =
+    latenessFrame(s, d)
+      .withColumn("bucket",
+        when(col("late_us") === 0L, "0_in_order")
+          .when(col("late_us") < 60L * 1000000L, "1_lt_1m")
+          .when(col("late_us") < 3600L * 1000000L, "2_lt_1h")
+          .otherwise("3_ge_1h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max("late_us").as("max_late_us"))
+      .orderBy("bucket")
+
+  /** [[outOfOrderStats]]' per-event lateness frame (user_id, event_id,
+    * ts_us, arr, late_us) before the census — package-private so
+    * StreamingSpec can pin the `mapGroupsWithState` twin
+    * ([[graft.streaming.Pipelines.latenessStream]], one long of
+    * per-user state) event-identical to this batch window. */
+  private[graft] def latenessFrame(s: SparkSession, d: String)
+      : DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy("arr", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,16 +122,6 @@ object LogAnalytics {
           .when(col("event_id") % 17 === 0, 101L)
           .otherwise(0L))
       .withColumn("late_us", max("ts_us").over(w) - col("ts_us"))
-      .withColumn("bucket",
-        when(col("late_us") === 0L, "0_in_order")
-          .when(col("late_us") < 60L * 1000000L, "1_lt_1m")
-          .when(col("late_us") < 3600L * 1000000L, "2_lt_1h")
-          .otherwise("3_ge_1h"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        max("late_us").as("max_late_us"))
-      .orderBy("bucket")
   }
 
   /** The 100 TB path for [[madOutliers]]: both grouped medians swap

@@ -37,8 +37,81 @@ object Retrieval {
     "phrase_from_index" -> phraseFromIndex,
     "snippet_extract" -> snippetExtract,
     "mmr_diversify" -> mmrDiversify,
-    "rag_context_pack" -> ragContextPack
+    "rag_context_pack" -> ragContextPack,
+    "retrieval_eval_mrr" -> retrievalEvalMrr
   )
+
+  /** Self-supervised retrieval evaluation (MRR) — the quality gate a
+    * search deployment runs WITHOUT human labels: every 50th document
+    * donates a query (its 4 strongest non-stopword terms — tf desc,
+    * tie lexicographic), the corpus is BM25-scored against each
+    * query, and the donor document's own rank is the measurement
+    * (a healthy index ranks the donor at/near 1; a slipping one —
+    * after a tokenizer change, an index rebuild, a dedup pass that
+    * dropped the donor's near-dups — shows up as falling reciprocal
+    * rank). Per probe: scored-doc count, the donor's rank, reciprocal
+    * rank in exact integer ppm, and the donor's score.
+    *
+    * Parity: per-(probe, doc) scores fold their ≤ 4 per-term summands
+    * in LEXICOGRAPHIC term order on both engines (Spark:
+    * `aggregate(sort_array(collect_list(struct(tok, ts))))` — the
+    * [[bm25Prf]] argument generalized to per-probe term sets; DuckDB:
+    * `list(ts ORDER BY tok)` indexed fold), so scores are
+    * bit-identical and the rank COUNTS cannot drift. The rank itself
+    * is computed as `1 + count(strictly better)` against the donor's
+    * broadcast own-score — never a corpus-wide rank window per probe
+    * (the scale-correct form: one aggregate, fine probe keys).
+    *
+    * Scale shape: one corpus token scan pruned to the ≤ 4·|probes|
+    * query vocabulary by a broadcast semi join (work ∝ postings of
+    * query terms, the inverted-index join shape); probe-term
+    * derivation shuffles only the probe slice (|docs|/50). Probes are
+    * a query WORKLOAD — bounded by construction at any corpus size. */
+  def retrievalEvalMrr(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .filter(col("dl") > 0)
+    val g = c.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val pt = c.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("probe_id"), explode(col("w")).as("tok"))
+      .filter(!col("tok").isin(Fns.Stopwords: _*))
+      .groupBy("probe_id", "tok").agg(count(lit(1)).as("ptf"))
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("ptf").desc, col("tok"))))
+      .filter(col("rk") <= 4)
+      .select("probe_id", "tok")
+    val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .join(broadcast(pt.select("tok").distinct()), Seq("tok"), "semi")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
+      .withColumn("ts",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)))
+          * (col("tf") * lit(K1 + 1.0))
+          / (col("tf")
+            + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))))
+      .join(broadcast(pt), "tok")
+      .groupBy("probe_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok"), col("ts")))),
+        lit(0.0), (acc, x) => acc + x.getField("ts")).as("score"))
+    val own = scored.filter(col("doc_id") === col("probe_id"))
+      .select(col("probe_id"), col("score").as("own_score"))
+    scored.join(broadcast(own), "probe_id")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_scored"),
+        (lit(1L) + sum(when(col("score") > col("own_score")
+            || (col("score") === col("own_score")
+              && col("doc_id") < col("probe_id")), 1L).otherwise(0L)))
+          .as("own_rank"),
+        (round(max("own_score"), 4) + lit(0.0)).as("own_bm25"))
+      .select(col("probe_id"), col("n_scored"), col("own_rank"),
+        expr("1000000 div own_rank").as("rr_ppm"), col("own_bm25"))
+      .orderBy("probe_id")
+  }
 
   /** RAG context packing — the step between retrieval and the prompt:
     * take the BM25 top-20 in rank order and admit documents while the
@@ -642,6 +715,53 @@ object Retrieval {
   }
 
   def oracles: Map[String, String] = Map(
+    "retrieval_eval_mrr" -> {
+      val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
+      s"""WITH tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+         |              FROM documents),
+         |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM tokd
+         |      WHERE len(w) > 0),
+         |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
+         |pt AS (
+         |  SELECT probe_id, tok FROM (
+         |    SELECT probe_id, tok, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY ptf DESC, tok) AS rk
+         |    FROM (SELECT doc_id AS probe_id, tok,
+         |            count(*)::BIGINT AS ptf
+         |          FROM (SELECT doc_id, unnest(w) AS tok FROM c
+         |                WHERE doc_id % 50 = 0)
+         |          WHERE tok NOT IN ($stop) GROUP BY 1, 2))
+         |  WHERE rk <= 4),
+         |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+         |       FROM (SELECT doc_id, dl, unnest(w) AS tok FROM c)
+         |       WHERE tok IN (SELECT DISTINCT tok FROM pt)
+         |       GROUP BY 1, 2, 3),
+         |dfr AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, tok,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         |      * (tf * ${K1 + 1.0})
+         |      / (tf + $K1 * (${1.0 - B} + $B * (dl / avgdl))) AS ts
+         |  FROM tf JOIN dfr USING (tok), g),
+         |ps AS (SELECT probe_id, doc_id, list(ts ORDER BY tok) AS l
+         |       FROM pt JOIN sc USING (tok) GROUP BY 1, 2),
+         |sco AS (SELECT probe_id, doc_id,
+         |    coalesce(l[1], 0.0) + coalesce(l[2], 0.0)
+         |      + coalesce(l[3], 0.0) + coalesce(l[4], 0.0) AS score
+         |  FROM ps),
+         |own AS (SELECT probe_id, score AS own_score FROM sco
+         |        WHERE doc_id = probe_id),
+         |agg AS (
+         |  SELECT s.probe_id, count(*)::BIGINT AS n_scored,
+         |    (1 + sum(CASE WHEN s.score > o.own_score
+         |        OR (s.score = o.own_score AND s.doc_id < s.probe_id)
+         |        THEN 1 ELSE 0 END))::BIGINT AS own_rank,
+         |    round(max(o.own_score), 4) + 0.0 AS own_bm25
+         |  FROM sco s JOIN own o USING (probe_id)
+         |  GROUP BY s.probe_id)
+         |SELECT probe_id, n_scored, own_rank,
+         |  (1000000 // own_rank)::BIGINT AS rr_ppm, own_bm25
+         |FROM agg ORDER BY probe_id""".stripMargin
+    },
     "mmr_diversify" -> sqlMmr,
     "rag_context_pack" ->
       s"""WITH $sqlBm25,

@@ -54,8 +54,61 @@ object TextAnalysis {
     "text_template_shingles" -> templateShingles,
     "active_learning_pick" -> activeLearningPick,
     "mixture_token_budget_plan" -> mixtureTokenBudgetPlan,
-    "token_spell_correct" -> spellCorrect
+    "token_spell_correct" -> spellCorrect,
+    "vocab_growth_curve" -> vocabGrowthCurve
   )
+
+  /** Vocabulary growth curve (Heaps' law, measured) — the tokenizer-
+    * planning read next to [[vocabCoverage]]'s head-mass snapshot: the
+    * corpus splits into 20 equal doc_id-range buckets (ingest order)
+    * and each bucket reports its docs, token occurrences, NEW types
+    * (tokens whose corpus-first occurrence lands in the bucket), the
+    * running type/token cumulative totals, and the cumulative
+    * type-token ratio in exact ppm. A healthy natural corpus decays
+    * smoothly (Heaps V ∝ n^β); a flat-lining curve says the tail is
+    * template/duplicated mass, a spiking one says a new domain or
+    * garbage encoding arrived — both are mixture alarms before any
+    * model sees the data.
+    *
+    * Scale shape: one token explode feeding TWO map-side-combined
+    * aggregates (per-bucket occurrence counts; per-type min doc_id —
+    * the first-seen shuffle is vocabulary-sized); everything after is
+    * a 20-row spine with metadata windows. The 1-row id-bounds frame
+    * broadcasts; buckets are id-range arithmetic, no global sort. */
+  def vocabGrowthCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    def bucketOf(c: Column): Column =
+      expr(s"(${c.toString} - mn) * 20 div (mx - mn + 1)")
+    val toks = docs
+      .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("t"))
+    val occ = toks.crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val fresh = toks.groupBy("t").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val nd = docs.crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.select(explode(sequence(lit(0L), lit(19L))).as("bucket"))
+      .join(nd, Seq("bucket"), "left")
+      .join(occ, Seq("bucket"), "left")
+      .join(fresh, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("ttr_ppm",
+        expr("""CASE WHEN cum_tokens > 0
+            THEN cum_types * 1000000 div cum_tokens ELSE 0 END"""))
+      .orderBy("bucket")
+  }
 
   /** Uncertainty sampling for the quality gate — the active-learning
     * loop's pick step: the 20 docs whose fixed-weight logit sits
@@ -1601,6 +1654,43 @@ object TextAnalysis {
          |JOIN uni ur ON ur.t = split_part(bi.gram, ' ', 2)
          |CROSS JOIN tot t
          |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
+    "vocab_growth_curve" ->
+      s"""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+         |           FROM documents),
+         |toks AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         |occ AS (
+         |  SELECT (doc_id - mn) * 20 // (mx - mn + 1) AS bucket,
+         |    count(*)::BIGINT AS n_tokens
+         |  FROM toks, b GROUP BY 1),
+         |fresh AS (
+         |  SELECT (first_doc - mn) * 20 // (mx - mn + 1) AS bucket,
+         |    count(*)::BIGINT AS new_types
+         |  FROM (SELECT t, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+         |    b
+         |  GROUP BY 1),
+         |nd AS (
+         |  SELECT (doc_id - mn) * 20 // (mx - mn + 1) AS bucket,
+         |    count(*)::BIGINT AS n_docs
+         |  FROM documents, b GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(0, 19))::BIGINT AS bucket),
+         |base AS (
+         |  SELECT s.bucket, coalesce(nd.n_docs, 0)::BIGINT AS n_docs,
+         |    coalesce(occ.n_tokens, 0)::BIGINT AS n_tokens,
+         |    coalesce(fresh.new_types, 0)::BIGINT AS new_types
+         |  FROM spine s LEFT JOIN nd USING (bucket)
+         |  LEFT JOIN occ USING (bucket) LEFT JOIN fresh USING (bucket)),
+         |c AS (
+         |  SELECT bucket, n_docs, n_tokens, new_types,
+         |    sum(new_types) OVER win::BIGINT AS cum_types,
+         |    sum(n_tokens) OVER win::BIGINT AS cum_tokens
+         |  FROM base WINDOW win AS (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bucket, n_docs, n_tokens, new_types, cum_types,
+         |  cum_tokens,
+         |  (CASE WHEN cum_tokens > 0
+         |    THEN cum_types * 1000000 // cum_tokens ELSE 0 END)::BIGINT
+         |    AS ttr_ppm
+         |FROM c ORDER BY bucket""".stripMargin,
     "vocab_coverage" ->
       s"""WITH uni AS (
          |  SELECT tok AS t, count(*)::BIGINT AS c

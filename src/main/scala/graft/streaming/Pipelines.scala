@@ -229,6 +229,45 @@ object Pipelines {
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
+  case class ArrEvent(event_id: Long, arr: Long,
+      ts: java.sql.Timestamp, user_id: Long)
+  case class MaxTsState(maxUs: Long)
+  case class LateRow(event_id: Long, user_id: Long, late_us: Long)
+
+  /** Out-of-order lateness gauge, streaming form — the twin of the
+    * batch `log_out_of_order_stats` census
+    * ([[graft.operators.LogAnalytics.latenessFrame]]): per user the
+    * state is ONE long — the max event-time seen — and every arriving
+    * event emits how far behind that high-water mark it landed; the
+    * downstream census is a plain windowed aggregate over the emitted
+    * lateness stream. This is exactly the gauge a deployment watches
+    * to SET its watermark delay, running inside the stream it gauges.
+    * Rows within a micro-batch fold in (arr, event_id) order — the
+    * documented arrival sequence — so micro-batch boundaries cannot
+    * change any event's measured lateness (StreamingSpec pins stream
+    * ≡ batch window per event). */
+  def latenessStream(events: Dataset[ArrEvent]): Dataset[LateRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaxTsState, LateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[ArrEvent],
+         state: GroupState[MaxTsState]) =>
+          var mx = state.getOption.fold(Long.MinValue)(_.maxUs)
+          val out = rows.toSeq.sortBy(e => (e.arr, e.event_id)).map { e =>
+            val us = e.ts.getTime / 1000L * 1000000L +
+              e.ts.getNanos / 1000L
+            val late = if (mx == Long.MinValue || us >= mx) 0L
+              else mx - us
+            if (us > mx) mx = us
+            LateRow(e.event_id, userId, late)
+          }
+          state.update(MaxTsState(mx))
+          out.iterator
+      }
+  }
 
   private val GapUs = 30L * 60L * 1000000L
 

@@ -696,4 +696,46 @@ class StreamingSpec extends SparkSpec {
         "rollup of streamed finals != stream_upsert_latest")
     } finally q.stop()
   }
+
+  test("streaming lateness gauge: per-event lateness ≡ batch window " +
+      "across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Pipelines.ArrEvent
+    // the documented simulated arrival sequence, fed in ARRIVAL order
+    val batch = graft.operators.LogAnalytics
+      .latenessFrame(spark, sf0001)
+      .select("user_id", "event_id", "ts_us", "arr", "late_us")
+      .collect()
+    val evs = batch.sortBy(r => (r.getLong(3), r.getLong(1))).map { r =>
+      val us = r.getLong(2)
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      ArrEvent(r.getLong(1), r.getLong(3), t, r.getLong(0))
+    }
+    val mem = MemoryStream[ArrEvent]
+    val q = Pipelines.latenessStream(mem.toDS())
+      .writeStream.format("memory").queryName("lateness")
+      .outputMode("append").start()
+    try {
+      val third = evs.length / 3
+      mem.addData(evs.take(third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2 * third): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lateness")
+        .select("event_id", "late_us").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = batch
+        .map(r => r.getLong(1) -> r.getLong(4)).toMap
+      assert(streamed.size === expected.size,
+        "stream must emit exactly one lateness row per event")
+      assert(streamed === expected,
+        "streamed per-event lateness != batch running-max window")
+      assert(streamed.values.exists(_ > 0L),
+        "fixture must exercise nonzero lateness (delay rule dead?)")
+    } finally q.stop()
+  }
 }
