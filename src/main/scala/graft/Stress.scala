@@ -51,6 +51,11 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the receipts below call package-private stages directly (e.g.
+    // hyperplaneCandidates → the cosine expression) — register the
+    // custom functions up front so a delta-sweep subset that skips
+    // every self-registering query still resolves them
+    graft.plans.GraftFunctions.register(spark)
 
     // stage-level shuffle accounting; reset around each measurement
     val shuffleBytes = new AtomicLong
@@ -274,14 +279,43 @@ object Stress {
     // cc_incremental working-set receipt: the contracted loop input
     // (touched super-nodes + contracted delta edges) must stay a small
     // fraction of the full graph at every K — the "untouched
-    // components never enter the loop" claim, measured
+    // components never enter the loop" claim, measured. The namespaced
+    // K-copy corpus is DEGENERATE for this receipt (copies share zero
+    // shingles, so the new half touches nothing — round-8's receipt
+    // measured only the contracted-edge count), so the receipt runs on
+    // an ECHO corpus: the K-copy base plus one exact-duplicate echo of
+    // every 64th document, re-keyed ABOVE the split cut (offset 3·K·10⁷
+    // keeps cut = (min+max)/2 strictly between base ids and echo ids).
+    // Every echo is a genuine cross-cut near-dup, so the touched set is
+    // the echoed components — a measured, nonzero working set to hold
+    // against the TOTAL old-component population (untouched components
+    // must dominate at every K).
+    val echoOff = 3L * k * 10000000L
+    graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .unionAll(graft.sources.Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(64)) === 0)
+        .select((col("doc_id") + lit(echoOff)).as("doc_id"), col("text")))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir-cc/documents.parquet")
     var ccContracted = 0L
+    var ccOldComponents = 0L
     val (_, ccTouched, _) = measure("cc_inc_working_set") {
-      val (touched, contracted) =
-        graft.operators.Dedup.ccIncrementalStage(spark, dir)
+      val (touched, contracted, oldLabels) =
+        graft.operators.Dedup.ccIncrementalStage(spark, s"$dir-cc")
       ccContracted = contracted.count()
+      ccOldComponents =
+        oldLabels.select("label").distinct().count()
       touched.count()
     }
+    // mrr probe-workload receipt: the probe panel is a fixed COUNT
+    // (graft.mrr.nProbes, default 50), so the scored-pair volume must
+    // follow the panel's query terms' postings — ~flat across K on the
+    // namespaced corpus (each probe's terms match only its own copy's
+    // docs), where the round-8 mod-50 RATE would have grown probes,
+    // and with them candidate volume, ∝ K
+    val (_, mrrScoredRows, _) = measure("mrr_scored_rows")(
+      graft.operators.Retrieval.mrrScored(spark, dir).count())
     // kcore rounds receipt: h-index rounds-to-fixpoint must track the
     // densest component's coreness diameter, NOT corpus size — flat
     // across K on the namespaced-copy corpus
@@ -330,8 +364,52 @@ object Stress {
       s""""phash_avoided_pairs":$phashAvoided,""" +
       s""""cc_inc_touched_supernodes":$ccTouched,""" +
       s""""cc_inc_contracted_edges":$ccContracted,""" +
+      s""""cc_inc_old_components":$ccOldComponents,""" +
+      s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +
       s""""queries":$qJson}""")
+    spark.stop()
+  }
+}
+
+/** Focused octave sweep for the DBSCAN production candidate curve —
+  * round 8 measured 875k/3.96M/17.7M candidates at 1×/4×/16× (20.2×
+  * at 16×, super-linear because the occupancy-constant plane rule
+  * rounds DISCRETELY: planes = ⌈log₂(n/64)⌉ holds expected bucket
+  * occupancy ~constant, but between rounding steps occupancy — and
+  * with it candidates-per-row — can drift up to 2×). This main runs
+  * ONLY the embedding synthesis + candidate count, so the curve can
+  * be extended an octave (64×: 320k vectors) without re-running the
+  * full corpus sweep: if the rule holds, candidates/row at 64× stays
+  * within the same 2× occupancy band and the exponent is not
+  * compounding. Usage: runMain graft.StressDbscan [K] */
+object StressDbscan {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(spark)
+    val nVecs = k * 5000
+    // the same deterministic synthesis as Stress's embeddings table
+    val emb = spark.range(0, nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(col("id"), j), lit(2000L)) - 1000L)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+    val planes = math.max(4,
+      math.ceil(math.log(nVecs / 64.0) / math.log(2)).toInt)
+    val t0 = System.nanoTime()
+    val cands = graft.operators.Dedup.hyperplaneCandidates(
+      emb, nBands = 8, nPlanes = planes).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"stress_scale":$k,"n_vecs":$nVecs,""" +
+      s""""dbscan_lsh_planes":$planes,"dbscan_candidates_prod":$cands,""" +
+      s""""cands_per_row":${cands / nVecs},"sec":$sec}""")
     spark.stop()
   }
 }

@@ -41,6 +41,7 @@ object Dedup {
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
+    "dedup_clusters_from_index" -> clustersFromIndex,
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
     "compaction_plan" -> compactionPlan,
@@ -1262,6 +1263,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[clusters]] served from the MATERIALIZED label artifact — the
+    * from-index twin that lets the four CC-dependent queries (and any
+    * downstream audit) read the nightly labeling instead of re-running
+    * the pointer-jumping loop per call (the [[minhashFromIndex]]
+    * serving pattern, applied to the cluster family). The artifact is
+    * [[graft.ops.Materialize.ccLabels]]' (doc_id, cluster_id) frame,
+    * doc_id-range-sorted; serving is ONE parquet scan + a per-row
+    * survivor projection + the presentation sort — no shingles, no
+    * candidate join, no loop (DedupSpec pins the plan reads only the
+    * label files and the output ≡ [[clusters]] row-for-row; the
+    * oracle replays the full recursive-CTE closure, so the artifact
+    * itself is hash-gated end to end). */
+  def clustersFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ops.BuildOnce.scratchPath("cclabels", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.ccLabels(s, d, path)
+    }
+    s.read.parquet(path)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** [[clusters]]' min-label + pointer-jump loop over an explicit
     * (nodes, a_id<b_id pairs) graph — (doc_id, label) out, label = min
     * id reachable. `nodes` must contain every pair endpoint (the jump
@@ -1332,6 +1356,21 @@ object Dedup {
     * the sub-cut subgraph (test-harness reality, as in
     * [[incremental]]); production persists it. */
   def ccIncremental(s: SparkSession, d: String): DataFrame = {
+    val (docs, cut, oldLabels, touchedSup, contractedPairs, maxIters) =
+      ccIncrementalPrefix(s, d)
+    ccIncrementalTail(docs, cut, oldLabels, touchedSup, contractedPairs,
+      maxIters)
+  }
+
+  /** The shared prefix of [[ccIncremental]] and its Stress receipt:
+    * old/new split rule, delta pairs, old-state derivation, and the
+    * component contraction. ONE implementation — the receipt counts
+    * the very frames the query's loop consumes, so a change to the
+    * split rule or old-state derivation can never desynchronize the
+    * two (the round-8 advice: the duplicated prefix was a silent-
+    * drift hazard). */
+  private def ccIncrementalPrefix(s: SparkSession, d: String)
+      : (DataFrame, Long, DataFrame, DataFrame, DataFrame, Int) = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     val docs = Tables.documents(s, d)
     val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
@@ -1345,27 +1384,21 @@ object Dedup {
       .localCheckpoint()
     val (touchedSup, contractedPairs) =
       contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
-    ccIncrementalTail(docs, cut, oldLabels, touchedSup, contractedPairs,
-      maxIters)
+    (docs, cut, oldLabels, touchedSup, contractedPairs, maxIters)
   }
 
   /** [[ccIncremental]]'s contracted loop input — (touched
-    * super-nodes, contracted delta edges) for the same in-query
-    * old/new split. Package-private: the Stress harness counts both
-    * frames across K — the measured "untouched components never
-    * enter the loop" receipt next to DedupSpec's plan pin. */
+    * super-nodes, contracted delta edges, old labels) for the same
+    * in-query old/new split, via the SAME [[ccIncrementalPrefix]] the
+    * query runs. Package-private: the Stress harness counts the loop
+    * frames AND the total old-component population across K — the
+    * measured "untouched components never enter the loop" receipt
+    * (touched ≪ total) next to DedupSpec's plan pin. */
   private[graft] def ccIncrementalStage(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
-    val docs = Tables.documents(s, d)
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
-    val oldLabels = ccLoop(
-        docs.filter(col("doc_id") < cut).select("doc_id"),
-        pairs.filter(col("b_id") < cut), maxIters)
-      .localCheckpoint()
-    contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (_, _, oldLabels, touchedSup, contractedPairs, _) =
+      ccIncrementalPrefix(s, d)
+    (touchedSup, contractedPairs, oldLabels)
   }
 
   private def ccIncrementalTail(docs: DataFrame, cut: Long,
@@ -1901,6 +1934,33 @@ object Dedup {
   private val StopL =
     Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The recursive-CTE closure of the full near-dup graph — the
+    * shared oracle for [[clusters]] and [[clustersFromIndex]] (one
+    * text, two keys: the twins are defined to be row-identical). */
+  private lazy val sqlClustersClosure: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE inter * 3 >= sa.n + sb.n),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
+       |SELECT doc AS doc_id, min(r) AS cluster_id,
+       |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_semantic" ->
       s"""WITH e AS (
@@ -2309,29 +2369,11 @@ object Dedup {
          |  n_container
          |FROM dir WHERE inter * 5 >= n_contained * 4
          |ORDER BY contained_id, container_id""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN sz sa ON sa.doc_id = a_id
-         |  JOIN sz sb ON sb.doc_id = b_id
-         |  WHERE inter * 3 >= sa.n + sb.n),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(doc, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
-         |SELECT doc AS doc_id, min(r) AS cluster_id,
-         |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
-         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> sqlClustersClosure,
+    // the from-index twin serves the SAME labeling from the persisted
+    // artifact, so the full recursive-CTE closure is its oracle too —
+    // hash parity gates the materialized labels end to end
+    "dedup_clusters_from_index" -> sqlClustersClosure,
     "cc_incremental" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

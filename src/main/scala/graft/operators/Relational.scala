@@ -74,7 +74,9 @@ object Relational {
     "supplier_scorecard" -> supplierScorecard,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_rfm_segments" -> rfmSegments,
-    "fulfilment_latency_profile" -> fulfilmentLatency
+    "orders_rfm_segments_approx" -> rfmSegmentsApprox,
+    "fulfilment_latency_profile" -> fulfilmentLatency,
+    "fulfilment_latency_profile_approx" -> fulfilmentLatencyApprox
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1500,7 +1502,12 @@ object Relational {
     * ever meets round(), the midpoint-free money discipline), return
     * rate (returnflag = 'R') and revenue share in exact integer ppm
     * against the 1-row broadcast grand total, with supplier/nation
-    * names from broadcast dims.
+    * names from broadcast dims. Revenue sums accumulate in
+    * decimal(38,0) — a per-row rev_e4 reaches ~10⁹, so a LongType
+    * grand total would silently wrap past 9.2·10¹⁸ around SF~5k with
+    * ANSI off; the 128-bit aggregate matches the oracle's HUGEINT
+    * discipline and the share product never leaves decimal before the
+    * integral divide.
     *
     * Scale shape: ONE lineitem scan collapsing map-side onto suppkey
     * (|suppliers| rows out), broadcast dim joins, 1-row total
@@ -1515,8 +1522,8 @@ object Relational {
     val per = li.groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_lines"),
         sum("is_ret").as("n_returned"),
-        sum("rev_e4").as("rev_e4"))
-    val total = per.agg(sum("rev_e4").as("tot_e4"))
+        sum(col("rev_e4").cast("decimal(38,0)")).as("rev_e4d"))
+    val total = per.agg(sum("rev_e4d").as("tot_e4"))
     per
       .join(broadcast(Tables.supplier(s, d)
         .select("s_suppkey", "s_name", "s_nationkey")),
@@ -1529,8 +1536,8 @@ object Relational {
         col("n_name").as("nation"),
         col("n_lines"), col("n_returned"),
         expr("n_returned * 1000000 div n_lines").as("return_ppm"),
-        col("rev_e4"),
-        expr("cast(rev_e4 as decimal(38,0)) * 1000000 div tot_e4")
+        col("rev_e4d").cast("long").as("rev_e4"),
+        expr("rev_e4d * 1000000 div tot_e4")
           .cast("long").as("rev_share_ppm"))
       .orderBy(col("rev_e4").desc, col("s_suppkey"))
   }
@@ -1579,15 +1586,42 @@ object Relational {
     * `percentile` aggregate per measure over the per-customer frame
     * (broadcast back — never an ntile/global window over customers,
     * which cannot scale past one partition); recency scores REVERSED
-    * (recent = 5). Boundary comparisons carry a 10⁻⁹ epsilon so both
-    * engines' bit-identical interpolated boundaries score integer
-    * measures identically. 100 TB knob: swap the exact percentile for
-    * `approx_percentile` — same plan shape, mergeable sketch.
+    * (recent = 5). Boundary comparisons carry a RELATIVE epsilon
+    * (b·(1+10⁻¹²) + 10⁻⁹, both engines): monetary values reach ~10⁷
+    * cents where a double ulp is ~4·10⁻⁹ — larger than a bare
+    * absolute 10⁻⁹ — so the guard scales with the boundary and a few
+    * ulps of cross-engine interpolation drift can never flip an
+    * integer measure's score. The 100 TB percentile swap is CODE, not
+    * a comment: [[rfmSegmentsApprox]] registers the
+    * `approx_percentile` twin (same plan shape, mergeable sketch).
     *
     * Scale shape: one custkey shuffle (map-side partials) to the
     * per-customer frame, one 1-row boundary broadcast, one
     * map-side-combined census aggregate onto ≤125 cells. */
-  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+  def rfmSegments(s: SparkSession, d: String): DataFrame =
+    rfmOf(s, d, c => s"percentile($c, array(0.2, 0.4, 0.6, 0.8))")
+
+  /** The 100 TB path for [[rfmSegments]]: the three exact quintile
+    * aggregates — each a single buffer holding EVERY per-customer
+    * value at the final reducer — swap for mergeable single-pass
+    * `approx_percentile` sketches (bounded memory at any customer
+    * count, the `log_mad_outliers_approx` twin pattern); the
+    * per-customer frame, boundary broadcast, scoring and census
+    * plumbing are IDENTICAL ([[rfmOf]] is shared code, so the twins
+    * cannot drift). Rows-only check (sketches are engine-specific);
+    * ApproxSpec pins census totals preserved and the per-measure
+    * score marginals within the boundary-mass band of the exact
+    * twin's. */
+  def rfmSegmentsApprox(s: SparkSession, d: String): DataFrame =
+    rfmOf(s, d,
+      c => s"approx_percentile($c, array(0.2, 0.4, 0.6, 0.8), 10000)")
+
+  /** [[rfmSegments]]' full pipeline with the quintile-boundary
+    * aggregate pluggable (`pctl` renders the SQL aggregate for a
+    * measure column) — the dual-mode percentile routing shared by the
+    * exact oracle query and the sketch twin. */
+  private def rfmOf(s: SparkSession, d: String,
+      pctl: String => String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val o = Tables.orders(s, d)
       .select(col("o_custkey"),
@@ -1602,12 +1636,13 @@ object Relational {
       .select(col("o_custkey"), (col("max_day") - col("last_day")).as("r"),
         col("f"), col("mny"))
     val bounds = rfm.agg(
-      expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
-      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
-      expr("percentile(mny, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+      expr(pctl("r")).as("rb"),
+      expr(pctl("f")).as("fb"),
+      expr(pctl("mny")).as("mb"))
     def score(v: Column, b: Column): Column =
       lit(1L) + (1 to 4).map(i =>
-        (v > element_at(b, i) + lit(1e-9)).cast("long")).reduce(_ + _)
+        (v > element_at(b, i) * lit(1 + 1e-12) + lit(1e-9)).cast("long"))
+        .reduce(_ + _)
     rfm.crossJoin(broadcast(bounds))
       .select(col("o_custkey"), col("mny"),
         (lit(6L) - score(col("r").cast("double"), col("rb")))
@@ -1625,9 +1660,28 @@ object Relational {
     * order-priority the order count and the p50/p90/max latency.
     * Latencies are integer days, so the exact percentiles land on the
     * .5 grid and 4-decimal rounding has no midpoint exposure (the
-    * `log_percentiles` discipline); the 100 TB swap is
-    * `approx_percentile`, same shape. */
-  def fulfilmentLatency(s: SparkSession, d: String): DataFrame = {
+    * `log_percentiles` discipline); the 100 TB percentile swap is
+    * CODE: [[fulfilmentLatencyApprox]] registers the
+    * `approx_percentile` twin, same shape. */
+  def fulfilmentLatency(s: SparkSession, d: String): DataFrame =
+    fulfilmentOf(s, d, (c, p) => s"percentile($c, $p)")
+
+  /** The 100 TB path for [[fulfilmentLatency]]: the exact per-priority
+    * percentiles — 5 groups, so ~n/5 latency values buffered in ONE
+    * aggregation task each — swap for mergeable single-pass
+    * `approx_percentile` sketches (bounded memory at any order count,
+    * the `log_percentiles_approx` twin pattern); the first-shipment
+    * min join and census plumbing are IDENTICAL ([[fulfilmentOf]] is
+    * shared code). Rows-only check; ApproxSpec pins n_orders/max
+    * identical to the exact twin and p50/p90 within 10%. */
+  def fulfilmentLatencyApprox(s: SparkSession, d: String): DataFrame =
+    fulfilmentOf(s, d, (c, p) => s"approx_percentile($c, $p, 10000)")
+
+  /** [[fulfilmentLatency]]'s pipeline with the percentile aggregate
+    * pluggable (`pctl(col, p)` renders the SQL aggregate) — shared by
+    * the exact oracle query and the sketch twin. */
+  private def fulfilmentOf(s: SparkSession, d: String,
+      pctl: (String, String) => String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val firstShip = Tables.lineitem(s, d)
       .select(col("l_orderkey"),
@@ -1643,8 +1697,8 @@ object Relational {
         (col("ship_day") - col("oday")).as("lat"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        round(expr("percentile(lat, 0.5)"), 4).as("p50_days"),
-        round(expr("percentile(lat, 0.9)"), 4).as("p90_days"),
+        round(expr(pctl("lat", "0.5")).cast("double"), 4).as("p50_days"),
+        round(expr(pctl("lat", "0.9")).cast("double"), 4).as("p90_days"),
         max("lat").as("max_days"))
       .orderBy("o_orderpriority")
   }
@@ -1708,14 +1762,14 @@ object Relational {
         |  FROM rfm),
         |scored AS (
         |  SELECT o_custkey, mny,
-        |    6 - (1 + (r > rb[1] + 1e-9)::BIGINT + (r > rb[2] + 1e-9)::BIGINT
-        |      + (r > rb[3] + 1e-9)::BIGINT + (r > rb[4] + 1e-9)::BIGINT)
+        |    6 - (1 + (r > rb[1] * (1 + 1e-12) + 1e-9)::BIGINT + (r > rb[2] * (1 + 1e-12) + 1e-9)::BIGINT
+        |      + (r > rb[3] * (1 + 1e-12) + 1e-9)::BIGINT + (r > rb[4] * (1 + 1e-12) + 1e-9)::BIGINT)
         |      AS r_score,
-        |    1 + (f > fb[1] + 1e-9)::BIGINT + (f > fb[2] + 1e-9)::BIGINT
-        |      + (f > fb[3] + 1e-9)::BIGINT + (f > fb[4] + 1e-9)::BIGINT
+        |    1 + (f > fb[1] * (1 + 1e-12) + 1e-9)::BIGINT + (f > fb[2] * (1 + 1e-12) + 1e-9)::BIGINT
+        |      + (f > fb[3] * (1 + 1e-12) + 1e-9)::BIGINT + (f > fb[4] * (1 + 1e-12) + 1e-9)::BIGINT
         |      AS f_score,
-        |    1 + (mny > mb[1] + 1e-9)::BIGINT + (mny > mb[2] + 1e-9)::BIGINT
-        |      + (mny > mb[3] + 1e-9)::BIGINT + (mny > mb[4] + 1e-9)::BIGINT
+        |    1 + (mny > mb[1] * (1 + 1e-12) + 1e-9)::BIGINT + (mny > mb[2] * (1 + 1e-12) + 1e-9)::BIGINT
+        |      + (mny > mb[3] * (1 + 1e-12) + 1e-9)::BIGINT + (mny > mb[4] * (1 + 1e-12) + 1e-9)::BIGINT
         |      AS m_score
         |  FROM rfm CROSS JOIN b)
         |SELECT r_score, f_score, m_score,

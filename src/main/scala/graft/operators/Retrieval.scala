@@ -42,15 +42,19 @@ object Retrieval {
   )
 
   /** Self-supervised retrieval evaluation (MRR) — the quality gate a
-    * search deployment runs WITHOUT human labels: every 50th document
-    * donates a query (its 4 strongest non-stopword terms — tf desc,
-    * tie lexicographic), the corpus is BM25-scored against each
-    * query, and the donor document's own rank is the measurement
-    * (a healthy index ranks the donor at/near 1; a slipping one —
-    * after a tokenizer change, an index rebuild, a dedup pass that
-    * dropped the donor's near-dups — shows up as falling reciprocal
-    * rank). Per probe: scored-doc count, the donor's rank, reciprocal
-    * rank in exact integer ppm, and the donor's score.
+    * search deployment runs WITHOUT human labels: a FIXED-COUNT panel
+    * of `graft.mrr.nProbes` documents (default 50, selected by
+    * content-hash rank — md5(text) asc, doc_id tie-break, the
+    * `sample_fixed_per_source` reservoir idiom, so the panel is
+    * deterministic and reshard-stable) each donates a query (its 4
+    * strongest non-stopword terms — tf desc, tie lexicographic), the
+    * corpus is BM25-scored against each query, and the donor
+    * document's own rank is the measurement (a healthy index ranks
+    * the donor at/near 1; a slipping one — after a tokenizer change,
+    * an index rebuild, a dedup pass that dropped the donor's
+    * near-dups — shows up as falling reciprocal rank). Per probe:
+    * scored-doc count, the donor's rank, reciprocal rank in exact
+    * integer ppm, and the donor's score.
     *
     * Parity: per-(probe, doc) scores fold their ≤ 4 per-term summands
     * in LEXICOGRAPHIC term order on both engines (Spark:
@@ -62,42 +66,19 @@ object Retrieval {
     * broadcast own-score — never a corpus-wide rank window per probe
     * (the scale-correct form: one aggregate, fine probe keys).
     *
-    * Scale shape: one corpus token scan pruned to the ≤ 4·|probes|
-    * query vocabulary by a broadcast semi join (work ∝ postings of
-    * query terms, the inverted-index join shape); probe-term
-    * derivation shuffles only the probe slice (|docs|/50). Probes are
-    * a query WORKLOAD — bounded by construction at any corpus size. */
+    * Scale shape: the probe panel is a COUNT, not a rate — the
+    * hash-rank select is a TakeOrdered (per-partition top-N heaps
+    * merging N·partitions rows at the driver, never a global sort),
+    * so the probe-term frame, the own-score frame, and both
+    * broadcasts are ≤ nProbes rows at ANY corpus size (the round-8
+    * mod-50 RATE grew them ∝ n and candidate volume toward n²/50 —
+    * PlanAuditSpec pins the limit). Scoring work is Σ df over the
+    * ≤ 4·nProbes query terms — the inverted-index postings bound, ∝
+    * corpus only through those terms' document frequency (one corpus
+    * token scan pruned by a broadcast semi join; the Stress receipt
+    * records scored rows flat across K on the namespaced corpus). */
   def retrievalEvalMrr(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.documents(s, d)
-      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-      .filter(col("dl") > 0)
-    val g = c.agg(count(lit(1)).cast("double").as("n"),
-      avg("dl").as("avgdl"))
-    val pt = c.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select(col("doc_id").as("probe_id"), explode(col("w")).as("tok"))
-      .filter(!col("tok").isin(Fns.Stopwords: _*))
-      .groupBy("probe_id", "tok").agg(count(lit(1)).as("ptf"))
-      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
-        .orderBy(col("ptf").desc, col("tok"))))
-      .filter(col("rk") <= 4)
-      .select("probe_id", "tok")
-    val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-      .join(broadcast(pt.select("tok").distinct()), Seq("tok"), "semi")
-      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
-      .withColumn("ts",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
-          / (col("df") + lit(0.5)))
-          * (col("tf") * lit(K1 + 1.0))
-          / (col("tf")
-            + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))))
-      .join(broadcast(pt), "tok")
-      .groupBy("probe_id", "doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("tok"), col("ts")))),
-        lit(0.0), (acc, x) => acc + x.getField("ts")).as("score"))
+    val scored = mrrScored(s, d)
     val own = scored.filter(col("doc_id") === col("probe_id"))
       .select(col("probe_id"), col("score").as("own_score"))
     scored.join(broadcast(own), "probe_id")
@@ -111,6 +92,51 @@ object Retrieval {
       .select(col("probe_id"), col("n_scored"), col("own_rank"),
         expr("1000000 div own_rank").as("rr_ppm"), col("own_bm25"))
       .orderBy("probe_id")
+  }
+
+  /** [[retrievalEvalMrr]]'s per-(probe, doc) BM25 score frame —
+    * probe-panel select (content-hash rank top-nProbes), probe-term
+    * derivation, and the postings-pruned scoring join. Package-private
+    * so the Stress harness can count scored rows directly: the
+    * receipt that the scoring volume follows the probe PANEL and the
+    * query terms' postings, not the corpus row count. */
+  private[graft] def mrrScored(s: SparkSession, d: String): DataFrame = {
+    val nProbes =
+      s.conf.getOption("graft.mrr.nProbes").fold(50)(_.toInt)
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"),
+        md5(col("text")).as("hk"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"), col("hk"))
+      .filter(col("dl") > 0)
+    val g = c.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val probes = c.select(col("doc_id"), col("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(nProbes)
+      .select(col("doc_id").as("probe_id"))
+    val pt = c.join(broadcast(probes), col("doc_id") === col("probe_id"))
+      .select(col("probe_id"), explode(col("w")).as("tok"))
+      .filter(!col("tok").isin(Fns.Stopwords: _*))
+      .groupBy("probe_id", "tok").agg(count(lit(1)).as("ptf"))
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("ptf").desc, col("tok"))))
+      .filter(col("rk") <= 4)
+      .select("probe_id", "tok")
+    val tf = c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .join(broadcast(pt.select("tok").distinct()), Seq("tok"), "semi")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfr), "tok").crossJoin(broadcast(g))
+      .withColumn("ts",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)))
+          * (col("tf") * lit(K1 + 1.0))
+          / (col("tf")
+            + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl")))))
+      .join(broadcast(pt), "tok")
+      .groupBy("probe_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok"), col("ts")))),
+        lit(0.0), (acc, x) => acc + x.getField("ts")).as("score"))
   }
 
   /** RAG context packing — the step between retrieval and the prompt:
@@ -717,11 +743,14 @@ object Retrieval {
   def oracles: Map[String, String] = Map(
     "retrieval_eval_mrr" -> {
       val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
-      s"""WITH tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+      s"""WITH tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w,
+         |                md5(text) AS hk
          |              FROM documents),
-         |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM tokd
+         |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl, hk FROM tokd
          |      WHERE len(w) > 0),
          |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
+         |probes AS (SELECT doc_id AS probe_id FROM c
+         |           ORDER BY hk, doc_id LIMIT 50),
          |pt AS (
          |  SELECT probe_id, tok FROM (
          |    SELECT probe_id, tok, row_number() OVER (
@@ -729,7 +758,7 @@ object Retrieval {
          |    FROM (SELECT doc_id AS probe_id, tok,
          |            count(*)::BIGINT AS ptf
          |          FROM (SELECT doc_id, unnest(w) AS tok FROM c
-         |                WHERE doc_id % 50 = 0)
+         |                WHERE doc_id IN (SELECT probe_id FROM probes))
          |          WHERE tok NOT IN ($stop) GROUP BY 1, 2))
          |  WHERE rk <= 4),
          |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf

@@ -153,6 +153,24 @@ object Materialize {
       .write.mode("overwrite").parquet(s"$path/sigs")
   }
 
+  /** Materialize the connected-component LABEL artifact — the
+    * (doc_id, cluster_id) frame `dedup_clusters`' pointer-jumping
+    * loop produces, written doc_id-range-sorted. DEPLOY.md prescribes
+    * persisting this once per refresh: four queries (clusters,
+    * soft_weights, best_survivor, cluster_size_dist) all start from
+    * the same CC labeling, and a serving/audit pass
+    * (`dedup_clusters_from_index`) should read the label files — a
+    * pure parquet scan with doc_id row-group pruning — never re-run
+    * the O(log diameter) loop. The incremental path
+    * (`cc_incremental`) then contracts THIS artifact's components
+    * instead of recomputing the old half. */
+  def ccLabels(s: SparkSession, dir: String, path: String): Unit =
+    graft.operators.Dedup.clusters(s, dir)
+      .select("doc_id", "cluster_id")
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(path)
+
   /** Materialize the LEXICAL inverted index — the serving artifact the
     * retrieval suite's scale story promises, completing the from-index
     * matrix on the text side the way [[ivfIndex]]/[[pqIndex]] complete

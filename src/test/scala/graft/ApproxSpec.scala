@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, LogAnalytics, TextAnalysis}
+import graft.operators.{Dedup, LogAnalytics, Relational, TextAnalysis}
 
 /** The approx/LSH scale paths must stay close to their exact
   * counterparts on test data — catches a silently broken sketch or a
@@ -35,6 +35,55 @@ class ApproxSpec extends SparkSpec {
       // the 3·MAD boundary — on the fixture that is a narrow band
       assert(math.abs(r.getLong(4) - nOut) <= math.max(2L, nOut / 5),
         s"${r.getString(0)}: approx census ${r.getLong(4)} vs $nOut")
+    }
+  }
+
+  test("approx RFM segments: census conserved, score marginals track " +
+      "the exact quintiles") {
+    val exact = Relational.rfmSegments(spark, sf0001).collect()
+    val approx = Relational.rfmSegmentsApprox(spark, sf0001).collect()
+    def total(rs: Array[org.apache.spark.sql.Row]) =
+      (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum)
+    // a boundary shift RELABELS customers, never drops one: the census
+    // total and the revenue total are conserved exactly
+    assert(total(approx) == total(exact),
+      s"census totals drifted: ${total(approx)} vs ${total(exact)}")
+    // per-measure marginals: a sketch boundary can only move the mass
+    // sitting between the exact and approx boundary values — at the
+    // default accuracy (10000) that band is a small fraction of the
+    // n/5 bucket mass
+    val n = exact.map(_.getLong(3)).sum.toDouble
+    (0 to 2).foreach { m =>
+      val em = exact.groupBy(_.getLong(m))
+        .map { case (k, v) => k -> v.map(_.getLong(3)).sum }
+      val am = approx.groupBy(_.getLong(m))
+        .map { case (k, v) => k -> v.map(_.getLong(3)).sum }
+      (1L to 5L).foreach { sc =>
+        val e = em.getOrElse(sc, 0L)
+        val a = am.getOrElse(sc, 0L)
+        assert(math.abs(a - e) <= 0.15 * n / 5 + 2.0,
+          s"measure $m score $sc: approx marginal $a vs exact $e")
+      }
+    }
+  }
+
+  test("approx fulfilment latency: counts/max identical, p50/p90 " +
+      "within 10% of exact") {
+    val exact = Relational.fulfilmentLatency(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val approx = Relational.fulfilmentLatencyApprox(spark, sf0001).collect()
+    assert(approx.length == exact.size, "one row per priority")
+    approx.foreach { r =>
+      val (nOrd, p50, p90, mx) = exact(r.getString(0))
+      // count and max are exact aggregates in BOTH twins
+      assert(r.getLong(1) == nOrd && r.getLong(4) == mx,
+        s"${r.getString(0)}: exact aggregates drifted")
+      assert(math.abs(r.getDouble(2) - p50) <= 0.1 * math.abs(p50) + 1.0,
+        s"${r.getString(0)}: approx p50 ${r.getDouble(2)} vs $p50")
+      assert(math.abs(r.getDouble(3) - p90) <= 0.1 * math.abs(p90) + 1.0,
+        s"${r.getString(0)}: approx p90 ${r.getDouble(3)} vs $p90")
     }
   }
 

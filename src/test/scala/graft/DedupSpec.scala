@@ -378,6 +378,26 @@ class DedupSpec extends SparkSpec {
       "from-index plan recomputes signatures")
   }
 
+  test("clusters from materialized labels equal the in-query loop, read only the artifact") {
+    val inQuery = Dedup.clusters(spark, sf0001).collect()
+    val df = Dedup.clustersFromIndex(spark, sf0001)
+    val fromIndex = df.collect()
+    assert(fromIndex.map(_.toString).toSeq ===
+      inQuery.map(_.toString).toSeq,
+      "from-index labels must be row-identical to the CC loop's")
+    // serving contract: the plan is one scan of the label artifact —
+    // no corpus read, no shingle/candidate recompute, no loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "from-index plan re-reads the corpus")
+    assert(plan.contains("cclabels"),
+      "from-index plan does not read the label artifact")
+    // the artifact really was materialized on disk
+    val idx = new java.io.File(
+      graft.ops.BuildOnce.scratchPath("cclabels", sf0001))
+    assert(idx.exists(), "cc label artifact not materialized")
+  }
+
   test("incremental minhash probes the stored index: ≡ full LSH on new pairs, no old recompute") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val b = docs.agg(min("doc_id"), max("doc_id")).head()

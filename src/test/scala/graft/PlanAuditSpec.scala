@@ -208,6 +208,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 4, s"shuffle budget exceeded: ${shuffles(p)}")
   }
 
+  test("mrr eval: probe panel is a bounded TakeOrdered, frames broadcast") {
+    val p = plan("retrieval_eval_mrr")
+    val tree = finalTree(p)
+    // the probe panel is a fixed COUNT (hash-rank top-nProbes): the
+    // select must plan as a TakeOrdered (per-partition top-N heaps),
+    // never a rate filter whose output grows with the corpus — the
+    // probe-term and own-score broadcast frames are limit-bounded
+    // through it
+    assert(tree.contains("TakeOrderedAndProject"),
+      "probe panel must be a bounded TakeOrdered select")
+    assert(broadcasts(p) >= 4,
+      "probe panel, query terms, df, globals and own-score broadcast")
+    // the only nested-loop is the 1-row BM25-globals cross join (a
+    // broadcast of exactly one row); nothing may plan a cartesian
+    assert(!tree.contains("CartesianProduct"))
+  }
+
   test("source minhash aggregates with map-side partial merge") {
     val p = plan("dedup_source_minhash")
     // the union sketch must run as a two-phase hash aggregate
