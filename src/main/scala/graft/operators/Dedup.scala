@@ -82,10 +82,9 @@ object Dedup {
     * size (one key shuffle of 16-byte rows), size → census (≤ \|max
     * size\| rows). Nothing after the CC loop touches text. */
   def clusterSizeDist(s: SparkSession, d: String): DataFrame = {
-    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     val docs = Tables.documents(s, d).select("doc_id")
-    val labels = ccLoop(docs,
-      ngramJaccard(s, d).select("a_id", "b_id"), maxIters)
+    val labels = clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster_id").as("label"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     labels.groupBy("label").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
@@ -698,7 +697,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("logit_milli").desc, col("doc_id"))
-    clusters(s, d).select("doc_id", "cluster_id")
+    clusterLabels(s, d)
       .join(TextAnalysis.qualityLogitScore(s, d)
         .select("doc_id", "logit_milli"), Seq("doc_id"), "left")
       .withColumn("logit_milli",
@@ -756,7 +755,7 @@ object Dedup {
     * histogram aggregate — nothing after the CC loop exceeds the
     * cluster-size key space. */
   def softWeights(s: SparkSession, d: String): DataFrame = {
-    val cl = clusters(s, d).select("doc_id", "cluster_id")
+    val cl = clusterLabels(s, d)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), size(Fns.tokens(col("text"))).cast("long")
         .as("n_toks"))
@@ -1254,13 +1253,46 @@ object Dedup {
     * component must never look like a result. Output: every doc with
     * its component root (min doc_id reachable) and a survivor flag
     * (root keeps, rest drop). */
-  def clusters(s: SparkSession, d: String): DataFrame = {
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+
+  /** The (doc_id, cluster_id) label source the whole cluster FAMILY
+    * ([[clusters]], [[bestSurvivor]], [[softWeights]],
+    * [[clusterSizeDist]]) starts from — dual-mode, the
+    * `graft.dbscan.lshPlanes` routing precedent:
+    *
+    *  - `graft.cc.labelsPath` SET → serving mode: ONE scan of the
+    *    [[graft.ops.Materialize.ccLabels]] artifact at that path. A
+    *    nightly pipeline pays the pointer-jumping loop once at
+    *    refresh; every downstream consumer in the same run then reads
+    *    doc_id-sorted parquet instead of re-running O(log diameter)
+    *    join rounds each (at sf0.1 the loop dominates all four
+    *    queries' wall time; at 100 TB it is the difference between
+    *    one CC job and four).
+    *  - unset → oracle mode: the in-query loop over the verified
+    *    near-dup graph (hash-gated against the recursive-CTE
+    *    closure).
+    *
+    * DedupSpec pins the two modes row-identical for every family
+    * member and the serving-mode plan free of loop machinery. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    s.conf.getOption("graft.cc.labelsPath") match {
+      case Some(p) => s.read.parquet(p).select("doc_id", "cluster_id")
+      case None => loopLabels(s, d)
+    }
+
+  /** The loop branch of [[clusterLabels]], unconditionally — the
+    * artifact WRITER ([[graft.ops.Materialize.ccLabels]]) must always
+    * compute fresh labels, never read a (possibly stale, possibly
+    * self-referential) `graft.cc.labelsPath` back. */
+  private[graft] def loopLabels(s: SparkSession, d: String): DataFrame = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     ccLoop(Tables.documents(s, d).select("doc_id"),
         ngramJaccard(s, d).select("a_id", "b_id"), maxIters)
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).cast("int").as("is_survivor"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** [[clusters]] served from the MATERIALIZED label artifact — the

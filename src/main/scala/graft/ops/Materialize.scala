@@ -165,8 +165,7 @@ object Materialize {
     * (`cc_incremental`) then contracts THIS artifact's components
     * instead of recomputing the old half. */
   def ccLabels(s: SparkSession, dir: String, path: String): Unit =
-    graft.operators.Dedup.clusters(s, dir)
-      .select("doc_id", "cluster_id")
+    graft.operators.Dedup.loopLabels(s, dir)
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(path)

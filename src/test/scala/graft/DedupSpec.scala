@@ -398,6 +398,33 @@ class DedupSpec extends SparkSpec {
     assert(idx.exists(), "cc label artifact not materialized")
   }
 
+  test("cluster family serving mode (graft.cc.labelsPath): all four " +
+      "queries ≡ loop mode, plans free of loop machinery") {
+    // oracle mode first (conf unset): the loop results
+    val loopMode = Seq("dedup_clusters", "dedup_best_survivor",
+      "dedup_soft_weights", "dedup_cluster_size_dist")
+      .map(k => k -> Dedup.queries(k)(spark, sf0001).collect()
+        .map(_.toString).toSeq).toMap
+    // materialize the label artifact (the clustersFromIndex path)
+    val path = graft.ops.BuildOnce.scratchPath("cclabels", sf0001)
+    graft.ops.BuildOnce.ensure(path, sf0001) {
+      graft.ops.Materialize.ccLabels(spark, sf0001, path)
+    }
+    spark.conf.set("graft.cc.labelsPath", path)
+    try loopMode.foreach { case (k, expected) =>
+      val df = Dedup.queries(k)(spark, sf0001)
+      assert(df.collect().map(_.toString).toSeq === expected,
+        s"$k: serving mode drifted from the loop")
+      // serving contract: labels come from the artifact scan; the
+      // loop's localCheckpoint lineage (ExistingRDD scans) is gone
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("cclabels"),
+        s"$k: serving plan does not read the label artifact")
+      assert(!plan.contains("ExistingRDD"),
+        s"$k: serving plan still carries loop-checkpoint scans")
+    } finally spark.conf.unset("graft.cc.labelsPath")
+  }
+
   test("incremental minhash probes the stored index: ≡ full LSH on new pairs, no old recompute") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
