@@ -40,6 +40,8 @@ object ServeBench {
     "mmr_diversify" -> "re-rank (post-retrieval)",
     "dedup_minhash_lsh" -> "dedup (in-query build)",
     "dedup_minhash_from_index" -> "dedup (from index)",
+    "dedup_clusters" -> "dedup (in-query CC loop)",
+    "dedup_clusters_from_index" -> "dedup (from index)",
     "feature_pit_join" -> "features (in-query build)",
     "feature_pit_from_index" -> "features (from index)",
     "stream_feature_snapshot" -> "features (snapshot view)")
