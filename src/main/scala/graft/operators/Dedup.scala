@@ -1295,6 +1295,19 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** [[loopLabels]] over an explicit (doc_id, text) corpus slice —
+    * what a nightly cycle computes and [[graft.ops.Materialize
+    * .ccLabelsOf]] persists as the old-state artifact the NEXT
+    * cycle's [[ccIncremental]] contracts against. */
+  private[graft] def loopLabelsOf(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
+    val (cands, sizes) = ngramCandidateStageOf(s, docs)
+    ccLoop(docs.select("doc_id"),
+        jaccardVerify(cands, sizes).select("a_id", "b_id"), maxIters)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** [[clusters]] served from the MATERIALIZED label artifact — the
     * from-index twin that lets the four CC-dependent queries (and any
     * downstream audit) read the nightly labeling instead of re-running
@@ -1409,11 +1422,23 @@ object Dedup {
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
     val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
     // existing state: labels over the old subgraph (a_id < b_id, so a
-    // pair is old×old exactly when b_id < cut)
-    val oldLabels = ccLoop(
-        docs.filter(col("doc_id") < cut).select("doc_id"),
-        pairs.filter(col("b_id") < cut), maxIters)
-      .localCheckpoint()
+    // pair is old×old exactly when b_id < cut). Dual-mode, the
+    // cluster-family labelsPath precedent: `graft.cc.oldLabelsPath`
+    // SET → the persisted previous-cycle artifact
+    // (Materialize.ccLabelsOf over the old corpus) is READ — the old
+    // loop never runs, which is the whole incremental contract; unset
+    // → the in-query derivation (test-harness reality: the oracle
+    // replays the full-graph closure, so the derived state must come
+    // from the same table). DedupSpec pins the two modes
+    // output-identical with the artifact written from the old slice.
+    val oldLabels = s.conf.getOption("graft.cc.oldLabelsPath") match {
+      case Some(p) => s.read.parquet(p)
+        .select(col("doc_id"), col("cluster_id").as("label"))
+      case None => ccLoop(
+          docs.filter(col("doc_id") < cut).select("doc_id"),
+          pairs.filter(col("b_id") < cut), maxIters)
+        .localCheckpoint()
+    }
     val (touchedSup, contractedPairs) =
       contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
     (docs, cut, oldLabels, touchedSup, contractedPairs, maxIters)
@@ -1620,7 +1645,18 @@ object Dedup {
     * the Stress harness can count raw shared-shingle candidates: the
     * quantity that must grow ∝ n (df-capped Σ df²), never n². */
   private[graft] def ngramCandidateStage(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ngramCandidateStageOf(s,
+      Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Frame-input variant of [[ngramCandidateStage]] — candidate pairs
+    * over an explicit (doc_id, text) corpus slice, with the slice's
+    * OWN df statistics for the hot-shingle cap (the semantics a
+    * nightly run has when it labels its corpus: at the oracle SFs the
+    * cap drops nothing, so slice-vs-full pair graphs agree wherever
+    * both are defined). */
+  private def ngramCandidateStageOf(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
     // materialize the index ONCE: it has four consumers (hot-set agg,
     // anti-join probe, both self-join sides via sizes) and only the
@@ -1629,7 +1665,10 @@ object Dedup {
     // multi-executor cluster this would be persist(MEMORY_AND_DISK) or
     // a reliable checkpoint; the storage is O(corpus shingles) rows of
     // (id, hash) — 16 bytes each.
-    val all = shingleRows(s, d).localCheckpoint()
+    val all = shingleRowsOf(docs.select(col("doc_id"), col("text"),
+        lit(0).as("is_new")))
+      .drop("is_new")
+      .localCheckpoint()
     val hot = all.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
     val idx = all.join(broadcast(hot), Seq("h"), "left_anti")

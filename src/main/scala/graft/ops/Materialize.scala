@@ -165,7 +165,21 @@ object Materialize {
     * (`cc_incremental`) then contracts THIS artifact's components
     * instead of recomputing the old half. */
   def ccLabels(s: SparkSession, dir: String, path: String): Unit =
-    graft.operators.Dedup.loopLabels(s, dir)
+    writeCcLabels(graft.operators.Dedup.loopLabels(s, dir), path)
+
+  /** [[ccLabels]] over an explicit (doc_id, text) corpus slice — the
+    * OLD-corpus-only state `cc_incremental` contracts against when
+    * `graft.cc.oldLabelsPath` points here (the [[minhashIndexOf]]
+    * pattern on the CC side): each nightly cycle persists its labels
+    * with this writer, and the next cycle's incremental run reads
+    * them instead of re-deriving the old components in-query. */
+  def ccLabelsOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    writeCcLabels(graft.operators.Dedup.loopLabelsOf(s, docs), path)
+
+  private def writeCcLabels(labels: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    labels
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(path)

@@ -516,6 +516,33 @@ class DedupSpec extends SparkSpec {
     assert(nNew > 0 && nDelta > 0, "degenerate fixture: empty delta")
   }
 
+  test("incremental CC from persisted old labels (graft.cc.oldLabelsPath): " +
+      "≡ in-query derivation, artifact read in-plan") {
+    val expected = Dedup.queries("cc_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    // persist the previous cycle's labels exactly as production does:
+    // Materialize.ccLabelsOf over the OLD corpus slice (the same
+    // sub-cut split the in-query derivation replays)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val path = graft.ops.BuildOnce.scratchPath("cclabels-old", sf0001)
+    graft.ops.BuildOnce.ensure(path, sf0001) {
+      graft.ops.Materialize.ccLabelsOf(spark,
+        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+    }
+    spark.conf.set("graft.cc.oldLabelsPath", path)
+    try {
+      val df = Dedup.queries("cc_incremental")(spark, sf0001)
+      assert(df.collect().map(_.toString).toSeq === expected,
+        "artifact-backed incremental CC diverged from in-query mode")
+      // the old-state side of the plan is the artifact scan, not a
+      // re-derived loop
+      assert(df.queryExecution.executedPlan.toString.contains("cclabels-old"),
+        "old labels did not come from the persisted artifact")
+    } finally spark.conf.unset("graft.cc.oldLabelsPath")
+  }
+
   test("embedding threshold sweep is monotone and anchored at the 0.45 gate") {
     val rows = Dedup.embeddingThresholdSweep(spark, sf0001).collect()
     assert(rows.length === 9, "expected the 9-threshold spine")
