@@ -240,8 +240,8 @@ object Stress {
     // count (buckets ∝ n, the embeddingLsh rule) the hyperplane
     // candidate volume and the full production DBSCAN must grow ~K —
     // the guarded all-pairs oracle baseline would grow ~K²
-    val dbPlanes = math.max(4,
-      math.ceil(math.log(nVecs / 64.0) / math.log(2)).toInt)
+    val dbPlanes =
+      graft.ops.Fns.lshPlanes(spark, "graft.dbscan.lshPlanes", nVecs)
     spark.conf.set("graft.dbscan.lshPlanes", dbPlanes.toString)
     val (_, dbCands, _) = measure("dbscan_candidates_prod")(
       graft.operators.Dedup.hyperplaneCandidates(
@@ -308,6 +308,25 @@ object Stress {
         oldLabels.select("label").distinct().count()
       touched.count()
     }
+    // artifact-mode receipt: with the previous cycle's labels
+    // persisted (Materialize.ccLabelsOf over the old half — built
+    // OUTSIDE the measurement: that cost belongs to the previous
+    // cycle), the incremental run must skip both the old-half loop
+    // and the old×old pair graph — wall AND shuffle must sit well
+    // under the in-query derivation on the same echo corpus
+    val ccDocs = graft.sources.Tables.documents(spark, s"$dir-cc")
+    val ccB = ccDocs.agg(min("doc_id"), max("doc_id")).head()
+    val ccCut = (ccB.getLong(0) + ccB.getLong(1)) / 2
+    val ccOldPath = s"$dir-cc-oldlabels"
+    graft.ops.Materialize.ccLabelsOf(spark,
+      ccDocs.filter(col("doc_id") < ccCut).select("doc_id", "text"),
+      ccOldPath)
+    val (ccDefSec, _, ccDefSb) = measure("cc_incremental_default")(
+      SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
+    spark.conf.set("graft.cc.oldLabelsPath", ccOldPath)
+    val (ccArtSec, _, ccArtSb) = measure("cc_incremental_artifact")(
+      SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
+    spark.conf.unset("graft.cc.oldLabelsPath")
     // mrr probe-workload receipt: the probe panel is a fixed COUNT
     // (graft.mrr.nProbes, default 50), so the scored-pair volume must
     // follow the panel's query terms' postings — ~flat across K on the
@@ -365,6 +384,10 @@ object Stress {
       s""""cc_inc_touched_supernodes":$ccTouched,""" +
       s""""cc_inc_contracted_edges":$ccContracted,""" +
       s""""cc_inc_old_components":$ccOldComponents,""" +
+      s""""cc_inc_default_sec":$ccDefSec,""" +
+      s""""cc_inc_default_shuffle":$ccDefSb,""" +
+      s""""cc_inc_artifact_sec":$ccArtSec,""" +
+      s""""cc_inc_artifact_shuffle":$ccArtSb,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +
       s""""queries":$qJson}""")
@@ -401,8 +424,11 @@ object StressDbscan {
       transform(sequence(lit(0), lit(63)), j =>
         ((pmod(xxhash64(col("id"), j), lit(2000L)) - 1000L)
           .cast("double") / 1000.0).cast("float")).as("embedding"))
-    val planes = math.max(4,
-      math.ceil(math.log(nVecs / 64.0) / math.log(2)).toInt)
+    // the PRODUCTION rule (Fns.lshPlanes: occupancy-constant with the
+    // 24-plane cap), not an inline copy — the receipt must measure a
+    // plane count production would actually run
+    val planes =
+      graft.ops.Fns.lshPlanes(spark, "graft.dbscan.lshPlanes", nVecs)
     val t0 = System.nanoTime()
     val cands = graft.operators.Dedup.hyperplaneCandidates(
       emb, nBands = 8, nPlanes = planes).count()

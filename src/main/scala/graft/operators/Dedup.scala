@@ -1280,7 +1280,13 @@ object Dedup {
     * member and the serving-mode plan free of loop machinery. */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     s.conf.getOption("graft.cc.labelsPath") match {
-      case Some(p) => s.read.parquet(p).select("doc_id", "cluster_id")
+      case Some(p) =>
+        // bind the artifact path to THIS corpus for the JVM's lifetime
+        // (BuildOnce's tag check): a session serving two corpora with
+        // one labelsPath left set would otherwise silently score
+        // corpus B's documents with corpus A's labels
+        graft.ops.BuildOnce.ensure(p, d) {}
+        s.read.parquet(p).select("doc_id", "cluster_id")
       case None => loopLabels(s, d)
     }
 
@@ -1420,27 +1426,37 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
     val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
     // existing state: labels over the old subgraph (a_id < b_id, so a
     // pair is old×old exactly when b_id < cut). Dual-mode, the
     // cluster-family labelsPath precedent: `graft.cc.oldLabelsPath`
     // SET → the persisted previous-cycle artifact
-    // (Materialize.ccLabelsOf over the old corpus) is READ — the old
-    // loop never runs, which is the whole incremental contract; unset
-    // → the in-query derivation (test-harness reality: the oracle
-    // replays the full-graph closure, so the derived state must come
-    // from the same table). DedupSpec pins the two modes
-    // output-identical with the artifact written from the old slice.
-    val oldLabels = s.conf.getOption("graft.cc.oldLabelsPath") match {
-      case Some(p) => s.read.parquet(p)
-        .select(col("doc_id"), col("cluster_id").as("label"))
-      case None => ccLoop(
-          docs.filter(col("doc_id") < cut).select("doc_id"),
-          pairs.filter(col("b_id") < cut), maxIters)
-        .localCheckpoint()
-    }
+    // (Materialize.ccLabelsOf over the old corpus) is READ and the
+    // pair work is DELTA-SCOPED (ngramDeltaPairs: the candidate
+    // self-join's b side is new docs only, Σ df·df_new) — neither the
+    // old loop nor the old×old pair graph re-runs, which is the whole
+    // incremental contract; unset → the in-query derivation over the
+    // full pair graph (test-harness reality: the oracle replays the
+    // full-graph closure, so the derived state must come from the
+    // same table). DedupSpec pins the two modes output-identical with
+    // the artifact written from the old slice.
+    val (oldLabels, deltaPairs) =
+      s.conf.getOption("graft.cc.oldLabelsPath") match {
+        case Some(p) =>
+          graft.ops.BuildOnce.ensure(p, d) {} // corpus-tag guard
+          (s.read.parquet(p)
+              .select(col("doc_id"), col("cluster_id").as("label")),
+            ngramDeltaPairs(s, d, cut).localCheckpoint())
+        case None =>
+          val pairs =
+            ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+          (ccLoop(
+              docs.filter(col("doc_id") < cut).select("doc_id"),
+              pairs.filter(col("b_id") < cut), maxIters)
+            .localCheckpoint(),
+            pairs.filter(col("b_id") >= cut))
+      }
     val (touchedSup, contractedPairs) =
-      contractDelta(oldLabels, pairs.filter(col("b_id") >= cut), cut)
+      contractDelta(oldLabels, deltaPairs, cut)
     (docs, cut, oldLabels, touchedSup, contractedPairs, maxIters)
   }
 
@@ -1654,9 +1670,15 @@ object Dedup {
     * OWN df statistics for the hot-shingle cap (the semantics a
     * nightly run has when it labels its corpus: at the oracle SFs the
     * cap drops nothing, so slice-vs-full pair graphs agree wherever
-    * both are defined). */
+    * both are defined). `bSide` optionally restricts the self-join's
+    * b side (the HIGHER doc_id of each emitted pair): with a
+    * new-batch predicate the join cost drops from Σ df² to
+    * Σ df·df_new — the [[incrementalFrames]] scoping, expressed at
+    * the candidate stage — while df stats, sizes, and the a side
+    * still cover the full input (verification semantics unchanged). */
   private def ngramCandidateStageOf(
-      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+      s: SparkSession, docs: DataFrame,
+      bSide: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
     // materialize the index ONCE: it has four consumers (hot-set agg,
     // anti-join probe, both self-join sides via sizes) and only the
@@ -1673,12 +1695,30 @@ object Dedup {
       .filter(col("df") > maxDf).select("h")
     val idx = all.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = idx.as("a").join(idx.as("b"),
+    val cands = idx.as("a").join(bSide(idx).as("b"),
         col("a.h") === col("b.h")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     (cands, sizes)
+  }
+
+  /** Verified near-dup pairs TOUCHING the delta only (a_id < b_id, so
+    * a pair touches a new doc exactly when b_id ≥ cut): the b side of
+    * the candidate self-join is restricted to new docs BEFORE the
+    * join, so the cost is Σ_h df·df_new — linear in the delta where
+    * the full graph's Σ df² is linear in the corpus — while df caps
+    * and sizes stay corpus-wide, making the output row-identical to
+    * `ngramJaccard.filter(b_id >= cut)`. One corpus shingle scan is
+    * still paid (dfs + sizes need it); a deployment that wants to
+    * skip that too persists the shingle index (the minhash-index
+    * treatment), which changes nothing downstream of `cands`. */
+  private def ngramDeltaPairs(s: SparkSession, d: String,
+      cut: Long): DataFrame = {
+    val (cands, sizes) = ngramCandidateStageOf(s,
+      Tables.documents(s, d).select("doc_id", "text"),
+      _.filter(col("doc_id") >= cut))
+    jaccardVerify(cands, sizes).select("a_id", "b_id")
   }
 
   /** Exact-verify candidate pairs against the doc store — the batch

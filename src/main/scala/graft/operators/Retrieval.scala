@@ -104,17 +104,23 @@ object Retrieval {
     val nProbes =
       s.conf.getOption("graft.mrr.nProbes").fold(50)(_.toInt)
     val c = Tables.documents(s, d)
-      .select(col("doc_id"), Fns.tokens(col("text")).as("w"),
-        md5(col("text")).as("hk"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"), col("hk"))
+      .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
       .filter(col("dl") > 0)
     val g = c.agg(count(lit(1)).cast("double").as("n"),
       avg("dl").as("avgdl"))
-    val probes = c.select(col("doc_id"), col("hk"))
+    val probes = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("hk"),
+        size(Fns.tokens(col("text"))).as("dl"))
+      .filter(col("dl") > 0)
       .orderBy(col("hk"), col("doc_id")).limit(nProbes)
       .select(col("doc_id").as("probe_id"))
-    val pt = c.join(broadcast(probes), col("doc_id") === col("probe_id"))
-      .select(col("probe_id"), explode(col("w")).as("tok"))
+    // tokenize AFTER the broadcast panel join (the snippet_extract
+    // join-before-tokenize rule): the query-term derivation pays the
+    // regex split for nProbes documents, never the corpus
+    val pt = Tables.documents(s, d)
+      .join(broadcast(probes), col("doc_id") === col("probe_id"))
+      .select(col("probe_id"), explode(Fns.tokens(col("text"))).as("tok"))
       .filter(!col("tok").isin(Fns.Stopwords: _*))
       .groupBy("probe_id", "tok").agg(count(lit(1)).as("ptf"))
       .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
