@@ -315,18 +315,33 @@ object Stress {
     // and the old×old pair graph — wall AND shuffle must sit well
     // under the in-query derivation on the same echo corpus
     val ccDocs = graft.sources.Tables.documents(spark, s"$dir-cc")
-    val ccB = ccDocs.agg(min("doc_id"), max("doc_id")).head()
-    val ccCut = (ccB.getLong(0) + ccB.getLong(1)) / 2
+    // the SAME split rule the query's in-query mode replays
+    // (Dedup.idCut) — an inline copy here could silently drift and
+    // publish a curve for a misaligned configuration
+    val ccCut = graft.operators.Dedup.idCut(ccDocs)
     val ccOldPath = s"$dir-cc-oldlabels"
     graft.ops.Materialize.ccLabelsOf(spark,
       ccDocs.filter(col("doc_id") < ccCut).select("doc_id", "text"),
-      ccOldPath)
-    val (ccDefSec, _, ccDefSb) = measure("cc_incremental_default")(
+      ccOldPath, s"$dir-cc")
+    // the build is NOT part of either measurement (it is the previous
+    // cycle's cost) — run the same hygiene pass measure() applies
+    // after actions, so its checkpoint blocks and straggler stage
+    // events cannot load the default-mode measurement that follows
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    Thread.sleep(400)
+    val (ccDefSec, ccDefRows, ccDefSb) = measure("cc_incremental_default")(
       SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
     spark.conf.set("graft.cc.oldLabelsPath", ccOldPath)
-    val (ccArtSec, _, ccArtSb) = measure("cc_incremental_artifact")(
+    val (ccArtSec, ccArtRows, ccArtSb) = measure("cc_incremental_artifact")(
       SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
     spark.conf.unset("graft.cc.oldLabelsPath")
+    // the published "output stays row-identical" claim, checked where
+    // the modes could actually diverge (slice-vs-full df caps on the
+    // echo corpus) — a silent divergence would invalidate the receipt
+    require(ccDefRows == ccArtRows,
+      s"artifact-mode cc_incremental rows $ccArtRows != default $ccDefRows")
     // mrr probe-workload receipt: the probe panel is a fixed COUNT
     // (graft.mrr.nProbes, default 50), so the scored-pair volume must
     // follow the panel's query terms' postings — ~flat across K on the

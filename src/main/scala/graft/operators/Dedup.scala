@@ -1281,11 +1281,12 @@ object Dedup {
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     s.conf.getOption("graft.cc.labelsPath") match {
       case Some(p) =>
-        // bind the artifact path to THIS corpus for the JVM's lifetime
-        // (BuildOnce's tag check): a session serving two corpora with
-        // one labelsPath left set would otherwise silently score
-        // corpus B's documents with corpus A's labels
-        graft.ops.BuildOnce.ensure(p, d) {}
+        // the artifact's _graft_corpus sidecar must name THIS corpus:
+        // a session serving two corpora with one labelsPath left set
+        // would otherwise silently score corpus B's documents with
+        // corpus A's labels (the tag travels WITH the artifact, so
+        // the check holds across JVMs, not just within one process)
+        graft.ops.ArtifactTag.require(s, p, d)
         s.read.parquet(p).select("doc_id", "cluster_id")
       case None => loopLabels(s, d)
     }
@@ -1420,12 +1421,21 @@ object Dedup {
     * split rule or old-state derivation can never desynchronize the
     * two (the round-8 advice: the duplicated prefix was a silent-
     * drift hazard). */
+  /** The test-harness old/new split rule — midpoint of the id range.
+    * ONE definition shared by [[ccIncrementalPrefix]]'s in-query
+    * mode, the Stress receipt's artifact builder, and DedupSpec (the
+    * round-8 advice: a duplicated split rule is a silent-drift
+    * hazard — the receipt must fabricate the "previous cycle" with
+    * the exact rule the query replays). */
+  private[graft] def idCut(docs: DataFrame): Long = {
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    (bounds.getLong(0) + bounds.getLong(1)) / 2
+  }
+
   private def ccIncrementalPrefix(s: SparkSession, d: String)
       : (DataFrame, Long, DataFrame, DataFrame, DataFrame, Int) = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     val docs = Tables.documents(s, d)
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
     // existing state: labels over the old subgraph (a_id < b_id, so a
     // pair is old×old exactly when b_id < cut). Dual-mode, the
     // cluster-family labelsPath precedent: `graft.cc.oldLabelsPath`
@@ -1434,26 +1444,36 @@ object Dedup {
     // pair work is DELTA-SCOPED (ngramDeltaPairs: the candidate
     // self-join's b side is new docs only, Σ df·df_new) — neither the
     // old loop nor the old×old pair graph re-runs, which is the whole
-    // incremental contract; unset → the in-query derivation over the
-    // full pair graph (test-harness reality: the oracle replays the
-    // full-graph closure, so the derived state must come from the
-    // same table). DedupSpec pins the two modes output-identical with
-    // the artifact written from the old slice.
-    val (oldLabels, deltaPairs) =
+    // incremental contract. In artifact mode the old/new boundary is
+    // DEFINED BY THE ARTIFACT (cut = max labeled id + 1): the old set
+    // is exactly what the previous cycle labeled, so a batch that
+    // shifts the current corpus's id midpoint can neither double-emit
+    // docs the artifact covers nor drop uncovered ones — deriving cut
+    // from the current table's (min+max)/2 would do both the moment
+    // the artifact slice and the midpoint disagree. Unset → the
+    // in-query derivation over the full pair graph with the midpoint
+    // split (test-harness reality: the oracle replays the full-graph
+    // closure, so the derived state must come from the same table).
+    // DedupSpec pins the two modes output-identical with the artifact
+    // written from the old slice.
+    val (cut, oldLabels, deltaPairs) =
       s.conf.getOption("graft.cc.oldLabelsPath") match {
         case Some(p) =>
-          graft.ops.BuildOnce.ensure(p, d) {} // corpus-tag guard
-          (s.read.parquet(p)
-              .select(col("doc_id"), col("cluster_id").as("label")),
-            ngramDeltaPairs(s, d, cut).localCheckpoint())
+          graft.ops.ArtifactTag.require(s, p, d) // wrong-corpus guard
+          val labels = s.read.parquet(p)
+            .select(col("doc_id"), col("cluster_id").as("label"))
+          val aCut = labels.agg(max("doc_id")).head().getLong(0) + 1L
+          (aCut, labels, ngramDeltaPairs(s, d, aCut).localCheckpoint())
         case None =>
+          val mCut = idCut(docs)
           val pairs =
             ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
-          (ccLoop(
-              docs.filter(col("doc_id") < cut).select("doc_id"),
-              pairs.filter(col("b_id") < cut), maxIters)
+          (mCut,
+            ccLoop(
+              docs.filter(col("doc_id") < mCut).select("doc_id"),
+              pairs.filter(col("b_id") < mCut), maxIters)
             .localCheckpoint(),
-            pairs.filter(col("b_id") >= cut))
+            pairs.filter(col("b_id") >= mCut))
       }
     val (touchedSup, contractedPairs) =
       contractDelta(oldLabels, deltaPairs, cut)

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-tag sidecar for persisted artifacts (`_graft_corpus` inside
+  * the artifact directory): the writer records WHICH corpus the
+  * artifact was built from, and every reader verifies the tag against
+  * the corpus it is about to serve — so the binding travels WITH the
+  * artifact (durable across JVMs and sessions), not in first-reader-
+  * wins process state. A session that leaves `graft.cc.labelsPath`
+  * pointing at corpus A's labels and then queries corpus B fails
+  * loudly instead of silently scoring B's documents with A's labels.
+  *
+  * Written through the Hadoop FileSystem API, so the sidecar lands
+  * next to the parquet files on whatever storage the artifact uses
+  * (local dir, HDFS, object store). */
+object ArtifactTag {
+
+  private val Name = "_graft_corpus"
+
+  /** Record `tag` (the source-corpus directory) inside the artifact
+    * at `path`. Overwrites any previous tag — an artifact rebuilt
+    * from a different corpus re-binds. */
+  def write(s: SparkSession, path: String, tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, Name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(tag.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Require that the artifact at `path` was written for corpus
+    * `tag`. Throws on a missing sidecar (an artifact not written
+    * through the tagged writer is not admissible) or a mismatch. */
+  def require(s: SparkSession, path: String, tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, Name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Predef.require(fs.exists(p),
+      s"artifact at $path carries no $Name tag — rebuild it with the " +
+        "Materialize writer (the tag is what prevents serving one " +
+        "corpus with another corpus's artifact)")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val got = new String(buf, "UTF-8")
+    Predef.require(got == tag,
+      s"artifact at $path was built for corpus $got, requested for $tag")
+  }
+}

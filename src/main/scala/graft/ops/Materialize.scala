@@ -165,24 +165,30 @@ object Materialize {
     * (`cc_incremental`) then contracts THIS artifact's components
     * instead of recomputing the old half. */
   def ccLabels(s: SparkSession, dir: String, path: String): Unit =
-    writeCcLabels(graft.operators.Dedup.loopLabels(s, dir), path)
+    writeCcLabels(s, graft.operators.Dedup.loopLabels(s, dir), path, dir)
 
   /** [[ccLabels]] over an explicit (doc_id, text) corpus slice — the
     * OLD-corpus-only state `cc_incremental` contracts against when
     * `graft.cc.oldLabelsPath` points here (the [[minhashIndexOf]]
     * pattern on the CC side): each nightly cycle persists its labels
     * with this writer, and the next cycle's incremental run reads
-    * them instead of re-deriving the old components in-query. */
+    * them instead of re-deriving the old components in-query. `tag`
+    * is the corpus directory the slice came from — written into the
+    * artifact's `_graft_corpus` sidecar so readers can refuse a
+    * wrong-corpus serve ([[ArtifactTag]]). */
   def ccLabelsOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
-      path: String): Unit =
-    writeCcLabels(graft.operators.Dedup.loopLabelsOf(s, docs), path)
+      path: String, tag: String): Unit =
+    writeCcLabels(s, graft.operators.Dedup.loopLabelsOf(s, docs), path, tag)
 
-  private def writeCcLabels(labels: org.apache.spark.sql.DataFrame,
-      path: String): Unit =
+  private def writeCcLabels(s: SparkSession,
+      labels: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
     labels
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(path)
+    ArtifactTag.write(s, path, tag)
+  }
 
   /** Materialize the LEXICAL inverted index — the serving artifact the
     * retrieval suite's scale story promises, completing the from-index

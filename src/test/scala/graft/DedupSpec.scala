@@ -423,6 +423,15 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains("ExistingRDD"),
         s"$k: serving plan still carries loop-checkpoint scans")
     } finally spark.conf.unset("graft.cc.labelsPath")
+    // the artifact's corpus sidecar refuses a wrong-corpus serve —
+    // the two-corpora-one-conf footgun fails loudly, never silently
+    spark.conf.set("graft.cc.labelsPath", path)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.clusterLabels(spark, "/not/the/labelled/corpus").collect()
+      }
+      assert(e.getMessage.contains("built for corpus"))
+    } finally spark.conf.unset("graft.cc.labelsPath")
   }
 
   test("incremental minhash probes the stored index: ≡ full LSH on new pairs, no old recompute") {
@@ -488,8 +497,7 @@ class DedupSpec extends SparkSpec {
     // super-nodes ONLY — strictly fewer nodes than the corpus, and
     // touched super-nodes are a subset of old component roots
     val docs = graft.sources.Tables.documents(spark, sf0001)
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val cut = Dedup.idCut(docs)
     val pairs = Dedup.ngramJaccard(spark, sf0001).select("a_id", "b_id")
       .localCheckpoint()
     val oldLabels = Dedup.ccLoop(
@@ -522,14 +530,15 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     // persist the previous cycle's labels exactly as production does:
     // Materialize.ccLabelsOf over the OLD corpus slice (the same
-    // sub-cut split the in-query derivation replays)
+    // sub-cut split the in-query derivation replays — Dedup.idCut,
+    // the one shared rule)
     val docs = graft.sources.Tables.documents(spark, sf0001)
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val cut = Dedup.idCut(docs)
     val path = graft.ops.BuildOnce.scratchPath("cclabels-old", sf0001)
     graft.ops.BuildOnce.ensure(path, sf0001) {
       graft.ops.Materialize.ccLabelsOf(spark,
-        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path,
+        sf0001)
     }
     spark.conf.set("graft.cc.oldLabelsPath", path)
     try {
