@@ -68,21 +68,27 @@ object Stress {
         }
       }
     })
+    // measurement hygiene: queries are independent jobs in production,
+    // but in ONE sweep JVM each query's localCheckpoint blocks
+    // (hundreds of MB at 16×, MEMORY_AND_DISK) would otherwise pile up
+    // until storage memory saturates and later queries pay eviction +
+    // GC — measured as 3-5× wall inflation with UNCHANGED shuffle
+    // bytes (the giveaway that it was the harness, not the operator).
+    // ONE definition, called after every measured action AND after
+    // un-measured setup work (artifact builds) — two inline copies of
+    // the ritual could drift
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      Thread.sleep(400) // let the listener bus drain stage events
+    }
     def measure(tag: String)(action: => Long): (Double, Long, Long) = {
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
-      // measurement hygiene: queries are independent jobs in production,
-      // but in ONE sweep JVM each query's localCheckpoint blocks
-      // (hundreds of MB at 16×, MEMORY_AND_DISK) would otherwise pile up
-      // until storage memory saturates and later queries pay eviction +
-      // GC — measured as 3-5× wall inflation with UNCHANGED shuffle
-      // bytes (the giveaway that it was the harness, not the operator)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      Thread.sleep(400) // let the listener bus drain stage events
+      hygiene()
       val sb = shuffleBytes.get()
       System.err.println(
         f"[stress] $tag%-24s $sec%7.2f s  ${sb / 1048576.0}%8.1f MiB shuffle  ($rows rows)")
@@ -324,24 +330,30 @@ object Stress {
       ccDocs.filter(col("doc_id") < ccCut).select("doc_id", "text"),
       ccOldPath, s"$dir-cc")
     // the build is NOT part of either measurement (it is the previous
-    // cycle's cost) — run the same hygiene pass measure() applies
-    // after actions, so its checkpoint blocks and straggler stage
-    // events cannot load the default-mode measurement that follows
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    Thread.sleep(400)
-    val (ccDefSec, ccDefRows, ccDefSb) = measure("cc_incremental_default")(
-      SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
+    // cycle's cost) — hygiene so its checkpoint blocks and straggler
+    // stage events cannot load the default-mode measurement below.
+    // The measured action is a VALUE-LEVEL checksum, not a bare
+    // count: cc_incremental emits one row per doc in both modes, so
+    // counts are equal even if every cluster label diverged — the
+    // checksum (order-insensitive sum of per-row hashes, mod-reduced
+    // so the sum stays ANSI-safe up to ~10¹⁴ rows) is what actually
+    // checks the published "output row-identical across modes" claim
+    // where the modes could diverge (slice-vs-full df caps)
+    hygiene()
+    def ccChecksum(): Long =
+      SparkEntry.queries("cc_incremental")(spark, s"$dir-cc")
+        .agg(sum(pmod(xxhash64(col("doc_id"), col("cluster_id"),
+          col("is_survivor")), lit(1000000007L))))
+        .head().getLong(0)
+    val (ccDefSec, ccDefChk, ccDefSb) =
+      measure("cc_incremental_default")(ccChecksum())
     spark.conf.set("graft.cc.oldLabelsPath", ccOldPath)
-    val (ccArtSec, ccArtRows, ccArtSb) = measure("cc_incremental_artifact")(
-      SparkEntry.queries("cc_incremental")(spark, s"$dir-cc").count())
-    spark.conf.unset("graft.cc.oldLabelsPath")
-    // the published "output stays row-identical" claim, checked where
-    // the modes could actually diverge (slice-vs-full df caps on the
-    // echo corpus) — a silent divergence would invalidate the receipt
-    require(ccDefRows == ccArtRows,
-      s"artifact-mode cc_incremental rows $ccArtRows != default $ccDefRows")
+    val (ccArtSec, ccArtChk, ccArtSb) =
+      try measure("cc_incremental_artifact")(ccChecksum())
+      finally spark.conf.unset("graft.cc.oldLabelsPath")
+    require(ccDefChk == ccArtChk,
+      s"artifact-mode cc_incremental output checksum $ccArtChk != " +
+        s"default $ccDefChk — the modes diverged")
     // mrr probe-workload receipt: the probe panel is a fixed COUNT
     // (graft.mrr.nProbes, default 50), so the scored-pair volume must
     // follow the panel's query terms' postings — ~flat across K on the

@@ -1462,7 +1462,25 @@ object Dedup {
           graft.ops.ArtifactTag.require(s, p, d) // wrong-corpus guard
           val labels = s.read.parquet(p)
             .select(col("doc_id"), col("cluster_id").as("label"))
-          val aCut = labels.agg(max("doc_id")).head().getLong(0) + 1L
+          val stats = labels.agg(max("doc_id"), count(lit(1))).head()
+          require(!stats.isNullAt(0),
+            s"old-labels artifact at $p is EMPTY — an empty previous " +
+              "cycle has no incremental mode; run the full labeling")
+          val aCut = stats.getLong(0) + 1L
+          // coverage guard: the boundary rule assumes monotone id
+          // allocation (every current doc below the artifact's max id
+          // was labeled by the previous cycle). Id reuse or backfill
+          // below aCut would otherwise VANISH from the output — not
+          // old (absent from the artifact), not new (below the cut) —
+          // so the mismatch must throw, not silently drop documents.
+          // Cost: two metadata-scale count jobs per invocation,
+          // negligible at nightly cadence.
+          val nBelow = docs.filter(col("doc_id") < aCut).count()
+          require(nBelow == stats.getLong(1),
+            s"artifact at $p labels ${stats.getLong(1)} docs but the " +
+              s"corpus has $nBelow docs below its boundary ($aCut) — " +
+              "id reuse/backfill breaks the incremental id contract; " +
+              "run the full labeling instead")
           (aCut, labels, ngramDeltaPairs(s, d, aCut).localCheckpoint())
         case None =>
           val mCut = idCut(docs)

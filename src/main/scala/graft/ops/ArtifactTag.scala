@@ -13,7 +13,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Written through the Hadoop FileSystem API, so the sidecar lands
   * next to the parquet files on whatever storage the artifact uses
-  * (local dir, HDFS, object store). */
+  * (local dir, HDFS, object store).
+  *
+  * Refresh discipline: artifacts are IMMUTABLE per cycle — a refresh
+  * writes to a NEW path and flips the conf/pointer, never overwrites
+  * in place (an in-place `mode("overwrite")` deletes the directory —
+  * sidecar included — before rewriting, so a concurrent reader would
+  * see a missing tag or half-written parquet; no sidecar can make
+  * overwrite-in-place reader-safe). */
 object ArtifactTag {
 
   private val Name = "_graft_corpus"
