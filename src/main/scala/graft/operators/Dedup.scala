@@ -33,6 +33,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_exact_survivors" -> exactSurvivors,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_jaccard_prefix" -> jaccardPrefix,
     "minhash_tuning_curve" -> minhashTuningCurve,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_from_index" -> minhashFromIndex,
@@ -1645,6 +1646,87 @@ object Dedup {
     jaccardVerify(cands, sizes)
   }
 
+  /** Exact Jaccard ≥ 0.5 pairs via POSITIONAL PREFIX FILTERING
+    * (SSJoin, Chaudhuri et al. ICDE'06; all-pairs, Bayardo et al.
+    * WWW'07) — the PROVABLY-COMPLETE scale path beside the df-capped
+    * index of [[ngramJaccard]]: where the cap DROPS hot shingles (and
+    * with them any pair whose only shared shingles are hot — a
+    * disclosed approximation that happens to be lossless at the test
+    * SFs), prefix filtering keeps every true pair at every corpus.
+    * Each doc indexes only its ⌊n/2⌋+1 globally RAREST shingles
+    * (rarity order = df asc, hash tie-break). Prefix-filter lemma:
+    * J(a,b) ≥ t forces |a∩b| ≥ ⌈t/(1+t)·(na+nb)⌉, and the J-length
+    * bound (nb ≥ t·na and na ≥ t·nb) lifts that to ≥ ⌈t·nx⌉ for BOTH
+    * sides, so prefixes of length nx − ⌈t·nx⌉ + 1 — at t = ½ exactly
+    * ⌊nx/2⌋ + 1 (integer arithmetic, no float threshold) — must share
+    * a shingle. Candidates are therefore a SUPERSET of the true pair
+    * set, and the exact array-intersect verify makes the output
+    * row-identical to the uncapped all-pairs oracle, hot keys
+    * included — same columns and acceptance predicate as
+    * [[ngramJaccard]] (3·inter ≥ na+nb, integer-exact).
+    *
+    * Scale shape: candidate volume is Σ_h df_prefix(h)² over PREFIX
+    * postings only. Hot shingles sort LAST in the rarity order, so
+    * they almost never enter a prefix — the boundedness the df-cap
+    * buys, without its false negatives; a df-10⁶ boilerplate shingle
+    * contributes 0 candidate pairs unless some doc is so short that
+    * even its rarest half is boilerplate (exactly the pairs the cap
+    * would silently lose). The size-compatibility filter
+    * (2·min(na,nb) ≥ max(na,nb), from J ≥ ½) prunes length-mismatched
+    * collisions before the pair distinct. Stages: one shingle scan
+    * (checkpointed — df agg, rarity-rank window, verify arrays all
+    * reuse it), one doc_id-partitioned rank window (fine keys), one
+    * equi-join on prefix shingle hash, candidate-scoped verify. */
+  def jaccardPrefix(s: SparkSession, d: String): DataFrame =
+    jaccardPrefixOf(s, Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Frame-input variant of [[jaccardPrefix]] — lets DedupSpec run the
+    * adversarial hot-shingle corpus where the df-capped path provably
+    * loses a pair and this path keeps it. */
+  private[graft] def jaccardPrefixOf(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val (all, cands) = jaccardPrefixStage(s, docs)
+    val arr = all.groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    cands
+      .join(arr.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Shared prefix-filter stage of [[jaccardPrefixOf]]: (checkpointed
+    * shingle rows, candidate id-pairs). ONE definition for the query
+    * and its Stress receipt (the [[ccIncrementalPrefix]] discipline),
+    * so the receipt counts the very candidates the query verifies. */
+  private[graft] def jaccardPrefixStage(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+    val all = shingleRowsOf(docs.select(col("doc_id"), col("text"),
+        lit(0).as("is_new")))
+      .drop("is_new")
+      .localCheckpoint()
+    val dfs = all.groupBy("h").agg(count(lit(1)).as("df"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRk = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = all.join(dfs, "h")
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= expr("n div 2 + 1"))
+      .select("doc_id", "h", "n")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    (all, cands)
+  }
+
   /** MinHash-LSH parameter tuning curve — the measured S-curve behind
     * the (bands × rows) knob [[minhashLsh]] hard-codes at 64×2: for
     * every 128-hash split (2×64, 4×32, 8×16, 16×8) and every VERIFIED
@@ -2083,6 +2165,25 @@ object Dedup {
   private val StopL =
     Fns.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The uncapped all-pairs exact-Jaccard join — the shared oracle for
+    * [[ngramJaccard]] (whose df-cap drops nothing at oracle SFs) and
+    * [[jaccardPrefix]] (exact at EVERY corpus by the prefix-filter
+    * lemma): one text, two keys. */
+  private lazy val sqlJaccardAllPairs: String =
+    s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = a_id
+       |JOIN sz sb ON sb.doc_id = b_id
+       |WHERE inter * 3 >= sa.n + sb.n
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** The recursive-CTE closure of the full near-dup graph — the
     * shared oracle for [[clusters]] and [[clustersFromIndex]] (one
     * text, two keys: the twins are defined to be row-identical). */
@@ -2482,20 +2583,11 @@ object Dedup {
     "dedup_exact_survivors" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
-         |FROM inter
-         |JOIN sz sa ON sa.doc_id = a_id
-         |JOIN sz sb ON sb.doc_id = b_id
-         |WHERE inter * 3 >= sa.n + sb.n
-         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram_jaccard" -> sqlJaccardAllPairs,
+    // the prefix-filter path is DEFINED to produce the exact pair set,
+    // so the uncapped all-pairs join is its oracle verbatim — one text,
+    // two keys (the sqlClustersClosure discipline)
+    "dedup_jaccard_prefix" -> sqlJaccardAllPairs,
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

@@ -91,6 +91,69 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 7L)))
   }
 
+  test("prefix-filter jaccard ≡ inverted-index jaccard on real data") {
+    // at sf0.001 the df-cap drops nothing, so both paths must equal the
+    // exact pair set — full-row equality including inter/na/nb
+    val exact = Dedup.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val pfx = Dedup.jaccardPrefix(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(pfx === exact)
+    assert(pfx.nonEmpty)
+  }
+
+  test("prefix filter keeps the hot-shingle pair the df-cap loses") {
+    // docs 0-5: boilerplate B (6 tokens → 4 shingles, df = 8 > cap) +
+    // 4 unique tokens each (8 shingles total → J vs anything < 0.5);
+    // docs 6, 7: B + 2 unique tokens (6 shingles, 4 shared = all hot)
+    // → J(6,7) = 4/8 = 0.5 exactly, carried ONLY by hot shingles
+    val b = "alpha beta gamma delta epsilon zeta"
+    val long = (0 until 6).map { i =>
+      val s = alpha(i)
+      s"$b ua$s ub$s uc$s ud$s"
+    }
+    val short = Seq(s"$b xa ya", s"$b xb yb")
+    val dir = docsDir(long ++ short)
+    withConf("graft.dedup.maxShingleDf" -> "5") {
+      // the capped index drops all four B-shingles → pair (6,7) lost
+      val capped = Dedup.ngramJaccard(spark, dir).collect()
+      assert(capped.isEmpty, "df-cap should lose the hot-only pair")
+      // the prefix filter indexes each doc's rarest ⌊n/2⌋+1 shingles —
+      // the lemma guarantees the (6,7) prefixes collide (inter = 4 ≥
+      // ⌈n/2⌉ = 3) — and the uncapped verify recovers the exact row
+      val pfx = Dedup.jaccardPrefix(spark, dir).collect()
+      assert(pfx.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((6L, 7L)))
+      assert(pfx(0).getAs[Long]("inter") === 4L)
+      assert(pfx(0).getAs[Long]("na") === 6L)
+      assert(pfx(0).getAs[Long]("nb") === 6L)
+    }
+  }
+
+  test("prefix index is smaller than the full index but complete") {
+    // candidate volume: every candidate pair must come from a prefix
+    // collision, and the prefix index holds ≤ ⌊n/2⌋+1 rows per doc —
+    // strictly less than the full inverted index for any doc with ≥ 2
+    // shingles; completeness is the two tests above
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val (all, cands) = Dedup.jaccardPrefixStage(spark, docs)
+    val nAll = all.count()
+    // re-derive prefix row bound from sizes: Σ (⌊n/2⌋ + 1)
+    val bound = all.groupBy("doc_id").count()
+      .agg(sum(expr("count div 2 + 1"))).collect()(0).getLong(0)
+    assert(bound < nAll, "prefix bound should undercut the full index")
+    val verified = Dedup.jaccardPrefix(spark, sf0001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candSet = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(candSet),
+      "every verified pair must be a prefix candidate (completeness)")
+  }
+
   test("CC pointer jumping converges on a 30-doc chain in few rounds") {
     // doc i = 12 consecutive words of a rolling vocabulary: consecutive
     // docs share 9/11 shingles (jaccard ≥ 0.5 up to distance 3) → one
