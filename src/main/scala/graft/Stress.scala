@@ -216,7 +216,9 @@ object Stress {
       // the guarded all-pairs oracle baseline, quadratic by contract —
       // the scale path swaps in dedup_embedding_lsh candidates)
       "dedup_substring_runs", "minhash_tuning_curve", "log_ab_uplift",
-      "stream_upsert_latest", "orders_forecast_ewma")
+      "stream_upsert_latest", "orders_forecast_ewma",
+      // round-9 additions
+      "dedup_jaccard_prefix")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())
@@ -228,6 +230,14 @@ object Stress {
       graft.operators.Dedup.minhashCandidateStage(spark, dir)._1.count())
     val (_, ngramCands, _) = measure("ngram_candidates")(
       graft.operators.Dedup.ngramCandidateStage(spark, dir)._1.count())
+    // prefix-filter receipt: candidates from the rarest-⌊n/2⌋+1 prefix
+    // index must grow ∝ n like the df-capped index's — but with ZERO
+    // false negatives at any corpus (the completeness the cap trades
+    // away); same stage the query itself verifies
+    val (_, prefixCands, _) = measure("jaccard_prefix_candidates")(
+      graft.operators.Dedup.jaccardPrefixStage(spark,
+        graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "text"))._2.count())
     // triangle-wedge receipt on a HUB-PLANTED graph (one mega-hub of
     // degree ~2000·K + a degree-≤3 chain — the boilerplate-template
     // shape the near-dup graph takes at corpus scale): the
@@ -401,6 +411,7 @@ object Stress {
     }.mkString("{", ",", "}")
     println(s"""{"stress_scale":$k,"n_docs":${nBase * k},"n_vecs":$nVecs,""" +
       s""""lsh_candidates":$lshCands,"ngram_candidates":$ngramCands,""" +
+      s""""jaccard_prefix_candidates":$prefixCands,""" +
       s""""triangle_wedges_oriented":$wedgesOriented,""" +
       s""""triangle_wedges_midvertex":$wedgesMid,""" +
       s""""semantic_candidates_prod":$semCands,""" +

@@ -66,7 +66,8 @@ object LogAnalytics {
     "log_ab_uplift" -> abUplift,
     "log_mad_outliers" -> madOutliers,
     "log_mad_outliers_approx" -> madOutliersApprox,
-    "log_out_of_order_stats" -> outOfOrderStats
+    "log_out_of_order_stats" -> outOfOrderStats,
+    "log_attribution" -> attribution
   )
 
   /** Out-of-order arrival census — the measurement that SIZES a
@@ -91,6 +92,50 @@ object LogAnalytics {
     * Scale shape: ONE user-keyed shuffle for the running-max window
     * (per-user state, the sessionize discipline — never a global
     * arrival window), then a map-side-combined 4-row census. */
+  /** Conversion attribution — the marketing-analytics readout every
+    * event pipeline serves: each `purchase` credits its user's FIRST
+    * and LAST preceding touch event (`view`/`click`; `none` when a
+    * purchase has no prior touch, so per model the conversion total
+    * reconciles to the purchase count — spec-pinned), rolled up per
+    * (model, touch_type) with conversion counts and attributed value
+    * in centi-units (`round(value·100)::BIGINT`, the established
+    * parity idiom — no float sums cross the oracle).
+    *
+    * Scale shape: ONE user-partitioned window pass (fine keys — a
+    * user's timeline, the [[sessionize]] shape; `first`/`last` with
+    * ignoreNulls over rows-preceding frames, no self-join of events
+    * to touches), purchases then fan out ×2 (model spine via a
+    * per-row explode) and collapse into a ≤ 2·(#touch types + 1)-row
+    * map-side-combined aggregate — shuffle after the window is
+    * metadata-sized at any corpus. Ordering inside the window is
+    * (ts_us, event_id) — total, so late/duplicate timestamps cannot
+    * flip attribution between runs or engines. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch =
+      when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v_centi"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("v_centi"), explode(array(
+        struct(lit("first").as("model"),
+          coalesce(col("first_touch"), lit("none")).as("touch_type")),
+        struct(lit("last").as("model"),
+          coalesce(col("last_touch"), lit("none")).as("touch_type"))))
+        .as("m"))
+      .groupBy(col("m.model").as("model"),
+        col("m.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("v_centi").as("value_centi"))
+      .orderBy("model", "touch_type")
+  }
+
   def outOfOrderStats(s: SparkSession, d: String): DataFrame =
     latenessFrame(s, d)
       .withColumn("bucket",
@@ -1000,6 +1045,28 @@ object LogAnalytics {
          |  count(DISTINCT user_id)::BIGINT AS n_users,
          |  max(late_us)::BIGINT AS max_late_us
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "log_attribution" ->
+      s"""WITH $E,
+         |t AS (
+         |  SELECT event_type, round(value * 100)::BIGINT AS v_centi,
+         |    first_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER w AS first_touch,
+         |    last_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER w AS last_touch
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |pur AS (SELECT * FROM t WHERE event_type = 'purchase'),
+         |m AS (
+         |  SELECT 'first' AS model,
+         |    coalesce(first_touch, 'none') AS touch_type, v_centi FROM pur
+         |  UNION ALL
+         |  SELECT 'last', coalesce(last_touch, 'none'), v_centi FROM pur)
+         |SELECT model, touch_type, count(*)::BIGINT AS n_conversions,
+         |  sum(v_centi)::BIGINT AS value_centi
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ingest_json_audit" ->
       """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
         |       ELSE event_type END AS event_type,

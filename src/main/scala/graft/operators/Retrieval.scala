@@ -38,7 +38,8 @@ object Retrieval {
     "snippet_extract" -> snippetExtract,
     "mmr_diversify" -> mmrDiversify,
     "rag_context_pack" -> ragContextPack,
-    "retrieval_eval_mrr" -> retrievalEvalMrr
+    "retrieval_eval_mrr" -> retrievalEvalMrr,
+    "retrieval_eval_recall" -> retrievalEvalRecall
   )
 
   /** Self-supervised retrieval evaluation (MRR) — the quality gate a
@@ -77,7 +78,37 @@ object Retrieval {
     * corpus only through those terms' document frequency (one corpus
     * token scan pruned by a broadcast semi join; the Stress receipt
     * records scored rows flat across K on the namespaced corpus). */
-  def retrievalEvalMrr(s: SparkSession, d: String): DataFrame = {
+  def retrievalEvalMrr(s: SparkSession, d: String): DataFrame =
+    mrrRanks(s, d)
+      .select(col("probe_id"), col("n_scored"), col("own_rank"),
+        expr("1000000 div own_rank").as("rr_ppm"), col("own_bm25"))
+      .orderBy("probe_id")
+
+  /** Hit-rate@k on the SAME probe panel as [[retrievalEvalMrr]] — the
+    * serving-dashboard companion metric (how often does the donor make
+    * the page, not just where it lands): for k ∈ {1, 3, 10} the probe
+    * count, donors ranked ≤ k, and the exact-integer hit ppm. One
+    * shared rank stage with MRR ([[mrrRanks]] — the two evals cannot
+    * drift), a ×3 k-spine explode on the nProbes-row rank frame, and a
+    * 3-row rollup: everything after the shared stage is metadata. */
+  def retrievalEvalRecall(s: SparkSession, d: String): DataFrame =
+    mrrRanks(s, d)
+      .select(col("own_rank"),
+        explode(array(lit(1L), lit(3L), lit(10L))).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("own_rank") <= col("k"), 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("k"), col("n_probes"), col("hits"),
+        expr("hits * 1000000 div n_probes").as("hit_ppm"))
+      .orderBy("k")
+
+  /** Shared per-probe rank stage of [[retrievalEvalMrr]] and
+    * [[retrievalEvalRecall]]: (probe_id, n_scored, own_rank,
+    * own_bm25). Rank = 1 + count(strictly better) against the donor's
+    * broadcast own-score — one aggregate on fine probe keys, never a
+    * per-probe corpus rank window. */
+  private def mrrRanks(s: SparkSession, d: String): DataFrame = {
     val scored = mrrScored(s, d)
     val own = scored.filter(col("doc_id") === col("probe_id"))
       .select(col("probe_id"), col("score").as("own_score"))
@@ -89,9 +120,6 @@ object Retrieval {
               && col("doc_id") < col("probe_id")), 1L).otherwise(0L)))
           .as("own_rank"),
         (round(max("own_score"), 4) + lit(0.0)).as("own_bm25"))
-      .select(col("probe_id"), col("n_scored"), col("own_rank"),
-        expr("1000000 div own_rank").as("rr_ppm"), col("own_bm25"))
-      .orderBy("probe_id")
   }
 
   /** [[retrievalEvalMrr]]'s per-(probe, doc) BM25 score frame —
@@ -746,57 +774,72 @@ object Retrieval {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Shared oracle prefix of the two panel evals — probe panel, BM25
+    * scoring, and the per-probe rank CTEs, ending at `agg` (one text,
+    * two rollups: MRR and hit-rate@k replay the identical ranks). */
+  private lazy val sqlMrrRanks: String = {
+    val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w,
+       |           md5(text) AS hk
+       |         FROM documents),
+       |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl, hk FROM tokd
+       |      WHERE len(w) > 0),
+       |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
+       |probes AS (SELECT doc_id AS probe_id FROM c
+       |           ORDER BY hk, doc_id LIMIT 50),
+       |pt AS (
+       |  SELECT probe_id, tok FROM (
+       |    SELECT probe_id, tok, row_number() OVER (
+       |        PARTITION BY probe_id ORDER BY ptf DESC, tok) AS rk
+       |    FROM (SELECT doc_id AS probe_id, tok,
+       |            count(*)::BIGINT AS ptf
+       |          FROM (SELECT doc_id, unnest(w) AS tok FROM c
+       |                WHERE doc_id IN (SELECT probe_id FROM probes))
+       |          WHERE tok NOT IN ($stop) GROUP BY 1, 2))
+       |  WHERE rk <= 4),
+       |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+       |       FROM (SELECT doc_id, dl, unnest(w) AS tok FROM c)
+       |       WHERE tok IN (SELECT DISTINCT tok FROM pt)
+       |       GROUP BY 1, 2, 3),
+       |dfr AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, tok,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |      * (tf * ${K1 + 1.0})
+       |      / (tf + $K1 * (${1.0 - B} + $B * (dl / avgdl))) AS ts
+       |  FROM tf JOIN dfr USING (tok), g),
+       |ps AS (SELECT probe_id, doc_id, list(ts ORDER BY tok) AS l
+       |       FROM pt JOIN sc USING (tok) GROUP BY 1, 2),
+       |sco AS (SELECT probe_id, doc_id,
+       |    coalesce(l[1], 0.0) + coalesce(l[2], 0.0)
+       |      + coalesce(l[3], 0.0) + coalesce(l[4], 0.0) AS score
+       |  FROM ps),
+       |own AS (SELECT probe_id, score AS own_score FROM sco
+       |        WHERE doc_id = probe_id),
+       |agg AS (
+       |  SELECT s.probe_id, count(*)::BIGINT AS n_scored,
+       |    (1 + sum(CASE WHEN s.score > o.own_score
+       |        OR (s.score = o.own_score AND s.doc_id < s.probe_id)
+       |        THEN 1 ELSE 0 END))::BIGINT AS own_rank,
+       |    round(max(o.own_score), 4) + 0.0 AS own_bm25
+       |  FROM sco s JOIN own o USING (probe_id)
+       |  GROUP BY s.probe_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "retrieval_eval_mrr" -> {
-      val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
-      s"""WITH tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w,
-         |                md5(text) AS hk
-         |              FROM documents),
-         |c AS (SELECT doc_id, w, len(w)::BIGINT AS dl, hk FROM tokd
-         |      WHERE len(w) > 0),
-         |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
-         |probes AS (SELECT doc_id AS probe_id FROM c
-         |           ORDER BY hk, doc_id LIMIT 50),
-         |pt AS (
-         |  SELECT probe_id, tok FROM (
-         |    SELECT probe_id, tok, row_number() OVER (
-         |        PARTITION BY probe_id ORDER BY ptf DESC, tok) AS rk
-         |    FROM (SELECT doc_id AS probe_id, tok,
-         |            count(*)::BIGINT AS ptf
-         |          FROM (SELECT doc_id, unnest(w) AS tok FROM c
-         |                WHERE doc_id IN (SELECT probe_id FROM probes))
-         |          WHERE tok NOT IN ($stop) GROUP BY 1, 2))
-         |  WHERE rk <= 4),
-         |tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
-         |       FROM (SELECT doc_id, dl, unnest(w) AS tok FROM c)
-         |       WHERE tok IN (SELECT DISTINCT tok FROM pt)
-         |       GROUP BY 1, 2, 3),
-         |dfr AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id, tok,
-         |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-         |      * (tf * ${K1 + 1.0})
-         |      / (tf + $K1 * (${1.0 - B} + $B * (dl / avgdl))) AS ts
-         |  FROM tf JOIN dfr USING (tok), g),
-         |ps AS (SELECT probe_id, doc_id, list(ts ORDER BY tok) AS l
-         |       FROM pt JOIN sc USING (tok) GROUP BY 1, 2),
-         |sco AS (SELECT probe_id, doc_id,
-         |    coalesce(l[1], 0.0) + coalesce(l[2], 0.0)
-         |      + coalesce(l[3], 0.0) + coalesce(l[4], 0.0) AS score
-         |  FROM ps),
-         |own AS (SELECT probe_id, score AS own_score FROM sco
-         |        WHERE doc_id = probe_id),
-         |agg AS (
-         |  SELECT s.probe_id, count(*)::BIGINT AS n_scored,
-         |    (1 + sum(CASE WHEN s.score > o.own_score
-         |        OR (s.score = o.own_score AND s.doc_id < s.probe_id)
-         |        THEN 1 ELSE 0 END))::BIGINT AS own_rank,
-         |    round(max(o.own_score), 4) + 0.0 AS own_bm25
-         |  FROM sco s JOIN own o USING (probe_id)
-         |  GROUP BY s.probe_id)
+    "retrieval_eval_mrr" ->
+      s"""WITH $sqlMrrRanks
          |SELECT probe_id, n_scored, own_rank,
          |  (1000000 // own_rank)::BIGINT AS rr_ppm, own_bm25
-         |FROM agg ORDER BY probe_id""".stripMargin
-    },
+         |FROM agg ORDER BY probe_id""".stripMargin,
+    "retrieval_eval_recall" ->
+      s"""WITH $sqlMrrRanks,
+         |ks AS (SELECT unnest([1, 3, 10]) AS k)
+         |SELECT k::BIGINT AS k, count(*)::BIGINT AS n_probes,
+         |  sum(CASE WHEN own_rank <= k THEN 1 ELSE 0 END)::BIGINT
+         |    AS hits,
+         |  (sum(CASE WHEN own_rank <= k THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*))::BIGINT AS hit_ppm
+         |FROM agg CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
     "mmr_diversify" -> sqlMmr,
     "rag_context_pack" ->
       s"""WITH $sqlBm25,

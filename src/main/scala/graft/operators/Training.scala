@@ -29,6 +29,8 @@ object Training {
     "quality_score_calibration" -> qualityScoreCalibration,
     "knn_eval_confusion" -> knnEvalConfusion,
     "bigram_lm_holdout" -> bigramLmHoldout,
+    "nb_lang_train" -> nbLangTrain,
+    "nb_lang_apply" -> nbLangApply,
     "feature_pit_join" -> featurePitJoin,
     "feature_pit_from_index" -> featurePitFromIndex
   )
@@ -93,6 +95,97 @@ object Training {
       .join(nd, Seq("source"))
       .select("source", "n_docs", "n_bigrams", "heldout_nll")
       .orderBy("source")
+  }
+
+  /** Multinomial Naive Bayes language-ID TRAIN — the trainable
+    * counterpart of [[graft.operators.TextAnalysis.langId]]'s
+    * fixed-rule n-gram heuristic (train once on labeled docs, serve
+    * the table forever): per SEEN (lang, token) pair the count and the
+    * add-one-smoothed token log-likelihood
+    * `ln((c + 1) / (n_lang + V))`, emitted as micro-nats floored onto
+    * the 10⁻⁶ grid ([[graft.operators.Dedup]]'s minhash_tuning_curve
+    * discipline: the summand is an exact-count ratio, so cross-engine
+    * `ln` agrees to the last ulp and the floor is deterministic; no
+    * raw doubles cross the oracle boundary). Unseen pairs need no
+    * rows — their smoothed floor `ln(1/(n_lang+V))` derives from
+    * n_lang and V, which [[nbLangApply]] recomputes.
+    *
+    * Scale shape: ONE explode → (lang, token) count with map-side
+    * combine (the corpus collapses to vocab×lang rows at the first
+    * shuffle), per-lang totals and the vocab count are model-sized
+    * aggregates of THAT frame (checkpointed — three consumers), and
+    * the output join runs on lang (broadcast). No per-doc state, no
+    * driver model. */
+  def nbLangTrain(s: SparkSession, d: String): DataFrame = {
+    val lt = Tables.documents(s, d)
+      .select(col("lang"), explode(graft.ops.Fns.tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nl = lt.groupBy(col("lang").as("nk")).agg(sum("c").as("n_lang"))
+    val v = lt.select("t").distinct().agg(count(lit(1)).as("v"))
+    lt.join(broadcast(nl), col("lang") === col("nk"))
+      .crossJoin(broadcast(v))
+      .select(col("lang"), col("t").as("token"), col("c"),
+        floor(log((col("c") + lit(1.0)) / (col("n_lang") + col("v")))
+          * 1000000).cast("long").as("ll_micro"))
+      .orderBy("lang", "token")
+  }
+
+  /** Multinomial Naive Bayes language-ID APPLY — self-eval of
+    * [[nbLangTrain]]'s model on the corpus (the logreg train/apply
+    * split): per doc, score every lang as
+    * `prior + Σ_token c_doc(token) · ll(lang, token)` in integer
+    * micro-nats (each summand floored onto the 10⁻⁶ grid exactly as
+    * trained, so per-(doc, lang) totals are ORDER-INDEPENDENT integer
+    * sums — the argmax cannot flip on cross-engine float fold order),
+    * pick the max (lang asc tie-break), report prediction vs truth.
+    *
+    * Scale shape: per-doc token counts (distinct (doc, token) rows,
+    * map-side combine) fan out ONLY by the lang spine (a broadcast of
+    * #langs rows), the model join runs on (lang, token) — vocab-sized
+    * keys, never positional token streams — and the argmax is a
+    * doc_id-partitioned window over #langs rows per doc (fine keys).
+    * Work ∝ distinct doc-tokens × #langs; no all-pairs anything. */
+  def nbLangApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Fns.tokens(col("text")).as("w"))
+      .localCheckpoint()
+    val dt = base.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c_doc"))
+    val lt = base.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy(col("lang").as("m_lang"), col("t").as("m_t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nl = lt.groupBy(col("m_lang").as("lang")).agg(sum("c").as("n_lang"))
+    val v = lt.select("m_t").distinct().agg(count(lit(1)).as("v"))
+    val pri = base.groupBy(col("lang").as("p_lang"))
+      .agg(count(lit(1)).as("n_docs_lang"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+      .select(col("p_lang"),
+        floor(log(col("n_docs_lang").cast("double") / col("n_total"))
+          * 1000000).cast("long").as("prior_micro"))
+    val scored = dt
+      .crossJoin(broadcast(nl.crossJoin(v)))
+      .join(lt, col("m_lang") === col("lang") && col("m_t") === col("t"),
+        "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c_doc")
+        * floor(log((coalesce(col("c"), lit(0L)) + lit(1.0))
+            / (col("n_lang") + col("v"))) * 1000000).cast("long"))
+        .as("s"))
+      .join(broadcast(pri), col("lang") === col("p_lang"))
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        (col("s") + col("prior_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("pred_lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(base.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("score_micro"),
+        (col("lang") === col("pred_lang")).cast("long").as("correct"))
+      .orderBy("doc_id")
   }
 
   /** Calibration audit of the TRAINED quality classifier — the
@@ -667,6 +760,52 @@ object Training {
   def oracles: Map[String, String] = Map(
     "feature_pit_join" -> PitOracle,
     "feature_pit_from_index" -> PitOracle,
+    "nb_lang_train" ->
+      s"""WITH lt AS (
+         |  SELECT lang, t, count(*)::BIGINT AS c
+         |  FROM (SELECT lang, unnest(${graft.ops.Fns.sqlTokens("text")})
+         |          AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM lt GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM lt)
+         |SELECT lt.lang, lt.t AS token, lt.c,
+         |  floor(ln((lt.c + 1.0) / (nl.n_lang + v.v))
+         |    * 1000000)::BIGINT AS ll_micro
+         |FROM lt JOIN nl USING (lang) CROSS JOIN v
+         |ORDER BY lang, token""".stripMargin,
+    "nb_lang_apply" ->
+      s"""WITH docs AS (SELECT doc_id, lang,
+         |    ${graft.ops.Fns.sqlTokens("text")} AS w FROM documents),
+         |dt AS (SELECT doc_id, t, count(*)::BIGINT AS c_doc
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM docs)
+         |       GROUP BY 1, 2),
+         |lt AS (SELECT lang, t, count(*)::BIGINT AS c
+         |       FROM (SELECT lang, unnest(w) AS t FROM docs)
+         |       GROUP BY 1, 2),
+         |nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM lt GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM lt),
+         |pri AS (SELECT lang,
+         |    floor(ln(count(*) / (SELECT count(*)::DOUBLE FROM documents))
+         |      * 1000000)::BIGINT AS prior_micro
+         |  FROM documents GROUP BY 1),
+         |sc AS (
+         |  SELECT dt.doc_id, nl.lang,
+         |    sum(dt.c_doc * floor(ln((coalesce(l.c, 0) + 1.0)
+         |      / (nl.n_lang + v.v)) * 1000000)::BIGINT)::BIGINT AS s
+         |  FROM dt CROSS JOIN nl CROSS JOIN v
+         |  LEFT JOIN lt l ON l.lang = nl.lang AND l.t = dt.t
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT sc.doc_id, sc.lang AS pred_lang,
+         |    sc.s + pri.prior_micro AS score_micro,
+         |    row_number() OVER (PARTITION BY sc.doc_id
+         |      ORDER BY sc.s + pri.prior_micro DESC, sc.lang) AS rk
+         |  FROM sc JOIN pri ON pri.lang = sc.lang)
+         |SELECT d.doc_id, d.lang, b.pred_lang, b.score_micro,
+         |  (d.lang = b.pred_lang)::BIGINT AS correct
+         |FROM best b JOIN documents d USING (doc_id)
+         |WHERE b.rk = 1
+         |ORDER BY doc_id""".stripMargin,
     "bigram_lm_holdout" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source, ${graft.ops.Fns.sqlTokens("text")} AS w,

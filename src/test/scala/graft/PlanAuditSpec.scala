@@ -52,6 +52,22 @@ class PlanAuditSpec extends SparkSpec {
       s"sessionize should shuffle once + sort: ${shuffles(p)}")
   }
 
+  test("attribution: one user window pass, conversions reconcile") {
+    val p = plan("log_attribution")
+    assert(shuffles(p) <= 3,
+      s"attribution should be window + rollup + sort: ${shuffles(p)}")
+    // conservation: per model, attributed conversions = purchase count
+    val rows = SparkEntry.queries("log_attribution")(spark, sf0001).collect()
+    val purchases = graft.sources.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    Seq("first", "last").foreach { m =>
+      val tot = rows.filter(_.getAs[String]("model") == m)
+        .map(_.getAs[Long]("n_conversions")).sum
+      assert(tot === purchases, s"model $m loses conversions")
+    }
+  }
+
   test("broadcast-dim join does not shuffle the dim side") {
     val p = plan("join_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"))

@@ -27,6 +27,40 @@ class TrainingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("NB lang model: smoothed log-likelihoods are negative and ranked by count") {
+    val rows = Training.nbLangTrain(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ll_micro") < 0L, "ln of a proper fraction")
+      assert(r.getAs[Long]("c") >= 1L)
+    }
+    // within a lang, a higher count can never score a LOWER
+    // log-likelihood (same denominator, monotone numerator)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      rs.sortBy(_.getAs[Long]("c")).toSeq.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          assert(lo.getAs[Long]("ll_micro") <= hi.getAs[Long]("ll_micro")
+            || lo.getAs[Long]("c") === hi.getAs[Long]("c"))
+        case _ =>
+      }
+    }
+  }
+
+  test("NB lang classifier beats the majority-class baseline") {
+    val rows = Training.nbLangApply(spark, sf0001).collect()
+    val n = rows.length
+    assert(n > 0)
+    val correct = rows.count(_.getAs[Long]("correct") === 1L)
+    val majority = rows.groupBy(_.getAs[String]("lang"))
+      .values.map(_.size).max
+    assert(correct > majority,
+      s"NB accuracy $correct/$n does not beat majority class $majority/$n")
+    // every doc classified exactly once, prediction from the label set
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === n)
+    val langs = rows.map(_.getAs[String]("lang")).toSet
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+  }
+
   test("BPE merges are hierarchical and counts never increase rank-wise") {
     val rows = Training.bpeMerges(spark, sf0001).collect()
     assert(rows.length === 8)
