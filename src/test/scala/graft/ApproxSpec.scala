@@ -279,6 +279,29 @@ class ApproxSpec extends SparkSpec {
       s"re-rank recall $rrRecall did not recover over plain PQ $pqRecall")
   }
 
+  test("SQ top-k: exact rerank scores, near-lossless shortlist recall") {
+    import graft.operators.Similarity
+    val sq = Similarity.annSqTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dot"),
+        r.getAs[Double]("cos_sim")))
+    assert(sq.length === 10)
+    val exact = Similarity.annBruteforce(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val exactById = exact.toMap
+    // stage 2 never approximates: re-ranked cosines equal brute force
+    sq.foreach { case (id, _, c) =>
+      exactById.get(id).foreach(e => assert(e === c,
+        s"SQ re-ranked cosine for $id diverged from brute force")) }
+    // 8-bit min-max quantization over a 100-wide shortlist should be
+    // near-lossless at 10 wanted: pin a high floor (9/10 on fixture)
+    val recall = sq.map(_._1).count(exact.map(_._1).toSet.contains)
+    info(s"SQ re-rank recall@10: $recall/10")
+    assert(recall >= 9, s"SQ shortlist lost too much: $recall/10")
+    // integer shortlist scores bounded by the symmetric code range
+    sq.foreach { case (_, dot, _) =>
+      assert(math.abs(dot) <= 127L * 127L * 64L) }
+  }
+
   test("PQ materialized index: probe equals in-query PQ, codes are slim") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
