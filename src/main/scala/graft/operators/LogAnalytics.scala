@@ -110,7 +110,27 @@ object LogAnalytics {
     * metadata-sized at any corpus. Ordering inside the window is
     * (ts_us, event_id) — total, so late/duplicate timestamps cannot
     * flip attribution between runs or engines. */
-  def attribution(s: SparkSession, d: String): DataFrame = {
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionTouches(s, d)
+      .select(col("v_centi"), explode(array(
+        struct(lit("first").as("model"),
+          col("first_touch").as("touch_type")),
+        struct(lit("last").as("model"),
+          col("last_touch").as("touch_type"))))
+        .as("m"))
+      .groupBy(col("m.model").as("model"),
+        col("m.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("v_centi").as("value_centi"))
+      .orderBy("model", "touch_type")
+
+  /** Per-purchase (event_id, user_id, first_touch, last_touch,
+    * v_centi) frame of [[attribution]] — exposed package-private so
+    * StreamingSpec can pin the `flatMapGroupsWithState` ingest twin
+    * ([[graft.streaming.Pipelines.attributionStream]]) row-identical
+    * to this batch window. */
+  private[graft] def attributionTouches(
+      s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -120,20 +140,13 @@ object LogAnalytics {
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("v_centi"))
-      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
-      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_touch",
+        coalesce(first(touch, ignoreNulls = true).over(w), lit("none")))
+      .withColumn("last_touch",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
       .filter(col("event_type") === "purchase")
-      .select(col("v_centi"), explode(array(
-        struct(lit("first").as("model"),
-          coalesce(col("first_touch"), lit("none")).as("touch_type")),
-        struct(lit("last").as("model"),
-          coalesce(col("last_touch"), lit("none")).as("touch_type"))))
-        .as("m"))
-      .groupBy(col("m.model").as("model"),
-        col("m.touch_type").as("touch_type"))
-      .agg(count(lit(1)).as("n_conversions"),
-        sum("v_centi").as("value_centi"))
-      .orderBy("model", "touch_type")
+      .select("event_id", "user_id", "ts_us", "first_touch",
+        "last_touch", "v_centi")
   }
 
   def outOfOrderStats(s: SparkSession, d: String): DataFrame =

@@ -229,6 +229,56 @@ object Pipelines {
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
+  case class TouchEvent(event_id: Long, ts_us: Long, user_id: Long,
+    event_type: String, v_centi: Long)
+  /** Empty string = "no touch yet" (Tungsten-friendly: no Option
+    * boxing in state rows). */
+  case class TouchState(first: String, last: String)
+  case class AttributionRow(event_id: Long, user_id: Long,
+    first_touch: String, last_touch: String, v_centi: Long)
+
+  /** Streaming conversion attribution — the ingest-time twin of the
+    * batch `log_attribution` window
+    * ([[graft.operators.LogAnalytics.attributionTouches]]): per-user
+    * state is TWO strings (first touch ever, latest touch) — O(1) per
+    * user, no event retention — and every purchase emits its
+    * attribution from the state as it stood BEFORE the purchase
+    * (within a micro-batch, rows replay in (ts_us, event_id) order —
+    * the same total order the batch window sorts by — so micro-batch
+    * boundaries cannot change any purchase's attribution;
+    * StreamingSpec pins stream ≡ batch per purchase AND the rolled-up
+    * stream ≡ the `log_attribution` report). */
+  def attributionStream(events: Dataset[TouchEvent])
+      : Dataset[AttributionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[TouchEvent],
+         state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState("", ""))
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .flatMap { e =>
+              val emit =
+                if (e.event_type == "purchase")
+                  Some(AttributionRow(e.event_id, userId,
+                    if (st.first.isEmpty) "none" else st.first,
+                    if (st.last.isEmpty) "none" else st.last,
+                    e.v_centi))
+                else None
+              if (e.event_type == "view" || e.event_type == "click")
+                st = TouchState(
+                  if (st.first.isEmpty) e.event_type else st.first,
+                  e.event_type)
+              emit
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class ArrEvent(event_id: Long, arr: Long,
       ts: java.sql.Timestamp, user_id: Long)
   case class MaxTsState(maxUs: Long)

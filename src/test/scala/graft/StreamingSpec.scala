@@ -697,6 +697,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: per-purchase touches ≡ batch window, " +
+      "rollup ≡ log_attribution") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Pipelines.TouchEvent
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type",
+        "cast(round(value * 100) as bigint) as v_centi")
+      .collect()
+      .map(r => TouchEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[TouchEvent]
+    val q = Pipelines.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      val third = evs.length / 3
+      mem.addData(evs.take(third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.slice(third, 2 * third): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2 * third): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3),
+          r.getLong(4)))).toMap
+      val batch = graft.operators.LogAnalytics
+        .attributionTouches(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[String]("first_touch"),
+            r.getAs[String]("last_touch"),
+            r.getAs[Long]("v_centi")))).toMap
+      assert(streamed.size === batch.size,
+        "stream must emit exactly one row per purchase")
+      assert(streamed === batch,
+        "streamed attribution != batch window attribution")
+      // rolled-up stream ≡ the published report
+      val rolled = spark.table("attrib")
+        .selectExpr("v_centi",
+          "explode(array(struct('first' as model, first_touch as touch_type)," +
+            " struct('last' as model, last_touch as touch_type))) as m")
+        .groupBy("m.model", "m.touch_type")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_conversions"),
+          org.apache.spark.sql.functions.sum("v_centi").as("value_centi"))
+        .orderBy("model", "touch_type")
+        .collect().map(_.toString).toSeq
+      val report = SparkEntry.queries("log_attribution")(spark, sf0001)
+        .collect().map(_.toString).toSeq
+      assert(rolled === report,
+        "stream rollup != log_attribution report")
+    } finally q.stop()
+  }
+
   test("streaming lateness gauge: per-event lateness ≡ batch window " +
       "across micro-batch boundaries") {
     import spark.implicits._
