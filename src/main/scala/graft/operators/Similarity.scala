@@ -38,6 +38,7 @@ object Similarity {
     "ann_pq_rerank" -> annPqRerank,
     "embedding_int8_quantize" -> int8Quantize,
     "ann_sq_topk" -> annSqTopk,
+    "ann_sq_from_index" -> annSqFromIndex,
     "centroid_classify" -> centroidClassify,
     "ann_range_search" -> annRangeSearch,
     "cluster_source_mixture" -> clusterSourceMixture,
@@ -1269,11 +1270,33 @@ object Similarity {
     * (broadcast semi join = point reads against a vec_id-sorted
     * store) and re-ranks by exact cosine (round-4 + total tie
     * order). */
-  def annSqTopk(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-    val coded = e
-      .withColumn("nrm", expr(
+  def annSqTopk(s: SparkSession, d: String): DataFrame =
+    sqServe(s, d,
+      sqNormCodes(Tables.embeddings(s, d)).select("vec_id", "qs"))
+
+  /** The serving twin of [[annSqTopk]]: int8 codes read from the
+    * MATERIALIZED index ([[graft.ops.Materialize.sqIndex]] —
+    * vec_id-range-sorted code files, 64 longs per vector, built once
+    * per corpus refresh), so the shortlist pass never recomputes a
+    * norm or a code; float vectors are touched only by the 100-row
+    * re-rank point reads and the 1-row query fetch. Row-identical to
+    * the in-query twin by construction (one [[sqServe]] tail, one
+    * oracle text) — ApproxSpec pins equality and that the plan reads
+    * the artifact. */
+  def annSqFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ops.BuildOnce.scratchPath("sq", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.sqIndex(s, d, path)
+    }
+    sqServe(s, d, s.read.parquet(path))
+  }
+
+  /** (vec_id, embedding, qs) with the symmetric unit-norm int8 codes —
+    * ONE definition shared by [[annSqTopk]]'s in-query path and
+    * [[graft.ops.Materialize.sqIndex]]'s artifact build (the codes a
+    * serving node reads are the codes the audit query computes). */
+  private[graft] def sqNormCodes(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(
         """sqrt(aggregate(transform(embedding,
           |  x -> cast(x as double) * cast(x as double)),
           |  cast(0 as double), (acc, v) -> acc + v))""".stripMargin))
@@ -1281,18 +1304,27 @@ object Similarity {
         """CASE WHEN nrm > 0 THEN transform(embedding,
           |    x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))
           |  ELSE transform(embedding, x -> 0L) END""".stripMargin))
-    val q = coded.orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("qs").as("qq"))
-    val short = coded.crossJoin(broadcast(q))
+
+  /** Shared serve tail of the two SQ paths: integer-dot top-100
+    * shortlist over `codes` (vec_id, qs), exact-cosine re-rank against
+    * the float table. */
+  private def sqServe(s: SparkSession, d: String,
+      codes: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val q = codes.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("qs").as("qq"))
+    val short = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr(
         "aggregate(zip_with(qs, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(100)
+    val e = Tables.embeddings(s, d)
+    val qe = e.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("q_emb"))
     e.join(broadcast(short), "vec_id")
-      .crossJoin(broadcast(q.select("q_emb")))
+      .crossJoin(broadcast(qe))
       .withColumn("cos", cos(col("embedding"), col("q_emb")))
       .select(col("vec_id"), col("dot"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
@@ -1450,6 +1482,36 @@ object Similarity {
     * 2 Lloyd passes, 10⁻⁶-grid centroids) as a reusable CTE block
     * ending in `a2(vec_id, cid)` — shared by `cluster_kmeans` and
     * `cluster_source_mixture`. */
+  /** The SQ two-stage serve — ONE oracle text for [[annSqTopk]] and
+    * [[annSqFromIndex]] (the artifact must reproduce the in-query
+    * codes exactly, so both keys hash against the same replay). */
+  private lazy val sqlSqTopk: String =
+    s"""WITH nrmed AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+       |      for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, embedding,
+       |    [CASE WHEN nrm > 0 THEN
+       |       floor(embedding[i]::DOUBLE / nrm * 127.0)::BIGINT
+       |     ELSE 0 END
+       |     for i in generate_series(1, len(embedding))] AS qs
+       |  FROM nrmed),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, qs AS qq
+       |      FROM coded ORDER BY vec_id LIMIT 1),
+       |short AS (
+       |  SELECT c.vec_id,
+       |    list_sum([(c.qs[i] * q.qq[i])::BIGINT
+       |      for i in generate_series(1, len(c.qs))])::BIGINT AS dot
+       |  FROM coded c, q WHERE c.vec_id <> q.q_id
+       |  ORDER BY dot DESC, c.vec_id LIMIT 100)
+       |SELECT e.vec_id, s.dot,
+       |  round(${Fns.sqlCosine("e.embedding", "q.q_emb")}, 4) + 0.0
+       |    AS cos_sim
+       |FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   private def sqlKmeans8: String = sqlKmeans8On("")
 
   /** [[sqlKmeans8]] with an optional WHERE clause restricting the fit
@@ -1669,32 +1731,10 @@ object Similarity {
          |    ELSE 0 END
          |    for i in generate_series(1, len(embedding))])::BIGINT AS sse_e9
          |FROM q ORDER BY vec_id""".stripMargin,
-    "ann_sq_topk" ->
-      s"""WITH nrmed AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-         |      for i in generate_series(1, len(embedding))])) AS nrm
-         |  FROM embeddings),
-         |coded AS (
-         |  SELECT vec_id, embedding,
-         |    [CASE WHEN nrm > 0 THEN
-         |       floor(embedding[i]::DOUBLE / nrm * 127.0)::BIGINT
-         |     ELSE 0 END
-         |     for i in generate_series(1, len(embedding))] AS qs
-         |  FROM nrmed),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, qs AS qq
-         |      FROM coded ORDER BY vec_id LIMIT 1),
-         |short AS (
-         |  SELECT c.vec_id,
-         |    list_sum([(c.qs[i] * q.qq[i])::BIGINT
-         |      for i in generate_series(1, len(c.qs))])::BIGINT AS dot
-         |  FROM coded c, q WHERE c.vec_id <> q.q_id
-         |  ORDER BY dot DESC, c.vec_id LIMIT 100)
-         |SELECT e.vec_id, s.dot,
-         |  round(${Fns.sqlCosine("e.embedding", "q.q_emb")}, 4) + 0.0
-         |    AS cos_sim
-         |FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
-         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_sq_topk" -> sqlSqTopk,
+    // the from-index twin serves the identical codes from the
+    // artifact, so the one oracle text gates both paths
+    "ann_sq_from_index" -> sqlSqTopk,
     "cluster_kmeans" ->
       s"""WITH $sqlKmeans8
          |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,

@@ -255,6 +255,21 @@ object Materialize {
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Materialize the SQ serving index — the (vec_id, qs) symmetric
+    * unit-norm int8 code table behind `ann_sq_from_index`: 64 longs
+    * per vector (codes only, no floats), vec_id-range-sorted so the
+    * serve-time shortlist scans slim code files and the re-rank's
+    * point reads prune row groups. The code rule is
+    * [[graft.operators.Similarity.sqNormCodes]] — the one definition
+    * the in-query twin computes. */
+  def sqIndex(s: SparkSession, dir: String, path: String): Unit =
+    graft.operators.Similarity.sqNormCodes(
+      graft.sources.Tables.embeddings(s, dir))
+      .select("vec_id", "qs")
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(path)
+
   /** Materialize the point-in-time FEATURE STORE — the (user_id, day)
     * → prior-day snapshot table behind `feature_pit_join`: written
     * once per refresh, (user_id, day)-range-sorted so a training-set

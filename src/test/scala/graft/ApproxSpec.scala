@@ -302,6 +302,21 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(dot) <= 127L * 127L * 64L) }
   }
 
+  test("SQ materialized index: serve equals in-query, plan reads codes") {
+    import graft.operators.Similarity
+    val inQuery = Similarity.annSqTopk(spark, sf0001).collect()
+      .map(_.toString).toSeq
+    val df = Similarity.annSqFromIndex(spark, sf0001)
+    val served = df.collect().map(_.toString).toSeq
+    assert(served === inQuery,
+      "from-index SQ serve diverged from the in-query twin")
+    // the shortlist side must actually read the code artifact
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains(graft.ops.BuildOnce.scratchPath("sq", sf0001)),
+      "plan does not read the materialized SQ code files")
+  }
+
   test("PQ materialized index: probe equals in-query PQ, codes are slim") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
