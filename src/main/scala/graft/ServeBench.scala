@@ -32,6 +32,8 @@ object ServeBench {
     "ann_pq_from_index" -> "vector (from index)",
     "ann_ivfpq_from_index" -> "vector (from index)",
     "ann_pq_rerank" -> "vector (from index)",
+    "ann_sq_topk" -> "vector (in-query build)",
+    "ann_sq_from_index" -> "vector (from index)",
     "bm25_topk" -> "lexical (in-query build)",
     "phrase_search" -> "lexical (in-query build)",
     "bm25_from_index" -> "lexical (from index)",

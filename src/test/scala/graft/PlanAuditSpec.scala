@@ -141,6 +141,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin"), "candidate join degenerated")
   }
 
+  test("prefix jaccard: equi-join candidates, no cartesian, bounded shuffles") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!finalTree(p).contains("CartesianProduct"),
+      "prefix filter must stay an equi-join on the shingle hash")
+    assert(shuffles(p) <= 12,
+      s"prefix jaccard shuffle budget exceeded: ${shuffles(p)}")
+  }
+
   test("minhash LSH never materializes a cartesian") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("NestedLoopJoin"),
