@@ -76,7 +76,8 @@ object Relational {
     "orders_rfm_segments" -> rfmSegments,
     "orders_rfm_segments_approx" -> rfmSegmentsApprox,
     "fulfilment_latency_profile" -> fulfilmentLatency,
-    "fulfilment_latency_profile_approx" -> fulfilmentLatencyApprox
+    "fulfilment_latency_profile_approx" -> fulfilmentLatencyApprox,
+    "supplier_lead_trend" -> supplierLeadTrend
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1680,6 +1681,52 @@ object Relational {
   /** [[fulfilmentLatency]]'s pipeline with the percentile aggregate
     * pluggable (`pctl(col, p)` renders the SQL aggregate) — shared by
     * the exact oracle query and the sketch twin. */
+  /** Per-supplier lead-time TREND — is a supplier getting slower? For
+    * every lineitem, x = order epoch-day, y = ship-lag days
+    * (l_shipdate − o_orderdate); per supplier the line count, mean lag
+    * in milli-days, and the ordinary-least-squares slope in
+    * micro-days-per-day: `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` —
+    * EXACT arithmetic end to end: per-row products stay in Long
+    * (x ~ 10⁴ days, y ≤ a few hundred — x·y ≤ ~10⁷), the five
+    * aggregates sum in decimal(38,0) (the `supplier_scorecard`
+    * overflow discipline: at 10⁹ rows/supplier Σx² ~ 10¹⁷ and
+    * n·Σxy ~ 10²⁴ — past Long, nowhere near 10³⁸), and the closing
+    * division is integral `div` ≡ DuckDB HUGEINT `//` (the
+    * `logreg_quality_train` negative-operand parity). Degenerate
+    * suppliers (all orders one day ⇒ zero variance) emit slope 0 by
+    * the guarded CASE.
+    *
+    * Scale shape: the textbook ALGEBRAIC regression — one orderkey
+    * equi-join (day projections pushed beneath it), one suppkey
+    * shuffle with map-side partial sums, O(1) state per group: no
+    * window, no percentile buffer, nothing to swap at 100 TB. */
+  def supplierLeadTrend(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs")
+          .as("sday"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+          .as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("oday").as("x"),
+        (col("sday") - col("oday")).as("y"))
+    pts.groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("l_suppkey").as("s_suppkey"),
+        col("n").cast("long").as("n_lines"),
+        expr("cast(sy * 1000 div n as bigint)").as("mean_lead_milli"),
+        expr("""cast(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+          |  ELSE (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)
+          |END as bigint)""".stripMargin).as("slope_micro"))
+      .orderBy("s_suppkey")
+  }
+
   private def fulfilmentOf(s: SparkSession, d: String,
       pctl: (String, String) => String): DataFrame = {
     val dayUs = 86400L * 1000000L
@@ -1790,6 +1837,24 @@ object Relational {
         |  round(quantile_cont(lat::DOUBLE, 0.9), 4) AS p90_days,
         |  max(lat)::BIGINT AS max_days
         |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "supplier_lead_trend" ->
+      """WITH pts AS (
+        |  SELECT l_suppkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    epoch_us(l_shipdate) // 86400000000
+        |      - epoch_us(o_orderdate) // 86400000000 AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT l_suppkey, count(*)::HUGEINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT l_suppkey AS s_suppkey, n::BIGINT AS n_lines,
+        |  (sy * 1000 // n)::BIGINT AS mean_lead_milli,
+        |  (CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |   ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+        |   END)::BIGINT AS slope_micro
+        |FROM a ORDER BY s_suppkey""".stripMargin,
     "orders_backlog_curve" ->
       """WITH op AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
