@@ -77,7 +77,8 @@ object Relational {
     "orders_rfm_segments_approx" -> rfmSegmentsApprox,
     "fulfilment_latency_profile" -> fulfilmentLatency,
     "fulfilment_latency_profile_approx" -> fulfilmentLatencyApprox,
-    "supplier_lead_trend" -> supplierLeadTrend
+    "supplier_lead_trend" -> supplierLeadTrend,
+    "orders_dup_payment_audit" -> dupPaymentAudit
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1681,6 +1682,45 @@ object Relational {
   /** [[fulfilmentLatency]]'s pipeline with the percentile aggregate
     * pluggable (`pctl(col, p)` renders the SQL aggregate) — shared by
     * the exact oracle query and the sketch twin. */
+  /** Duplicate-payment audit — the finance-ops double-submission
+    * sweep: order pairs by the SAME customer on the SAME order day
+    * (a_orderkey < b_orderkey), each with both centi-totals and their
+    * absolute delta — the auditor ranks by delta (0 = identical
+    * amount twice in one day, the classic double-bill) and day-level
+    * granularity catches resubmitted orders whose totals drifted
+    * (price recalc, partial line drop) that an exact-amount key would
+    * miss.
+    *
+    * Scale shape: candidates come from an equi-join on
+    * (o_custkey, day) — the join key CONTAINS the customer, so
+    * per-key fan-out is bounded by ONE customer's same-day order
+    * count (a flash-sale day that is hot corpus-wide still partitions
+    * per customer; no price-collision hot keys exist at all). One
+    * shuffle on the composite key, map-side-projected day/centi
+    * columns, pair volume Σ_cust-day c² with tiny c. */
+  def dupPaymentAudit(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("price_centi"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+          .as("day"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey")
+          && col("a.day") === col("b.day")
+          && col("a.o_orderkey") < col("b.o_orderkey"))
+      .select(col("a.o_custkey").as("o_custkey"),
+        col("a.day").as("day"),
+        col("a.o_orderkey").as("a_orderkey"),
+        col("b.o_orderkey").as("b_orderkey"),
+        col("a.price_centi").as("a_centi"),
+        col("b.price_centi").as("b_centi"),
+        abs(col("a.price_centi") - col("b.price_centi"))
+          .as("delta_centi"))
+      .orderBy("a_orderkey", "b_orderkey")
+  }
+
   /** Per-supplier lead-time TREND — is a supplier getting slower? For
     * every lineitem, x = order epoch-day, y = ship-lag days
     * (l_shipdate − o_orderdate); per supplier the line count, mean lag
@@ -1855,6 +1895,21 @@ object Relational {
         |   ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
         |   END)::BIGINT AS slope_micro
         |FROM a ORDER BY s_suppkey""".stripMargin,
+    "orders_dup_payment_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    round(o_totalprice * 100)::BIGINT AS price_centi,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders)
+        |SELECT a.o_custkey, a.day,
+        |  a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey,
+        |  a.price_centi AS a_centi, b.price_centi AS b_centi,
+        |  abs(a.price_centi - b.price_centi)::BIGINT AS delta_centi
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey
+        |  AND a.day = b.day
+        |  AND a.o_orderkey < b.o_orderkey
+        |ORDER BY a_orderkey, b_orderkey""".stripMargin,
     "orders_backlog_curve" ->
       """WITH op AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
