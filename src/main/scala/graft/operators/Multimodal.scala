@@ -36,8 +36,45 @@ object Multimodal {
     "mm_frame_sample" -> frameSample,
     "mm_payload_dedup" -> payloadDedup,
     "mm_resize_grid" -> resizeGrid,
-    "mm_phash_dedup" -> phashDedup
+    "mm_phash_dedup" -> phashDedup,
+    "mm_byte_entropy" -> byteEntropy
   )
+
+  /** Byte-level entropy census per payload — the cheap corruption
+    * screen a media pipeline runs BEFORE paying for a decode: a
+    * constant/truncated payload (blank frame, zero-fill) shows
+    * near-zero entropy, valid compressed media sits near ln 256 =
+    * 5.545, and text masquerading as media lands between. Per doc:
+    * byte count, distinct byte values, and H = −Σ p·ln p over the
+    * byte histogram (the `text_token_entropy` discipline:
+    * exact-count ratios, round-4 — cross-engine ln agrees to the
+    * last ulp and the sum sits nowhere near a midpoint).
+    *
+    * Shape: the hex rendering binds ONCE via [[graft.ops.Fns.bound]]
+    * (an unbound `hex(payload…)` would re-derive the md5 chain per
+    * BYTE under CollapseProject — the round-6 lambda-inlining trap),
+    * then one explode → (doc, byte) count with map-side combine, a
+    * doc-keyed total join, one aggregate: all shuffles on doc_id or
+    * (doc_id, byte), ≤ 256 histogram rows per doc. */
+  def byteEntropy(s: SparkSession, d: String): DataFrame = {
+    val bytesArr = graft.ops.Fns.bound(hex(payloadCol)) { hx =>
+      transform(sequence(lit(0), (length(hx) / 2).cast("int") - 1),
+        i => hexByte(hx, i).cast("long"))
+    }
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bytesArr).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val n = c.groupBy(col("doc_id").as("nd"))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct_bytes"))
+    c.join(n, col("doc_id") === col("nd"))
+      .groupBy(col("doc_id"), col("n"), col("n_distinct_bytes"))
+      .agg(round(lit(0) - sum((col("c") / col("n"))
+        * log(col("c") / col("n"))), 4).as("byte_entropy"))
+      .select(col("doc_id"), col("n").cast("long").as("n_bytes"),
+        col("n_distinct_bytes"), col("byte_entropy"))
+      .orderBy("doc_id")
+  }
 
   /** Byte value at 0-based byte offset `i` of hex rendering `hx`
     * (digit-table decode — [[graft.ops.Fns.md5Hash24]]'s trick). */
@@ -327,6 +364,25 @@ object Multimodal {
       s" + (strpos('0123456789ABCDEF', substr(hx, ($i) * 2 + 2, 1)) - 1))"
 
   val oracles: Map[String, String] = Map(
+    "mm_byte_entropy" ->
+      s"""$payloadCte,
+         |h AS (SELECT doc_id, hex(payload) AS hx,
+         |        octet_length(payload)::BIGINT AS n_bytes FROM p),
+         |ex AS (
+         |  SELECT doc_id, ${sqlHexByte("i")}::BIGINT AS b
+         |  FROM (SELECT doc_id, hx,
+         |          unnest(generate_series(0, (n_bytes - 1)::INT)) AS i
+         |        FROM h)),
+         |c AS (SELECT doc_id, b, count(*)::DOUBLE AS c
+         |      FROM ex GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(c) AS n,
+         |        count(*)::BIGINT AS n_distinct_bytes
+         |      FROM c GROUP BY 1)
+         |SELECT c.doc_id AS doc_id, n::BIGINT AS n_bytes,
+         |  n_distinct_bytes,
+         |  round(0.0 - sum((c / n) * ln(c / n)), 4) AS byte_entropy
+         |FROM c JOIN n ON c.doc_id = n.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY c.doc_id""".stripMargin,
     "mm_resize_grid" -> {
       val avg = s"((${sqlHexByte("base")} + ${sqlHexByte("base + 1")}" +
         s" + ${sqlHexByte("base + 16")} + ${sqlHexByte("base + 17")}) // 4)"
