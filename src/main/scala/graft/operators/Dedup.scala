@@ -1714,11 +1714,15 @@ object Dedup {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRk = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    // checkpoint: the prefix frame (vocab join + two windows) feeds
+    // BOTH sides of the self-join — without this the rank window runs
+    // twice (the `all` localCheckpoint reasoning, one stage later)
     val prefix = all.join(dfs, "h")
       .withColumn("n", count(lit(1)).over(wN))
       .withColumn("rk", row_number().over(wRk))
       .filter(col("rk") <= expr("n div 2 + 1"))
       .select("doc_id", "h", "n")
+      .localCheckpoint()
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
           && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)

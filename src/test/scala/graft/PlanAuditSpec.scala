@@ -68,6 +68,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("supplier lead trend: algebraic aggregate, no window, no sort-join") {
+    val p = plan("supplier_lead_trend")
+    assert(!finalTree(p).contains("Window"),
+      "OLS moments must aggregate, never window")
+    assert(shuffles(p) <= 4,
+      s"lead trend should be join + one suppkey agg: ${shuffles(p)}")
+  }
+
+  test("NB apply: lang spine broadcasts, model join on vocab keys") {
+    val p = plan("nb_lang_apply")
+    assert(broadcasts(p) >= 2,
+      "lang spine and priors should broadcast")
+    assert(!finalTree(p).contains("CartesianProduct"),
+      "the lang fan-out must be a broadcast nested loop, not cartesian")
+  }
+
   test("broadcast-dim join does not shuffle the dim side") {
     val p = plan("join_broadcast_dim")
     assert(p.contains("BroadcastHashJoin"))
