@@ -218,7 +218,9 @@ object Stress {
       "dedup_substring_runs", "minhash_tuning_curve", "log_ab_uplift",
       "stream_upsert_latest", "orders_forecast_ewma",
       // round-9 additions
-      "dedup_jaccard_prefix")
+      "dedup_jaccard_prefix", "nb_lang_apply", "mm_byte_entropy",
+      "orders_dup_payment_audit", "log_attribution",
+      "supplier_lead_trend", "retrieval_eval_recall", "ann_sq_topk")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())
@@ -364,6 +366,25 @@ object Stress {
     require(ccDefChk == ccArtChk,
       s"artifact-mode cc_incremental output checksum $ccArtChk != " +
         s"default $ccDefChk — the modes diverged")
+    // dup-payment organic receipt: the K-copy fact corpus above
+    // multiplies every customer-day K× — a planted K-clique of TRUE
+    // double-bills on every customer-day, so the audit's output there
+    // is genuinely quadratic in K (it measures the planted corpus, not
+    // operator overhead — the documents-scaling note's clique artifact,
+    // fact edition). The receipt therefore scales in the ORGANIC
+    // direction instead: K custkey-offset copies (customers grow K×,
+    // per-customer same-day density constant) — suspect pairs and
+    // shuffle must grow ∝ K
+    val ordersBase = graft.sources.Tables.table(spark, sfDir, "orders")
+    (0 until k).map(i => ordersBase
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * keyOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * keyOff)))
+      .reduce(_ unionAll _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir-dup/orders.parquet")
+    val (_, dupPairsOrganic, _) = measure("dup_payment_pairs_organic")(
+      SparkEntry.queries("orders_dup_payment_audit")(spark, s"$dir-dup")
+        .count())
     // mrr probe-workload receipt: the probe panel is a fixed COUNT
     // (graft.mrr.nProbes, default 50), so the scored-pair volume must
     // follow the panel's query terms' postings — ~flat across K on the
@@ -426,6 +447,7 @@ object Stress {
       s""""cc_inc_default_shuffle":$ccDefSb,""" +
       s""""cc_inc_artifact_sec":$ccArtSec,""" +
       s""""cc_inc_artifact_shuffle":$ccArtSb,""" +
+      s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +
       s""""queries":$qJson}""")
