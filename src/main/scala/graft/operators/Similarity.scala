@@ -564,8 +564,10 @@ object Similarity {
     * build-once/serve-cheap split as the PQ path, with the "index"
     * being 128 doubles. */
   /** Per-dim min/max bounds of the corpus, packed into ONE broadcast
-    * row (amn, amx) — the scalar-quantization "codebook", shared by
-    * [[int8Quantize]] and [[annSqTopk]] so the two cannot drift. */
+    * row (amn, amx) — the affine-quantization "codebook" of
+    * [[int8Quantize]] (the storage-compression audit; the SERVING
+    * paths use [[sqNormCodes]]' symmetric codes instead — affine
+    * codes do not rank-preserve cosine). */
   private def sqBounds(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i")
@@ -576,10 +578,11 @@ object Similarity {
       .select(expr("transform(s, e -> e.mn)").as("amn"),
         expr("transform(s, e -> e.mx)").as("amx"))
 
-  /** The uint8 min-max quantization rule over (embedding, amn, amx) —
-    * ONE expression for both consumers (and mirrored verbatim by the
-    * DuckDB oracles): identical double ops in identical order, so the
-    * floored codes are deterministic cross-engine. */
+  /** The uint8 min-max AFFINE quantization rule over (embedding, amn,
+    * amx) — [[int8Quantize]]'s codes, mirrored verbatim by its DuckDB
+    * oracle: identical double ops in identical order, so the floored
+    * codes are deterministic cross-engine. Storage audit only — the
+    * serving paths quantize with [[sqNormCodes]]. */
   private def sqCodes: Column = expr(
     """transform(embedding, (x, i) -> CASE
       |  WHEN element_at(amx, i + 1) > element_at(amn, i + 1) THEN
