@@ -78,7 +78,8 @@ object Relational {
     "fulfilment_latency_profile" -> fulfilmentLatency,
     "fulfilment_latency_profile_approx" -> fulfilmentLatencyApprox,
     "supplier_lead_trend" -> supplierLeadTrend,
-    "orders_dup_payment_audit" -> dupPaymentAudit
+    "orders_dup_payment_audit" -> dupPaymentAudit,
+    "join_view_delta_refresh" -> joinViewDeltaRefresh
   )
 
   /** Z-ORDER layout audit — the data-layout decision quantified
@@ -1721,6 +1722,56 @@ object Relational {
       .orderBy("a_orderkey", "b_orderkey")
   }
 
+  /** Incremental JOIN-VIEW maintenance (IVM) — the nightly refresh of
+    * a materialized orders⋈lineitem view (per order priority: line
+    * count + exact e4 revenue, reported as count + exact integral
+    * MEAN so the output column never outgrows Long while the
+    * maintained state stays additive (count, decimal sum)). The delta
+    * mixes BOTH CDC shapes: whole NEW orders (orderkey ≥ the midpoint
+    * cut — their lines are necessarily new) and LATE-ARRIVING lines
+    * on OLD orders (linenumber ≥ 3 — the out-of-order completion
+    * `orders_backlog_curve` measures). Join-view algebra: every
+    * (order, line) contribution is old×old (already in the base
+    * view) or touches a new LINE — a (new order, old line) pair
+    * cannot exist — so refresh = base ⊎ (Δlines ⋈ orders), merged by
+    * re-aggregating the additive measures. Output ≡ the flat full
+    * join, which is the oracle.
+    *
+    * Scale: the line split is decided from lineitem columns ALONE
+    * (l_orderkey vs cut, l_linenumber) — no classify join — so the
+    * delta term ships ONLY Δlines into its join; at a real site the
+    * base frame is the PERSISTED view and never recomputes (the
+    * in-test derivation is the `agg_incremental_refresh` stand-in
+    * convention), making refresh work ∝ |Δ|, never ∝ view history.
+    * Revenue sums ride decimal(38,0) (the `supplier_scorecard`
+    * discipline); the emitted mean is integral `div` ≡ `//`. */
+  def joinViewDeltaRefresh(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val b = Tables.orders(s, d)
+      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_linenumber"),
+      (expr("cast(round(l_extendedprice * 100) as bigint)")
+        * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+        .as("rev_e4"))
+    def partial(lines: DataFrame): DataFrame = lines
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_e4").cast("decimal(38,0)")).as("rev_sum"))
+    val base =
+      partial(l.filter(col("l_orderkey") < cut && col("l_linenumber") <= 2))
+    val delta =
+      partial(l.filter(col("l_orderkey") >= cut || col("l_linenumber") >= 3))
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n_lines").as("n_lines"), sum("rev_sum").as("rev_sum"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        expr("cast(rev_sum div n_lines as bigint)").as("rev_e4_mean"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-supplier lead-time TREND — is a supplier getting slower? For
     * every lineitem, x = order epoch-day, y = ship-lag days
     * (l_shipdate − o_orderdate); per supplier the line count, mean lag
@@ -1895,6 +1946,17 @@ object Relational {
         |   ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
         |   END)::BIGINT AS slope_micro
         |FROM a ORDER BY s_suppkey""".stripMargin,
+    // the oracle is the FLAT full join — the incremental path must
+    // reproduce it exactly, which is the whole IVM claim
+    "join_view_delta_refresh" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT) AS rev_e4
+        |  FROM lineitem)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  (sum(rev_e4::HUGEINT) // count(*))::BIGINT AS rev_e4_mean
+        |FROM l JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_dup_payment_audit" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
