@@ -220,7 +220,8 @@ object Stress {
       // round-9 additions
       "dedup_jaccard_prefix", "nb_lang_apply", "mm_byte_entropy",
       "orders_dup_payment_audit", "log_attribution",
-      "supplier_lead_trend", "retrieval_eval_recall", "ann_sq_topk")
+      "supplier_lead_trend", "retrieval_eval_recall", "ann_sq_topk",
+      "join_view_delta_refresh")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

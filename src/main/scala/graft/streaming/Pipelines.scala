@@ -247,7 +247,12 @@ object Pipelines {
     * the same total order the batch window sorts by — so micro-batch
     * boundaries cannot change any purchase's attribution;
     * StreamingSpec pins stream ≡ batch per purchase AND the rolled-up
-    * stream ≡ the `log_attribution` report). */
+    * stream ≡ the `log_attribution` report). Rows are row-identical
+    * to the batch window when events arrive in event-time order
+    * across batches (the [[pitFeatureStream]] disclosure): a touch
+    * arriving AFTER a purchase it precedes in event time would need
+    * watermark-delayed emission — the oracle-checked batch twin is
+    * the recovery path. */
   def attributionStream(events: Dataset[TouchEvent])
       : Dataset[AttributionRow] = {
     val spark = events.sparkSession

@@ -68,6 +68,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("join-view delta refresh: two scoped joins, no window, bounded") {
+    val p = plan("join_view_delta_refresh")
+    assert(!finalTree(p).contains("Window"),
+      "IVM refresh must stay aggregate-only")
+    assert(shuffles(p) <= 8,
+      s"IVM refresh shuffle budget exceeded: ${shuffles(p)}")
+  }
+
   test("supplier lead trend: algebraic aggregate, no window, no sort-join") {
     val p = plan("supplier_lead_trend")
     assert(!finalTree(p).contains("Window"),
