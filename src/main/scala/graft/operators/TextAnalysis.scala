@@ -55,8 +55,46 @@ object TextAnalysis {
     "active_learning_pick" -> activeLearningPick,
     "mixture_token_budget_plan" -> mixtureTokenBudgetPlan,
     "token_spell_correct" -> spellCorrect,
-    "vocab_growth_curve" -> vocabGrowthCurve
+    "vocab_growth_curve" -> vocabGrowthCurve,
+    "contamination_census" -> contaminationCensus
   )
+
+  /** Benchmark-side contamination census — the eval-integrity report
+    * read from the OTHER end of [[decontaminate]]'s per-corpus-doc
+    * flags (the GPT-3 appendix-C view): per benchmark doc, its
+    * distinct 5-grams, how many LEAK (appear in ≥ 1 corpus doc), the
+    * exact leak ppm, and how many distinct corpus docs share ≥ 1
+    * gram — the difference between one mirrored eval item (one
+    * sharing doc, full coverage) and a pervasive template (thousands
+    * of sharing docs, partial coverage) that a binary corpus-side
+    * flag cannot express.
+    *
+    * Scale shape: the benchmark gram frame is QUERY-sized (bench docs
+    * × grams — broadcast), so the corpus side is one broadcast-join
+    * prune of the shared [[shingle5Rows]] scan (the `decontaminate`
+    * shape read in reverse); the census aggregates the match-bounded
+    * hit rows per bench doc. Benchmark docs too short to shingle
+    * carry no grams and no row — both engines agree by construction. */
+  def contaminationCensus(s: SparkSession, d: String): DataFrame = {
+    val benchMax = 20L
+    val sh = shingle5Rows(s, d).localCheckpoint()
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val nGrams = bench.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), "h")
+      .groupBy("bench_id")
+      .agg(count_distinct(col("h")).as("n_leaked"),
+        count_distinct(col("doc_id")).as("n_corpus_docs"))
+    nGrams.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        expr("coalesce(n_leaked, 0) * 1000000 div n_grams")
+          .as("leak_ppm"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+      .orderBy("bench_id")
+  }
 
   /** Vocabulary growth curve (Heaps' law, measured) — the tokenizer-
     * planning read next to [[vocabCoverage]]'s head-mass snapshot: the
@@ -1974,6 +2012,33 @@ object TextAnalysis {
          |  (start_offset // 2048)::BIGINT AS pack_first,
          |  ((start_offset + n_tokens - 1) // 2048)::BIGINT AS pack_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "contamination_census" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 5 THEN
+         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |         || ' ' || w[i+4]
+         |       for i in generate_series(1, len(w) - 4)]
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |dsh AS (SELECT DISTINCT doc_id, g FROM sh),
+         |bench AS (SELECT doc_id AS bench_id, g FROM dsh
+         |          WHERE doc_id < 20),
+         |ng AS (SELECT bench_id, count(*)::BIGINT AS n_grams
+         |       FROM bench GROUP BY 1),
+         |hits AS (
+         |  SELECT b.bench_id, count(DISTINCT b.g)::BIGINT AS n_leaked,
+         |    count(DISTINCT c.doc_id)::BIGINT AS n_corpus_docs
+         |  FROM bench b JOIN dsh c ON c.g = b.g AND c.doc_id >= 20
+         |  GROUP BY 1)
+         |SELECT ng.bench_id, ng.n_grams,
+         |  coalesce(h.n_leaked, 0)::BIGINT AS n_leaked,
+         |  (coalesce(h.n_leaked, 0) * 1000000 // ng.n_grams)::BIGINT
+         |    AS leak_ppm,
+         |  coalesce(h.n_corpus_docs, 0)::BIGINT AS n_corpus_docs
+         |FROM ng LEFT JOIN hits h ON ng.bench_id = h.bench_id
+         |ORDER BY ng.bench_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
          |sh AS (
