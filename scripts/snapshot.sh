@@ -9,13 +9,16 @@
 # ContractSpec parses SURVEY.md §2 + README.md and asserts both mirror
 # SparkEntry exactly (keys, ✅SQL marks, derived counts, the latest §7x
 # narrative); QueriesSmokeSpec runs every registered query end to end
-# at sf0.001. Exit is nonzero on any failure — wire it in front of the
-# commit and a stale contract cannot land.
+# at sf0.001; ScaleContractSpec (round 10) refuses the comment-only
+# 100 TB-swap class — an exact percentile/count-distinct query without
+# a sketch sibling or a justified allowlist entry cannot land either.
+# Exit is nonzero on any failure — wire it in front of the commit and
+# a stale contract cannot land.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-if sbt -batch 'testOnly graft.ContractSpec graft.QueriesSmokeSpec' \
+if sbt -batch 'testOnly graft.ContractSpec graft.QueriesSmokeSpec graft.ScaleContractSpec' \
     > /tmp/snapshot_gate.log 2>&1; then
-  echo "snapshot gate OK (ContractSpec + QueriesSmokeSpec green)"
+  echo "snapshot gate OK (ContractSpec + QueriesSmokeSpec + ScaleContractSpec green)"
 else
   tail -40 /tmp/snapshot_gate.log >&2
   echo "snapshot gate FAILED — contract drift or a broken query; do NOT commit" >&2

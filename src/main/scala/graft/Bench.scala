@@ -41,10 +41,12 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       resetState()
     }
-    // three timed passes, per-query min: robust to GC pauses and the
-    // measured ~1.3-1.7× shared-host noise that otherwise dominates
-    // sub-second query timings (min across passes converges on the
-    // quiet-host number)
+    // three timed passes, per-query MEDIAN as the headline estimator
+    // (round-10 verdict ask #3: single-run numbers swing ±20% on this
+    // shared host, making the 2× contract and round deltas unreadable;
+    // the median of three is noise-robust in both directions where min
+    // hides sustained contention and mean chases one GC pause). The
+    // per-query min/max ride along so a verdict can see the spread.
     def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -55,17 +57,23 @@ object Bench {
       name -> (if (ok) el else -1.0)
     }
     val passes = Seq(timedPass().toMap, timedPass().toMap, timedPass().toMap)
-    val results = qs.map { case (name, _) =>
-      val ts = passes.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    val stats = qs.map { case (name, _) =>
+      val ts = passes.map(_(name)).sorted
+      name -> (if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+               else (ts(1), ts(0), ts(2))) // (median, min, max) of 3
     }
-    val failed = results.collect { case (n, t) if t < 0 => n }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val failed = stats.collect { case (n, (m, _, _)) if m < 0 => n }
+    def qJson(pick: ((Double, Double, Double)) => Double): String =
+      stats.map { case (k, v) => "\"" + k + "\":" + pick(v) }
+        .mkString("{", ",", "}")
     val fJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def total(pick: ((Double, Double, Double)) => Double): Double =
+      stats.map(s => pick(s._2)).filter(_ >= 0).sum
+    // "queries"/"value" carry the MEDIAN (the driver's parse contract
+    // is untouched — scalar per query); the min/max triples ride along
+    // under extra keys so BENCH_r{N} records the spread
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$fJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${total(_._1)},"unit":"sec","estimator":"median_of_3","value_min":${total(_._2)},"value_max":${total(_._3)},"queries":${qJson(_._1)},"queries_min":${qJson(_._2)},"queries_max":${qJson(_._3)},"failed":$fJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: one coherent latency table for the SERVING-side query
-  * family (the round-6 verdict's ask #8). For each query it reports
+  * family (round-6 verdict ask #8; round-10 verdict ask #4 made the
+  * output a GENERATED artifact — `docs/SERVING_LATENCY.md` is written
+  * by this main, never hand-edited). For each query it reports
   *
   *  - `cold` — the first invocation in the JVM. For `*_from_index`
   *    paths this INCLUDES the one-time index materialization
@@ -12,11 +14,11 @@ import org.apache.spark.sql.SparkSession
   *  - `steady` — min over the following reps, the per-request latency a
   *    resident serving session observes (index built, code JIT-warm).
   *
-  * In-query twins (`bm25_topk`, `phrase_search`, `ann_*_topk`) are
-  * included for contrast: their steady-state ≈ cold because they
-  * recompute the index every call — exactly the gap the from-index
-  * matrix exists to close. Output is the markdown table pasted into
-  * docs/DEPLOY.md §"Serving latency"; re-run with
+  * Every {in-query build, from-index} PAIR additionally emits a
+  * side-by-side row with the steady-state speedup — the number the
+  * serving matrix exists to deliver. In-query twins recompute the
+  * index every call; exactly the gap the from-index matrix closes.
+  * Re-generate with
   *
   *   sbt "runMain graft.ServeBench [sfDir] [reps]"
   */
@@ -42,15 +44,32 @@ object ServeBench {
     "mmr_diversify" -> "re-rank (post-retrieval)",
     "dedup_minhash_lsh" -> "dedup (in-query build)",
     "dedup_minhash_from_index" -> "dedup (from index)",
+    "dedup_simhash" -> "dedup (in-query build)",
+    "dedup_simhash_from_index" -> "dedup (from index)",
     "dedup_clusters" -> "dedup (in-query CC loop)",
     "dedup_clusters_from_index" -> "dedup (from index)",
     "feature_pit_join" -> "features (in-query build)",
     "feature_pit_from_index" -> "features (from index)",
     "stream_feature_snapshot" -> "features (snapshot view)")
 
+  /** The {build, serve} pairs published side by side: (in-query twin,
+    * from-index twin). */
+  val Pairs: Seq[(String, String)] = Seq(
+    "ann_ivf_topk" -> "ann_ivf_from_index",
+    "ann_pq_topk" -> "ann_pq_from_index",
+    "ann_ivfpq_topk" -> "ann_ivfpq_from_index",
+    "ann_sq_topk" -> "ann_sq_from_index",
+    "bm25_topk" -> "bm25_from_index",
+    "phrase_search" -> "phrase_from_index",
+    "dedup_minhash_lsh" -> "dedup_minhash_from_index",
+    "dedup_simhash" -> "dedup_simhash_from_index",
+    "dedup_clusters" -> "dedup_clusters_from_index",
+    "feature_pit_join" -> "feature_pit_from_index")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 4
+    val out = "docs/SERVING_LATENCY.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,18 +78,37 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"| query | family | cold s | steady s |")
-    println(s"|---|---|---|---|")
-    Served.foreach { case (name, family) =>
+    val timed = Served.map { case (name, family) =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val steady = times.drop(1).min
-      println(f"| $name | $family | ${times.head}%.2f | $steady%.2f |")
+      (name, family, times.head, times.drop(1).min)
     }
+    val steady = timed.map { case (n, _, _, s) => n -> s }.toMap
+    val sb = new StringBuilder
+    sb ++= "# Serving latency (GENERATED — do not hand-edit)\n\n"
+    sb ++= s"Emitted by `sbt \"runMain graft.ServeBench $sfDir $reps\"`.\n"
+    sb ++= "`cold` includes one-time index materialization for " +
+      "`*_from_index` rows;\n`steady` = min over the remaining " +
+      s"${reps - 1} reps (resident serving session).\n\n"
+    sb ++= "| query | family | cold s | steady s |\n|---|---|---|---|\n"
+    timed.foreach { case (name, family, cold, st) =>
+      sb ++= f"| $name | $family | $cold%.2f | $st%.2f |\n"
+    }
+    sb ++= "\n## Build vs serve, side by side (steady-state)\n\n"
+    sb ++= "| in-query build | s | from-index serve | s | speedup |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    Pairs.foreach { case (build, serve) =>
+      val (b, sv) = (steady(build), steady(serve))
+      sb ++= f"| $build | $b%.2f | $serve | $sv%.2f | ${b / sv}%.1f× |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      sb.toString)
+    println(sb.toString)
+    println(s"[servebench] wrote $out")
     spark.stop()
   }
 }

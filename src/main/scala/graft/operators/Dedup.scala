@@ -39,6 +39,7 @@ object Dedup {
     "dedup_minhash_from_index" -> minhashFromIndex,
     "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
+    "dedup_simhash_from_index" -> simhashFromIndex,
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
@@ -1310,9 +1311,8 @@ object Dedup {
   private[graft] def loopLabelsOf(s: SparkSession, docs: DataFrame)
       : DataFrame = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
-    val (cands, sizes) = ngramCandidateStageOf(s, docs)
     ccLoop(docs.select("doc_id"),
-        jaccardVerify(cands, sizes).select("a_id", "b_id"), maxIters)
+        ngramJaccardOf(s, docs).select("a_id", "b_id"), maxIters)
       .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -1457,7 +1457,7 @@ object Dedup {
     // closure, so the derived state must come from the same table).
     // DedupSpec pins the two modes output-identical with the artifact
     // written from the old slice.
-    val (cut, oldLabels, deltaPairs) =
+    val (cut, oldLabels, dPairs) =
       s.conf.getOption("graft.cc.oldLabelsPath") match {
         case Some(p) =>
           graft.ops.ArtifactTag.require(s, p, d) // wrong-corpus guard
@@ -1468,21 +1468,72 @@ object Dedup {
             s"old-labels artifact at $p is EMPTY — an empty previous " +
               "cycle has no incremental mode; run the full labeling")
           val aCut = stats.getLong(0) + 1L
+          // provenance guard (round-9 advisor fix #1): the labels were
+          // built under a specific candidate stage (and df-cap, under
+          // dfcap) — contracting against them with DELTA pairs from a
+          // different stage can diverge exactly where the cap bites,
+          // so configuration drift is refused at read time. Artifacts
+          // written before the props sidecar are not admissible.
+          val props = graft.ops.ArtifactTag.readProps(s, p)
+          val stage = candidateStage(s)
+          require(props.get("pair_stage").contains(stage),
+            s"old-labels artifact at $p was built under pair stage " +
+              s"'${props.getOrElse("pair_stage", "<none>")}' but this " +
+              s"session runs '$stage' (graft.dedup.candidateStage) — " +
+              "rebuild the artifact or match the conf")
+          require(stage != "dfcap"
+              || props.get("max_shingle_df")
+                   .contains(maxShingleDf(s).toString),
+            s"old-labels artifact at $p was built with maxShingleDf=" +
+              s"${props.getOrElse("max_shingle_df", "<none>")} but this " +
+              s"session caps at ${maxShingleDf(s)} — a df-cap change " +
+              "between cycles changes the pair graph; rebuild")
           // coverage guard: the boundary rule assumes monotone id
           // allocation (every current doc below the artifact's max id
           // was labeled by the previous cycle). Id reuse or backfill
           // below aCut would otherwise VANISH from the output — not
-          // old (absent from the artifact), not new (below the cut) —
-          // so the mismatch must throw, not silently drop documents.
-          // Cost: two metadata-scale count jobs per invocation,
-          // negligible at nightly cadence.
-          val nBelow = docs.filter(col("doc_id") < aCut).count()
-          require(nBelow == stats.getLong(1),
-            s"artifact at $p labels ${stats.getLong(1)} docs but the " +
-              s"corpus has $nBelow docs below its boundary ($aCut) — " +
-              "id reuse/backfill breaks the incremental id contract; " +
-              "run the full labeling instead")
-          (aCut, labels, ngramDeltaPairs(s, d, aCut).localCheckpoint())
+          // old (absent from the artifact), not new (below the cut).
+          // Round-9 advisor fix #2: count equality alone cannot detect
+          // SUBSTITUTION (1:1 id reuse) or in-place text edits of
+          // already-labeled docs, both of which would serve stale
+          // labels — so the default guard is the writer's content
+          // checksum over (doc_id, md5(text)), replayed on the
+          // current below-cut slice. Cost: one projection-pruned
+          // (doc_id, text) scan of the old slice per invocation —
+          // far below relabeling (no shingling, no pair join, no
+          // loop); a deployment on an immutable store may downgrade
+          // to the id-level guard with graft.cc.trustOldContent=true
+          // (count + anti-join: catches backfill, not substitution).
+          val below = docs.filter(col("doc_id") < aCut)
+          if (s.conf.getOption("graft.cc.trustOldContent")
+              .contains("true")) {
+            val nBelow = below.count()
+            require(nBelow == stats.getLong(1),
+              s"artifact at $p labels ${stats.getLong(1)} docs but the " +
+                s"corpus has $nBelow docs below its boundary ($aCut) — " +
+                "id reuse/backfill breaks the incremental id contract; " +
+                "run the full labeling instead")
+            val missing = below.select("doc_id")
+              .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+              .count()
+            require(missing == 0,
+              s"$missing docs below the boundary ($aCut) are absent " +
+                s"from the artifact at $p — id backfill breaks the " +
+                "incremental id contract; run the full labeling instead")
+          } else {
+            val (n, xor) = graft.ops.Materialize.ccSliceChecksum(
+              below.select("doc_id", "text"))
+            require(props.get("n_docs").contains(n.toString)
+                && props.get("content_xor").contains(xor.toString),
+              s"old-slice checksum mismatch at $p (artifact " +
+                s"n=${props.getOrElse("n_docs", "<none>")} " +
+                s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+                s"corpus n=$n xor=$xor) — the docs below the boundary " +
+                s"($aCut) are not the slice the previous cycle " +
+                "labeled (id reuse, backfill, or in-place edits); " +
+                "run the full labeling instead")
+          }
+          (aCut, labels, deltaPairs(s, d, aCut).localCheckpoint())
         case None =>
           val mCut = idCut(docs)
           val pairs =
@@ -1495,7 +1546,7 @@ object Dedup {
             pairs.filter(col("b_id") >= mCut))
       }
     val (touchedSup, contractedPairs) =
-      contractDelta(oldLabels, deltaPairs, cut)
+      contractDelta(oldLabels, dPairs, cut)
     (docs, cut, oldLabels, touchedSup, contractedPairs, maxIters)
   }
 
@@ -1575,15 +1626,27 @@ object Dedup {
       .select("doc_id")
       .orderBy("doc_id")
 
-  /** (doc_id, h) rows: distinct xxhash64'd 3-gram shingles.
-    *
-    * Built relationally — posexplode tokens once, then `lead` windows —
-    * rather than via nested array lambdas: Spark inlines HOF lambda
-    * arguments, so an array-built shingle list re-runs the regex split
-    * O(shingles × 3) times per doc (measured 10-30× slowdown). Here the
-    * split runs exactly once per doc and the window is one shuffle by
-    * doc_id. Shingles are joined as 64-bit hashes, not strings, so the
-    * pair join shuffles 8-byte keys. */
+  /** The per-doc DISTINCT shingle-hash array, as ONE narrow
+    * expression: tokens bind once via [[Fns.bound]] (inside
+    * [[Fns.shingles3]] — an unbound `tokens(text)` would re-run the
+    * regex split once per gram, the measured 10-30× lambda-inlining
+    * trap this codebase's window-based shingle builder originally
+    * existed to dodge), grams hash to 64-bit xxhash64 in-array, and
+    * `array_distinct` dedups per doc with NO shuffle. Round 10
+    * replaced the relational build (posexplode → two `lead` windows →
+    * row distinct → collect_list: THREE doc_id-ish shuffles before
+    * any consumer does work) with this projection — same hashes
+    * (identical "w1 w2 w3" pre-images), same per-doc sets, zero
+    * exchanges; the whole shingle familiy (prefix filter, df-capped
+    * index, MinHash, incremental, stream-candidate verify) begins at
+    * a map-side expression now. */
+  private def shingleHashes(text: Column): Column =
+    array_distinct(transform(Fns.shingles3(Fns.tokens(text)),
+      h => xxhash64(h)))
+
+  /** (doc_id, h) rows: distinct xxhash64'd 3-gram shingles — the flat
+    * (inverted-index) view of [[shingleHashes]]; `explode` drops
+    * sub-3-token docs, matching the historical no-shingle filter. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     shingleRowsOf(Tables.documents(s, d)
       .select(col("doc_id"), col("text"), lit(0).as("is_new")))
@@ -1591,60 +1654,79 @@ object Dedup {
 
   /** Frame-input variant: (doc_id, text, is_new) → (doc_id, is_new, h)
     * distinct shingle-hash rows, carrying the batch tag through. */
-  private def shingleRowsOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    docs
-      .select(col("doc_id"), col("is_new"),
-        posexplode(Fns.tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("w2", lead("w", 1).over(w))
-      .withColumn("w3", lead("w", 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"), col("is_new"),
-        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
-      .distinct()
-  }
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("is_new"),
+      explode(shingleHashes(col("text"))).as("h"))
 
-  /** Per-doc collected shingle-hash sets (the groupBy is a shuffle
-    * barrier, so `hs` is materialized once before any nested-lambda
-    * signature math consumes it repeatedly). Set-valued, so collect_list
-    * order nondeterminism is harmless (all consumers are
-    * order-invariant: min, intersect-size). */
+  /** Per-doc shingle-hash sets (doc_id, hs, n) — the array view of
+    * [[shingleHashes]]; set-valued and order-deterministic (document
+    * order), all consumers are order-invariant (min, intersect-size). */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
-      .groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    shingleArraysOf(Tables.documents(s, d).select("doc_id", "text"))
 
   /** Frame-input variant of [[shingleArrays]] for batch-scoped
     * consumers ([[minhashIncremental]]'s old/new split). */
   private def shingleArraysOf(docs: DataFrame): DataFrame =
-    shingleRowsOf(docs.select(col("doc_id"), col("text"),
-        lit(0).as("is_new")))
-      .groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("n"))
 
-  /** Exact Jaccard ≥ 0.5 pairs via shared-shingle candidate join.
+  /** Exact Jaccard ≥ 0.5 near-dup pairs — the pair source the whole
+    * near-dup family (CC clustering, degree/pagerank/kcore/triangles,
+    * quality delta, tuning curve) consumes. DUAL candidate stage,
+    * routed by `graft.dedup.candidateStage`:
     *
-    * Scale guard: the inverted-index self-join costs Σ_shingle df², so a
-    * single hot shingle (df = 10⁶ at corpus scale) is a quadratic
-    * blowout. Shingles with document frequency above
-    * `graft.dedup.maxShingleDf` (default 100) are dropped BEFORE the
-    * join — from the index and the sizes alike, so the semantics stay a
-    * clean exact Jaccard, just over the informative (df ≤ cap) shingle
-    * sets: a df-10⁶ shingle carries no dedup signal, while any real
-    * near-dup pair shares plenty of rare shingles. At the oracle SFs the
-    * cap drops nothing (max df is 7 at sf0.01, 25 at sf0.1 — measured),
-    * so results are identical to the uncapped oracle SQL; DedupSpec
-    * pins the capped behavior on a synthetic hot-shingle corpus.
+    *  - `"prefix"` (the DEFAULT since round 10) — positional prefix
+    *    filtering ([[jaccardPrefix]]): provably COMPLETE at every
+    *    corpus (hot-shingle-only pairs included) and, measured at
+    *    every Stress K, ~3.65× fewer candidates than the df-capped
+    *    index — strictly dominant, hence the default.
+    *  - `"dfcap"` — the df-capped inverted-index self-join below,
+    *    kept for the degenerate corpus whose documents are so short
+    *    that even their RAREST ⌊n/2⌋+1 shingles are boilerplate
+    *    (there the prefix postings themselves go quadratic and the
+    *    cap's bounded-loss trade is the right one).
     *
-    * The hot set is found with a map-side-combined hash groupBy and is
-    * TINY by construction (heavy hitters: at most |corpus-shingles|/cap
-    * rows), so it broadcasts and the drop is a map-side anti-join — no
-    * sort, no extra shuffle of the big index. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val (cands, sizes) = ngramCandidateStage(s, d)
-    jaccardVerify(cands, sizes)
+    * The dfcap branch's scale guard: the inverted-index self-join
+    * costs Σ_shingle df², so a single hot shingle (df = 10⁶ at corpus
+    * scale) is a quadratic blowout. Shingles with document frequency
+    * above `graft.dedup.maxShingleDf` (default 100) are dropped BEFORE
+    * the join — from the index and the sizes alike, so the semantics
+    * stay a clean exact Jaccard, just over the informative (df ≤ cap)
+    * shingle sets. At the oracle SFs the cap drops nothing (max df is
+    * 7 at sf0.01, 25 at sf0.1 — measured), so BOTH branches equal the
+    * uncapped oracle SQL; DedupSpec pins the capped behavior — and
+    * the default path's completeness — on a synthetic hot-shingle
+    * corpus. The hot set is found with a map-side-combined hash
+    * groupBy and is TINY by construction (heavy hitters: at most
+    * |corpus-shingles|/cap rows), so it broadcasts and the drop is a
+    * map-side anti-join. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOf(s, Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Conf-routed candidate stage of [[ngramJaccard]] (default
+    * `prefix`, see there). Package-private: the CC label artifact
+    * writer records it in the `_graft_props` sidecar so
+    * [[ccIncremental]]'s artifact mode can refuse stage drift. */
+  private[graft] def candidateStage(s: SparkSession): String = {
+    val v = s.conf.getOption("graft.dedup.candidateStage")
+      .getOrElse("prefix")
+    require(v == "prefix" || v == "dfcap",
+      s"graft.dedup.candidateStage must be prefix|dfcap, got $v")
+    v
   }
+
+  /** Frame-input variant of [[ngramJaccard]] — same conf routing, so
+    * every slice-scoped consumer ([[loopLabelsOf]], DedupSpec's
+    * adversarial corpora) runs the very stage the registered query
+    * runs. */
+  private[graft] def ngramJaccardOf(
+      s: SparkSession, docs: DataFrame): DataFrame =
+    if (candidateStage(s) == "dfcap") {
+      val (cands, sizes) = ngramCandidateStageOf(s, docs)
+      jaccardVerify(cands, sizes)
+    } else jaccardPrefixOf(s, docs)
 
   /** Exact Jaccard ≥ 0.5 pairs via POSITIONAL PREFIX FILTERING
     * (SSJoin, Chaudhuri et al. ICDE'06; all-pairs, Bayardo et al.
@@ -1685,9 +1767,17 @@ object Dedup {
     * loses a pair and this path keeps it. */
   private[graft] def jaccardPrefixOf(
       s: SparkSession, docs: DataFrame): DataFrame = {
-    val (all, cands) = jaccardPrefixStage(s, docs)
-    val arr = all.groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    val (arr, cands) = jaccardPrefixStage(s, docs)
+    prefixVerify(arr, cands)
+  }
+
+  /** Shared exact-verify tail of [[jaccardPrefixOf]] and
+    * [[prefixDeltaPairs]]: candidate id-pairs × the full (uncapped)
+    * per-doc shingle arrays — the SAME materialized (doc_id, hs, n)
+    * frame the prefix stage derived its postings from, so the verify
+    * pays no second tokenize/group pass — → row-identical to the
+    * all-pairs oracle. */
+  private def prefixVerify(arr: DataFrame, cands: DataFrame): DataFrame =
     cands
       .join(arr.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
         col("n").as("na")), "a_id")
@@ -1698,38 +1788,77 @@ object Dedup {
       .filter(col("inter") * 3 >= col("na") + col("nb"))
       .select("a_id", "b_id", "inter", "na", "nb")
       .orderBy("a_id", "b_id")
-  }
 
   /** Shared prefix-filter stage of [[jaccardPrefixOf]]: (checkpointed
-    * shingle rows, candidate id-pairs). ONE definition for the query
-    * and its Stress receipt (the [[ccIncrementalPrefix]] discipline),
-    * so the receipt counts the very candidates the query verifies. */
+    * per-doc (doc_id, hs, n) shingle arrays, candidate id-pairs). ONE
+    * definition for the query and its Stress receipt (the
+    * [[ccIncrementalPrefix]] discipline), so the receipt counts the
+    * very candidates the query verifies.
+    *
+    * The per-doc ARRAY frame — not the flat (doc_id, h) rows — is the
+    * checkpointed root: postings explode from it shuffle-free, the
+    * per-doc size n rides along (no count window), and the verify
+    * tail reads the SAME materialization (round-10: this replaced a
+    * flat-rows root that paid a second doc_id shuffle + collect_list
+    * in verify and a count window in the stage — measured ~25% off
+    * the query's sf0.1 wall). */
   private[graft] def jaccardPrefixStage(
-      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
-    val all = shingleRowsOf(docs.select(col("doc_id"), col("text"),
-        lit(0).as("is_new")))
-      .drop("is_new")
+      s: SparkSession, docs: DataFrame,
+      bSide: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    val arr = shingleArraysOf(docs.select(col("doc_id"), col("text")))
       .localCheckpoint()
+    val all = arr.select(col("doc_id"), col("n"),
+      explode(col("hs")).as("h"))
     val dfs = all.groupBy("h").agg(count(lit(1)).as("df"))
-    val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRk = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("h"))
-    // checkpoint: the prefix frame (vocab join + two windows) feeds
+    // checkpoint: the prefix frame (vocab join + rank window) feeds
     // BOTH sides of the self-join — without this the rank window runs
-    // twice (the `all` localCheckpoint reasoning, one stage later)
+    // twice (the `arr` localCheckpoint reasoning, one stage later)
     val prefix = all.join(dfs, "h")
-      .withColumn("n", count(lit(1)).over(wN))
       .withColumn("rk", row_number().over(wRk))
       .filter(col("rk") <= expr("n div 2 + 1"))
       .select("doc_id", "h", "n")
       .localCheckpoint()
-    val cands = prefix.as("a").join(prefix.as("b"),
+    // `bSide` optionally restricts the self-join's b side — the HIGHER
+    // doc_id of each emitted pair — before the join (the
+    // [[ngramCandidateStageOf]] delta scoping): candidate cost drops
+    // from Σ df_prefix² to Σ df_prefix·df_prefix_new while the rarity
+    // order and prefixes stay corpus-wide, so the lemma still covers
+    // every pair whose higher endpoint survives the predicate.
+    val cands = prefix.as("a").join(bSide(prefix).as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
           && col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    (all, cands)
+    (arr, cands)
   }
+
+  /** Delta-scoped [[jaccardPrefix]]: verified pairs touching docs with
+    * id ≥ `cut` only (a_id < b_id, so that is b_id ≥ cut) — the
+    * prefix-filter twin of [[ngramDeltaPairs]], row-identical to
+    * `jaccardPrefix.filter(b_id >= cut)` and COMPLETE at every corpus
+    * (the df-capped delta inherits the cap's hot-only-pair loss; this
+    * one inherits the lemma). One corpus shingle scan is still paid
+    * (df stats and verify arrays are corpus-wide); the candidate join
+    * is Σ df_prefix·df_prefix_new — linear in the delta. */
+  private def prefixDeltaPairs(s: SparkSession, d: String,
+      cut: Long): DataFrame = {
+    val (arr, cands) = jaccardPrefixStage(s,
+      Tables.documents(s, d).select("doc_id", "text"),
+      _.filter(col("doc_id") >= cut))
+    prefixVerify(arr, cands).select("a_id", "b_id")
+  }
+
+  /** Conf-routed delta-pair source for [[ccIncremental]]'s artifact
+    * mode — the same `graft.dedup.candidateStage` switch as
+    * [[ngramJaccard]], so the incremental pair graph always comes
+    * from the stage the full graph would use (a mode split here was
+    * the round-9 ADVICE drift hazard: old labels built under one
+    * stage, delta pairs under another). */
+  private def deltaPairs(s: SparkSession, d: String, cut: Long): DataFrame =
+    if (candidateStage(s) == "dfcap") ngramDeltaPairs(s, d, cut)
+    else prefixDeltaPairs(s, d, cut)
 
   /** MinHash-LSH parameter tuning curve — the measured S-curve behind
     * the (bands × rows) knob [[minhashLsh]] hard-codes at 64×2: for
@@ -1800,10 +1929,16 @@ object Dedup {
     * Σ df·df_new — the [[incrementalFrames]] scoping, expressed at
     * the candidate stage — while df stats, sizes, and the a side
     * still cover the full input (verification semantics unchanged). */
+  /** The df-cap bound, one resolution site (recorded in the CC label
+    * artifact's props sidecar under dfcap mode — a cap change between
+    * cycles changes the pair graph, so the reader must see it). */
+  private[graft] def maxShingleDf(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
+
   private def ngramCandidateStageOf(
       s: SparkSession, docs: DataFrame,
       bSide: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
-    val maxDf = s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
+    val maxDf = maxShingleDf(s)
     // materialize the index ONCE: it has four consumers (hot-set agg,
     // anti-join probe, both self-join sides via sizes) and only the
     // exchange — not the tokenize+lead window itself — is reused by
@@ -2056,7 +2191,16 @@ object Dedup {
     * projection over the materialized array; the signature is assembled
     * with a bitwise-OR fold (addition of the sign-bit mask would trip
     * ANSI overflow). */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhashBanded(s, d))
+
+  /** The (doc_id, sig, k, bh) banded-signature frame — ONE definition
+    * shared by the in-query [[simhash]], the index writer
+    * ([[graft.ops.Materialize.simhashIndex]]), and therefore the
+    * serving twin [[simhashFromIndex]] (the [[ccIncrementalPrefix]]
+    * one-definition discipline: the artifact can never drift from
+    * what the query computes). */
+  private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame = {
     graft.plans.SignatureFunctions.register(s)
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
@@ -2069,10 +2213,14 @@ object Dedup {
     val bandCols = array((0 until 4).map(k =>
       struct(lit(k).as("k"),
         shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(bandCols).as("kb"))
+    sigs.select(col("doc_id"), col("sig"), explode(bandCols).as("kb"))
       .select(col("doc_id"), col("sig"),
         col("kb.k").as("k"), col("kb.bh").as("bh"))
+  }
+
+  /** Shared pair tail of [[simhash]] and [[simhashFromIndex]]: banded
+    * bucket equi-join, XOR popcount, hamming ≤ 3, a_id < b_id. */
+  private def simhashPairs(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
@@ -2081,6 +2229,30 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+
+  /** [[simhash]] served from the MATERIALIZED banded-signature index —
+    * the from-index twin that closes the one candidate family that
+    * lacked a serving split (minhash, IVF, PQ, IVF-PQ, SQ, lexical,
+    * CC labels, and features all had one). The artifact is
+    * [[graft.ops.Materialize.simhashIndex]]'s (doc_id, sig, k, bh)
+    * frame, (k, bh)-range-sorted parquet: tokenize → hash → 64 bit
+    * votes NEVER recompute at serve time, the bucket join reads
+    * sorted band files, and a new-batch probe (the
+    * [[minhashIncremental]] composition) computes its own 4 band keys
+    * and point-reads only the row groups whose (k, bh) min/max cover
+    * them — nprobe-style pruning on the simhash index. Result ≡
+    * [[simhash]] row-for-row (DedupSpec pins the equality and that
+    * the plan reads NO document text — index files only). Rows-only
+    * 🔶 like [[simhash]] itself (banded hamming recall < 1 by
+    * design for radius > band count − 1… the pigeonhole here is
+    * exact for ≤ 3 over 4 bands, but the signature itself is the
+    * probabilistic sketch). */
+  def simhashFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ops.BuildOnce.scratchPath("simhash", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.simhashIndex(s, d, path)
+    }
+    simhashPairs(s.read.parquet(s"$path/bands"))
   }
 
   /** `dedup_embedding_bruteforce` — exact cosine ≥ 0.45 near-dup pairs

@@ -65,6 +65,7 @@ object Relational {
     "erasure_cascade_audit" -> erasureCascadeAudit,
     "basket_lift" -> basketLift,
     "table_profile" -> tableProfile,
+    "table_profile_approx" -> tableProfileApprox,
     "referential_integrity_audit" -> refIntegrityAudit,
     "layout_zorder_audit" -> layoutZorderAudit,
     "skyline_pareto" -> skylinePareto,
@@ -148,9 +149,11 @@ object Relational {
     * ALL agg inputs and groups on a 12-slot key — measured 25.5 s vs
     * 3 s for this shape on the same input — whereas the melt shuffles
     * 3-column rows keyed by (col, value) whose map-side combine
-    * collapses to the per-column NDV, not the row count. At 100 TB the
-    * knob is exact→`approx_count_distinct` (HLL, no melt); this query
-    * keeps exact so the DuckDB oracle replays hash-identically. */
+    * collapses to the per-column NDV, not the row count. The 100 TB
+    * path is the REGISTERED twin [[tableProfileApprox]]
+    * (`table_profile_approx`): exact→`approx_count_distinct` HLL
+    * sketches in a single no-melt aggregate; this query keeps exact
+    * so the DuckDB oracle replays hash-identically. */
   def tableProfile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
@@ -181,6 +184,53 @@ object Relational {
           .as("n_distinct"),
         min("vd").as("min_num"), max("vd").as("max_num"),
         min("vs").as("min_str"), max("vs").as("max_str"))
+      .orderBy("col_name")
+  }
+
+  /** The 100 TB twin of [[tableProfile]] — the same per-column profile
+    * with the exact distinct cardinality swapped for
+    * `approx_count_distinct` (HLL++, rsd 0.01), the
+    * `log_daily_active_approx` precedent. The exact twin's melt is the
+    * right exact shape but its shuffle is still NDV-SIZED: profiling
+    * a column like l_orderkey (NDV ≈ row count) shuffles one
+    * (col, value) row per distinct value — O(table) rows for a
+    * profile. This twin needs NO melt at all: one scan, ONE
+    * 66-slot aggregate (per column: null count, HLL sketch, typed
+    * min/max) whose state is 11 fixed-size sketches (~tens of KB
+    * total at rsd 0.01) merged map-side, so the shuffle is
+    * #partitions × sketch bytes — independent of both row count and
+    * NDV — and the result unpivots from 1 row to 11 via `stack`
+    * (metadata, not data). Same output schema as the exact twin;
+    * `n_distinct` is the estimate. Rows-only 🔶 (an estimator has no
+    * DuckDB replay); ApproxSpec pins null/min/max ≡ exact and NDV
+    * within 2% per column. */
+  def tableProfileApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    val allCols = numCols ++ tsCols ++ strCols
+    def vd(c: String): Column =
+      if (tsCols.contains(c)) unix_micros(col(c).cast("timestamp")).cast("double")
+      else if (numCols.contains(c)) col(c).cast("double")
+      else lit(null).cast("double")
+    def vs(c: String): Column =
+      if (strCols.contains(c)) col(c) else lit(null).cast("string")
+    val aggs = allCols.flatMap { c => Seq(
+      sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))
+        .as(s"null_$c"),
+      approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
+      min(vd(c)).as(s"minn_$c"), max(vd(c)).as(s"maxn_$c"),
+      min(vs(c)).as(s"mins_$c"), max(vs(c)).as(s"maxs_$c"))
+    }
+    val slots = allCols.map(c =>
+      s"'$c', null_$c, nd_$c, minn_$c, maxn_$c, mins_$c, maxs_$c")
+      .mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${allCols.size}, $slots) AS " +
+        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
       .orderBy("col_name")
   }
 

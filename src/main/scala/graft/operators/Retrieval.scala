@@ -127,7 +127,17 @@ object Retrieval {
     * derivation, and the postings-pruned scoring join. Package-private
     * so the Stress harness can count scored rows directly: the
     * receipt that the scoring volume follows the probe PANEL and the
-    * query terms' postings, not the corpus row count. */
+    * query terms' postings, not the corpus row count.
+    *
+    * `graft.mrr.nProbes` is a STRESS/SCALE knob with an explicit
+    * precondition (round-9 advisor finding): the shared DuckDB oracle
+    * is a static text with the default panel size (LIMIT 50) baked
+    * in — oracle strings are dumped session-free, so a session conf
+    * cannot reach them. Under oracle verification the knob MUST stay
+    * at its default; set it only for receipt/panel-scaling runs
+    * (Stress), where no oracle replays. A non-default value under
+    * Verify fails the hash gate loudly (panel-size mismatch), never
+    * silently mis-scores. */
   private[graft] def mrrScored(s: SparkSession, d: String): DataFrame = {
     val nProbes =
       s.conf.getOption("graft.mrr.nProbes").fold(50)(_.toInt)

@@ -1253,7 +1253,11 @@ object Similarity {
     * DuckDB oracle, where every other ANN path is rows-only.
     *
     * The codes are SYMMETRIC fixed-point over the UNIT-NORMALIZED
-    * vector — `q_i = ⌊127·x_i/‖x‖⌋`, codes in [−127, 126] — so the
+    * vector — `q_i = ⌊127·x_i/‖x‖⌋`, codes in [−127, 127] (the +127
+    * endpoint is reachable: a one-hot vector has a component EQUAL to
+    * its norm, where the floor is exact — round-9 advisor fix to a
+    * comment that claimed 126; both engines apply the identical
+    * formula, so this was a doc inaccuracy, not a numeric one) — so the
     * integer dot is a direct cosine proxy. This is deliberately NOT
     * [[int8Quantize]]'s min-max affine codebook: affine codes
     * rank-preserve NOTHING about cosine (the per-dim shift injects a

@@ -39,17 +39,55 @@ object ArtifactTag {
     * `tag`. Throws on a missing sidecar (an artifact not written
     * through the tagged writer is not admissible) or a mismatch. */
   def require(s: SparkSession, path: String, tag: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, Name)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    Predef.require(fs.exists(p),
+    val got = read(s, path, Name)
+    Predef.require(got.isDefined,
       s"artifact at $path carries no $Name tag — rebuild it with the " +
         "Materialize writer (the tag is what prevents serving one " +
         "corpus with another corpus's artifact)")
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val got = new String(buf, "UTF-8")
-    Predef.require(got == tag,
-      s"artifact at $path was built for corpus $got, requested for $tag")
+    Predef.require(got.get == tag,
+      s"artifact at $path was built for corpus ${got.get}, " +
+        s"requested for $tag")
+  }
+
+  private val PropsName = "_graft_props"
+
+  /** Record provenance key=value properties inside the artifact at
+    * `path` (one `k=v` line each) — the writer-side half of the
+    * round-9 advisor fix for cc_incremental's artifact contract: the
+    * old-labels artifact carries the pair-stage configuration it was
+    * built under AND a content checksum of the slice it labeled, so a
+    * reader can refuse configuration drift and silent substitution
+    * rather than trusting a row count. */
+  def writeProps(s: SparkSession, path: String,
+      props: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PropsName)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val body = props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the provenance properties written by [[writeProps]]; empty
+    * map when the artifact predates the props sidecar (readers decide
+    * whether that is admissible). */
+  def readProps(s: SparkSession, path: String): Map[String, String] =
+    read(s, path, PropsName).fold(Map.empty[String, String]) { body =>
+      body.split("\n").iterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
+
+  private def read(s: SparkSession, path: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8"))
+    }
   }
 }

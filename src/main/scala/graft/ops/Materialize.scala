@@ -23,6 +23,27 @@ import graft.sources.Tables
   */
 object Materialize {
 
+  /** WRITE-ONCE guard for serving artifacts (round-9 advisor fix): an
+    * in-place `mode("overwrite")` to a caller-supplied path DELETES
+    * the directory — `_graft_corpus` sidecar included — before
+    * rewriting, so a concurrent reader of a shared path can observe a
+    * missing tag or half-written parquet. [[ArtifactTag]]'s
+    * immutable-per-cycle discipline (refresh = NEW path + pointer
+    * flip) was previously enforced only by scaladoc; this makes the
+    * writer refuse an existing non-empty target, so path reuse fails
+    * loudly at write time instead of racing readers. Scratch-rooted
+    * artifacts are unaffected (fresh per-JVM temp root + BuildOnce's
+    * once-per-path guard). */
+  private def requireFresh(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"artifact target $path already exists — serving artifacts are " +
+        "write-once per cycle (a refresh writes to a NEW path and " +
+        "flips the conf pointer; overwriting in place races readers " +
+        "of the old artifact). Pick a fresh path.")
+  }
+
   /** Write `df` as partitioned + sorted parquet.
     *
     * `repartitionByRange` over (partitionCols ++ sortCols) gives every
@@ -153,6 +174,22 @@ object Materialize {
       .write.mode("overwrite").parquet(s"$path/sigs")
   }
 
+  /** Materialize the SIMHASH banded-signature index — the
+    * [[minhashIndex]] treatment for the simhash candidate family:
+    * `path`/bands holds (doc_id, sig, k, bh) — each doc's 64-bit
+    * signature with its four 16-bit band keys — (k, bh)-range-sorted
+    * so a band-bucket probe prunes to matching row groups. The frame
+    * is [[graft.operators.Dedup.simhashBanded]], the very one the
+    * in-query `dedup_simhash` joins, so `dedup_simhash_from_index`
+    * is row-identical by construction (DedupSpec pins it). */
+  def simhashIndex(s: SparkSession, dir: String, path: String): Unit = {
+    requireFresh(s, path)
+    graft.operators.Dedup.simhashBanded(s, dir)
+      .repartitionByRange(col("k"), col("bh"))
+      .sortWithinPartitions("k", "bh", "doc_id")
+      .write.parquet(s"$path/bands")
+  }
+
   /** Materialize the connected-component LABEL artifact — the
     * (doc_id, cluster_id) frame `dedup_clusters`' pointer-jumping
     * loop produces, written doc_id-range-sorted. DEPLOY.md prescribes
@@ -165,7 +202,8 @@ object Materialize {
     * (`cc_incremental`) then contracts THIS artifact's components
     * instead of recomputing the old half. */
   def ccLabels(s: SparkSession, dir: String, path: String): Unit =
-    writeCcLabels(s, graft.operators.Dedup.loopLabels(s, dir), path, dir)
+    writeCcLabels(s, graft.operators.Dedup.loopLabels(s, dir),
+      Tables.documents(s, dir).select("doc_id", "text"), path, dir)
 
   /** [[ccLabels]] over an explicit (doc_id, text) corpus slice — the
     * OLD-corpus-only state `cc_incremental` contracts against when
@@ -178,16 +216,45 @@ object Materialize {
     * wrong-corpus serve ([[ArtifactTag]]). */
   def ccLabelsOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
       path: String, tag: String): Unit =
-    writeCcLabels(s, graft.operators.Dedup.loopLabelsOf(s, docs), path, tag)
+    writeCcLabels(s, graft.operators.Dedup.loopLabelsOf(s, docs), docs,
+      path, tag)
+
+  /** The (n_docs, content_xor) checksum of a (doc_id, text) slice —
+    * ONE definition shared by the label-artifact writer and
+    * `cc_incremental`'s artifact-mode reader (round-9 advisor fix #2:
+    * the coverage guard compared only row counts, so 1:1 doc_id reuse
+    * or in-place edits of already-labeled docs served stale labels
+    * silently). XOR of per-doc (doc_id, md5(text)) hashes is
+    * order-invariant and associative, so it map-side combines; any id
+    * substitution or content edit flips it w.h.p. */
+  private[graft] def ccSliceChecksum(
+      docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1L)),
+      expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', " +
+        "md5(text))))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   private def writeCcLabels(s: SparkSession,
       labels: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame,
       path: String, tag: String): Unit = {
+    requireFresh(s, path)
     labels
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(path)
+      .write.parquet(path)
     ArtifactTag.write(s, path, tag)
+    // provenance props (round-9 advisor fixes #1+#2): the pair-stage
+    // configuration the labels were built under, and the content
+    // checksum of the labeled slice — cc_incremental's reader refuses
+    // stage/cap drift and silent slice substitution
+    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
+    ArtifactTag.writeProps(s, path, Map(
+      "pair_stage" -> graft.operators.Dedup.candidateStage(s),
+      "max_shingle_df" -> graft.operators.Dedup.maxShingleDf(s).toString,
+      "n_docs" -> n.toString,
+      "content_xor" -> xor.toString))
   }
 
   /** Materialize the LEXICAL inverted index — the serving artifact the
@@ -262,13 +329,15 @@ object Materialize {
     * point reads prune row groups. The code rule is
     * [[graft.operators.Similarity.sqNormCodes]] — the one definition
     * the in-query twin computes. */
-  def sqIndex(s: SparkSession, dir: String, path: String): Unit =
+  def sqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    requireFresh(s, path)
     graft.operators.Similarity.sqNormCodes(
       graft.sources.Tables.embeddings(s, dir))
       .select("vec_id", "qs")
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(path)
+      .write.parquet(path)
+  }
 
   /** Materialize the point-in-time FEATURE STORE — the (user_id, day)
     * → prior-day snapshot table behind `feature_pit_join`: written

@@ -87,6 +87,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx table profile: null/min/max identical, NDV within 2% " +
+      "per column, deterministic") {
+    val exact = Relational.tableProfile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.tableProfileApprox(spark, sf0001).collect()
+    assert(approx.length == exact.size, "one row per profiled column")
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // null count and typed min/max are exact aggregates in BOTH twins
+      assert(r.getLong(1) == e.getLong(1),
+        s"${r.getString(0)}: null count drifted")
+      assert(r.get(3) == e.get(3) && r.get(4) == e.get(4)
+        && r.get(5) == e.get(5) && r.get(6) == e.get(6),
+        s"${r.getString(0)}: min/max drifted")
+      val nd = e.getLong(2).toDouble
+      assert(math.abs(r.getLong(2) - nd) <= 0.02 * nd + 1.0,
+        s"${r.getString(0)}: approx NDV ${r.getLong(2)} vs exact $nd")
+    }
+    // determinism: HLL merge is associative; a rerun must land on the
+    // identical estimates regardless of partition order
+    val again = Relational.tableProfileApprox(spark, sf0001).collect()
+    assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("approx daily active within 5% of exact") {
     val exact = LogAnalytics.dailyActive(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -55,6 +55,11 @@ class DedupSpec extends SparkSpec {
     finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  private def withConfGet[A](kvs: (String, String)*)(body: => A): A = {
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   /** Letters-only id (the tokenizer drops digits): 0→"a", 27→"bb", … */
   private def alpha(i: Int): String = {
     val sb = new StringBuilder
@@ -77,27 +82,34 @@ class DedupSpec extends SparkSpec {
     val dir = docsDir(uniq ++ nearDup)
     // cap 5 < df 6: the hot shingle is dropped; the only surviving pair
     // is the near-dup one, with sizes that EXCLUDE capped shingles
-    withConf("graft.dedup.maxShingleDf" -> "5") {
+    // (the dfcap branch is conf-routed since the round-10 default flip)
+    withConf("graft.dedup.candidateStage" -> "dfcap",
+        "graft.dedup.maxShingleDf" -> "5") {
       val rows = Dedup.ngramJaccard(spark, dir).collect()
       assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 7L)))
       // 7 tokens → 5 shingles each, all df ≤ cap, 4 shared
       assert(rows(0).getAs[Long]("inter") === 4L)
       assert(rows(0).getAs[Long]("na") === 5L)
     }
-    // uncapped (default 100): hot-shingle pairs appear iff jaccard ≥ 0.5
+    // DEFAULT (prefix) path: hot-shingle pairs appear iff jaccard ≥ 0.5
     // — docs 0-5 share 1 of 4+4-1 shingles, so still no pair; near-dup
-    // pair remains
+    // pair remains, with UNCAPPED sizes
     val rows = Dedup.ngramJaccard(spark, dir).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((6L, 7L)))
+    assert(rows(0).getAs[Long]("inter") === 4L)
+    assert(rows(0).getAs[Long]("na") === 5L)
   }
 
   test("prefix-filter jaccard ≡ inverted-index jaccard on real data") {
-    // at sf0.001 the df-cap drops nothing, so both paths must equal the
-    // exact pair set — full-row equality including inter/na/nb
-    val exact = Dedup.ngramJaccard(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+    // at sf0.001 the df-cap drops nothing, so both conf branches must
+    // equal the exact pair set — full-row equality including
+    // inter/na/nb (the default branch IS the prefix filter since the
+    // round-10 flip, so the dfcap branch is pinned via the conf)
+    val exact = withConfGet("graft.dedup.candidateStage" -> "dfcap") {
+      Dedup.ngramJaccard(spark, sf0001).collect()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
-    val pfx = Dedup.jaccardPrefix(spark, sf0001).collect()
+    val pfx = Dedup.ngramJaccard(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(pfx === exact)
@@ -118,12 +130,17 @@ class DedupSpec extends SparkSpec {
     val dir = docsDir(long ++ short)
     withConf("graft.dedup.maxShingleDf" -> "5") {
       // the capped index drops all four B-shingles → pair (6,7) lost
-      val capped = Dedup.ngramJaccard(spark, dir).collect()
+      // (dfcap branch pinned via the conf since the round-10 flip)
+      val capped = withConfGet("graft.dedup.candidateStage" -> "dfcap") {
+        Dedup.ngramJaccard(spark, dir).collect()
+      }
       assert(capped.isEmpty, "df-cap should lose the hot-only pair")
-      // the prefix filter indexes each doc's rarest ⌊n/2⌋+1 shingles —
-      // the lemma guarantees the (6,7) prefixes collide (inter = 4 ≥
-      // ⌈n/2⌉ = 3) — and the uncapped verify recovers the exact row
-      val pfx = Dedup.jaccardPrefix(spark, dir).collect()
+      // the DEFAULT path is the prefix filter: each doc indexes its
+      // rarest ⌊n/2⌋+1 shingles — the lemma guarantees the (6,7)
+      // prefixes collide (inter = 4 ≥ ⌈n/2⌉ = 3) — and the uncapped
+      // verify recovers the exact row even with the df-cap conf SET
+      // (the cap is inert on the prefix branch)
+      val pfx = Dedup.ngramJaccard(spark, dir).collect()
       assert(pfx.map(r => (r.getLong(0), r.getLong(1))).toSeq
         === Seq((6L, 7L)))
       assert(pfx(0).getAs[Long]("inter") === 4L)
@@ -139,11 +156,11 @@ class DedupSpec extends SparkSpec {
     // shingles; completeness is the two tests above
     import graft.sources.Tables
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
-    val (all, cands) = Dedup.jaccardPrefixStage(spark, docs)
-    val nAll = all.count()
+    val (arr, cands) = Dedup.jaccardPrefixStage(spark, docs)
+    val nAll = arr.agg(sum("n")).collect()(0).getLong(0)
     // re-derive prefix row bound from sizes: Σ (⌊n/2⌋ + 1)
-    val bound = all.groupBy("doc_id").count()
-      .agg(sum(expr("count div 2 + 1"))).collect()(0).getLong(0)
+    val bound = arr
+      .agg(sum(expr("n div 2 + 1"))).collect()(0).getLong(0)
     assert(bound < nAll, "prefix bound should undercut the full index")
     val verified = Dedup.jaccardPrefix(spark, sf0001)
       .select("a_id", "b_id").collect()
@@ -441,6 +458,25 @@ class DedupSpec extends SparkSpec {
       "from-index plan recomputes signatures")
   }
 
+  test("simhash from materialized index equals the in-query twin, reads no text") {
+    val inQuery = Dedup.simhash(spark, sf0001).collect()
+    val df = Dedup.simhashFromIndex(spark, sf0001)
+    val fromIndex = df.collect()
+    assert(fromIndex.map(_.toString).toSeq ===
+      inQuery.map(_.toString).toSeq,
+      "from-index pairs must be row-identical to the in-query simhash")
+    // serving contract: the plan touches ONLY the index files — no
+    // documents scan, no tokenize/bit-vote recompute
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "from-index plan re-reads the corpus")
+    assert(!plan.contains("simhash_sig"),
+      "from-index plan recomputes signatures")
+    val idx = new java.io.File(
+      graft.ops.BuildOnce.scratchPath("simhash", sf0001))
+    assert(idx.exists(), "simhash index not materialized")
+  }
+
   test("clusters from materialized labels equal the in-query loop, read only the artifact") {
     val inQuery = Dedup.clusters(spark, sf0001).collect()
     val df = Dedup.clustersFromIndex(spark, sf0001)
@@ -613,6 +649,68 @@ class DedupSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString.contains("cclabels-old"),
         "old labels did not come from the persisted artifact")
     } finally spark.conf.unset("graft.cc.oldLabelsPath")
+  }
+
+  test("incremental CC artifact guards: stage drift and slice " +
+      "substitution are refused at read time") {
+    // a dedicated corpus: 8 docs, ids 0-7, midpoint cut = 3 → old
+    // slice = {0,1,2} (docsDir texts need ≥ 3 letter tokens to shingle)
+    val texts = (0 until 8).map { i =>
+      val t = alpha(i); s"alpha$t beta$t gamma$t delta$t epsilon$t"
+    }
+    val dir = docsDir(texts)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val cut = Dedup.idCut(docs)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ccguard").toString + "/labels"
+    graft.ops.Materialize.ccLabelsOf(spark,
+      docs.filter(col("doc_id") < cut).select("doc_id", "text"),
+      path, dir)
+    spark.conf.set("graft.cc.oldLabelsPath", path)
+    try {
+      // sanity: the artifact serves its own corpus
+      assert(Dedup.queries("cc_incremental")(spark, dir).count() === 8)
+      // stage drift: labels were built under the default (prefix)
+      // stage; a dfcap session must be refused
+      withConf("graft.dedup.candidateStage" -> "dfcap") {
+        val e = intercept[IllegalArgumentException] {
+          Dedup.queries("cc_incremental")(spark, dir).collect()
+        }
+        assert(e.getMessage.contains("pair_stage") ||
+          e.getMessage.contains("pair stage"), e.getMessage)
+      }
+      // slice substitution: same ids, one old doc's text edited
+      // in-place — count-equality guards pass, the checksum must not
+      val edited = texts.updated(1, "omega psi chi phi upsilon")
+      val dir2 = docsDir(edited)
+      // rebind the corpus tag so only the CONTENT guard is under test
+      graft.ops.ArtifactTag.write(spark, path, dir2)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.queries("cc_incremental")(spark, dir2).collect()
+      }
+      assert(e2.getMessage.contains("checksum"), e2.getMessage)
+      // with graft.cc.trustOldContent=true the downgraded id-level
+      // guard accepts the substitution (disclosed: it cannot see it)
+      withConf("graft.cc.trustOldContent" -> "true") {
+        assert(Dedup.queries("cc_incremental")(spark, dir2).count() === 8)
+      }
+    } finally spark.conf.unset("graft.cc.oldLabelsPath")
+  }
+
+  test("write-once artifacts: reusing a label path throws") {
+    val dir = docsDir(Seq("alpha beta gamma delta",
+      "epsilon zeta eta theta"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-once").toString + "/labels"
+    graft.ops.Materialize.ccLabelsOf(spark,
+      graft.sources.Tables.documents(spark, dir)
+        .select("doc_id", "text"), path, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.ccLabelsOf(spark,
+        graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "text"), path, dir)
+    }
+    assert(e.getMessage.contains("write-once"), e.getMessage)
   }
 
   test("embedding threshold sweep is monotone and anchored at the 0.45 gate") {

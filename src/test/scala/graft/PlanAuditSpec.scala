@@ -150,8 +150,14 @@ class PlanAuditSpec extends SparkSpec {
       "triangle enumeration degenerated to a cartesian")
   }
 
-  test("ngram jaccard: bounded shuffles, hot-shingle drop is broadcast") {
-    val p = plan("dedup_ngram_jaccard")
+  test("ngram jaccard dfcap branch: bounded shuffles, hot-shingle drop " +
+      "is broadcast") {
+    // the dfcap candidate stage is conf-routed since the round-10
+    // default flip; its plan shape still matters for the degenerate
+    // all-hot corpus it exists for
+    spark.conf.set("graft.dedup.candidateStage", "dfcap")
+    val p = try plan("dedup_ngram_jaccard")
+    finally spark.conf.unset("graft.dedup.candidateStage")
     assert(shuffles(p) <= 5, s"shuffle budget exceeded: ${shuffles(p)}")
     // the df-cap anti-join is PLANNED broadcast (initial plan); at this
     // SF the hot set is empty, so AQE's empty-relation propagation may
@@ -165,12 +171,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin"), "candidate join degenerated")
   }
 
-  test("prefix jaccard: equi-join candidates, no cartesian, bounded shuffles") {
-    val p = plan("dedup_jaccard_prefix")
-    assert(!finalTree(p).contains("CartesianProduct"),
-      "prefix filter must stay an equi-join on the shingle hash")
-    assert(shuffles(p) <= 12,
-      s"prefix jaccard shuffle budget exceeded: ${shuffles(p)}")
+  test("ngram jaccard DEFAULT = prefix filter: equi-join candidates, " +
+      "no cartesian, bounded shuffles") {
+    // the round-10 default: dedup_ngram_jaccard and dedup_jaccard_prefix
+    // run the same provably-complete prefix-filter stage
+    Seq("dedup_ngram_jaccard", "dedup_jaccard_prefix").foreach { q =>
+      val p = plan(q)
+      assert(!finalTree(p).contains("CartesianProduct"),
+        s"$q: prefix filter must stay an equi-join on the shingle hash")
+      assert(!p.contains("LeftAnti"),
+        s"$q: default path must not run the df-cap anti join")
+      assert(shuffles(p) <= 12,
+        s"$q: prefix jaccard shuffle budget exceeded: ${shuffles(p)}")
+    }
   }
 
   test("minhash LSH never materializes a cartesian") {

@@ -46,7 +46,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "dedup_minhash_from_index",
       "pca_power_topcomp", "neardup_kcore", "dedup_minhash_incremental",
       "knn_graph_ivf", "log_mad_outliers_approx",
-      "orders_rfm_segments_approx", "fulfilment_latency_profile_approx")
+      "orders_rfm_segments_approx", "fulfilment_latency_profile_approx",
+      "table_profile_approx", "dedup_simhash_from_index")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
