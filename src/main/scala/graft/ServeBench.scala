@@ -105,8 +105,13 @@ object ServeBench {
       val (b, sv) = (steady(build), steady(serve))
       sb ++= f"| $build | $b%.2f | $serve | $sv%.2f | ${b / sv}%.1f× |\n"
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      sb.toString)
+    // the repo-relative target assumes a repo-root cwd; create the
+    // parent when missing so a run from elsewhere still lands its
+    // 20-minute measurement instead of dying at the final write
+    val outPath = java.nio.file.Paths.get(out)
+    Option(outPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, sb.toString)
     println(sb.toString)
     println(s"[servebench] wrote $out")
     spark.stop()

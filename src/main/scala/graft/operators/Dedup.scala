@@ -1771,12 +1771,12 @@ object Dedup {
     prefixVerify(arr, cands)
   }
 
-  /** Shared exact-verify tail of [[jaccardPrefixOf]] and
-    * [[prefixDeltaPairs]]: candidate id-pairs × the full (uncapped)
-    * per-doc shingle arrays — the SAME materialized (doc_id, hs, n)
-    * frame the prefix stage derived its postings from, so the verify
-    * pays no second tokenize/group pass — → row-identical to the
-    * all-pairs oracle. */
+  /** Shared exact-verify tail of [[jaccardPrefixOf]],
+    * [[prefixDeltaPairs]] and [[verifyCandidates]]: candidate
+    * id-pairs × the full (uncapped) per-doc shingle arrays — for the
+    * prefix path the SAME materialized (doc_id, hs, n) frame the
+    * stage derived its postings from, so the verify pays no second
+    * tokenize/group pass — → row-identical to the all-pairs oracle. */
   private def prefixVerify(arr: DataFrame, cands: DataFrame): DataFrame =
     cands
       .join(arr.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
@@ -1918,6 +1918,12 @@ object Dedup {
     ngramCandidateStageOf(s,
       Tables.documents(s, d).select("doc_id", "text"))
 
+  /** The df-cap bound, one resolution site (recorded in the CC label
+    * artifact's props sidecar under dfcap mode — a cap change between
+    * cycles changes the pair graph, so the reader must see it). */
+  private[graft] def maxShingleDf(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
+
   /** Frame-input variant of [[ngramCandidateStage]] — candidate pairs
     * over an explicit (doc_id, text) corpus slice, with the slice's
     * OWN df statistics for the hot-shingle cap (the semantics a
@@ -1929,12 +1935,6 @@ object Dedup {
     * Σ df·df_new — the [[incrementalFrames]] scoping, expressed at
     * the candidate stage — while df stats, sizes, and the a side
     * still cover the full input (verification semantics unchanged). */
-  /** The df-cap bound, one resolution site (recorded in the CC label
-    * artifact's props sidecar under dfcap mode — a cap change between
-    * cycles changes the pair graph, so the reader must see it). */
-  private[graft] def maxShingleDf(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.maxShingleDf").fold(100)(_.toInt)
-
   private def ngramCandidateStageOf(
       s: SparkSession, docs: DataFrame,
       bSide: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
@@ -1990,22 +1990,9 @@ object Dedup {
     * StreamingSpec pins that equality). Scale shape: candidates are
     * id-pairs (16 bytes), the store side ships only the two shingle-hash
     * arrays per surviving pair — never a corpus×corpus join. */
-  def verifyCandidates(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val arr = shingleRowsOf(
-      docs.select(col("doc_id"), col("text"), lit(0).as("is_new")))
-      .groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
-    cands.select("a_id", "b_id").distinct()
-      .join(arr.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
-        col("n").as("na")), "a_id")
-      .join(arr.select(col("doc_id").as("b_id"), col("hs").as("hs_b"),
-        col("n").as("nb")), "b_id")
-      .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-      .filter(col("inter") * 3 >= col("na") + col("nb"))
-      .select("a_id", "b_id", "inter", "na", "nb")
-      .orderBy("a_id", "b_id")
-  }
+  def verifyCandidates(cands: DataFrame, docs: DataFrame): DataFrame =
+    prefixVerify(shingleArraysOf(docs.select("doc_id", "text")),
+      cands.select("a_id", "b_id").distinct())
 
   /** Join candidate (a_id, b_id, inter) with sizes and keep j ≥ 0.5. */
   private def jaccardVerify(cands: DataFrame, sizes: DataFrame): DataFrame =

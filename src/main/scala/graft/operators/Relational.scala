@@ -154,8 +154,12 @@ object Relational {
     * (`table_profile_approx`): exact→`approx_count_distinct` HLL
     * sketches in a single no-melt aggregate; this query keeps exact
     * so the DuckDB oracle replays hash-identically. */
-  def tableProfile(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  /** The shared (col_name, vd, vs) MELT of the 11 profiled lineitem
+    * columns — ONE definition for [[tableProfile]] and
+    * [[tableProfileApprox]] (the `rfmOf` shared-plumbing discipline:
+    * the twins may only differ in their distinct-cardinality
+    * estimator, never in what they profile). */
+  private def profileMelt(li: DataFrame): DataFrame = {
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
       "l_tax")
@@ -174,6 +178,10 @@ object Relational {
       strCols.map(c => struct(lit(c).as("col_name"),
         lit(null).cast("double").as("vd"), col(c).as("vs")))
     li.select(inline(array(entries: _*)))
+  }
+
+  def tableProfile(s: SparkSession, d: String): DataFrame = {
+    profileMelt(Tables.lineitem(s, d))
       .groupBy("col_name", "vd", "vs")
       .agg(count(lit(1L)).as("cnt"))
       .groupBy("col_name")
@@ -188,49 +196,72 @@ object Relational {
   }
 
   /** The 100 TB twin of [[tableProfile]] — the same per-column profile
-    * with the exact distinct cardinality swapped for
-    * `approx_count_distinct` (HLL++, rsd 0.01), the
-    * `log_daily_active_approx` precedent. The exact twin's melt is the
-    * right exact shape but its shuffle is still NDV-SIZED: profiling
-    * a column like l_orderkey (NDV ≈ row count) shuffles one
-    * (col, value) row per distinct value — O(table) rows for a
-    * profile. This twin needs NO melt at all: one scan, ONE
-    * 66-slot aggregate (per column: null count, HLL sketch, typed
-    * min/max) whose state is 11 fixed-size sketches (~tens of KB
-    * total at rsd 0.01) merged map-side, so the shuffle is
-    * #partitions × sketch bytes — independent of both row count and
-    * NDV — and the result unpivots from 1 row to 11 via `stack`
-    * (metadata, not data). Same output schema as the exact twin;
-    * `n_distinct` is the estimate. Rows-only 🔶 (an estimator has no
-    * DuckDB replay); ApproxSpec pins null/min/max ≡ exact and NDV
-    * within 2% per column. */
+    * with the exact distinct cardinality swapped for a DECLARATIVE
+    * HyperLogLog estimate (m = 16384 registers per column, rsd
+    * ≈ 0.8%). The exact twin's melt is the right exact shape but its
+    * shuffle is still NDV-SIZED: profiling a column like l_orderkey
+    * (NDV ≈ row count) shuffles one (col, value) row per distinct
+    * value — O(table) rows for a profile. This twin's shuffle is the
+    * REGISTER frame: melt → xxhash64 → (bucket = h mod m,
+    * rho = leading-zero rank of the remaining 50 bits, computed
+    * EXACTLY as 51 − bitlength via `length(bin(w))` — no float log
+    * at bit boundaries) → `max(rho)` per (col, bucket) with map-side
+    * combine, ≤ 11·m rows total regardless of row count AND NDV —
+    * then the Flajolet–HLL estimator per column (alpha·m²/Σ2^−M_j
+    * with the standard linear-counting small-range correction
+    * m·ln(m/V)). Null count and typed min/max come from a second
+    * 11-group aggregate over the SAME [[profileMelt]], broadcast-
+    * joined. Same output schema as the exact twin; `n_distinct` is
+    * the estimate. Rows-only 🔶 (an estimator has no DuckDB replay);
+    * ApproxSpec pins null/min/max ≡ exact and NDV within 2% per
+    * column.
+    *
+    * Deliberately NOT `approx_count_distinct`: Spark's HLL++ is an
+    * ImperativeAggregate, and ONE imperative function in an aggregate
+    * disables whole-stage codegen for every slot in that operator —
+    * the fused 66-slot form ran the whole scan interpreted (measured
+    * 7.9 s at sf0.1 vs the exact twin's 1.1 s; splitting the sketches
+    * into their own aggregate still paid ~9 s of per-row interpreted
+    * update dispatch). This formulation keeps the entire pipeline —
+    * melt, hash, bucket/rho, register max, estimator — inside
+    * whole-stage codegen. */
   def tableProfileApprox(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-      "l_tax")
-    val strCols = Seq("l_returnflag", "l_linestatus")
-    val tsCols = Seq("l_shipdate")
-    val allCols = numCols ++ tsCols ++ strCols
-    def vd(c: String): Column =
-      if (tsCols.contains(c)) unix_micros(col(c).cast("timestamp")).cast("double")
-      else if (numCols.contains(c)) col(c).cast("double")
-      else lit(null).cast("double")
-    def vs(c: String): Column =
-      if (strCols.contains(c)) col(c) else lit(null).cast("string")
-    val aggs = allCols.flatMap { c => Seq(
-      sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))
-        .as(s"null_$c"),
-      approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
-      min(vd(c)).as(s"minn_$c"), max(vd(c)).as(s"maxn_$c"),
-      min(vs(c)).as(s"mins_$c"), max(vs(c)).as(s"maxs_$c"))
-    }
-    val slots = allCols.map(c =>
-      s"'$c', null_$c, nd_$c, minn_$c, maxn_$c, mins_$c, maxs_$c")
-      .mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${allCols.size}, $slots) AS " +
-        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+    val m = 16384
+    val melted = profileMelt(Tables.lineitem(s, d))
+    val stats = melted.groupBy("col_name").agg(
+      sum(when(col("vd").isNull && col("vs").isNull, lit(1L))
+        .otherwise(lit(0L))).as("n_null"),
+      min("vd").as("min_num"), max("vd").as("max_num"),
+      min("vs").as("min_str"), max("vs").as("max_str"))
+    // HLL registers: nulls are excluded from NDV (matching the exact
+    // twin's count of non-null distinct values); w = the hash's upper
+    // 50 bits, rho = 51 − bitlength(w) (w = 0 → all-zero suffix → 51)
+    val regs = melted
+      .filter(col("vd").isNotNull || col("vs").isNotNull)
+      .select(col("col_name"),
+        xxhash64(col("vd"), col("vs")).as("h"))
+      .select(col("col_name"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        shiftrightunsigned(col("h"), 14).as("w"))
+      .select(col("col_name"), col("bucket"),
+        when(col("w") === 0L, lit(51))
+          .otherwise(lit(51) - length(bin(col("w")))).as("rho"))
+      .groupBy("col_name", "bucket")
+      .agg(max("rho").as("mj"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = regs.groupBy("col_name")
+      .agg(sum(pow(lit(2.0), -col("mj"))).as("z"),
+        count(lit(1)).as("vnz"))
+      .select(col("col_name"), {
+        val zeros = lit(m.toDouble) - col("vnz")
+        val eRaw = lit(alpha * m * m) / (col("z") + zeros)
+        when(col("vnz") < m && eRaw <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+          .otherwise(eRaw).cast("long").as("n_distinct")
+      })
+    stats.join(broadcast(est), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy("col_name")
   }
 

@@ -22,11 +22,27 @@ object BuildOnce {
     * including losers of the race — returns only after the build has
     * completed. `tag` identifies the input (here: the corpus dir);
     * re-ensuring the same path for a DIFFERENT tag throws, so two
-    * corpora can never silently share one artifact. */
+    * corpora can never silently share one artifact.
+    *
+    * A build that THROWS records nothing, and the NEXT caller's retry
+    * starts by clearing whatever partial files the failed attempt left
+    * (scratch paths are JVM-local temp dirs, so nothing outside this
+    * process can hold a reference): the Materialize writers are
+    * write-once (they refuse an existing target — the shared-path
+    * serving discipline), so without this sweep a single failed build
+    * would wedge every later from-index call in the JVM. */
   def ensure(path: String, tag: String)(build: => Unit): Unit = {
-    val got = built.computeIfAbsent(path, _ => { build; tag })
+    val got = built.computeIfAbsent(path, _ => {
+      deleteRec(new java.io.File(path))
+      build; tag
+    })
     require(got == tag,
       s"scratch artifact at $path was built for $got, requested for $tag")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
   }
 
   /** Scratch path for artifact `kind` over corpus `dir`, keyed on the

@@ -37,7 +37,12 @@ object Materialize {
   private def requireFresh(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+    // ANY existing path fails — even an empty directory: the parquet
+    // writers below run SaveMode.ErrorIfExists, so allowing an empty
+    // pre-created target here would let the expensive computation run
+    // to completion and THEN die on Spark's raw path-exists error
+    // instead of this message, before any work is spent
+    require(!fs.exists(p),
       s"artifact target $path already exists — serving artifacts are " +
         "write-once per cycle (a refresh writes to a NEW path and " +
         "flips the conf pointer; overwriting in place races readers " +

@@ -4,9 +4,13 @@ package graft.ops
   * write→storage→read round-trip (`materialize_survivors`,
   * `ann_ivf_from_index`). Repeated invocations of the same query —
   * Bench's warm-up + timed passes, Stress loops, a spec `explain` that
-  * forces the write side effect — reuse ONE directory per artifact name
-  * (the writers are `mode("overwrite")`), instead of minting a fresh
-  * temp dir each call and leaking the corpus 4-5× per run under /tmp.
+  * forces the write side effect — reuse ONE directory per artifact
+  * name instead of minting a fresh temp dir each call and leaking the
+  * corpus 4-5× per run under /tmp. Repeat safety is per writer:
+  * `mode("overwrite")` writers self-heal in place, while the
+  * write-once Materialize writers (labels/SQ/simhash indexes) only
+  * run behind [[BuildOnce.ensure]], which builds once per path per
+  * JVM and sweeps a failed attempt's partial files before retrying.
   * The whole root is deleted by a shutdown hook when the JVM exits.
   *
   * Not a concurrency primitive: two threads overwriting the same

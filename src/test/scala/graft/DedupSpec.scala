@@ -50,12 +50,7 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
-  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
-    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
-
-  private def withConfGet[A](kvs: (String, String)*)(body: => A): A = {
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
     finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
   }
@@ -105,7 +100,7 @@ class DedupSpec extends SparkSpec {
     // equal the exact pair set — full-row equality including
     // inter/na/nb (the default branch IS the prefix filter since the
     // round-10 flip, so the dfcap branch is pinned via the conf)
-    val exact = withConfGet("graft.dedup.candidateStage" -> "dfcap") {
+    val exact = withConf("graft.dedup.candidateStage" -> "dfcap") {
       Dedup.ngramJaccard(spark, sf0001).collect()
     }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
@@ -131,7 +126,7 @@ class DedupSpec extends SparkSpec {
     withConf("graft.dedup.maxShingleDf" -> "5") {
       // the capped index drops all four B-shingles → pair (6,7) lost
       // (dfcap branch pinned via the conf since the round-10 flip)
-      val capped = withConfGet("graft.dedup.candidateStage" -> "dfcap") {
+      val capped = withConf("graft.dedup.candidateStage" -> "dfcap") {
         Dedup.ngramJaccard(spark, dir).collect()
       }
       assert(capped.isEmpty, "df-cap should lose the hot-only pair")
