@@ -40,6 +40,7 @@ object Dedup {
     "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_simhash_from_index" -> simhashFromIndex,
+    "dedup_simhash_incremental" -> simhashIncremental,
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
@@ -2187,9 +2188,16 @@ object Dedup {
     * serving twin [[simhashFromIndex]] (the [[ccIncrementalPrefix]]
     * one-definition discipline: the artifact can never drift from
     * what the query computes). */
-  private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame =
+    simhashBandedOf(s, Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Frame-input variant of [[simhashBanded]] for batch-scoped
+    * consumers ([[simhashIncremental]]'s new slice, the old-slice
+    * index writer). */
+  private[graft] def simhashBandedOf(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.SignatureFunctions.register(s)
-    val sigs = Tables.documents(s, d)
+    val sigs = docs
       .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id")
@@ -2205,10 +2213,15 @@ object Dedup {
         col("kb.k").as("k"), col("kb.bh").as("bh"))
   }
 
-  /** Shared pair tail of [[simhash]] and [[simhashFromIndex]]: banded
-    * bucket equi-join, XOR popcount, hamming ≤ 3, a_id < b_id. */
-  private def simhashPairs(banded: DataFrame): DataFrame =
-    banded.as("a").join(banded.as("b"),
+  /** Shared pair tail of [[simhash]], [[simhashFromIndex]] and
+    * [[simhashIncremental]]: banded bucket equi-join, XOR popcount,
+    * hamming ≤ 3, a_id < b_id. Two-sided so the incremental mode can
+    * restrict the b side (the HIGHER doc_id) to the new batch: with
+    * monotone id allocation every pair touching the delta has its new
+    * endpoint on the b side, so the restriction loses nothing while
+    * the bucket join's work drops to ∝ new rows per bucket. */
+  private def simhashPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"),
         col("a.k") === col("b.k") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -2216,6 +2229,9 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+
+  private def simhashPairs(banded: DataFrame): DataFrame =
+    simhashPairs(banded, banded)
 
   /** [[simhash]] served from the MATERIALIZED banded-signature index —
     * the from-index twin that closes the one candidate family that
@@ -2240,6 +2256,36 @@ object Dedup {
       graft.ops.Materialize.simhashIndex(s, d, path)
     }
     simhashPairs(s.read.parquet(s"$path/bands"))
+  }
+
+  /** The nightly-ingest composition of the simhash index — the
+    * [[minhashIncremental]] discipline for the simhash family: the
+    * new batch (doc_id ≥ the midpoint cut, replayed from one table so
+    * the twin check is self-contained) tokenizes and signs ITSELF
+    * in-query, while the old corpus's signatures and band keys come
+    * from the materialized (k, bh)-sorted index — old docs never
+    * re-tokenize or re-vote. The pair join runs old∪new against the
+    * NEW side only (every pair touching the delta has its new
+    * endpoint as the higher id, so nothing is lost), making the
+    * bucket work ∝ batch × bands instead of corpus × bands. Output ≡
+    * [[simhash]] restricted to new-touching pairs (b_id ≥ cut),
+    * row-identical including the hamming column — DedupSpec pins the
+    * equality AND that the plan reads old state from index files only
+    * (the documents scan carries a pushed doc_id ≥ cut filter).
+    * Rows-only 🔶 like the rest of the simhash family. */
+  def simhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cut = idCut(docs)
+    val path = graft.ops.BuildOnce.scratchPath("simhash-old", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.simhashIndexOf(s,
+        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+    }
+    val newBands = simhashBandedOf(s,
+        docs.filter(col("doc_id") >= cut).select("doc_id", "text"))
+      .localCheckpoint()
+    val oldBands = s.read.parquet(s"$path/bands")
+    simhashPairs(oldBands.unionAll(newBands), newBands)
   }
 
   /** `dedup_embedding_bruteforce` — exact cosine ≥ 0.45 near-dup pairs

@@ -187,9 +187,17 @@ object Materialize {
     * is [[graft.operators.Dedup.simhashBanded]], the very one the
     * in-query `dedup_simhash` joins, so `dedup_simhash_from_index`
     * is row-identical by construction (DedupSpec pins it). */
-  def simhashIndex(s: SparkSession, dir: String, path: String): Unit = {
+  def simhashIndex(s: SparkSession, dir: String, path: String): Unit =
+    simhashIndexOf(s,
+      Tables.documents(s, dir).select("doc_id", "text"), path)
+
+  /** [[simhashIndex]] over an explicit (doc_id, text) slice — the
+    * old-corpus-only index `dedup_simhash_incremental` point-probes
+    * (the [[minhashIndexOf]] discipline). */
+  def simhashIndexOf(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
     requireFresh(s, path)
-    graft.operators.Dedup.simhashBanded(s, dir)
+    graft.operators.Dedup.simhashBandedOf(s, docs)
       .repartitionByRange(col("k"), col("bh"))
       .sortWithinPartitions("k", "bh", "doc_id")
       .write.parquet(s"$path/bands")

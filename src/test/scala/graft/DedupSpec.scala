@@ -528,6 +528,30 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.labelsPath")
   }
 
+  test("incremental simhash probes the stored index: ≡ full simhash on new pairs, no old recompute") {
+    val cut = Dedup.idCut(graft.sources.Tables.documents(spark, sf0001))
+    val full = Dedup.simhash(spark, sf0001)
+      .filter(col("b_id") >= cut).collect().map(_.toString).toSeq
+    val df = Dedup.simhashIncremental(spark, sf0001)
+    val inc = df.collect().map(_.toString).toSeq
+    assert(inc === full,
+      "incremental simhash != full simhash restricted to new-batch pairs")
+    assert(inc.nonEmpty, "degenerate fixture: no pairs touch the batch")
+    // serving contract (the minhashIncremental pin style): the pair
+    // join reads the persisted old-corpus band index + the
+    // checkpointed new bands — never the old text, never an old-side
+    // signature recompute
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "final plan re-reads the corpus")
+    assert(!plan.contains("simhash_sig"),
+      "final plan recomputes signatures")
+    val idx = new java.io.File(
+      graft.ops.BuildOnce.scratchPath("simhash-old", sf0001))
+    assert(new java.io.File(idx, "bands").exists(),
+      "old-corpus simhash band index not materialized")
+  }
+
   test("incremental minhash probes the stored index: ≡ full LSH on new pairs, no old recompute") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val b = docs.agg(min("doc_id"), max("doc_id")).head()

@@ -47,7 +47,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "pca_power_topcomp", "neardup_kcore", "dedup_minhash_incremental",
       "knn_graph_ivf", "log_mad_outliers_approx",
       "orders_rfm_segments_approx", "fulfilment_latency_profile_approx",
-      "table_profile_approx", "dedup_simhash_from_index")
+      "table_profile_approx", "dedup_simhash_from_index",
+      "dedup_simhash_incremental")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
