@@ -111,6 +111,25 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("approx table profile RAW-HLL branch (NDV > 2.5m, sf0.1): " +
+      "within 2% per column") {
+    // sf0.001's NDVs all land in the linear-counting correction; the
+    // raw Flajolet estimator branch (E > 2.5·16384) only exercises at
+    // sf0.1 NDVs (l_extendedprice ≈ 583k, l_orderkey ≈ 147k) — pin it
+    // in CI, not in a one-off dev check
+    val d = "/root/testdata/sf0.1"
+    val exact = Relational.tableProfile(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Relational.tableProfileApprox(spark, d).collect()
+    assert(approx.exists(r => exact(r.getString(0)) > 2.5 * 16384),
+      "fixture no longer reaches the raw-estimator regime")
+    approx.foreach { r =>
+      val nd = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(2) - nd) <= 0.02 * nd + 1.0,
+        s"${r.getString(0)}: approx NDV ${r.getLong(2)} vs exact $nd")
+    }
+  }
+
   test("approx daily active within 5% of exact") {
     val exact = LogAnalytics.dailyActive(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
