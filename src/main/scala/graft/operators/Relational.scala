@@ -208,13 +208,21 @@ object Relational {
     * at bit boundaries) → `max(rho)` per (col, bucket) with map-side
     * combine, ≤ 11·m rows total regardless of row count AND NDV —
     * then the Flajolet–HLL estimator per column (alpha·m²/Σ2^−M_j
-    * with the standard linear-counting small-range correction
-    * m·ln(m/V)). Null count and typed min/max come from a second
-    * 11-group aggregate over the SAME [[profileMelt]], broadcast-
-    * joined. Same output schema as the exact twin; `n_distinct` is
-    * the estimate. Rows-only 🔶 (an estimator has no DuckDB replay);
-    * ApproxSpec pins null/min/max ≡ exact and NDV within 2% per
-    * column.
+    * with the linear-counting small-range correction m·ln(m/V),
+    * applied up to E ≤ 3.5m rather than the classic 2.5m: the raw
+    * estimator's positive bias just above the switch is what HLL++'s
+    * empirical bias tables exist to remove, and the measured sweep
+    * showed +1.8% at NDV ≈ 2.5m under a 2.5m switch vs ≤ 0.7%
+    * everywhere under 3.5m — linear counting's own stderr at load
+    * 3.5 is ~1.2%, still under the raw bias it replaces). Null count and typed min/max ride the SAME
+    * (col, bucket) aggregate as per-bucket partials (nulls on a
+    * sentinel bucket), so the whole profile is ONE scan + ONE
+    * register-frame shuffle — see [[approxProfileOf]]. Same output
+    * schema as the exact twin; `n_distinct` is the estimate.
+    * Rows-only 🔶 (an estimator has no DuckDB replay); ApproxSpec
+    * pins null/min/max ≡ exact, NDV within 2% per column, and the
+    * estimator's accuracy across a synthetic NDV sweep through the
+    * linear-counting/raw switch band.
     *
     * Deliberately NOT `approx_count_distinct`: Spark's HLL++ is an
     * ImperativeAggregate, and ONE imperative function in an aggregate
@@ -225,43 +233,54 @@ object Relational {
     * update dispatch). This formulation keeps the entire pipeline —
     * melt, hash, bucket/rho, register max, estimator — inside
     * whole-stage codegen. */
-  def tableProfileApprox(s: SparkSession, d: String): DataFrame = {
+  def tableProfileApprox(s: SparkSession, d: String): DataFrame =
+    approxProfileOf(profileMelt(Tables.lineitem(s, d)))
+
+  /** The post-melt pipeline of [[tableProfileApprox]] over an explicit
+    * (col_name, vd, vs) frame — ONE scan, ONE shuffle: null rows route
+    * to a sentinel bucket −1, value rows to (hash mod m), and a single
+    * groupBy(col, bucket) aggregate carries the HLL register max(rho)
+    * AND the per-bucket null count / typed min-max partials, so the
+    * per-column rollup reads ≤ 11·(m+1) register rows (map-side
+    * combined; independent of row count and NDV) instead of a second
+    * table scan. Package-private so ApproxSpec can drive SYNTHETIC
+    * NDVs through the estimator — the raw-vs-linear-counting switch
+    * band (E near 2.5m) never occurs at the oracle SFs' natural
+    * cardinalities. */
+  private[graft] def approxProfileOf(melted: DataFrame): DataFrame = {
     val m = 16384
-    val melted = profileMelt(Tables.lineitem(s, d))
-    val stats = melted.groupBy("col_name").agg(
-      sum(when(col("vd").isNull && col("vs").isNull, lit(1L))
-        .otherwise(lit(0L))).as("n_null"),
-      min("vd").as("min_num"), max("vd").as("max_num"),
-      min("vs").as("min_str"), max("vs").as("max_str"))
-    // HLL registers: nulls are excluded from NDV (matching the exact
-    // twin's count of non-null distinct values); w = the hash's upper
-    // 50 bits, rho = 51 − bitlength(w) (w = 0 → all-zero suffix → 51)
-    val regs = melted
-      .filter(col("vd").isNotNull || col("vs").isNotNull)
-      .select(col("col_name"),
-        xxhash64(col("vd"), col("vs")).as("h"))
-      .select(col("col_name"), pmod(col("h"), lit(m.toLong)).as("bucket"),
-        shiftrightunsigned(col("h"), 14).as("w"))
-      .select(col("col_name"), col("bucket"),
-        when(col("w") === 0L, lit(51))
-          .otherwise(lit(51) - length(bin(col("w")))).as("rho"))
-      .groupBy("col_name", "bucket")
-      .agg(max("rho").as("mj"))
+    val hashed = melted.select(col("col_name"), col("vd"), col("vs"),
+      when(col("vd").isNull && col("vs").isNull, lit(null).cast("long"))
+        .otherwise(xxhash64(col("vd"), col("vs"))).as("h"))
+    // w = the hash's upper 50 bits; rho = 51 − bitlength(w), exact
+    // via length(bin(w)) — no float log at bit boundaries
+    val w = shiftrightunsigned(col("h"), 14)
+    val bucketed = hashed.select(col("col_name"), col("vd"), col("vs"),
+      coalesce(pmod(col("h"), lit(m.toLong)), lit(-1L)).as("bucket"),
+      when(col("h").isNull, lit(0))
+        .when(w === 0L, lit(51))
+        .otherwise(lit(51) - length(bin(w))).as("rho"))
+    val regs = bucketed.groupBy("col_name", "bucket").agg(
+      max("rho").as("mj"), count(lit(1L)).as("cnt"),
+      min("vd").as("mn"), max("vd").as("mx"),
+      min("vs").as("sn"), max("vs").as("sx"))
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val est = regs.groupBy("col_name")
-      .agg(sum(pow(lit(2.0), -col("mj"))).as("z"),
-        count(lit(1)).as("vnz"))
-      .select(col("col_name"), {
+    regs.groupBy("col_name").agg(
+        sum(when(col("bucket") === -1L, col("cnt")).otherwise(lit(0L)))
+          .as("n_null"),
+        sum(when(col("bucket") >= 0L, pow(lit(2.0), -col("mj"))))
+          .as("z"),
+        count(when(col("bucket") >= 0L, lit(1))).as("vnz"),
+        min("mn").as("min_num"), max("mx").as("max_num"),
+        min("sn").as("min_str"), max("sx").as("max_str"))
+      .select(col("col_name"), col("n_null"), {
         val zeros = lit(m.toDouble) - col("vnz")
         val eRaw = lit(alpha * m * m) / (col("z") + zeros)
-        when(col("vnz") < m && eRaw <= lit(2.5 * m),
-          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        when(col("vnz") === 0L, lit(0.0))
+          .when(col("vnz") < m && eRaw <= lit(3.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / zeros))
           .otherwise(eRaw).cast("long").as("n_distinct")
-      })
-    stats.join(broadcast(est), Seq("col_name"), "left")
-      .select(col("col_name"), col("n_null"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      }, col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy("col_name")
   }
 

@@ -30,19 +30,23 @@ object BuildOnce {
     * process can hold a reference): the Materialize writers are
     * write-once (they refuse an existing target — the shared-path
     * serving discipline), so without this sweep a single failed build
-    * would wedge every later from-index call in the JVM. */
+    * would wedge every later from-index call in the JVM. Because that
+    * sweep DELETES, ensure refuses any path outside [[Scratch]]'s
+    * per-JVM root up front — a durable artifact path routed through
+    * here would get its previous cycle silently destroyed on the
+    * JVM's first call; durable refreshes go through the write-once
+    * Materialize writers + a conf pointer flip, never this cache. */
   def ensure(path: String, tag: String)(build: => Unit): Unit = {
+    require(Scratch.owns(path),
+      s"BuildOnce.ensure is for JVM-local scratch paths only; $path " +
+        "is outside the scratch root (a durable artifact must use the " +
+        "write-once Materialize writers + a new path per cycle)")
     val got = built.computeIfAbsent(path, _ => {
-      deleteRec(new java.io.File(path))
+      Scratch.delete(new java.io.File(path))
       build; tag
     })
     require(got == tag,
       s"scratch artifact at $path was built for $got, requested for $tag")
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete(); ()
   }
 
   /** Scratch path for artifact `kind` over corpus `dir`, keyed on the

@@ -37,11 +37,15 @@ object Materialize {
   private def requireFresh(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // ANY existing path fails — even an empty directory: the parquet
-    // writers below run SaveMode.ErrorIfExists, so allowing an empty
-    // pre-created target here would let the expensive computation run
-    // to completion and THEN die on Spark's raw path-exists error
-    // instead of this message, before any work is spent
+    // ANY existing path fails — even an empty directory: the writers
+    // split between path-direct (ccLabels, sqIndex — Spark's own
+    // ErrorIfExists would refuse an empty pre-created dir with its
+    // raw message) and subpath ($path/bands — which would silently
+    // ACCEPT one), so without a uniform rule here the same
+    // pre-created target is refused by one artifact kind and written
+    // by another; and an existing-but-empty root is indistinguishable
+    // from a half-deleted artifact, which write-once semantics must
+    // treat as already-used
     require(!fs.exists(p),
       s"artifact target $path already exists — serving artifacts are " +
         "write-once per cycle (a refresh writes to a NEW path and " +

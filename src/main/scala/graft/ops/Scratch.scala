@@ -26,11 +26,18 @@ object Scratch {
     p
   }
 
-  private def delete(f: java.io.File): Unit = {
+  private[ops] def delete(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(delete))
     f.delete()
   }
 
   /** Stable path for a named scratch artifact, e.g. `dir("survivors")`. */
   def dir(name: String): String = root.resolve(name).toString
+
+  /** True iff `path` lives under this JVM's scratch root — the
+    * precondition [[BuildOnce.ensure]] enforces before its
+    * retry-after-failure sweep may delete anything. */
+  def owns(path: String): Boolean =
+    java.nio.file.Paths.get(path).normalize()
+      .startsWith(root.normalize())
 }

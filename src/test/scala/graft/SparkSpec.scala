@@ -8,6 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
+  /** The large fixture — for the few tests whose regime (raw-HLL
+    * NDVs) sf0.001 cannot reach; everything else stays on sf0001. */
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {
