@@ -71,9 +71,19 @@ object Bench {
       stats.map(s => pick(s._2)).filter(_ >= 0).sum
     // "queries"/"value" carry the MEDIAN (the driver's parse contract
     // is untouched — scalar per query); the min/max triples ride along
-    // under extra keys so BENCH_r{N} records the spread
+    // under extra keys so BENCH_r{N} records the spread.
+    // value_min/value_max are PER-QUERY ENVELOPES (sums of per-query
+    // minima/maxima taken across different passes — neither total
+    // corresponds to any single pass that ran); the observed total of
+    // each actual pass lands in value_passes, so round-over-round
+    // delta reads have a real run to compare against (round-10
+    // advisor fix: the envelope alone overstated the observed spread).
+    val okNames = stats.collect { case (n, (m, _, _)) if m >= 0 => n }
+    val passTotals = passes
+      .map(p => okNames.map(p).sum)
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${total(_._1)},"unit":"sec","estimator":"median_of_3","value_min":${total(_._2)},"value_max":${total(_._3)},"queries":${qJson(_._1)},"queries_min":${qJson(_._2)},"queries_max":${qJson(_._3)},"failed":$fJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${total(_._1)},"unit":"sec","estimator":"median_of_3","value_min":${total(_._2)},"value_max":${total(_._3)},"value_passes":$passTotals,"queries":${qJson(_._1)},"queries_min":${qJson(_._2)},"queries_max":${qJson(_._3)},"failed":$fJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

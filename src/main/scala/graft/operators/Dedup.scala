@@ -126,7 +126,7 @@ object Dedup {
     * join; each triangle is counted exactly once, at its minimum-rank
     * vertex. */
   def triangles(s: SparkSession, d: String): DataFrame =
-    trianglesOf(ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint())
+    trianglesOf(verifiedPairsMat(s, d))
 
   /** [[triangles]] over an explicit verified-pair frame (a_id < b_id,
     * distinct) — the graph kernel, reusable for any edge source. The
@@ -230,7 +230,7 @@ object Dedup {
     * preserve the degree structure. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val iters = s.conf.getOption("graft.pagerank.iters").fold(3)(_.toInt)
-    pagerankOf(ngramJaccard(s, d).select("a_id", "b_id"), iters)
+    pagerankOf(verifiedPairs(s, d).select("a_id", "b_id"), iters)
   }
 
   /** [[pagerank]] over an explicit verified-pair frame — the graph
@@ -289,7 +289,7 @@ object Dedup {
     * no SQL oracle); DedupSpec pins the result against brute-force
     * min-degree peeling and double-runs for determinism. */
   def kcore(s: SparkSession, d: String): DataFrame =
-    kcoreOf(ngramJaccard(s, d).select("a_id", "b_id"),
+    kcoreOf(verifiedPairs(s, d).select("a_id", "b_id"),
       s.conf.getOption("graft.kcore.maxIters").fold(30)(_.toInt))
 
   /** [[kcore]] over an explicit pair frame — the spec entry point. */
@@ -439,7 +439,7 @@ object Dedup {
   def qualityDelta(s: SparkSession, d: String): DataFrame = {
     val q = TextAnalysis.qualityLogitScore(s, d)
       .select(col("doc_id"), col("logit_milli"))
-    ngramJaccard(s, d).select("a_id", "b_id")
+    verifiedPairs(s, d).select("a_id", "b_id")
       .join(q.select(col("doc_id").as("a_id"),
         col("logit_milli").as("la")), Seq("a_id"), "left")
       .join(q.select(col("doc_id").as("b_id"),
@@ -793,7 +793,7 @@ object Dedup {
     * (≤ corpus rows) and the degree histogram (≤ max-degree rows).
     * Nothing here exceeds the candidate-join cost already paid. */
   def degreeDist(s: SparkSession, d: String): DataFrame = {
-    val deg = ngramJaccard(s, d)
+    val deg = verifiedPairs(s, d)
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     Tables.documents(s, d).select("doc_id")
@@ -815,7 +815,7 @@ object Dedup {
     * n_sources²-bounded aggregate on top of work already done. */
   def crossSourceRate(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    ngramJaccard(s, d).select("a_id", "b_id")
+    verifiedPairs(s, d).select("a_id", "b_id")
       .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
         "a_id")
       .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
@@ -1706,6 +1706,67 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardOf(s, Tables.documents(s, d).select("doc_id", "text"))
 
+  /** The verified pair frame every GRAPH-METRIC consumer starts from
+    * ([[degreeDist]], [[pagerank]], [[triangles]], [[kcore]],
+    * [[qualityDelta]], [[crossSourceRate]]) — dual-mode, the
+    * [[clusterLabels]] `graft.cc.labelsPath` precedent applied one
+    * stage earlier:
+    *
+    *  - `graft.dedup.pairsPath` SET → serving mode: ONE scan of the
+    *    [[graft.ops.Materialize.pairGraph]] artifact at that path
+    *    (5-long rows, (a_id, b_id)-range-sorted). A nightly audit
+    *    pays the shingle scan + candidate join once at refresh; all
+    *    six metrics then read parquet instead of re-deriving the same
+    *    graph — at sf0.1 the pair subplan dominates each consumer's
+    *    wall; at 100 TB it is one pair job vs six.
+    *  - unset → oracle mode: [[ngramJaccard]] in-query (what the
+    *    DuckDB oracle replays).
+    *
+    * Serving-mode guards: the `_graft_corpus` tag must name THIS
+    * corpus, and the `_graft_props` candidate-stage provenance must
+    * match the session's conf (a dfcap-built graph is missing exactly
+    * the hot-only pairs a prefix session expects — the
+    * [[ccIncremental]] drift-refusal rule). The writer's content
+    * checksum is NOT replayed per serve: a per-serve (doc_id, text)
+    * scan would rival some consumers' whole cost, the tag binds the
+    * corpus dir, and the write-once discipline forbids in-place
+    * mutation under an unchanged path. DedupSpec pins both modes
+    * row-identical for all six consumers and the serving plans
+    * pair-derivation-free. */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    s.conf.getOption("graft.dedup.pairsPath") match {
+      case Some(p) =>
+        graft.ops.ArtifactTag.require(s, p, d)
+        val props = graft.ops.ArtifactTag.readProps(s, p)
+        val stage = candidateStage(s)
+        require(props.get("pair_stage").contains(stage),
+          s"pair-graph artifact at $p was built under pair stage " +
+            s"'${props.getOrElse("pair_stage", "<none>")}' but this " +
+            s"session runs '$stage' (graft.dedup.candidateStage) — " +
+            "rebuild the artifact or match the conf")
+        require(stage != "dfcap"
+            || props.get("max_shingle_df")
+                 .contains(maxShingleDf(s).toString),
+          s"pair-graph artifact at $p was built with maxShingleDf=" +
+            s"${props.getOrElse("max_shingle_df", "<none>")} but this " +
+            s"session caps at ${maxShingleDf(s)} — a df-cap change " +
+            "changes the pair graph; rebuild")
+        s.read.parquet(p).select("a_id", "b_id", "inter", "na", "nb")
+      case None => ngramJaccard(s, d)
+    }
+
+  /** [[verifiedPairs]]' (a_id, b_id) projection, MATERIALIZED for
+    * multi-consumer kernels: serving mode is already a re-consumable
+    * parquet scan (checkpointing it would copy the artifact into
+    * storage memory for nothing); oracle mode localCheckpoints so the
+    * candidate join + verify run once however many times the kernel
+    * re-reads its edges. */
+  private def verifiedPairsMat(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d).select("a_id", "b_id")
+    if (s.conf.getOption("graft.dedup.pairsPath").isDefined) pairs
+    else pairs.localCheckpoint()
+  }
+
   /** Conf-routed candidate stage of [[ngramJaccard]] (default
     * `prefix`, see there). Package-private: the CC label artifact
     * writer records it in the `_graft_props` sidecar so
@@ -2077,15 +2138,23 @@ object Dedup {
     * index files only). Work ∝ batch × bands, not corpus². Output =
     * [[minhashLsh]] restricted to pairs touching the new batch
     * (DedupSpec pins that equality row-for-row). Rows-only 🔶 like
-    * the other MinHash paths (LSH recall < 1 by design). */
+    * the other MinHash paths (LSH recall < 1 by design). Dual-mode
+    * boundary since round 11: `graft.minhash.oldIndexPath` SET → the
+    * persisted previous-cycle index DEFINES the cut ([[oldIndexMode]]
+    * — tag, provenance, and checksum guards); unset → the
+    * self-contained midpoint replay. */
   def minhashIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val path = graft.ops.BuildOnce.scratchPath("minhash-old", d)
-    graft.ops.BuildOnce.ensure(path, d) {
-      graft.ops.Materialize.minhashIndexOf(s,
-        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+    val (cut, path) = oldIndexMode(s, docs, d,
+        "graft.minhash.oldIndexPath").getOrElse {
+      val mCut = idCut(docs)
+      val p = graft.ops.BuildOnce.scratchPath("minhash-old", d)
+      graft.ops.BuildOnce.ensure(p, d) {
+        graft.ops.Materialize.minhashIndexOf(s,
+          docs.filter(col("doc_id") < mCut).select("doc_id", "text"),
+          p, d)
+      }
+      (mCut, p)
     }
     graft.plans.SignatureFunctions.register(s)
     val newArr = shingleArraysOf(
@@ -2116,18 +2185,9 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** The two frames [[graft.ops.Materialize.minhashIndex]] persists:
-    * (doc_id, band, band_sig) band keys and (doc_id, hs, n)
-    * verification signatures. */
-  private[graft] def minhashIndexFrames(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    graft.plans.SignatureFunctions.register(s)
-    val docs = shingleArrays(s, d).localCheckpoint()
-    (minhashBands(docs), docs)
-  }
-
-  /** Frame-input variant of [[minhashIndexFrames]] — the index build
-    * over an explicit (doc_id, text) corpus slice. */
+  /** The two frames [[graft.ops.Materialize.minhashIndexOf]] persists
+    * for a (doc_id, text) corpus slice: (doc_id, band, band_sig) band
+    * keys and (doc_id, hs, n) verification signatures. */
   private[graft] def minhashIndexFramesOf(
       s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     graft.plans.SignatureFunctions.register(s)
@@ -2272,14 +2332,23 @@ object Dedup {
     * row-identical including the hamming column — DedupSpec pins the
     * equality AND that the plan reads old state from index files only
     * (the documents scan carries a pushed doc_id ≥ cut filter).
-    * Rows-only 🔶 like the rest of the simhash family. */
+    * Rows-only 🔶 like the rest of the simhash family. Dual-mode
+    * boundary since round 11: `graft.simhash.oldIndexPath` SET → the
+    * persisted previous-cycle index DEFINES the cut ([[oldIndexMode]]
+    * — tag, provenance, and checksum guards); unset → the
+    * self-contained midpoint replay. */
   def simhashIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cut = idCut(docs)
-    val path = graft.ops.BuildOnce.scratchPath("simhash-old", d)
-    graft.ops.BuildOnce.ensure(path, d) {
-      graft.ops.Materialize.simhashIndexOf(s,
-        docs.filter(col("doc_id") < cut).select("doc_id", "text"), path)
+    val (cut, path) = oldIndexMode(s, docs, d,
+        "graft.simhash.oldIndexPath").getOrElse {
+      val mCut = idCut(docs)
+      val p = graft.ops.BuildOnce.scratchPath("simhash-old", d)
+      graft.ops.BuildOnce.ensure(p, d) {
+        graft.ops.Materialize.simhashIndexOf(s,
+          docs.filter(col("doc_id") < mCut).select("doc_id", "text"),
+          p, d)
+      }
+      (mCut, p)
     }
     val newBands = simhashBandedOf(s,
         docs.filter(col("doc_id") >= cut).select("doc_id", "text"))
@@ -2287,6 +2356,51 @@ object Dedup {
     val oldBands = s.read.parquet(s"$path/bands")
     simhashPairs(oldBands.unionAll(newBands), newBands)
   }
+
+  /** Artifact-boundary mode for the signature-family incremental
+    * queries — the [[ccIncremental]] `graft.cc.oldLabelsPath`
+    * production shape applied to [[simhashIncremental]] /
+    * [[minhashIncremental]]: when `confKey` points at the PERSISTED
+    * previous-cycle index ([[graft.ops.Materialize.simhashIndexOf]] /
+    * `minhashIndexOf` over the old corpus), the INDEX defines the
+    * old/new cut — its recorded max doc_id + 1 — so a batch that
+    * shifts the current table's id midpoint can neither double-sign
+    * docs the index covers nor drop uncovered ones. Guards, in order:
+    * the `_graft_corpus` tag must name THIS corpus; the index must
+    * carry provenance (empty or pre-provenance indexes have no
+    * incremental mode); and the writer's content checksum must replay
+    * on the current below-cut slice (id reuse, backfill, or in-place
+    * edits of already-indexed docs refuse loudly — stale signatures
+    * silently drop near-dup pairs, the worst dedup failure). The
+    * checksum costs one projection-pruned (doc_id, text) scan of the
+    * old slice — far below re-signing (no tokenize, no vote, no
+    * bucket join). Returns None when `confKey` is unset — the
+    * self-contained midpoint replay (test-harness reality: the twin
+    * checks replay the same table). DedupSpec pins artifact mode ≡
+    * midpoint mode on the same slice and spec-asserts the refusals. */
+  private def oldIndexMode(s: SparkSession, docs: DataFrame, d: String,
+      confKey: String): Option[(Long, String)] =
+    s.conf.getOption(confKey).map { p =>
+      graft.ops.ArtifactTag.require(s, p, d)
+      val props = graft.ops.ArtifactTag.readProps(s, p)
+      require(props.contains("max_doc_id"),
+        s"signature index at $p carries no max_doc_id provenance — an " +
+          "empty or pre-provenance index has no incremental mode; " +
+          "rebuild it with the Materialize writer")
+      val cut = props("max_doc_id").toLong + 1L
+      val (n, xor) = graft.ops.Materialize.ccSliceChecksum(
+        docs.filter(col("doc_id") < cut).select("doc_id", "text"))
+      require(props.get("n_docs").contains(n.toString)
+          && props.get("content_xor").contains(xor.toString),
+        s"old-slice checksum mismatch at $p (index " +
+          s"n=${props.getOrElse("n_docs", "<none>")} " +
+          s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+          s"corpus n=$n xor=$xor) — the docs below the boundary " +
+          s"($cut) are not the slice the previous cycle signed (id " +
+          "reuse, backfill, or in-place edits); re-sign the corpus " +
+          "instead")
+      (cut, p)
+    }
 
   /** `dedup_embedding_bruteforce` — exact cosine ≥ 0.45 near-dup pairs
     * by DELIBERATE all-pairs join: this is the small-SF oracle baseline

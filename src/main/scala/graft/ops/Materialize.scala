@@ -161,26 +161,48 @@ object Materialize {
     *    point reads.
     */
   def minhashIndex(s: SparkSession, dir: String, path: String): Unit =
-    writeMinhashIndex(graft.operators.Dedup.minhashIndexFrames(s, dir),
-      path)
+    minhashIndexOf(s,
+      Tables.documents(s, dir).select("doc_id", "text"), path, dir)
 
-  /** [[minhashIndex]] over an explicit corpus slice — the
-    * OLD-corpus-only state `dedup_minhash_incremental` probes. */
+  /** [[minhashIndex]] over an explicit (doc_id, text) corpus slice —
+    * the OLD-corpus-only state `dedup_minhash_incremental` probes.
+    * `tag` is the corpus directory the slice came from (the
+    * [[ccLabelsOf]] tagging discipline); write-once + slice
+    * provenance since round 11, so the artifact-boundary incremental
+    * mode can refuse a wrong or drifted previous cycle. */
   def minhashIndexOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
-      path: String): Unit =
-    writeMinhashIndex(
-      graft.operators.Dedup.minhashIndexFramesOf(s, docs), path)
-
-  private def writeMinhashIndex(
-      frames: (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame), path: String): Unit = {
-    val (bands, docs) = frames
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    val (bands, sigs) =
+      graft.operators.Dedup.minhashIndexFramesOf(s, docs)
     bands.repartitionByRange(col("band"), col("band_sig"))
       .sortWithinPartitions("band", "band_sig", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/bands")
-    docs.repartitionByRange(col("doc_id"))
+      .write.parquet(s"$path/bands")
+    sigs.repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$path/sigs")
+      .write.parquet(s"$path/sigs")
+    writeSliceProvenance(s, path, docs, tag)
+  }
+
+  /** Tag + provenance sidecars for a slice-derived signature index —
+    * the `_graft_corpus` binding plus the (n_docs, content_xor,
+    * max_doc_id) facts an ARTIFACT-BOUNDARY incremental reader needs:
+    * max_doc_id + 1 IS the old/new cut (the index defines the
+    * boundary, the [[ccLabelsOf]] rule — deriving it from the current
+    * table's midpoint double-emits or drops docs the moment the
+    * artifact slice and the midpoint disagree), and the checksum lets
+    * the reader refuse id reuse, backfill, or in-place edits of
+    * already-indexed docs instead of serving stale signatures. */
+  private def writeSliceProvenance(s: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    ArtifactTag.write(s, path, tag)
+    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
+    val maxId = docs.agg(max("doc_id")).head()
+    ArtifactTag.writeProps(s, path, Map(
+      "n_docs" -> n.toString,
+      "content_xor" -> xor.toString) ++
+      (if (maxId.isNullAt(0)) Map.empty[String, String]
+       else Map("max_doc_id" -> maxId.getLong(0).toString)))
   }
 
   /** Materialize the SIMHASH banded-signature index — the
@@ -193,18 +215,65 @@ object Materialize {
     * is row-identical by construction (DedupSpec pins it). */
   def simhashIndex(s: SparkSession, dir: String, path: String): Unit =
     simhashIndexOf(s,
-      Tables.documents(s, dir).select("doc_id", "text"), path)
+      Tables.documents(s, dir).select("doc_id", "text"), path, dir)
 
   /** [[simhashIndex]] over an explicit (doc_id, text) slice — the
     * old-corpus-only index `dedup_simhash_incremental` point-probes
-    * (the [[minhashIndexOf]] discipline). */
+    * (the [[minhashIndexOf]] discipline, provenance included). */
   def simhashIndexOf(s: SparkSession,
-      docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      docs: org.apache.spark.sql.DataFrame, path: String,
+      tag: String): Unit = {
     requireFresh(s, path)
     graft.operators.Dedup.simhashBandedOf(s, docs)
       .repartitionByRange(col("k"), col("bh"))
       .sortWithinPartitions("k", "bh", "doc_id")
       .write.parquet(s"$path/bands")
+    writeSliceProvenance(s, path, docs, tag)
+  }
+
+  /** Materialize the VERIFIED near-dup PAIR-GRAPH artifact — the
+    * (a_id, b_id, inter, na, nb) frame [[graft.operators.Dedup
+    * .ngramJaccard]] emits (exact Jaccard ≥ 0.5, a_id < b_id), written
+    * (a_id, b_id)-range-sorted. This is the [[ccLabels]] discipline
+    * applied one stage EARLIER: the cluster family serves off one
+    * persisted label source, but the six pair-CONSUMING graph metrics
+    * (degree_dist, pagerank, triangles, kcore, quality_delta,
+    * cross_source_rate) each re-derived the same shingle scan +
+    * candidate join in-query — a nightly audit running all six paid
+    * the pair graph six times. Persist it once per refresh, set
+    * `graft.dedup.pairsPath`, and every consumer starts from a pure
+    * parquet scan of 5-long rows.
+    *
+    * Provenance (`_graft_props`): the candidate-stage configuration
+    * the pairs were built under (readers refuse stage/df-cap drift —
+    * a dfcap-built graph is missing exactly the hot-only pairs the
+    * prefix stage keeps) plus the [[ccSliceChecksum]] of the source
+    * corpus, recorded for audit and any future artifact-boundary
+    * incremental contract. */
+  def pairGraph(s: SparkSession, dir: String, path: String): Unit =
+    pairGraphOf(s, Tables.documents(s, dir).select("doc_id", "text"),
+      path, dir)
+
+  /** [[pairGraph]] over an explicit (doc_id, text) corpus slice —
+    * `tag` is the corpus directory the slice came from (the
+    * [[ccLabelsOf]] tagging discipline). Always computes fresh pairs
+    * via the conf-routed candidate stage — never reads
+    * `graft.dedup.pairsPath` back (the [[graft.operators.Dedup
+    * .loopLabels]] self-reference rule). */
+  def pairGraphOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    graft.operators.Dedup.ngramJaccardOf(s, docs)
+      .repartitionByRange(col("a_id"), col("b_id"))
+      .sortWithinPartitions("a_id", "b_id")
+      .write.parquet(path)
+    ArtifactTag.write(s, path, tag)
+    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
+    ArtifactTag.writeProps(s, path, Map(
+      "pair_stage" -> graft.operators.Dedup.candidateStage(s),
+      "max_shingle_df" -> graft.operators.Dedup.maxShingleDf(s).toString,
+      "n_docs" -> n.toString,
+      "content_xor" -> xor.toString))
   }
 
   /** Materialize the connected-component LABEL artifact — the
@@ -243,12 +312,18 @@ object Materialize {
     * or in-place edits of already-labeled docs served stale labels
     * silently). XOR of per-doc (doc_id, md5(text)) hashes is
     * order-invariant and associative, so it map-side combines; any id
-    * substitution or content edit flips it w.h.p. */
+    * substitution or content edit flips it w.h.p. The fields hash as
+    * SEPARATE xxhash64 args with the null text coalesced to a sentinel
+    * (round-10 advisor fix: a string concat with a NULL text is NULL,
+    * so every null-text doc hashed to the constant seed and doc_id was
+    * never mixed in — id substitution confined to null-text docs below
+    * the cut passed the guard); separate args mix doc_id even when the
+    * text side degenerates, and the sentinel keeps null ≠ ''. */
   private[graft] def ccSliceChecksum(
       docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val r = docs.agg(count(lit(1L)),
-      expr("bit_xor(xxhash64(concat(cast(doc_id as string), ':', " +
-        "md5(text))))")).head()
+      expr("bit_xor(xxhash64(doc_id, coalesce(md5(text), '<null>')))"))
+      .head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 

@@ -111,17 +111,22 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
-  test("approx table profile RAW-HLL branch (NDV > 2.5m, sf0.1): " +
+  test("approx table profile RAW-HLL branch (NDV > 3.5m, sf0.1): " +
       "within 2% per column") {
     // sf0.001's NDVs all land in the linear-counting correction; the
-    // raw Flajolet estimator branch (E > 2.5·16384) only exercises at
-    // sf0.1 NDVs (l_extendedprice ≈ 583k, l_orderkey ≈ 147k) — pin it
-    // in CI, not in a one-off dev check
+    // raw Flajolet estimator branch (E > 3.5·16384 — the implemented
+    // switch in approxProfileOf) only exercises at sf0.1 NDVs
+    // (l_extendedprice ≈ 583k, l_orderkey ≈ 147k) — pin it in CI, not
+    // in a one-off dev check. The fixture guard must clear the SWITCH
+    // threshold with margin (round-10 advisor fix: the old 2.5m guard
+    // admitted fixtures that only ever exercised the LC branch,
+    // silently un-pinning the raw estimator): 1.2× keeps estimator
+    // noise from landing a barely-above-switch NDV back in LC.
     val d = sf01
     val exact = Relational.tableProfile(spark, d).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val approx = Relational.tableProfileApprox(spark, d).collect()
-    assert(approx.exists(r => exact(r.getString(0)) > 2.5 * 16384),
+    assert(approx.exists(r => exact(r.getString(0)) > 1.2 * 3.5 * 16384),
       "fixture no longer reaches the raw-estimator regime")
     approx.foreach { r =>
       val nd = exact(r.getString(0)).toDouble

@@ -716,6 +716,184 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.oldLabelsPath")
   }
 
+  test("pair-graph artifact (graft.dedup.pairsPath): all six graph " +
+      "metrics ≡ in-query mode, serving reads the artifact") {
+    val six = Seq("neardup_degree_dist", "neardup_pagerank",
+      "neardup_triangles", "neardup_kcore", "neardup_quality_delta",
+      "dedup_cross_source_rate")
+    val expected = six.map { q =>
+      q -> Dedup.queries(q)(spark, sf0001).collect().map(_.toString).toSeq
+    }.toMap
+    val path = graft.ops.BuildOnce.scratchPath("pairs", sf0001)
+    graft.ops.BuildOnce.ensure(path, sf0001) {
+      graft.ops.Materialize.pairGraph(spark, sf0001, path)
+    }
+    withConf("graft.dedup.pairsPath" -> path) {
+      six.foreach { q =>
+        val df = Dedup.queries(q)(spark, sf0001)
+        assert(df.collect().map(_.toString).toSeq === expected(q),
+          s"$q: artifact-served pairs diverged from in-query mode")
+      }
+      // the serving-mode pair source is ONE parquet scan of the
+      // artifact — no documents scan, no shingle/candidate machinery
+      // (consumers with their own doc-side joins — degree spine,
+      // source dims, quality scores — still read documents, but the
+      // PAIR subplan must not)
+      val plan = Dedup.verifiedPairs(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("pairs-"),
+        "serving mode did not read the pair artifact")
+      assert(!plan.contains("documents.parquet"),
+        "serving-mode pair source still scans the corpus")
+      // a consumer without private checkpointing shows the artifact
+      // scan in its own executed plan
+      val qd = Dedup.queries("neardup_quality_delta")(spark, sf0001)
+      assert(qd.queryExecution.executedPlan.toString.contains("pairs-"),
+        "quality_delta did not serve pairs from the artifact")
+    }
+  }
+
+  test("pair-graph artifact guards: wrong corpus and stage drift are " +
+      "refused at read time") {
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "alpha beta gamma delta epsilon zeta theta",
+      "iota kappa lambda mu nu xi omicron"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pairguard").toString + "/pairs"
+    graft.ops.Materialize.pairGraph(spark, dir, path)
+    withConf("graft.dedup.pairsPath" -> path) {
+      // sanity: the artifact serves its own corpus
+      assert(Dedup.queries("neardup_triangles")(spark, dir).count() === 1)
+      // wrong corpus: the sidecar tag names `dir`, not sf0001
+      val e = intercept[IllegalArgumentException] {
+        Dedup.queries("neardup_degree_dist")(spark, sf0001).collect()
+      }
+      assert(e.getMessage.contains("built for corpus"), e.getMessage)
+      // stage drift: pairs were built under the default (prefix)
+      // stage; a dfcap session must be refused
+      withConf("graft.dedup.candidateStage" -> "dfcap") {
+        val e2 = intercept[IllegalArgumentException] {
+          Dedup.queries("neardup_pagerank")(spark, dir).collect()
+        }
+        assert(e2.getMessage.contains("pair stage"), e2.getMessage)
+      }
+    }
+    // write-once: reusing the pair path throws
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraph(spark, dir, path)
+    }
+    assert(e3.getMessage.contains("write-once"), e3.getMessage)
+  }
+
+  test("signature incremental artifact-boundary mode: the index " +
+      "defines the cut, output ≡ full run filtered to new-touching") {
+    // docs 0,1,2 identical; 4,5 identical; rest unique — so the pair
+    // (1,2) STRADDLES an artifact boundary at 2 but not the midpoint
+    // boundary at 3: the two modes must visibly disagree, proving the
+    // cut comes from the index, not the table's id range
+    val same = "alpha beta gamma delta epsilon"
+    val dup2 = "lambda mu nu xi omicron"
+    val texts = Seq(same, same, same, "zeta eta theta iota kappa",
+      dup2, dup2, "pi rho sigma tau upsilon", "phi chi psi omega alef")
+    val dir = docsDir(texts)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val simPath = java.nio.file.Files
+      .createTempDirectory("graft-sigold").toString + "/simhash"
+    val mhPath = java.nio.file.Files
+      .createTempDirectory("graft-sigold").toString + "/minhash"
+    val old = docs.filter(col("doc_id") < 2).select("doc_id", "text")
+    graft.ops.Materialize.simhashIndexOf(spark, old, simPath, dir)
+    graft.ops.Materialize.minhashIndexOf(spark, old, mhPath, dir)
+    def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // midpoint mode first (conf unset): cut = (0+7)/2 = 3 → only
+    // pairs with b_id >= 3 survive
+    val mid = strs(Dedup.queries("dedup_simhash_incremental")(spark, dir))
+    withConf("graft.simhash.oldIndexPath" -> simPath,
+        "graft.minhash.oldIndexPath" -> mhPath) {
+      val art = strs(Dedup.queries("dedup_simhash_incremental")(spark, dir))
+      assert(art === strs(
+        Dedup.simhash(spark, dir).filter(col("b_id") >= 2)),
+        "artifact-boundary simhash ≠ full run filtered at the " +
+          "index-defined cut")
+      assert(art !== mid,
+        "fixture failed to distinguish the artifact boundary (2) " +
+          "from the midpoint (3)")
+      assert(strs(Dedup.queries("dedup_minhash_incremental")(spark, dir))
+        === strs(Dedup.minhashLsh(spark, dir).filter(col("b_id") >= 2)),
+        "artifact-boundary minhash ≠ full run filtered at the " +
+          "index-defined cut")
+    }
+  }
+
+  test("signature incremental artifact guards: wrong corpus, edited " +
+      "old slice, and missing provenance are refused") {
+    val texts = Seq("alpha beta gamma delta epsilon",
+      "alpha beta gamma delta zeta", "eta theta iota kappa lambda",
+      "mu nu xi omicron pi")
+    val dir = docsDir(texts)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigguard").toString + "/simhash"
+    graft.ops.Materialize.simhashIndexOf(spark,
+      docs.filter(col("doc_id") < 2).select("doc_id", "text"), path, dir)
+    withConf("graft.simhash.oldIndexPath" -> path) {
+      // sanity: serves its own corpus
+      assert(Dedup.queries("dedup_simhash_incremental")(spark, dir)
+        .count() >= 0)
+      // wrong corpus: the sidecar tag names `dir`
+      val e = intercept[IllegalArgumentException] {
+        Dedup.queries("dedup_simhash_incremental")(spark, sf0001)
+          .collect()
+      }
+      assert(e.getMessage.contains("built for corpus"), e.getMessage)
+      // in-place edit of an already-indexed doc: rebind the tag so
+      // only the CONTENT guard is under test (the cc-guard pattern)
+      val dir2 = docsDir(texts.updated(1, "omega psi chi phi upsilon"))
+      graft.ops.ArtifactTag.write(spark, path, dir2)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.queries("dedup_simhash_incremental")(spark, dir2).collect()
+      }
+      assert(e2.getMessage.contains("checksum"), e2.getMessage)
+    }
+    // an index with no provenance (or an empty slice: the writer
+    // records no max_doc_id) has no incremental mode
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-sigguard").toString + "/empty"
+    graft.ops.Materialize.simhashIndexOf(spark,
+      docs.filter(col("doc_id") < 0).select("doc_id", "text"), empty, dir)
+    withConf("graft.minhash.oldIndexPath" -> empty) {
+      val e3 = intercept[IllegalArgumentException] {
+        Dedup.queries("dedup_minhash_incremental")(spark, dir).collect()
+      }
+      assert(e3.getMessage.contains("max_doc_id"), e3.getMessage)
+    }
+  }
+
+  test("slice checksum mixes doc_id even for null-text docs") {
+    // round-10 advisor fix: the old concat-based hash was NULL for a
+    // null-text doc (concat propagates null), so xxhash64 degenerated
+    // to the constant seed and doc_id never mixed in — id substitution
+    // confined to null-text docs passed the content guard. The
+    // separate-args form must flip the xor on exactly that edit.
+    import spark.implicits._
+    val base = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val idSwap = Seq((1L, Option("x")), (99L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val emptyText = Seq((1L, Option("x")), (2L, Option("")))
+      .toDF("doc_id", "text")
+    val (nB, xB) = graft.ops.Materialize.ccSliceChecksum(base)
+    val (nS, xS) = graft.ops.Materialize.ccSliceChecksum(idSwap)
+    assert(nB === nS, "counts must agree — only the xor can refuse this")
+    assert(xB !== xS,
+      "doc_id substitution on a null-text doc went undetected")
+    // the null sentinel keeps a null text distinct from an empty one
+    assert(xB !== graft.ops.Materialize.ccSliceChecksum(emptyText)._2,
+      "null text collided with empty text")
+  }
+
   test("write-once artifacts: reusing a label path throws") {
     val dir = docsDir(Seq("alpha beta gamma delta",
       "epsilon zeta eta theta"))
