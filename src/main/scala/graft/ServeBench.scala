@@ -7,10 +7,13 @@ import org.apache.spark.sql.SparkSession
   * output a GENERATED artifact — `docs/SERVING_LATENCY.md` is written
   * by this main, never hand-edited). For each query it reports
   *
-  *  - `cold` — the first invocation in the JVM. For `*_from_index`
-  *    paths this INCLUDES the one-time index materialization
-  *    ([[graft.ops.BuildOnce]]), i.e. the price a deployment pays once
-  *    per index generation;
+  *  - `cold` — the first TIMED invocation, after an untimed
+  *    whole-panel warmup (uniform JIT/page-cache warmth) and with all
+  *    scratch artifacts forgotten ([[graft.ops.BuildOnce
+  *    .resetForBench]]) — so for `*_from_index` paths it INCLUDES
+  *    that query's OWN one-time index materialization, never a
+  *    predecessor row's leftovers (the round-10 cold-column
+  *    inversion);
   *  - `steady` — min over the following reps, the per-request latency a
   *    resident serving session observes (index built, code JIT-warm).
   *
@@ -78,7 +81,20 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup of the WHOLE panel first, so JIT and page-cache
+    // warmth are uniform across rows; then forget all scratch
+    // artifacts before each query's timed block, so every from-index
+    // cold row pays ITS OWN index build (round-10 verdict task #5:
+    // with run-order artifact sharing, ann_ivfpq_from_index's "cold"
+    // was 1.02 s against ann_pq_from_index's 6.46 s purely because
+    // earlier rows had already materialized the shared codebooks —
+    // the cold column ordered by run position, not by build cost)
+    Served.foreach { case (name, _) =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
     val timed = Served.map { case (name, family) =>
+      graft.ops.BuildOnce.resetForBench()
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -93,7 +109,12 @@ object ServeBench {
     sb ++= s"Emitted by `sbt \"runMain graft.ServeBench $sfDir $reps\"`.\n"
     sb ++= "`cold` includes one-time index materialization for " +
       "`*_from_index` rows;\n`steady` = min over the remaining " +
-      s"${reps - 1} reps (resident serving session).\n\n"
+      s"${reps - 1} reps (resident serving session).\n" +
+      "Cold isolation: the whole panel runs once UNTIMED first (JIT/" +
+      "page-cache warmth uniform\nacross rows), and all scratch " +
+      "artifacts are forgotten before each query's timed block,\nso " +
+      "every cold row pays its own index build — no run-order " +
+      "artifact sharing.\n\n"
     sb ++= "| query | family | cold s | steady s |\n|---|---|---|---|\n"
     timed.foreach { case (name, family, cold, st) =>
       sb ++= f"| $name | $family | $cold%.2f | $st%.2f |\n"
@@ -104,6 +125,41 @@ object ServeBench {
     Pairs.foreach { case (build, serve) =>
       val (b, sv) = (steady(build), steady(serve))
       sb ++= f"| $build | $b%.2f | $serve | $sv%.2f | ${b / sv}%.1f× |\n"
+    }
+    // pair-graph artifact section (round 11): the six pair-consuming
+    // graph metrics conf-route through ONE persisted pair frame; each
+    // is measured steady-state in both modes, with the one-time
+    // artifact build cost reported beside them (a nightly audit pays
+    // it once, then serves all six off the same files)
+    val pairQs = Seq("neardup_degree_dist", "neardup_pagerank",
+      "neardup_triangles", "neardup_kcore", "neardup_quality_delta",
+      "dedup_cross_source_rate")
+    def steadyOf(q: String): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).min
+    val inQuery = pairQs.map(q => q -> steadyOf(q)).toMap
+    val pairPath = graft.ops.Scratch.dir("servebench-pairs")
+    val tb = System.nanoTime()
+    graft.ops.Materialize.pairGraph(spark, sfDir, pairPath)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    spark.conf.set("graft.dedup.pairsPath", pairPath)
+    val served =
+      try pairQs.map(q => q -> steadyOf(q)).toMap
+      finally spark.conf.unset("graft.dedup.pairsPath")
+    sb ++= "\n## Pair-graph artifact (graft.dedup.pairsPath)\n\n"
+    sb ++= "Six graph metrics re-derive the verified pair frame " +
+      "in-query; `Materialize.pairGraph`\npersists it once per " +
+      f"refresh (build: $buildSec%.2f s here) and the conf routes " +
+      "all six\nthrough one parquet scan (steady-state, same reps " +
+      "rule as above).\n\n"
+    sb ++= "| query | in-query s | from pairs artifact s | speedup |\n"
+    sb ++= "|---|---|---|---|\n"
+    pairQs.foreach { q =>
+      val (b, sv) = (inQuery(q), served(q))
+      sb ++= f"| $q | $b%.2f | $sv%.2f | ${b / sv}%.1f× |\n"
     }
     // the repo-relative target assumes a repo-root cwd; create the
     // parent when missing so a run from elsewhere still lands its

@@ -1297,11 +1297,16 @@ object Dedup {
   /** The loop branch of [[clusterLabels]], unconditionally — the
     * artifact WRITER ([[graft.ops.Materialize.ccLabels]]) must always
     * compute fresh labels, never read a (possibly stale, possibly
-    * self-referential) `graft.cc.labelsPath` back. */
+    * self-referential) `graft.cc.labelsPath` back. The EDGE source is
+    * [[verifiedPairs]], though: the self-reference ban is about the
+    * labels artifact, not the upstream pair frame — a refresh cycle
+    * that persisted `Materialize.pairGraph` derives its labels from
+    * those very files (tag/stage-guarded) instead of re-deriving the
+    * candidate join, which is the nightly one-pair-job composition. */
   private[graft] def loopLabels(s: SparkSession, d: String): DataFrame = {
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
     ccLoop(Tables.documents(s, d).select("doc_id"),
-        ngramJaccard(s, d).select("a_id", "b_id"), maxIters)
+        verifiedPairs(s, d).select("a_id", "b_id"), maxIters)
       .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -1538,7 +1543,7 @@ object Dedup {
         case None =>
           val mCut = idCut(docs)
           val pairs =
-            ngramJaccard(s, d).select("a_id", "b_id").localCheckpoint()
+            verifiedPairs(s, d).select("a_id", "b_id").localCheckpoint()
           (mCut,
             ccLoop(
               docs.filter(col("doc_id") < mCut).select("doc_id"),
@@ -1706,11 +1711,14 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardOf(s, Tables.documents(s, d).select("doc_id", "text"))
 
-  /** The verified pair frame every GRAPH-METRIC consumer starts from
-    * ([[degreeDist]], [[pagerank]], [[triangles]], [[kcore]],
-    * [[qualityDelta]], [[crossSourceRate]]) — dual-mode, the
-    * [[clusterLabels]] `graft.cc.labelsPath` precedent applied one
-    * stage earlier:
+  /** The verified pair frame every PAIR-CONSUMING query starts from —
+    * the six graph metrics ([[degreeDist]], [[pagerank]],
+    * [[triangles]], [[kcore]], [[qualityDelta]], [[crossSourceRate]]),
+    * plus [[minhashTuningCurve]] (reads inter/na/nb),
+    * [[TextAnalysis.curationFunnel]]'s stage-3 drop set, the CC loop
+    * itself ([[loopLabels]]) and [[ccIncremental]]'s midpoint branch —
+    * dual-mode, the [[clusterLabels]] `graft.cc.labelsPath` precedent
+    * applied one stage earlier:
     *
     *  - `graft.dedup.pairsPath` SET → serving mode: ONE scan of the
     *    [[graft.ops.Materialize.pairGraph]] artifact at that path
@@ -1947,7 +1955,7 @@ object Dedup {
     def sq(c: Column, k: Int): Column = (1 to k).foldLeft(c)((a, _) => a * a)
     def ppm(jr: Column, sqk: Int): Column =
       floor((lit(1.0) - sq(lit(1.0) - jr, sqk)) * 1000000).cast("long")
-    ngramJaccard(s, d)
+    verifiedPairs(s, d)
       .select((col("inter").cast("double") /
         (col("na") + col("nb") - col("inter"))).as("j"))
       .withColumn("j2", col("j") * col("j"))

@@ -129,18 +129,17 @@ object Retrieval {
     * receipt that the scoring volume follows the probe PANEL and the
     * query terms' postings, not the corpus row count.
     *
-    * `graft.mrr.nProbes` is a STRESS/SCALE knob with an explicit
-    * precondition (round-9 advisor finding): the shared DuckDB oracle
-    * is a static text with the default panel size (LIMIT 50) baked
-    * in — oracle strings are dumped session-free, so a session conf
-    * cannot reach them. Under oracle verification the knob MUST stay
-    * at its default; set it only for receipt/panel-scaling runs
-    * (Stress), where no oracle replays. A non-default value under
-    * Verify fails the hash gate loudly (panel-size mismatch), never
-    * silently mis-scores. */
+    * `graft.mrr.nProbes` (the panel-size knob) is ORACLE-CHECKABLE at
+    * any setting since round 11: [[oracles]] is a def and
+    * [[sqlMrrRanks]] interpolates the knob into the oracle text at
+    * dump time (the round-10 verdict's stronger option — round 9 froze
+    * the oracle at LIMIT 50 and declared non-default values a Verify
+    * precondition). Both sides resolve through [[mrrNProbes]], so the
+    * Spark plan and the dumped SQL can never disagree on the panel
+    * size within one session; RetrievalOracleSpec replays the full
+    * Verify → DuckDB comparison at a non-default size. */
   private[graft] def mrrScored(s: SparkSession, d: String): DataFrame = {
-    val nProbes =
-      s.conf.getOption("graft.mrr.nProbes").fold(50)(_.toInt)
+    val nProbes = mrrNProbes(s)
     val c = Tables.documents(s, d)
       .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
@@ -784,10 +783,30 @@ object Retrieval {
        |ORDER BY rank""".stripMargin
   }
 
+  /** ONE resolution site for the probe-panel size — the Spark plan
+    * ([[mrrScored]]) and the oracle text ([[sqlMrrRanks]]) both read
+    * it, so the two sides cannot drift within a session. */
+  private[graft] def mrrNProbes(s: SparkSession): Int =
+    s.conf.getOption("graft.mrr.nProbes").fold(50)(_.toInt)
+
+  /** [[mrrNProbes]] for the oracle side, which has no session
+    * parameter (the driver contract dumps `oracleSql` as a plain
+    * string map): the ACTIVE (else default) session's conf — Verify
+    * dumps queries and oracle text in one session, so both resolve
+    * identically there — falling back to the default 50 when no
+    * session exists (oracle text must stay constructible
+    * session-free). */
+  private def mrrNProbesOracle: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .fold(50)(mrrNProbes)
+
   /** Shared oracle prefix of the two panel evals — probe panel, BM25
     * scoring, and the per-probe rank CTEs, ending at `agg` (one text,
-    * two rollups: MRR and hit-rate@k replay the identical ranks). */
-  private lazy val sqlMrrRanks: String = {
+    * two rollups: MRR and hit-rate@k replay the identical ranks).
+    * A def, not a val: the panel LIMIT interpolates from the live
+    * session conf at every dump (see [[mrrScored]]'s knob note). */
+  private def sqlMrrRanks: String = {
     val stop = Fns.Stopwords.map("'" + _ + "'").mkString(", ")
     s"""tokd AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w,
        |           md5(text) AS hk
@@ -796,7 +815,7 @@ object Retrieval {
        |      WHERE len(w) > 0),
        |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM c),
        |probes AS (SELECT doc_id AS probe_id FROM c
-       |           ORDER BY hk, doc_id LIMIT 50),
+       |           ORDER BY hk, doc_id LIMIT $mrrNProbesOracle),
        |pt AS (
        |  SELECT probe_id, tok FROM (
        |    SELECT probe_id, tok, row_number() OVER (

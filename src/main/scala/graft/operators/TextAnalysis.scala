@@ -643,7 +643,7 @@ object TextAnalysis {
     * 5-gram hits; stage 3 drops the non-min doc of every verified
     * jaccard pair ([[Dedup.ngramJaccard]]'s b-side). */
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    val dropped = Dedup.ngramJaccard(s, d)
+    val dropped = Dedup.verifiedPairs(s, d)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("dup", lit(1))
     val cont = decontaminate(s, d).select(col("doc_id"), col("contaminated"))

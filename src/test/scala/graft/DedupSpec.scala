@@ -716,21 +716,27 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.oldLabelsPath")
   }
 
-  test("pair-graph artifact (graft.dedup.pairsPath): all six graph " +
-      "metrics ≡ in-query mode, serving reads the artifact") {
-    val six = Seq("neardup_degree_dist", "neardup_pagerank",
+  test("pair-graph artifact (graft.dedup.pairsPath): all ten pair " +
+      "consumers ≡ in-query mode, serving reads the artifact") {
+    val consumers = Seq("neardup_degree_dist", "neardup_pagerank",
       "neardup_triangles", "neardup_kcore", "neardup_quality_delta",
-      "dedup_cross_source_rate")
-    val expected = six.map { q =>
-      q -> Dedup.queries(q)(spark, sf0001).collect().map(_.toString).toSeq
+      "dedup_cross_source_rate",
+      // beyond the six graph metrics: the inter/na/nb reader, the
+      // funnel's drop set, the CC loop, and cc_incremental's
+      // midpoint branch all route through the same source
+      "minhash_tuning_curve", "curation_funnel", "dedup_clusters",
+      "cc_incremental")
+    val expected = consumers.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf0001)
+        .collect().map(_.toString).toSeq
     }.toMap
     val path = graft.ops.BuildOnce.scratchPath("pairs", sf0001)
     graft.ops.BuildOnce.ensure(path, sf0001) {
       graft.ops.Materialize.pairGraph(spark, sf0001, path)
     }
     withConf("graft.dedup.pairsPath" -> path) {
-      six.foreach { q =>
-        val df = Dedup.queries(q)(spark, sf0001)
+      consumers.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
         assert(df.collect().map(_.toString).toSeq === expected(q),
           s"$q: artifact-served pairs diverged from in-query mode")
       }
