@@ -45,6 +45,7 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
     "dedup_clusters_from_index" -> clustersFromIndex,
+    "dedup_pairs_from_index" -> pairsFromIndex,
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
     "compaction_plan" -> compactionPlan,
@@ -1343,6 +1344,26 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** The verified pair graph served from the MATERIALIZED
+    * [[graft.ops.Materialize.pairGraph]] artifact — the
+    * [[clustersFromIndex]] treatment for the pair frame itself:
+    * build once into scratch, then serve the (a_id, b_id, inter, na,
+    * nb) rows as ONE (a_id, b_id)-range-sorted parquet scan + the
+    * presentation sort — no shingles, no rank window, no candidate
+    * join. The oracle replays the full uncapped all-pairs Jaccard
+    * SQL, so the ARTIFACT (not just the in-query stage) is hash-gated
+    * end to end — exactly the guarantee the ten conf-routed consumers
+    * of `graft.dedup.pairsPath` lean on. */
+  def pairsFromIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ops.BuildOnce.scratchPath("pairs", d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.pairGraph(s, d, path)
+    }
+    s.read.parquet(path)
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
   }
 
   /** [[clusters]]' min-label + pointer-jump loop over an explicit
@@ -2919,6 +2940,10 @@ object Dedup {
     // so the uncapped all-pairs join is its oracle verbatim — one text,
     // two keys (the sqlClustersClosure discipline)
     "dedup_jaccard_prefix" -> sqlJaccardAllPairs,
+    // the pair ARTIFACT must replay the same uncapped all-pairs truth
+    // the in-query stages do — hash-gating the persisted files that
+    // graft.dedup.pairsPath consumers serve from
+    "dedup_pairs_from_index" -> sqlJaccardAllPairs,
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

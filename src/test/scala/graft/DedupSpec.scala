@@ -757,6 +757,17 @@ class DedupSpec extends SparkSpec {
       assert(qd.queryExecution.executedPlan.toString.contains("pairs-"),
         "quality_delta did not serve pairs from the artifact")
     }
+    // the REGISTERED from-index twin (conf-independent, scratch-built
+    // via BuildOnce): row-identical to the in-query stage — the same
+    // equality the DuckDB oracle hash-gates — and its plan reads only
+    // pair files, never the corpus
+    val pfi = Dedup.queries("dedup_pairs_from_index")(spark, sf0001)
+    assert(pfi.collect().map(_.toString).toSeq ===
+      Dedup.ngramJaccard(spark, sf0001).collect().map(_.toString).toSeq,
+      "pairs_from_index diverged from the in-query pair stage")
+    val pPlan = pfi.queryExecution.executedPlan.toString
+    assert(pPlan.contains("pairs-") && !pPlan.contains("documents.parquet"),
+      "pairs_from_index plan should read only the pair artifact")
   }
 
   test("pair-graph artifact guards: wrong corpus and stage drift are " +
