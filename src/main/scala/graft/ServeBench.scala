@@ -81,6 +81,15 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement hygiene (the Bench.resetState rule): queries pin
+    // localCheckpoint/cache blocks that accumulate across a pass and
+    // inflate LATER rows 3-5× via eviction + GC — drop leftover state
+    // off the clock after the warmup and between timed blocks
+    def resetState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     // untimed warmup of the WHOLE panel first, so JIT and page-cache
     // warmth are uniform across rows; then forget all scratch
     // artifacts before each query's timed block, so every from-index
@@ -92,6 +101,7 @@ object ServeBench {
     Served.foreach { case (name, _) =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
+      resetState()
     }
     val timed = Served.map { case (name, family) =>
       graft.ops.BuildOnce.resetForBench()
@@ -99,7 +109,9 @@ object ServeBench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val el = (System.nanoTime() - t0) / 1e9
+        resetState() // off the clock
+        el
       }
       (name, family, times.head, times.drop(1).min)
     }
@@ -114,7 +126,9 @@ object ServeBench {
       "page-cache warmth uniform\nacross rows), and all scratch " +
       "artifacts are forgotten before each query's timed block,\nso " +
       "every cold row pays its own index build — no run-order " +
-      "artifact sharing.\n\n"
+      "artifact sharing.\nCached/checkpointed blocks are dropped " +
+      "off the clock after every run (the Bench\nresetState rule), " +
+      "so no row pays a predecessor's eviction or GC.\n\n"
     sb ++= "| query | family | cold s | steady s |\n|---|---|---|---|\n"
     timed.foreach { case (name, family, cold, st) =>
       sb ++= f"| $name | $family | $cold%.2f | $st%.2f |\n"
@@ -138,7 +152,9 @@ object ServeBench {
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val el = (System.nanoTime() - t0) / 1e9
+        resetState() // off the clock (the timed-panel hygiene rule)
+        el
       }.drop(1).min
     val inQuery = pairQs.map(q => q -> steadyOf(q)).toMap
     val pairPath = graft.ops.Scratch.dir("servebench-pairs")

@@ -387,8 +387,10 @@ object Stress {
       "dedup_cross_source_rate")
     def graphChecksum(): Long = pairConsumers.map { q =>
       val df = SparkEntry.queries(q)(spark, dir)
-      df.agg(sum(pmod(xxhash64(df.columns.map(col): _*),
-        lit(1000000007L)))).head().getLong(0)
+      // coalesce: sum over an empty output is NULL (the phashAvoided
+      // rule) — an empty consumer must checksum as 0, not NPE hours in
+      df.agg(coalesce(sum(pmod(xxhash64(df.columns.map(col): _*),
+        lit(1000000007L))), lit(0L))).head().getLong(0)
     }.sum
     val (pairDefSec, pairDefChk, pairDefSb) =
       measure("graph_family_default")(graphChecksum())

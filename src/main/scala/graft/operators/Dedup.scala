@@ -1355,9 +1355,17 @@ object Dedup {
     * join. The oracle replays the full uncapped all-pairs Jaccard
     * SQL, so the ARTIFACT (not just the in-query stage) is hash-gated
     * end to end — exactly the guarantee the ten conf-routed consumers
-    * of `graft.dedup.pairsPath` lean on. */
+    * of `graft.dedup.pairsPath` lean on. The scratch key includes the
+    * candidate-stage configuration: BuildOnce caches per (path, tag),
+    * so a stage or df-cap flip mid-JVM must map to a DIFFERENT
+    * artifact rather than silently serving the previous stage's pairs
+    * (the drift [[verifiedPairs]] refuses via props on user-supplied
+    * paths). */
   def pairsFromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = graft.ops.BuildOnce.scratchPath("pairs", d)
+    val stageKey =
+      if (candidateStage(s) == "dfcap") s"dfcap${maxShingleDf(s)}"
+      else "prefix"
+    val path = graft.ops.BuildOnce.scratchPath(s"pairs-$stageKey", d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.pairGraph(s, d, path)
     }
@@ -1563,8 +1571,11 @@ object Dedup {
           (aCut, labels, deltaPairs(s, d, aCut).localCheckpoint())
         case None =>
           val mCut = idCut(docs)
-          val pairs =
-            verifiedPairs(s, d).select("a_id", "b_id").localCheckpoint()
+          // verifiedPairsMat, not an unconditional localCheckpoint: in
+          // pairsPath serving mode the pair source is already a
+          // re-consumable parquet scan, and checkpointing it would
+          // copy the artifact into storage memory for nothing
+          val pairs = verifiedPairsMat(s, d)
           (mCut,
             ccLoop(
               docs.filter(col("doc_id") < mCut).select("doc_id"),

@@ -196,13 +196,18 @@ object Materialize {
   private def writeSliceProvenance(s: SparkSession, path: String,
       docs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
     ArtifactTag.write(s, path, tag)
-    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
-    val maxId = docs.agg(max("doc_id")).head()
+    // ONE aggregate pass for all three provenance facts — a second
+    // max(doc_id) action would re-scan the (doc_id, text) slice,
+    // a full redundant corpus read at nightly-refresh sizes. The xor
+    // expression is the same [[SliceXor]] the reader replays.
+    val r = docs.select("doc_id", "text")
+      .agg(count(lit(1L)), expr(SliceXor), max("doc_id")).head()
+    val xor = if (r.isNullAt(1)) 0L else r.getLong(1)
     ArtifactTag.writeProps(s, path, Map(
-      "n_docs" -> n.toString,
+      "n_docs" -> r.getLong(0).toString,
       "content_xor" -> xor.toString) ++
-      (if (maxId.isNullAt(0)) Map.empty[String, String]
-       else Map("max_doc_id" -> maxId.getLong(0).toString)))
+      (if (r.isNullAt(2)) Map.empty[String, String]
+       else Map("max_doc_id" -> r.getLong(2).toString)))
   }
 
   /** Materialize the SIMHASH banded-signature index — the
@@ -319,11 +324,17 @@ object Materialize {
     * never mixed in — id substitution confined to null-text docs below
     * the cut passed the guard); separate args mix doc_id even when the
     * text side degenerates, and the sentinel keeps null ≠ ''. */
+  /** The per-doc hash the checksum XORs — ONE definition for the
+    * reader-side replay ([[ccSliceChecksum]]) and the writer-side
+    * combined provenance aggregate ([[writeSliceProvenance]]); two
+    * inline copies could drift and the checksum guard would then
+    * refuse every artifact. */
+  private val SliceXor =
+    "bit_xor(xxhash64(doc_id, coalesce(md5(text), '<null>')))"
+
   private[graft] def ccSliceChecksum(
       docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val r = docs.agg(count(lit(1L)),
-      expr("bit_xor(xxhash64(doc_id, coalesce(md5(text), '<null>')))"))
-      .head()
+    val r = docs.agg(count(lit(1L)), expr(SliceXor)).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 

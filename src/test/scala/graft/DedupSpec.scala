@@ -50,11 +50,6 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
-  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
-    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
-
   /** Letters-only id (the tokenizer drops digits): 0→"a", 27→"bb", … */
   private def alpha(i: Int): String = {
     val sb = new StringBuilder

@@ -12,11 +12,6 @@ package graft
   * run. */
 class RetrievalOracleSpec extends SparkSpec {
 
-  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
-    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
-
   test("graft.mrr.nProbes=7 reaches the oracle text AND the Spark " +
       "plan; Verify's DuckDB comparison passes at the non-default " +
       "size") {
@@ -50,9 +45,12 @@ class RetrievalOracleSpec extends SparkSpec {
           .start().waitFor() == 0
       } catch { case _: Throwable => false }
       assume(duck, "python3/duckdb unavailable — DuckDB half skipped")
+      // relative path, no directory override: sbt's test cwd IS the
+      // repo root (the ServeBench output-path rule), and pinning an
+      // absolute checkout path would validate a worktree's changes
+      // against some OTHER clone's check.py
       val pb = new ProcessBuilder("python3", "scripts/check.py",
         sf0001, out)
-      pb.directory(new java.io.File("/root/repo"))
       pb.redirectErrorStream(true)
       val proc = pb.start()
       val outTxt = new String(proc.getInputStream.readAllBytes, "UTF-8")

@@ -9,15 +9,6 @@ import graft.ops.Skew
   * SURVEY §5 contract claims). */
 class SkewSpec extends SparkSpec {
 
-  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
-    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   /** 50k rows, 90% on key 0, payload varies per row. */
   private def skewedBig = spark.range(0, 50000).select(
     when(col("id") % 10 === 0, col("id") % 100).otherwise(lit(0L)).as("k"),
@@ -74,7 +65,7 @@ class SkewSpec extends SparkSpec {
   }
 
   test("AQE splits the skewed partition of a sort-merge join") {
-    withConfs(
+    withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       // AQE has its OWN broadcast threshold and will convert the SMJ to
       // a broadcast join from runtime stats unless it is also disabled

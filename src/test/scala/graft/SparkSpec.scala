@@ -11,6 +11,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** The large fixture — for the few tests whose regime (raw-HLL
     * NDVs) sf0.001 cannot reach; everything else stays on sf0001. */
   val sf01 = "/root/testdata/sf0.1"
+
+  /** Run `body` with session confs set, RESTORING the previous values
+    * after (SkewSpec's semantics — plain unset would lose a conf that
+    * carried a non-default value before the block). ONE definition for
+    * every conf-scoped spec: DedupSpec, SkewSpec, and
+    * RetrievalOracleSpec each carried a private copy, and a fix to
+    * the restore semantics needed three edits. */
+  protected def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkSpec {
