@@ -1556,6 +1556,10 @@ object Dedup {
                 s"from the artifact at $p — id backfill breaks the " +
                 "incremental id contract; run the full labeling instead")
           } else {
+            // version gate BEFORE the replay: a checksum-formula
+            // change must read as "provenance format changed", not
+            // as id reuse / in-place edits (round-11 advisor finding)
+            graft.ops.ArtifactTag.requireProvVersion(props, p)
             val (n, xor) = graft.ops.Materialize.ccSliceChecksum(
               below.select("doc_id", "text"))
             require(props.get("n_docs").contains(n.toString)
@@ -1767,10 +1771,13 @@ object Dedup {
     * match the session's conf (a dfcap-built graph is missing exactly
     * the hot-only pairs a prefix session expects — the
     * [[ccIncremental]] drift-refusal rule). The writer's content
-    * checksum is NOT replayed per serve: a per-serve (doc_id, text)
-    * scan would rival some consumers' whole cost, the tag binds the
-    * corpus dir, and the write-once discipline forbids in-place
-    * mutation under an unchanged path. DedupSpec pins both modes
+    * checksum is NOT replayed per serve by default: a per-serve
+    * (doc_id, text) scan would rival some consumers' whole cost, the
+    * tag binds the corpus dir, and the write-once discipline forbids
+    * in-place mutation under an unchanged path. An audit pass opts in
+    * with `graft.dedup.verifyPairsContent=true` (round-12: closes the
+    * corpus-regenerated-in-place class for pairs the way the cc label
+    * reader closes it for labels). DedupSpec pins both modes
     * row-identical for all six consumers and the serving plans
     * pair-derivation-free. */
   private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -1791,6 +1798,28 @@ object Dedup {
             s"${props.getOrElse("max_shingle_df", "<none>")} but this " +
             s"session caps at ${maxShingleDf(s)} — a df-cap change " +
             "changes the pair graph; rebuild")
+        // opt-in content audit (round-11 verdict task #4): replay the
+        // writer's corpus checksum before serving — the guard the cc
+        // label reader applies unconditionally, here behind a conf
+        // because a per-serve (doc_id, text) scan rivals some
+        // consumers' whole cost (the documented default rationale:
+        // the tag binds the corpus dir and write-once forbids
+        // in-place mutation). An audit pass sets it to close the
+        // corpus-regenerated-in-place class the tag cannot see.
+        if (s.conf.getOption("graft.dedup.verifyPairsContent")
+            .contains("true")) {
+          graft.ops.ArtifactTag.requireProvVersion(props, p)
+          val (n, xor) = graft.ops.Materialize.ccSliceChecksum(
+            Tables.documents(s, d).select("doc_id", "text"))
+          require(props.get("n_docs").contains(n.toString)
+              && props.get("content_xor").contains(xor.toString),
+            s"pair-graph content audit FAILED at $p (artifact " +
+              s"n=${props.getOrElse("n_docs", "<none>")} " +
+              s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+              s"corpus n=$n xor=$xor) — the corpus changed under the " +
+              "artifact (regenerated in place, edited, or extended); " +
+              "rebuild the pair graph or delta-refresh it")
+        }
         s.read.parquet(p).select("a_id", "b_id", "inter", "na", "nb")
       case None => ngramJaccard(s, d)
     }
@@ -1949,18 +1978,28 @@ object Dedup {
     val (arr, cands) = jaccardPrefixStage(s,
       Tables.documents(s, d).select("doc_id", "text"),
       _.filter(col("doc_id") >= cut))
-    prefixVerify(arr, cands).select("a_id", "b_id")
+    prefixVerify(arr, cands)
   }
 
-  /** Conf-routed delta-pair source for [[ccIncremental]]'s artifact
-    * mode — the same `graft.dedup.candidateStage` switch as
-    * [[ngramJaccard]], so the incremental pair graph always comes
-    * from the stage the full graph would use (a mode split here was
-    * the round-9 ADVICE drift hazard: old labels built under one
-    * stage, delta pairs under another). */
-  private def deltaPairs(s: SparkSession, d: String, cut: Long): DataFrame =
+  /** Conf-routed delta-pair source, FULL five columns (a_id, b_id,
+    * inter, na, nb) — verified pairs touching docs with id ≥ `cut`
+    * only, from the same `graft.dedup.candidateStage` switch as
+    * [[ngramJaccard]], so an incremental pair graph always comes from
+    * the stage the full graph would use (a mode split here was the
+    * round-9 ADVICE drift hazard: old labels built under one stage,
+    * delta pairs under another). Consumers: [[ccIncremental]]'s
+    * artifact mode (id projection via [[deltaPairs]]) and
+    * [[graft.ops.Materialize.pairGraphDelta]] (the whole frame — the
+    * delta rows it appends to the stored artifact). */
+  private[graft] def deltaPairGraph(s: SparkSession, d: String,
+      cut: Long): DataFrame =
     if (candidateStage(s) == "dfcap") ngramDeltaPairs(s, d, cut)
     else prefixDeltaPairs(s, d, cut)
+
+  /** [[deltaPairGraph]]'s (a_id, b_id) projection — what the CC
+    * contraction consumes. */
+  private def deltaPairs(s: SparkSession, d: String, cut: Long): DataFrame =
+    deltaPairGraph(s, d, cut).select("a_id", "b_id")
 
   /** MinHash-LSH parameter tuning curve — the measured S-curve behind
     * the (bands × rows) knob [[minhashLsh]] hard-codes at 64×2: for
@@ -2079,7 +2118,7 @@ object Dedup {
     val (cands, sizes) = ngramCandidateStageOf(s,
       Tables.documents(s, d).select("doc_id", "text"),
       _.filter(col("doc_id") >= cut))
-    jaccardVerify(cands, sizes).select("a_id", "b_id")
+    jaccardVerify(cands, sizes)
   }
 
   /** Exact-verify candidate pairs against the doc store — the batch
@@ -2428,6 +2467,9 @@ object Dedup {
           "empty or pre-provenance index has no incremental mode; " +
           "rebuild it with the Materialize writer")
       val cut = props("max_doc_id").toLong + 1L
+      // version gate before the checksum replay (the ccIncremental
+      // rule): a formula change reads as "rebuild", not corruption
+      graft.ops.ArtifactTag.requireProvVersion(props, p)
       val (n, xor) = graft.ops.Materialize.ccSliceChecksum(
         docs.filter(col("doc_id") < cut).select("doc_id", "text"))
       require(props.get("n_docs").contains(n.toString)

@@ -795,11 +795,24 @@ object Retrieval {
     * dumps queries and oracle text in one session, so both resolve
     * identically there — falling back to the default 50 when no
     * session exists (oracle text must stay constructible
-    * session-free). */
-  private def mrrNProbesOracle: Int =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .fold(50)(mrrNProbes)
+    * session-free). Round-12 advisor fix: in a JVM holding TWO
+    * sessions whose `graft.mrr.nProbes` values disagree, the dumped
+    * SQL could interpolate the other session's panel size while the
+    * Spark plan uses its own — silently failing (or wrongly passing)
+    * the hash gate — so disagreement is refused at dump time instead
+    * of first-resolved-wins. */
+  private def mrrNProbesOracle: Int = {
+    val sessions = (org.apache.spark.sql.SparkSession.getActiveSession
+      .toSeq ++ org.apache.spark.sql.SparkSession.getDefaultSession).distinct
+    val resolved = sessions.map(mrrNProbes).distinct
+    require(resolved.size <= 1,
+      s"graft.mrr.nProbes is ambiguous at oracle-dump time: the live " +
+        s"sessions resolve ${resolved.mkString(" vs ")} — the dumped " +
+        "oracle SQL would interpolate one panel size while a Spark " +
+        "plan uses the other; dump from a single session or align " +
+        "the conf across sessions")
+    resolved.headOption.getOrElse(50)
+  }
 
   /** Shared oracle prefix of the two panel evals — probe panel, BM25
     * scoring, and the per-probe rank CTEs, ending at `agg` (one text,

@@ -51,6 +51,33 @@ object ArtifactTag {
 
   private val PropsName = "_graft_props"
 
+  /** Version of the provenance FORMAT — specifically the content-
+    * checksum formula ([[Materialize.ccSliceChecksum]]'s SliceXor) a
+    * reader replays against `content_xor`. Bumped when the formula
+    * changes (round 11 moved from a string concat to separate
+    * xxhash64 args + a null sentinel — v2); without this key a
+    * formula change made every older artifact fail the content guard
+    * with a message that misdiagnosed the cause as id reuse or
+    * in-place edits (round-11 advisor finding). Writers stamp it as
+    * `prov_ver`; every reader that replays the checksum calls
+    * [[requireProvVersion]] FIRST, so a format change reads as
+    * "rebuild: provenance format changed", not as corpus corruption. */
+  val ProvVersion = "2"
+
+  /** Refuse an artifact whose provenance format differs from what
+    * this engine writes and replays — BEFORE any checksum comparison,
+    * so the error names the real cause. One-time rebuild after an
+    * engine upgrade; see DEPLOY.md. */
+  def requireProvVersion(props: Map[String, String], path: String): Unit =
+    Predef.require(props.get("prov_ver").contains(ProvVersion),
+      s"artifact at $path carries provenance format " +
+        s"v${props.getOrElse("prov_ver", "1 (pre-version)")} but this " +
+        s"engine writes and replays v$ProvVersion — the content-" +
+        "checksum formula changed, so the content guard cannot be " +
+        "replayed against it; rebuild the artifact with the current " +
+        "Materialize writer (one-time after an engine upgrade, see " +
+        "DEPLOY.md)")
+
   /** Record provenance key=value properties inside the artifact at
     * `path` (one `k=v` line each) — the writer-side half of the
     * round-9 advisor fix for cc_incremental's artifact contract: the

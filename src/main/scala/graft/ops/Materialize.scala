@@ -194,7 +194,8 @@ object Materialize {
     * the reader refuse id reuse, backfill, or in-place edits of
     * already-indexed docs instead of serving stale signatures. */
   private def writeSliceProvenance(s: SparkSession, path: String,
-      docs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      docs: org.apache.spark.sql.DataFrame, tag: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     ArtifactTag.write(s, path, tag)
     // ONE aggregate pass for all three provenance facts — a second
     // max(doc_id) action would re-scan the (doc_id, text) slice,
@@ -204,10 +205,11 @@ object Materialize {
       .agg(count(lit(1L)), expr(SliceXor), max("doc_id")).head()
     val xor = if (r.isNullAt(1)) 0L else r.getLong(1)
     ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
       "n_docs" -> r.getLong(0).toString,
       "content_xor" -> xor.toString) ++
       (if (r.isNullAt(2)) Map.empty[String, String]
-       else Map("max_doc_id" -> r.getLong(2).toString)))
+       else Map("max_doc_id" -> r.getLong(2).toString)) ++ extra)
   }
 
   /** Materialize the SIMHASH banded-signature index — the
@@ -272,13 +274,97 @@ object Materialize {
       .repartitionByRange(col("a_id"), col("b_id"))
       .sortWithinPartitions("a_id", "b_id")
       .write.parquet(path)
-    ArtifactTag.write(s, path, tag)
-    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
-    ArtifactTag.writeProps(s, path, Map(
-      "pair_stage" -> graft.operators.Dedup.candidateStage(s),
-      "max_shingle_df" -> graft.operators.Dedup.maxShingleDf(s).toString,
-      "n_docs" -> n.toString,
-      "content_xor" -> xor.toString))
+    // full slice provenance INCLUDING max_doc_id: the recorded max id
+    // + 1 is the artifact-boundary cut [[pairGraphDelta]] refreshes
+    // from (the round-11 signature-index discipline applied to pairs)
+    writeSliceProvenance(s, path, docs, tag, pairStageProps(s))
+  }
+
+  /** The candidate-stage configuration props a pair-derived artifact
+    * records — ONE definition for the full writer, the delta writer,
+    * and the label writer, so a reader's drift refusal always compares
+    * against the same keys. */
+  private def pairStageProps(s: SparkSession): Map[String, String] = Map(
+    "pair_stage" -> graft.operators.Dedup.candidateStage(s),
+    "max_shingle_df" -> graft.operators.Dedup.maxShingleDf(s).toString)
+
+  /** INCREMENTAL refresh of the pair-graph artifact — the last
+    * rebuild-whole cost in the dedup serving story (round-11 verdict
+    * task #1): instead of re-running the candidate join over the
+    * whole corpus, the stored artifact's own `max_doc_id` provenance
+    * DEFINES the old/new cut (its recorded max id + 1 — the
+    * [[graft.operators.Dedup]] `oldIndexPath` discipline), old pairs
+    * are a pure parquet scan of `oldPath`, and only the NEW-TOUCHING
+    * pairs (b_id ≥ cut) are computed, via the delta-scoped candidate
+    * stage ([[graft.operators.Dedup.deltaPairGraph]]: the self-join's
+    * b side is new docs only, so candidate cost is Σ df·df_new —
+    * linear in the batch where the full build's Σ df² is linear in
+    * the corpus). The merged output is written WRITE-ONCE to
+    * `newPath` with full current-corpus provenance, so the next
+    * refresh deltas from it in turn.
+    *
+    * Content contract: under the default `prefix` stage the output is
+    * row-identical to a full [[pairGraph]] rebuild at every corpus
+    * (the prefix lemma is exact; old pairs ARE the true old×old set,
+    * delta pairs ARE the true new-touching set — DedupSpec pins the
+    * equality on a fixture whose delta touches old pairs). Under
+    * `dfcap` the old rows keep the df statistics of THEIR build time,
+    * so a from-scratch rebuild under grown dfs may cap differently —
+    * the cap's own disclosed approximation, inherited, never widened
+    * (stage and cap-value drift are still refused).
+    *
+    * Guards, in order: `_graft_corpus` tag must name THIS corpus;
+    * candidate-stage/df-cap drift refused; provenance version gated
+    * ([[ArtifactTag.requireProvVersion]] — a formula change reads as
+    * "rebuild", not as corpus corruption); `max_doc_id` must exist
+    * (empty or pre-round-12 artifacts have no delta mode); and the
+    * stored content checksum must replay on the current below-cut
+    * slice (id reuse, backfill, or in-place edits of already-paired
+    * docs refuse loudly — a stale pair graph silently corrupts every
+    * downstream graph metric). */
+  def pairGraphDelta(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, oldPath, dir)
+    val props = ArtifactTag.readProps(s, oldPath)
+    val stage = graft.operators.Dedup.candidateStage(s)
+    require(props.get("pair_stage").contains(stage),
+      s"pair-graph artifact at $oldPath was built under pair stage " +
+        s"'${props.getOrElse("pair_stage", "<none>")}' but this " +
+        s"session runs '$stage' (graft.dedup.candidateStage) — a " +
+        "delta under a different stage diverges from a rebuild; " +
+        "rebuild the artifact or match the conf")
+    require(stage != "dfcap"
+        || props.get("max_shingle_df")
+             .contains(graft.operators.Dedup.maxShingleDf(s).toString),
+      s"pair-graph artifact at $oldPath was built with maxShingleDf=" +
+        s"${props.getOrElse("max_shingle_df", "<none>")} but this " +
+        s"session caps at ${graft.operators.Dedup.maxShingleDf(s)} — " +
+        "a df-cap change changes the pair graph; rebuild")
+    ArtifactTag.requireProvVersion(props, oldPath)
+    require(props.contains("max_doc_id"),
+      s"pair-graph artifact at $oldPath carries no max_doc_id " +
+        "provenance — an empty or pre-delta artifact has no " +
+        "incremental mode; run the full pairGraph build once")
+    val cut = props("max_doc_id").toLong + 1L
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val (n, xor) = ccSliceChecksum(docs.filter(col("doc_id") < cut))
+    require(props.get("n_docs").contains(n.toString)
+        && props.get("content_xor").contains(xor.toString),
+      s"old-slice checksum mismatch at $oldPath (artifact " +
+        s"n=${props.getOrElse("n_docs", "<none>")} " +
+        s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+        s"corpus n=$n xor=$xor) — the docs below the boundary ($cut) " +
+        "are not the slice the previous cycle paired (id reuse, " +
+        "backfill, or in-place edits); run the full pairGraph build " +
+        "instead")
+    val oldPairs = s.read.parquet(oldPath)
+      .select("a_id", "b_id", "inter", "na", "nb")
+    oldPairs.unionAll(graft.operators.Dedup.deltaPairGraph(s, dir, cut))
+      .repartitionByRange(col("a_id"), col("b_id"))
+      .sortWithinPartitions("a_id", "b_id")
+      .write.parquet(newPath)
+    writeSliceProvenance(s, newPath, docs, dir, pairStageProps(s))
   }
 
   /** Materialize the connected-component LABEL artifact — the
@@ -294,7 +380,8 @@ object Materialize {
     * instead of recomputing the old half. */
   def ccLabels(s: SparkSession, dir: String, path: String): Unit =
     writeCcLabels(s, graft.operators.Dedup.loopLabels(s, dir),
-      Tables.documents(s, dir).select("doc_id", "text"), path, dir)
+      Tables.documents(s, dir).select("doc_id", "text"), path, dir,
+      guardPairs = true)
 
   /** [[ccLabels]] over an explicit (doc_id, text) corpus slice — the
     * OLD-corpus-only state `cc_incremental` contracts against when
@@ -307,8 +394,13 @@ object Materialize {
     * wrong-corpus serve ([[ArtifactTag]]). */
   def ccLabelsOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
       path: String, tag: String): Unit =
+    // guardPairs = false: [[graft.operators.Dedup.loopLabelsOf]]
+    // derives the slice's pairs in-query (never reads
+    // graft.dedup.pairsPath), so there is no pair artifact to be
+    // stale against — and the slice's checksum would legitimately
+    // differ from any full-corpus pair artifact's
     writeCcLabels(s, graft.operators.Dedup.loopLabelsOf(s, docs), docs,
-      path, tag)
+      path, tag, guardPairs = false)
 
   /** The (n_docs, content_xor) checksum of a (doc_id, text) slice —
     * ONE definition shared by the label-artifact writer and
@@ -339,10 +431,40 @@ object Materialize {
   }
 
   private def writeCcLabels(s: SparkSession,
-      labels: org.apache.spark.sql.DataFrame,
+      labels: => org.apache.spark.sql.DataFrame, // by-name: the CC loop
+      // runs jobs eagerly, so evaluate only after the guards pass
       docs: org.apache.spark.sql.DataFrame,
-      path: String, tag: String): Unit = {
+      path: String, tag: String, guardPairs: Boolean): Unit = {
     requireFresh(s, path)
+    // the checksum of the slice being labeled — computed BEFORE any
+    // file is written, because it double-duties as the stale-pair
+    // guard below and a guard failure must leave no half-artifact
+    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
+    // stale-pair guard (round-11 advisor finding): when the edge
+    // source is the persisted pair artifact (graft.dedup.pairsPath,
+    // see [[graft.operators.Dedup.loopLabels]]), the labels INHERIT
+    // its content — but this writer stamps them with a FRESH corpus
+    // checksum, so labels built from a stale pair artifact (corpus
+    // regenerated in place under the same dir) would pass every
+    // downstream checksum guard. Refuse at write time: the pair
+    // artifact's recorded corpus checksum must match the corpus being
+    // labeled. Essentially free — the (n, xor) aggregate above is
+    // computed for the props sidecar anyway.
+    if (guardPairs)
+      s.conf.getOption("graft.dedup.pairsPath").foreach { pp =>
+        val pairProps = ArtifactTag.readProps(s, pp)
+        ArtifactTag.requireProvVersion(pairProps, pp)
+        require(pairProps.get("n_docs").contains(n.toString)
+            && pairProps.get("content_xor").contains(xor.toString),
+          s"refusing to persist CC labels: the edge source is the " +
+            s"pair artifact at $pp, whose recorded corpus checksum " +
+            s"(n=${pairProps.getOrElse("n_docs", "<none>")} " +
+            s"xor=${pairProps.getOrElse("content_xor", "<none>")}) " +
+            s"does not match the corpus being labeled (n=$n " +
+            s"xor=$xor) — the labels would derive from STALE pairs " +
+            "yet carry a fresh checksum (provenance laundering); " +
+            "rebuild the pair artifact first")
+      }
     labels
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
@@ -352,8 +474,8 @@ object Materialize {
     // configuration the labels were built under, and the content
     // checksum of the labeled slice — cc_incremental's reader refuses
     // stage/cap drift and silent slice substitution
-    val (n, xor) = ccSliceChecksum(docs.select("doc_id", "text"))
     ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
       "pair_stage" -> graft.operators.Dedup.candidateStage(s),
       "max_shingle_df" -> graft.operators.Dedup.maxShingleDf(s).toString,
       "n_docs" -> n.toString,

@@ -1067,4 +1067,183 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("dup_ppm") === dup * 1000000 / n)
     }
   }
+
+  test("pair-graph delta refresh ≡ full rebuild row-for-row, with the " +
+      "stored artifact's max_doc_id defining the cut") {
+    // docs 0,1 are the OLD cycle (near-dup pair (0,1)); doc 2 joins
+    // their cluster in the new batch — the delta TOUCHES old pairs
+    // ((0,2) and (1,2) straddle the cut); doc 3 is unique
+    val same = "alpha beta gamma delta epsilon"
+    val texts = Seq(same, same, same, "zeta eta theta iota kappa")
+    val dir = docsDir(texts)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pairdelta").toString
+    graft.ops.Materialize.pairGraphOf(spark,
+      docs.filter(col("doc_id") < 2).select("doc_id", "text"),
+      s"$base/old", dir)
+    graft.ops.Materialize.pairGraphDelta(spark, dir,
+      s"$base/old", s"$base/new")
+    graft.ops.Materialize.pairGraph(spark, dir, s"$base/full")
+    def rows(p: String): Seq[String] = spark.read.parquet(p)
+      .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    assert(rows(s"$base/old").size === 1,
+      "fixture must have exactly the (0,1) old pair")
+    assert(rows(s"$base/new") === rows(s"$base/full"),
+      "delta-refreshed pair artifact diverged from a full rebuild")
+    assert(rows(s"$base/new").size === 3,
+      "expected pairs (0,1) from the old artifact + (0,2),(1,2) delta")
+    // the merged artifact's provenance records FULL-corpus facts,
+    // identical to the rebuild's — so the next cycle deltas from it
+    assert(graft.ops.ArtifactTag.readProps(spark, s"$base/new") ===
+      graft.ops.ArtifactTag.readProps(spark, s"$base/full"),
+      "delta artifact provenance must equal the rebuild's")
+  }
+
+  test("pair-graph delta guards: wrong corpus, stage drift, edited old " +
+      "slice, provenance-format drift, and missing max_doc_id refuse") {
+    val texts = Seq("alpha beta gamma delta epsilon",
+      "alpha beta gamma delta zeta", "eta theta iota kappa lambda",
+      "mu nu xi omicron pi")
+    val dir = docsDir(texts)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pairdeltag").toString
+    val oldP = s"$base/old"
+    graft.ops.Materialize.pairGraphOf(spark,
+      docs.filter(col("doc_id") < 2).select("doc_id", "text"), oldP, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraphDelta(spark, sf0001, oldP, s"$base/n1")
+    }
+    assert(e.getMessage.contains("built for corpus"), e.getMessage)
+    withConf("graft.dedup.candidateStage" -> "dfcap") {
+      val e2 = intercept[IllegalArgumentException] {
+        graft.ops.Materialize.pairGraphDelta(spark, dir, oldP, s"$base/n2")
+      }
+      assert(e2.getMessage.contains("pair stage"), e2.getMessage)
+    }
+    // in-place edit BELOW the cut (same ids, doc 0's text changed):
+    // rebind the tag so only the content guard is under test
+    val dir2 = docsDir(texts.updated(0, "omega psi chi phi upsilon"))
+    graft.ops.ArtifactTag.write(spark, oldP, dir2)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraphDelta(spark, dir2, oldP, s"$base/n3")
+    }
+    assert(e3.getMessage.contains("checksum"), e3.getMessage)
+    graft.ops.ArtifactTag.write(spark, oldP, dir)
+    // provenance-format drift: the version gate must name the REAL
+    // cause (round-11 advisor finding), before any checksum replay
+    val props = graft.ops.ArtifactTag.readProps(spark, oldP)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "prov_ver")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraphDelta(spark, dir, oldP, s"$base/n4")
+    }
+    assert(e4.getMessage.contains("provenance format"), e4.getMessage)
+    // pre-delta artifact: no max_doc_id → no incremental mode
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "max_doc_id")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraphDelta(spark, dir, oldP, s"$base/n5")
+    }
+    assert(e5.getMessage.contains("max_doc_id"), e5.getMessage)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props)
+    // write-once on the target
+    graft.ops.Materialize.pairGraphDelta(spark, dir, oldP, s"$base/n6")
+    val e6 = intercept[IllegalArgumentException] {
+      graft.ops.Materialize.pairGraphDelta(spark, dir, oldP, s"$base/n6")
+    }
+    assert(e6.getMessage.contains("write-once"), e6.getMessage)
+  }
+
+  test("all ten pair consumers serve ≡ in-query off a DELTA-refreshed " +
+      "pair artifact") {
+    val consumers = Seq("neardup_degree_dist", "neardup_pagerank",
+      "neardup_triangles", "neardup_kcore", "neardup_quality_delta",
+      "dedup_cross_source_rate", "minhash_tuning_curve",
+      "curation_funnel", "dedup_clusters", "cc_incremental")
+    def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val expected = consumers.map { q =>
+      q -> strs(SparkEntry.queries(q)(spark, sf0001))
+    }.toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val cut = Dedup.idCut(docs)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pairdelta-sf").toString
+    graft.ops.Materialize.pairGraphOf(spark,
+      docs.filter(col("doc_id") < cut).select("doc_id", "text"),
+      s"$base/old", sf0001)
+    graft.ops.Materialize.pairGraphDelta(spark, sf0001,
+      s"$base/old", s"$base/new")
+    withConf("graft.dedup.pairsPath" -> s"$base/new") {
+      consumers.foreach { q =>
+        assert(strs(SparkEntry.queries(q)(spark, sf0001)) === expected(q),
+          s"$q diverged when served off the delta-refreshed artifact")
+      }
+    }
+  }
+
+  test("opt-in pair content audit (graft.dedup.verifyPairsContent) " +
+      "refuses a corpus that changed under an unchanged pairsPath") {
+    val texts = Seq("alpha beta gamma delta epsilon",
+      "alpha beta gamma delta zeta", "eta theta iota kappa lambda")
+    val dir = docsDir(texts)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pairaudit").toString + "/pairs"
+    graft.ops.Materialize.pairGraph(spark, dir, path)
+    // corpus "regenerated in place": same tag target, different
+    // content (simulated with a second dir + rebound tag, the
+    // cc-guard pattern — parquet fixtures cannot be edited in place)
+    val dir2 = docsDir(texts.updated(2, "mu nu xi omicron pi"))
+    withConf("graft.dedup.pairsPath" -> path,
+        "graft.dedup.verifyPairsContent" -> "true") {
+      // matching corpus: the audit passes and the artifact serves
+      assert(SparkEntry.queries("neardup_degree_dist")(spark, dir)
+        .count() >= 0)
+      graft.ops.ArtifactTag.write(spark, path, dir2)
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("neardup_degree_dist")(spark, dir2).collect()
+      }
+      assert(e.getMessage.contains("content audit"), e.getMessage)
+    }
+    // default mode cannot see the drift — the documented trade the
+    // opt-in knob exists to close (tag matches, checksum not replayed)
+    withConf("graft.dedup.pairsPath" -> path) {
+      assert(SparkEntry.queries("neardup_degree_dist")(spark, dir2)
+        .count() >= 0)
+    }
+  }
+
+  test("ccLabels refuses to launder a stale pair artifact into a " +
+      "fresh label checksum; the slice writer stays exempt") {
+    val texts = Seq("alpha beta gamma delta epsilon",
+      "alpha beta gamma delta zeta", "eta theta iota kappa lambda")
+    val dir = docsDir(texts)
+    val dir2 = docsDir(texts.updated(2, "mu nu xi omicron pi"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cclaunder").toString
+    graft.ops.Materialize.pairGraph(spark, dir, s"$base/pairs")
+    withConf("graft.dedup.pairsPath" -> s"$base/pairs") {
+      // healthy cycle: labels persist off the matching pair artifact
+      graft.ops.Materialize.ccLabels(spark, dir, s"$base/labels-ok")
+      // stale cycle: the corpus changed but the pair artifact did not
+      // (tag rebound to isolate the content comparison) — the writer
+      // must refuse, or the labels would carry a FRESH corpus
+      // checksum derived from STALE pairs (provenance laundering)
+      graft.ops.ArtifactTag.write(spark, s"$base/pairs", dir2)
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Materialize.ccLabels(spark, dir2, s"$base/labels-stale")
+      }
+      assert(e.getMessage.contains("STALE pairs"), e.getMessage)
+      // the refusal left no half-written artifact behind
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/labels-stale")),
+        "guard failure must not leave label files on disk")
+      // the slice writer derives its pairs in-query (never reads
+      // pairsPath), so it persists fine under the same stale conf
+      graft.ops.Materialize.ccLabelsOf(spark,
+        graft.sources.Tables.documents(spark, dir2)
+          .filter(col("doc_id") < 2).select("doc_id", "text"),
+        s"$base/labels-slice", dir2)
+    }
+  }
 }
