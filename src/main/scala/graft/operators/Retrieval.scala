@@ -443,16 +443,31 @@ object Retrieval {
         terms.map(t => col("s_" + t)).reduce(_ + _).as("score"))
   }
 
-  /** Ensure the materialized lexical index for corpus `d` exists
-    * (build-once per JVM+corpus, the [[Similarity]] index guard) and
-    * return its path. */
-  private def lexIndexPath(s: SparkSession, d: String): String = {
-    val path = graft.ops.BuildOnce.scratchPath("lex", d)
-    graft.ops.BuildOnce.ensure(path, d) {
-      graft.ops.Materialize.lexicalIndex(s, d, path)
+  /** Resolve the materialized lexical index for corpus `d` — dual
+    * mode, the `graft.dedup.pairsPath` precedent on the lexical side:
+    *
+    *  - `graft.lex.indexPath` SET → serving mode: the persisted
+    *    [[graft.ops.Materialize.lexicalIndex]] (or
+    *    `lexicalIndexDelta`) artifact at that path, tag-guarded so a
+    *    session cannot serve one corpus with another corpus's
+    *    postings. This is how a deployment routes `bm25_from_index` /
+    *    `phrase_from_index` through a delta-refreshed index — and how
+    *    the serving bench times the artifact path.
+    *  - unset → build-once per JVM+corpus into scratch (the
+    *    [[Similarity]] index guard; test-harness reality, and what
+    *    the DuckDB oracle's hash gate replays). */
+  private def lexIndexPath(s: SparkSession, d: String): String =
+    s.conf.getOption("graft.lex.indexPath") match {
+      case Some(p) =>
+        graft.ops.ArtifactTag.require(s, p, d)
+        p
+      case None =>
+        val path = graft.ops.BuildOnce.scratchPath("lex", d)
+        graft.ops.BuildOnce.ensure(path, d) {
+          graft.ops.Materialize.lexicalIndex(s, d, path)
+        }
+        path
     }
-    path
-  }
 
   /** BM25 served from the MATERIALIZED inverted index
     * ([[graft.ops.Materialize.lexicalIndex]]) — the read path a search

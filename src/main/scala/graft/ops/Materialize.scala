@@ -505,30 +505,157 @@ object Materialize {
     *    over dl > 0 docs exactly as the in-query path does, so scores
     *    from the index are bit-identical to scores from the corpus.
     */
-  def lexicalIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val c = Tables.documents(s, dir)
+  def lexicalIndex(s: SparkSession, dir: String, path: String): Unit =
+    lexicalIndexOf(s,
+      Tables.documents(s, dir).select("doc_id", "text"), path, dir)
+
+  /** [[lexicalIndex]] over an explicit (doc_id, text) corpus slice —
+    * the [[minhashIndexOf]] discipline on the lexical side: write-once
+    * target, `_graft_corpus` tag, and versioned slice provenance
+    * (n_docs/content_xor/max_doc_id) PLUS the two additive BM25-global
+    * merge facts (`n_dl` = docs with dl > 0, `sum_dl` = Σ dl over
+    * them), which is what makes [[lexicalIndexDelta]] possible: the
+    * stats row is (n, avgdl) and avgdl is NOT mergeable, but (n, Σdl)
+    * is — and because dl are integers whose running double sum stays
+    * exact below 2⁵³ (Σ tokens at 100 TB ≈ 10¹³ ≪ 9·10¹⁵), writing
+    * `Σdl/n` reproduces Spark's own `avg(dl)` BIT-EXACTLY, so
+    * from-index BM25 scores never drift between a full build and a
+    * merged one. */
+  def lexicalIndexOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    val (postings, grams, nDl, sumDl) = lexBatchParts(s, docs)
+    writeLexParts(s, path, postings, grams,
+      grams.groupBy("gram").agg(count(lit(1)).as("n")), nDl, sumDl)
+    writeSliceProvenance(s, path, docs, tag, Map(
+      "n_dl" -> nDl.toString, "sum_dl" -> sumDl.toString))
+  }
+
+  /** INCREMENTAL refresh of the lexical index — the [[pairGraphDelta]]
+    * shape for postings (round-11 verdict task #2): the stored
+    * artifact's `max_doc_id` + 1 defines the cut; ONLY the new batch
+    * is tokenized (postings and positional grams are per-doc facts, so
+    * batch rows are exactly the rebuild's rows for those docs); old
+    * postings/grams are pure parquet scans merged in by a
+    * tok/gram-range re-sort; the 1-row (n, avgdl) BM25 globals merge
+    * ADDITIVELY from the recorded (n_dl, sum_dl) facts — bit-equal to
+    * a rebuild's `avg(dl)` (see [[lexicalIndexOf]]); and `gramstats`
+    * occurrence totals merge by summation. Guards: corpus tag,
+    * provenance version, max_doc_id presence, and the below-cut
+    * content-checksum replay (id reuse, backfill, or in-place edits of
+    * already-indexed docs refuse loudly — stale postings silently
+    * mis-rank every query). RetrievalOracleSpec pins {old + delta} ≡
+    * full rebuild part-for-part and `bm25_from_index` /
+    * `phrase_from_index` row-identical when served off the delta
+    * artifact via `graft.lex.indexPath`. */
+  def lexicalIndexDelta(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, oldPath, dir)
+    val props = ArtifactTag.readProps(s, oldPath)
+    ArtifactTag.requireProvVersion(props, oldPath)
+    require(props.contains("max_doc_id"),
+      s"lexical index at $oldPath carries no max_doc_id provenance — " +
+        "an empty or pre-delta index has no incremental mode; run the " +
+        "full lexicalIndex build once")
+    val cut = props("max_doc_id").toLong + 1L
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val (n, xor) = ccSliceChecksum(docs.filter(col("doc_id") < cut))
+    require(props.get("n_docs").contains(n.toString)
+        && props.get("content_xor").contains(xor.toString),
+      s"old-slice checksum mismatch at $oldPath (index " +
+        s"n=${props.getOrElse("n_docs", "<none>")} " +
+        s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+        s"corpus n=$n xor=$xor) — the docs below the boundary ($cut) " +
+        "are not the slice the previous cycle indexed (id reuse, " +
+        "backfill, or in-place edits); re-index the corpus instead")
+    val (postings, grams, gramstats, nTot, sumTot) =
+      lexDeltaParts(s, docs, oldPath, cut,
+        props("n_dl").toLong, props("sum_dl").toLong)
+    writeLexParts(s, newPath, postings, grams, gramstats, nTot, sumTot)
+    writeSliceProvenance(s, newPath, docs, dir, Map(
+      "n_dl" -> nTot.toString, "sum_dl" -> sumTot.toString))
+  }
+
+  /** The merged frames a delta refresh writes — ONE definition shared
+    * with the spec's plan pin (the [[graft.operators.Dedup
+    * .ccIncrementalStage]] discipline), so the pinned plan is the very
+    * plan the writer executes: the old side of every merged frame is a
+    * parquet scan of the INDEX files — the merged plans contain no
+    * `documents` scan at all (spec-pinned); the new side tokenizes
+    * only the `doc_id ≥ cut` batch, the filter applied before
+    * tokenization by construction ([[lexBatchParts]] over the filtered
+    * slice, whose eager checkpoint is where the one corpus read
+    * happens). */
+  private[graft] def lexDeltaParts(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, oldPath: String, cut: Long,
+      nOld: Long, sumOld: Long): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      Long, Long) = {
+    val (newPost, newGrams, nNew, sumNew) =
+      lexBatchParts(s, docs.filter(col("doc_id") >= cut))
+    val postings = s.read.parquet(s"$oldPath/postings")
+      .select("tok", "doc_id", "dl", "tf")
+      .unionAll(newPost.select("tok", "doc_id", "dl", "tf"))
+    val grams = s.read.parquet(s"$oldPath/grams")
+      .select("doc_id", "pos", "gram")
+      .unionAll(newGrams.select("doc_id", "pos", "gram"))
+    // occurrence totals merge additively: old totals ∪ new-batch
+    // totals → one sum per gram (never re-counts the old postings)
+    val gramstats = s.read.parquet(s"$oldPath/gramstats")
+      .select("gram", "n")
+      .unionAll(newGrams.groupBy("gram").agg(count(lit(1)).as("n")))
+      .groupBy("gram").agg(sum("n").as("n"))
+    (postings, grams, gramstats, nOld + nNew, sumOld + sumNew)
+  }
+
+  /** Tokenize ONE (doc_id, text) batch into its index contribution:
+    * (postings, positional grams, n_dl, sum_dl). Shared by the full
+    * writer and the delta writer, so batch rows can never drift from
+    * rebuild rows. */
+  private def lexBatchParts(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): (org.apache.spark.sql
+      .DataFrame, org.apache.spark.sql.DataFrame, Long, Long) = {
+    val c = docs
       .select(col("doc_id"), Fns.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
       .filter(col("dl") > 0)
       .localCheckpoint() // consumed by the stats agg AND the postings
-    c.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+    val postings = c
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
       .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("tok"))
-      .sortWithinPartitions("tok", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    c.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    val grams = Tables.documents(s, dir)
+    val st = c.agg(count(lit(1)), sum("dl")).head()
+    val grams = docs
       .select(col("doc_id"),
         posexplode_outer(Fns.shingles3(Fns.tokens(col("text")))))
       .toDF("doc_id", "pos", "gram")
       .filter(col("gram").isNotNull)
       .localCheckpoint() // consumed by the postings write + the stats
+    (postings, grams, st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  /** Lay out the four lexical-index parts (see [[lexicalIndex]] for
+    * the per-part sort rationale). The stats row is written from the
+    * additive (n_dl, Σdl) facts — bit-equal to `avg(dl)` (integer dl,
+    * exact double sums below 2⁵³), and the ONLY form a delta refresh
+    * can reproduce without rescanning old documents. */
+  private def writeLexParts(s: SparkSession, path: String,
+      postings: org.apache.spark.sql.DataFrame,
+      grams: org.apache.spark.sql.DataFrame,
+      gramstats: org.apache.spark.sql.DataFrame,
+      nDl: Long, sumDl: Long): Unit = {
+    postings.repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.parquet(s"$path/postings")
+    s.range(1).select(lit(nDl.toDouble).as("n"),
+        (if (nDl == 0L) lit(null).cast("double")
+         else lit(sumDl.toDouble / nDl)).as("avgdl"))
+      .coalesce(1).write.parquet(s"$path/stats")
     grams.repartitionByRange(col("gram"))
       .sortWithinPartitions("gram", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/grams")
-    grams.groupBy("gram").agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/gramstats")
+      .write.parquet(s"$path/grams")
+    gramstats.write.parquet(s"$path/gramstats")
   }
 
   /** Materialize the PQ index `ann_pq_topk`'s scale story promises:

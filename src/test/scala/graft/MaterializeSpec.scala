@@ -119,4 +119,111 @@ class MaterializeSpec extends SparkSpec {
       assert(probe.count() < n, "one cell must be a strict subset")
     } finally rm(path)
   }
+
+  test("lexical index delta refresh ≡ full rebuild part-for-part; " +
+      "bm25/phrase serve row-identical off the delta artifact") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val cut = Dedup.idCut(docs)
+    val base = Files.createTempDirectory("graft-lexdelta").toString
+    Materialize.lexicalIndexOf(spark,
+      docs.filter(col("doc_id") < cut), s"$base/old", sf0001)
+    Materialize.lexicalIndexDelta(spark, sf0001,
+      s"$base/old", s"$base/new")
+    Materialize.lexicalIndex(spark, sf0001, s"$base/full")
+    def part(root: String, p: String, keys: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$root/$p").orderBy(keys.map(col): _*)
+        .collect().map(_.toString).toSeq
+    Seq(("postings", Seq("tok", "doc_id")),
+        ("grams", Seq("gram", "doc_id", "pos")),
+        ("gramstats", Seq("gram")),
+        ("stats", Seq("n"))).foreach { case (p, keys) =>
+      assert(part(s"$base/new", p, keys) === part(s"$base/full", p, keys),
+        s"index part '$p' diverged between delta refresh and rebuild")
+    }
+    // full-corpus provenance identical → the next cycle deltas from it
+    assert(graft.ops.ArtifactTag.readProps(spark, s"$base/new") ===
+      graft.ops.ArtifactTag.readProps(spark, s"$base/full"),
+      "delta artifact provenance must equal the rebuild's")
+    // the merged frames never rescan the corpus: old side is index
+    // parquet only (the new side's one batch read happened inside the
+    // builder's eager checkpoint, scoped to doc_id >= cut)
+    val oldProps = graft.ops.ArtifactTag.readProps(spark, s"$base/old")
+    val (post, grams, gstats, _, _) = Materialize.lexDeltaParts(spark,
+      docs, s"$base/old", cut, oldProps("n_dl").toLong,
+      oldProps("sum_dl").toLong)
+    Seq("postings" -> post, "grams" -> grams, "gramstats" -> gstats)
+      .foreach { case (nm, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("documents.parquet"),
+          s"merged $nm frame rescans the corpus:\n$plan")
+      }
+    // serving: the registered from-index twins route through the
+    // delta artifact via graft.lex.indexPath, row-identical to the
+    // default (scratch full-build) mode the oracle hash-gates
+    def strs(q: String, d: String): Seq[String] =
+      SparkEntry.queries(q)(spark, d).collect().map(_.toString).toSeq
+    val expB = strs("bm25_from_index", sf0001)
+    val expP = strs("phrase_from_index", sf0001)
+    withConf("graft.lex.indexPath" -> s"$base/new") {
+      assert(strs("bm25_from_index", sf0001) === expB,
+        "bm25_from_index diverged off the delta artifact")
+      assert(strs("phrase_from_index", sf0001) === expP,
+        "phrase_from_index diverged off the delta artifact")
+      // wrong corpus: the tag names sf0001
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("bm25_from_index")(
+          spark, "/root/testdata/sf0.01").collect()
+      }
+      assert(e.getMessage.contains("built for corpus"), e.getMessage)
+    }
+  }
+
+  test("lexical index delta guards: edited old slice, provenance-" +
+      "format drift, and missing max_doc_id are refused") {
+    import spark.implicits._
+    def dirOf(texts: Seq[String]): String = {
+      val dir = Files.createTempDirectory("graft-lexguard").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val texts = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu")
+    val dir = dirOf(texts)
+    val base = Files.createTempDirectory("graft-lexguardi").toString
+    val oldP = s"$base/old"
+    Materialize.lexicalIndexOf(spark,
+      graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") < 2).select("doc_id", "text"), oldP, dir)
+    // in-place edit below the cut (tag rebound to isolate the guard)
+    val dir2 = dirOf(texts.updated(0, "nu xi omicron pi"))
+    graft.ops.ArtifactTag.write(spark, oldP, dir2)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.lexicalIndexDelta(spark, dir2, oldP, s"$base/n1")
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+    graft.ops.ArtifactTag.write(spark, oldP, dir)
+    // provenance-format drift names the real cause
+    val props = graft.ops.ArtifactTag.readProps(spark, oldP)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "prov_ver")
+    val e2 = intercept[IllegalArgumentException] {
+      Materialize.lexicalIndexDelta(spark, dir, oldP, s"$base/n2")
+    }
+    assert(e2.getMessage.contains("provenance format"), e2.getMessage)
+    // pre-delta artifact: no max_doc_id → no incremental mode
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "max_doc_id")
+    val e3 = intercept[IllegalArgumentException] {
+      Materialize.lexicalIndexDelta(spark, dir, oldP, s"$base/n3")
+    }
+    assert(e3.getMessage.contains("max_doc_id"), e3.getMessage)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props)
+    // healthy delta lands; its target is write-once
+    Materialize.lexicalIndexDelta(spark, dir, oldP, s"$base/n4")
+    val e4 = intercept[IllegalArgumentException] {
+      Materialize.lexicalIndexDelta(spark, dir, oldP, s"$base/n4")
+    }
+    assert(e4.getMessage.contains("write-once"), e4.getMessage)
+  }
 }
