@@ -671,13 +671,23 @@ object Training {
     * feature-store TABLE [[featurePitJoin]] computes in-query and
     * [[graft.ops.Materialize.featureStore]] persists for the
     * from-index twin. */
-  private[graft] def pitFeatureFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pitFeatureFrame(s: SparkSession, d: String): DataFrame =
+    pitFeatureFrameOf(pitEvents(s, d))
+
+  /** [[pitFeatureFrame]] over an explicit (event_id, user_id,
+    * event_type, day, v_centi) slice — what
+    * [[graft.ops.Materialize.featureStoreOf]] persists for a given
+    * day-bounded previous cycle, and the one definition both the full
+    * and the delta store derive their snapshot rows from. */
+  private[graft] def pitFeatureFrameOf(ev: DataFrame): DataFrame =
+    pitFeatureFromDaily(pitDaily(ev))
+
+  /** The cumulative-window stage over an already-aggregated (user_id,
+    * day, n, n_purch, v_sum) daily frame — split out so the store
+    * writer can reuse ONE materialized daily frame for both the
+    * snapshots and the per-user totals. */
+  private[graft] def pitFeatureFromDaily(daily: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val daily = pitEvents(s, d).groupBy("user_id", "day")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("n_purch"),
-        sum("v_centi").as("v_sum"))
     val prior = w.partitionBy("user_id").orderBy("day")
       .rowsBetween(w.unboundedPreceding, -1)
     daily
@@ -692,7 +702,18 @@ object Training {
         "value_centi_prior", "days_active_prior")
   }
 
-  private def pitEvents(s: SparkSession, d: String): DataFrame = {
+  /** The (user_id, day) daily aggregates the cumulative windows run
+    * over — factored out because the delta store writer needs them
+    * BATCH-SCOPED (new days only) and the per-user running totals are
+    * their groupBy-user rollup. */
+  private[graft] def pitDaily(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum("v_centi").as("v_sum"))
+
+  private[graft] def pitEvents(s: SparkSession, d: String): DataFrame = {
     val dayUs = 86400L * 1000000L
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -720,11 +741,22 @@ object Training {
     * equality with the in-query twin AND that this plan contains no
     * window at all. */
   def featurePitFromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = graft.ops.BuildOnce.scratchPath("featstore", d)
-    graft.ops.BuildOnce.ensure(path, d) {
-      graft.ops.Materialize.featureStore(s, d, path)
+    // dual mode (the graft.lex.indexPath precedent): a deployment
+    // points graft.features.storePath at the persisted — possibly
+    // delta-refreshed — store (tag-guarded); unset builds once into
+    // scratch (what the DuckDB oracle's hash gate replays)
+    val path = s.conf.getOption("graft.features.storePath") match {
+      case Some(p) =>
+        graft.ops.ArtifactTag.require(s, p, d)
+        p
+      case None =>
+        val sp = graft.ops.BuildOnce.scratchPath("featstore", d)
+        graft.ops.BuildOnce.ensure(sp, d) {
+          graft.ops.Materialize.featureStore(s, d, sp)
+        }
+        sp
     }
-    pitJoinExamples(s, d, s.read.parquet(path))
+    pitJoinExamples(s, d, s.read.parquet(s"$path/snapshots"))
   }
 
   /** Shared by the in-query and from-index PIT twins (and wrapped by

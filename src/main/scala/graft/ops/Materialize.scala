@@ -692,13 +692,173 @@ object Materialize {
   }
 
   /** Materialize the point-in-time FEATURE STORE — the (user_id, day)
-    * → prior-day snapshot table behind `feature_pit_join`: written
-    * once per refresh, (user_id, day)-range-sorted so a training-set
-    * build's equi-join point-reads prune row groups by user range,
-    * and no consumer ever re-runs the cumulative windows. */
+    * → prior-day snapshot table behind `feature_pit_join`, written
+    * once per refresh under `path`/snapshots, (user_id, day)-range-
+    * sorted so a training-set build's equi-join point-reads prune row
+    * groups by user range, and no consumer ever re-runs the cumulative
+    * windows. Since round 12 the artifact also carries
+    * `path`/totals — per-user running totals INCLUDING every stored
+    * day — because the snapshot rows alone cannot seed a delta
+    * refresh: a snapshot's priors EXCLUDE its own day, so the next
+    * day's priors would need that day's daily aggregates, which live
+    * only in the events table ([[featureStoreDelta]] reads the
+    * O(users) totals instead of rescanning events). Write-once + tag
+    * + versioned provenance (n_events / events_xor / max_day over the
+    * events slice), the signature-index discipline on the feature
+    * side. */
   def featureStore(s: SparkSession, dir: String, path: String): Unit =
-    graft.operators.Training.pitFeatureFrame(s, dir)
-      .repartitionByRange(col("user_id"), col("day"))
+    featureStoreOf(s, graft.operators.Training.pitEvents(s, dir), path,
+      dir)
+
+  /** [[featureStore]] over an explicit (event_id, user_id, event_type,
+    * day, v_centi) event slice — the old-cycle state
+    * [[featureStoreDelta]] refreshes from (a previous cycle persisted
+    * its store over events with day ≤ its max_day). */
+  def featureStoreOf(s: SparkSession, ev: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    val daily = graft.operators.Training.pitDaily(ev).localCheckpoint()
+    writeFeatureParts(s, path,
+      graft.operators.Training.pitFeatureFromDaily(daily),
+      totalsOf(daily))
+    writeEventProvenance(s, path, ev, tag)
+  }
+
+  /** INCREMENTAL refresh of the feature store — the artifact a
+    * production pipeline refreshes most often (daily), and
+    * append-only by construction: a snapshot for day D uses only
+    * events BEFORE D, so rows for days ≤ the stored max_day never
+    * change when later events arrive. The stored `max_day` defines
+    * the cut; only events with day > max_day aggregate (work ∝
+    * batch); each new day's priors seed from the stored per-user
+    * totals plus a window over the BATCH's own earlier days; old
+    * snapshot rows merge in as a pure parquet scan; totals merge
+    * additively. All sums are longs, so {stored + delta} is
+    * row-identical to a full rebuild (TrainingSpec pins it).
+    *
+    * Guards: corpus tag, provenance version, max_day presence, and
+    * the ≤-max_day event-slice checksum replay — LATE-ARRIVING events
+    * (day ≤ max_day) refuse loudly, because their day's snapshot and
+    * every later prior would silently understate; so do edits or
+    * backfill of already-stored events. */
+  def featureStoreDelta(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, oldPath, dir)
+    val props = ArtifactTag.readProps(s, oldPath)
+    ArtifactTag.requireProvVersion(props, oldPath)
+    require(props.contains("max_day"),
+      s"feature store at $oldPath carries no max_day provenance — an " +
+        "empty or pre-delta store has no incremental mode; run the " +
+        "full featureStore build once")
+    val cutDay = props("max_day").toLong
+    val ev = graft.operators.Training.pitEvents(s, dir)
+    val (n, xor) = eventSliceChecksum(ev.filter(col("day") <= cutDay))
+    require(props.get("n_events").contains(n.toString)
+        && props.get("events_xor").contains(xor.toString),
+      s"stored-slice checksum mismatch at $oldPath (store " +
+        s"n=${props.getOrElse("n_events", "<none>")} " +
+        s"xor=${props.getOrElse("events_xor", "<none>")}, " +
+        s"events n=$n xor=$xor) — the events at day ≤ $cutDay are not " +
+        "the slice the previous cycle snapshotted (late-arriving " +
+        "events, edits, or backfill); rebuild the store instead")
+    val w = org.apache.spark.sql.expressions.Window
+    val prior = w.partitionBy("user_id").orderBy("day")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val newDaily = graft.operators.Training
+      .pitDaily(ev.filter(col("day") > cutDay))
+      .localCheckpoint() // consumed by the snapshots AND the totals
+    val oldTotals = s.read.parquet(s"$oldPath/totals")
+      .select(col("user_id"), col("n_total").as("t_n"),
+        col("n_purch_total").as("t_purch"), col("v_total").as("t_v"),
+        col("days_total").as("t_days"))
+    // batch snapshots: within-batch priors from a window over the new
+    // days only, seeded by the stored per-user totals (0 for users
+    // first seen in the batch) — exactly the rebuild's unbounded
+    // window split at the cut, term by term, in long arithmetic
+    val seeded = newDaily
+      .withColumn("b_n", coalesce(sum("n").over(prior), lit(0L)))
+      .withColumn("b_purch", coalesce(sum("n_purch").over(prior), lit(0L)))
+      .withColumn("b_v", coalesce(sum("v_sum").over(prior), lit(0L)))
+      .withColumn("b_days", coalesce(count(lit(1)).over(prior), lit(0L)))
+      .join(oldTotals, Seq("user_id"), "left")
+      .select(col("user_id"), col("day"),
+        (col("b_n") + coalesce(col("t_n"), lit(0L)))
+          .as("n_events_prior"),
+        (col("b_purch") + coalesce(col("t_purch"), lit(0L)))
+          .as("n_purchases_prior"),
+        (col("b_v") + coalesce(col("t_v"), lit(0L)))
+          .as("value_centi_prior"),
+        (col("b_days") + coalesce(col("t_days"), lit(0L)))
+          .as("days_active_prior"))
+    val snapshots = s.read.parquet(s"$oldPath/snapshots")
+      .select("user_id", "day", "n_events_prior", "n_purchases_prior",
+        "value_centi_prior", "days_active_prior")
+      .unionAll(seeded)
+    // totals merge additively (full outer: batch-only users appear,
+    // old-only users carry over)
+    val totals = s.read.parquet(s"$oldPath/totals")
+      .select("user_id", "n_total", "n_purch_total", "v_total",
+        "days_total")
+      .unionAll(totalsOf(newDaily))
+      .groupBy("user_id")
+      .agg(sum("n_total").as("n_total"),
+        sum("n_purch_total").as("n_purch_total"),
+        sum("v_total").as("v_total"),
+        sum("days_total").as("days_total"))
+    writeFeatureParts(s, newPath, snapshots, totals)
+    writeEventProvenance(s, newPath, ev, dir)
+  }
+
+  /** Per-user running totals over a daily frame — the delta seed.
+    * `v_total` coalesces a sum that is null only when every summand
+    * is (matching the rebuild's coalesce-to-0 of the prior window). */
+  private def totalsOf(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql
+      .DataFrame =
+    daily.groupBy("user_id")
+      .agg(sum("n").as("n_total"),
+        sum("n_purch").as("n_purch_total"),
+        coalesce(sum("v_sum"), lit(0L)).as("v_total"),
+        count(lit(1)).as("days_total"))
+
+  private def writeFeatureParts(s: SparkSession, path: String,
+      snapshots: org.apache.spark.sql.DataFrame,
+      totals: org.apache.spark.sql.DataFrame): Unit = {
+    snapshots.repartitionByRange(col("user_id"), col("day"))
       .sortWithinPartitions("user_id", "day")
-      .write.mode("overwrite").parquet(path)
+      .write.parquet(s"$path/snapshots")
+    totals.repartitionByRange(col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.parquet(s"$path/totals")
+  }
+
+  /** The per-event content hash the store's provenance XORs — the
+    * [[SliceXor]] idea over the five columns the snapshots derive
+    * from; any edit, id reuse, or late arrival below the cut flips it
+    * w.h.p. */
+  private val EventXor = "bit_xor(xxhash64(event_id, user_id, day, " +
+    "v_centi, coalesce(event_type, '<null>')))"
+
+  private[graft] def eventSliceChecksum(
+      ev: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = ev.agg(count(lit(1L)), expr(EventXor)).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def writeEventProvenance(s: SparkSession, path: String,
+      ev: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    ArtifactTag.write(s, path, tag)
+    // one fused pass for all three facts (the writeSliceProvenance
+    // rule): count + content xor + the max stored day that defines
+    // the next delta's cut
+    val r = ev.agg(count(lit(1L)), expr(EventXor), max("day")).head()
+    val xor = if (r.isNullAt(1)) 0L else r.getLong(1)
+    ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
+      "n_events" -> r.getLong(0).toString,
+      "events_xor" -> xor.toString) ++
+      (if (r.isNullAt(2)) Map.empty[String, String]
+       else Map("max_day" -> r.getLong(2).toString)))
+  }
 }

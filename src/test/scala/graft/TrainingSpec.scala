@@ -266,4 +266,112 @@ class TrainingSpec extends SparkSpec {
     assert(plan.contains("featstore"),
       "from-index plan does not read the materialized feature store")
   }
+
+  test("feature store delta refresh ≡ full rebuild; the PIT join " +
+      "serves row-identical off the delta artifact") {
+    import graft.ops.Materialize
+    val ev = Training.pitEvents(spark, sf0001)
+    val b = ev.agg(min("day"), max("day")).head()
+    val cutDay = (b.getLong(0) + b.getLong(1)) / 2
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-featdelta").toString
+    Materialize.featureStoreOf(spark,
+      ev.filter(col("day") <= cutDay), s"$base/old", sf0001)
+    Materialize.featureStoreDelta(spark, sf0001,
+      s"$base/old", s"$base/new")
+    Materialize.featureStore(spark, sf0001, s"$base/full")
+    def part(root: String, p: String, keys: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$root/$p").orderBy(keys.map(col): _*)
+        .collect().map(_.toString).toSeq
+    Seq(("snapshots", Seq("user_id", "day")),
+        ("totals", Seq("user_id"))).foreach { case (p, keys) =>
+      assert(part(s"$base/new", p, keys) === part(s"$base/full", p, keys),
+        s"store part '$p' diverged between delta refresh and rebuild")
+    }
+    assert(graft.ops.ArtifactTag.readProps(spark, s"$base/new") ===
+      graft.ops.ArtifactTag.readProps(spark, s"$base/full"),
+      "delta store provenance must equal the rebuild's")
+    // the fixture must actually exercise the seed path: some user
+    // active before AND after the cut (otherwise the merge is a
+    // trivial concatenation)
+    val straddlers = spark.read.parquet(s"$base/old/totals")
+      .select("user_id")
+      .join(Training.pitDaily(ev.filter(col("day") > cutDay))
+        .select("user_id"), "user_id")
+      .count()
+    assert(straddlers > 0, "degenerate fixture: no user straddles the cut")
+    // serving: the registered from-index twin routes through the
+    // delta artifact via graft.features.storePath
+    def strs(d: String): Seq[String] =
+      SparkEntry.queries("feature_pit_from_index")(spark, d)
+        .collect().map(_.toString).toSeq
+    val expected = strs(sf0001)
+    withConf("graft.features.storePath" -> s"$base/new") {
+      assert(strs(sf0001) === expected,
+        "feature_pit_from_index diverged off the delta artifact")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("feature_pit_from_index")(
+          spark, "/root/testdata/sf0.01").collect()
+      }
+      assert(e.getMessage.contains("built for corpus"), e.getMessage)
+    }
+  }
+
+  test("feature store delta guards: late-arriving events below the " +
+      "cut, provenance-format drift, and missing max_day are refused") {
+    import spark.implicits._
+    import graft.ops.Materialize
+    val dayNs = 86400L * 1000000L * 1000L
+    def dirOf(rows: Seq[(Long, Long, String, Long, Double)]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-featguard").toString
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val rows = Seq(
+      (0L, 1L, "click", 0L * dayNs, 1.0),
+      (1L, 1L, "purchase", 1L * dayNs, 5.0),
+      (2L, 2L, "click", 1L * dayNs, 2.0),
+      (3L, 1L, "click", 2L * dayNs, 3.0),
+      (4L, 2L, "purchase", 3L * dayNs, 7.0))
+    val dir = dirOf(rows)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-featguardi").toString
+    val oldP = s"$base/old"
+    Materialize.featureStoreOf(spark,
+      Training.pitEvents(spark, dir).filter(col("day") <= 1L), oldP, dir)
+    // a LATE event lands on an already-stored day (day 1): its
+    // snapshot and every later prior would silently understate
+    val dirLate = dirOf(rows :+ (5L, 2L, "click", 1L * dayNs, 9.0))
+    graft.ops.ArtifactTag.write(spark, oldP, dirLate)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.featureStoreDelta(spark, dirLate, oldP, s"$base/n1")
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+    graft.ops.ArtifactTag.write(spark, oldP, dir)
+    val props = graft.ops.ArtifactTag.readProps(spark, oldP)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "prov_ver")
+    val e2 = intercept[IllegalArgumentException] {
+      Materialize.featureStoreDelta(spark, dir, oldP, s"$base/n2")
+    }
+    assert(e2.getMessage.contains("provenance format"), e2.getMessage)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props - "max_day")
+    val e3 = intercept[IllegalArgumentException] {
+      Materialize.featureStoreDelta(spark, dir, oldP, s"$base/n3")
+    }
+    assert(e3.getMessage.contains("max_day"), e3.getMessage)
+    graft.ops.ArtifactTag.writeProps(spark, oldP, props)
+    // healthy delta ≡ full rebuild on the tiny fixture too
+    Materialize.featureStoreDelta(spark, dir, oldP, s"$base/n4")
+    Materialize.featureStore(spark, dir, s"$base/full")
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(s"$p/snapshots").orderBy("user_id", "day")
+        .collect().map(_.toString).toSeq
+    assert(snap(s"$base/n4") === snap(s"$base/full"))
+    val e4 = intercept[IllegalArgumentException] {
+      Materialize.featureStoreDelta(spark, dir, oldP, s"$base/n4")
+    }
+    assert(e4.getMessage.contains("write-once"), e4.getMessage)
+  }
 }
