@@ -46,6 +46,7 @@ object Dedup {
     "dedup_clusters" -> clusters,
     "dedup_clusters_from_index" -> clustersFromIndex,
     "dedup_pairs_from_index" -> pairsFromIndex,
+    "dedup_pairs_delta_refresh" -> pairsDeltaRefresh,
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
     "compaction_plan" -> compactionPlan,
@@ -1370,6 +1371,39 @@ object Dedup {
       graft.ops.Materialize.pairGraph(s, d, path)
     }
     s.read.parquet(path)
+      .select("a_id", "b_id", "inter", "na", "nb")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The pair graph refreshed INCREMENTALLY, then served — the
+    * registered end-to-end composition of [[graft.ops.Materialize
+    * .pairGraphDelta]]: the "previous cycle" persists a pair graph
+    * over the old half of the corpus (midpoint split — [[idCut]], the
+    * shared test-harness split rule), the refresh deltas it to the
+    * full corpus (old pairs re-read as FILES, only new-touching pairs
+    * computed — work ∝ batch, the [[ccIncremental]] economics on the
+    * pair artifact itself), and the query serves the REFRESHED
+    * artifact as one range-sorted scan. The oracle replays the full
+    * uncapped all-pairs Jaccard SQL, so the delta writer's
+    * row-identity-to-rebuild contract is hash-gated by the driver
+    * end to end — not just spec-pinned (DedupSpec pins the equality
+    * and the refusal matrix besides). Scratch key includes the
+    * candidate-stage configuration ([[pairsFromIndex]]'s drift rule:
+    * a stage or df-cap flip mid-JVM maps to a different artifact). */
+  def pairsDeltaRefresh(s: SparkSession, d: String): DataFrame = {
+    val stageKey =
+      if (candidateStage(s) == "dfcap") s"dfcap${maxShingleDf(s)}"
+      else "prefix"
+    val root = graft.ops.BuildOnce.scratchPath(s"pairsdelta-$stageKey", d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cut = idCut(docs)
+      graft.ops.Materialize.pairGraphOf(s,
+        docs.filter(col("doc_id") < cut), s"$root/old", d)
+      graft.ops.Materialize.pairGraphDelta(s, d, s"$root/old",
+        s"$root/new")
+    }
+    s.read.parquet(s"$root/new")
       .select("a_id", "b_id", "inter", "na", "nb")
       .orderBy("a_id", "b_id")
   }
@@ -2997,6 +3031,11 @@ object Dedup {
     // the in-query stages do — hash-gating the persisted files that
     // graft.dedup.pairsPath consumers serve from
     "dedup_pairs_from_index" -> sqlJaccardAllPairs,
+    // the delta-refreshed artifact must be row-identical to a full
+    // rebuild (the pairGraphDelta contract), so the oracle is the
+    // same uncapped all-pairs SQL — the hash gate checks the old
+    // build → boundary cut → delta merge → serve loop end to end
+    "dedup_pairs_delta_refresh" -> sqlJaccardAllPairs,
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

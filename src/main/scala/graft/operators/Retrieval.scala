@@ -29,12 +29,14 @@ object Retrieval {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25TopK,
     "bm25_from_index" -> bm25FromIndex,
+    "bm25_delta_refresh" -> bm25DeltaRefresh,
     "bm25_prf" -> bm25Prf,
     "rrf_fusion" -> rrfFusion,
     "knn_classify" -> knnClassify,
     "text_chunk" -> textChunk,
     "phrase_search" -> phraseSearch,
     "phrase_from_index" -> phraseFromIndex,
+    "phrase_delta_refresh" -> phraseDeltaRefresh,
     "snippet_extract" -> snippetExtract,
     "mmr_diversify" -> mmrDiversify,
     "rag_context_pack" -> ragContextPack,
@@ -481,8 +483,14 @@ object Retrieval {
     * inputs — ApproxSpec pins the equality), so the oracle SQL is the
     * in-query twin's, hash-exact. Build-once per JVM+corpus; the
     * deterministic build makes reuse result-invariant. */
-  def bm25FromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = lexIndexPath(s, d)
+  def bm25FromIndex(s: SparkSession, d: String): DataFrame =
+    bm25Serve(s, lexIndexPath(s, d))
+
+  /** [[bm25FromIndex]]'s read path over an EXPLICIT index location —
+    * ONE definition shared with [[bm25DeltaRefresh]], so the
+    * delta-refresh composition serves with exactly the plan the
+    * steady-state twin runs (postings point-read + 1-row stats). */
+  private def bm25Serve(s: SparkSession, path: String): DataFrame = {
     val terms = qTerms
     val post = s.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
@@ -491,6 +499,39 @@ object Retrieval {
       .select(col("doc_id"), (round(col("score"), 4) + lit(0.0)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** The lexical index refreshed INCREMENTALLY, then scored — the
+    * registered end-to-end composition of [[graft.ops.Materialize
+    * .lexicalIndexDelta]] (the `dedup_pairs_delta_refresh` shape on
+    * the lexical side): the "previous cycle" indexes the old half of
+    * the corpus (midpoint split — [[graft.operators.Dedup.idCut]],
+    * the shared test-harness split rule), the refresh tokenizes ONLY
+    * the new batch and merges old postings/grams as file scans plus
+    * the additive (n, Σdl) BM25-global merge, and the query scores
+    * from the REFRESHED artifact via [[bm25Serve]]. The oracle is the
+    * in-query twin's full-corpus SQL, so the driver hash-gates the
+    * old build → boundary cut → postings append → additive stats
+    * merge → point-read score loop end to end. */
+  def bm25DeltaRefresh(s: SparkSession, d: String): DataFrame =
+    bm25Serve(s, lexDeltaPath(s, d))
+
+  /** Build-once scratch composition behind the two delta-refresh
+    * queries: old-half index + [[graft.ops.Materialize
+    * .lexicalIndexDelta]] refresh to the full corpus. Returns the
+    * REFRESHED artifact's path. */
+  private def lexDeltaPath(s: SparkSession, d: String): String = {
+    val root = graft.ops.BuildOnce.scratchPath("lexdelta", d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val docs = graft.sources.Tables.documents(s, d)
+        .select("doc_id", "text")
+      val cut = Dedup.idCut(docs)
+      graft.ops.Materialize.lexicalIndexOf(s,
+        docs.filter(col("doc_id") < cut), s"$root/old", d)
+      graft.ops.Materialize.lexicalIndexDelta(s, d, s"$root/old",
+        s"$root/new")
+    }
+    s"$root/new"
   }
 
   /** Exact-phrase search served from the MATERIALIZED positional gram
@@ -502,8 +543,23 @@ object Retrieval {
     * gram-range-sorted postings are point-read for that gram only and
     * rolled up per doc exactly as the in-query twin does. Bit-equal to
     * `phrase_search` (ApproxSpec pins it); oracle SQL is the twin's. */
-  def phraseFromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = lexIndexPath(s, d)
+  def phraseFromIndex(s: SparkSession, d: String): DataFrame =
+    phraseServe(s, lexIndexPath(s, d))
+
+  /** The positional gram index refreshed INCREMENTALLY, then
+    * phrase-searched — [[bm25DeltaRefresh]]'s sibling over the OTHER
+    * two index parts: bm25 gates the delta-merged postings and the
+    * additive stats row; this gates the delta-merged grams AND the
+    * summed `gramstats` occurrence totals (the standing query derives
+    * from the merged top row, so a wrong total merge surfaces as a
+    * wrong phrase, not a silent rank shift). Same scratch artifact —
+    * the composition builds once per JVM+corpus. */
+  def phraseDeltaRefresh(s: SparkSession, d: String): DataFrame =
+    phraseServe(s, lexDeltaPath(s, d))
+
+  /** [[phraseFromIndex]]'s read path over an EXPLICIT index location
+    * — shared with [[phraseDeltaRefresh]] (the [[bm25Serve]] rule). */
+  private def phraseServe(s: SparkSession, path: String): DataFrame = {
     val top = s.read.parquet(s"$path/gramstats")
       .orderBy(col("n").desc, col("gram")).limit(1)
       .head().getString(0)
@@ -515,6 +571,26 @@ object Retrieval {
       .orderBy(col("n_hits").desc, col("doc_id"))
       .limit(20)
   }
+
+  /** DuckDB mirror of the standing-phrase search — ONE definition for
+    * `phrase_search`, `phrase_from_index`, and `phrase_delta_refresh`
+    * (all three are defined to produce identical rows, so all three
+    * replay the same SQL). */
+  private lazy val sqlPhraseTop: String =
+    s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
+       |           FROM documents),
+       |sh AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
+       |g AS (SELECT doc_id, unnest(gs) AS gram,
+       |        generate_subscripts(gs, 1) - 1 AS pos
+       |      FROM sh),
+       |top AS (SELECT gram FROM (
+       |  SELECT gram, count(*) AS n FROM g GROUP BY 1
+       |  ORDER BY n DESC, gram LIMIT 1))
+       |SELECT doc_id, max(g.gram) AS phrase, count(*) AS n_hits,
+       |  min(pos)::INT AS first_pos
+       |FROM g JOIN top USING (gram)
+       |GROUP BY doc_id
+       |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin
 
   /** DuckDB mirror of [[bm25Scores]] as a CTE block ending in
     * `bm(doc_id, score)`. */
@@ -914,21 +990,7 @@ object Retrieval {
          |SELECT rank, doc_id, bm25, n_tokens, cum_tokens::BIGINT
          |  AS cum_tokens
          |FROM p WHERE cum_tokens <= 256 ORDER BY rank""".stripMargin,
-    "phrase_search" ->
-      s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
-         |           FROM documents),
-         |sh AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
-         |g AS (SELECT doc_id, unnest(gs) AS gram,
-         |        generate_subscripts(gs, 1) - 1 AS pos
-         |      FROM sh),
-         |top AS (SELECT gram FROM (
-         |  SELECT gram, count(*) AS n FROM g GROUP BY 1
-         |  ORDER BY n DESC, gram LIMIT 1))
-         |SELECT doc_id, max(g.gram) AS phrase, count(*) AS n_hits,
-         |  min(pos)::INT AS first_pos
-         |FROM g JOIN top USING (gram)
-         |GROUP BY doc_id
-         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+    "phrase_search" -> sqlPhraseTop,
     "snippet_extract" ->
       s"""WITH $sqlBm25,
          |top5 AS (SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
@@ -1001,21 +1063,17 @@ object Retrieval {
          |FROM prf p LEFT JOIN b20 ON b20.doc_id = p.doc_id
          |ORDER BY bm25_prf DESC, p.doc_id LIMIT 20""".stripMargin
     },
-    "phrase_from_index" ->
-      s"""WITH t AS (SELECT doc_id, ${Fns.sqlTokens("text")} AS w
-         |           FROM documents),
-         |sh AS (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t),
-         |g AS (SELECT doc_id, unnest(gs) AS gram,
-         |        generate_subscripts(gs, 1) - 1 AS pos
-         |      FROM sh),
-         |top AS (SELECT gram FROM (
-         |  SELECT gram, count(*) AS n FROM g GROUP BY 1
-         |  ORDER BY n DESC, gram LIMIT 1))
-         |SELECT doc_id, max(g.gram) AS phrase, count(*) AS n_hits,
-         |  min(pos)::INT AS first_pos
-         |FROM g JOIN top USING (gram)
-         |GROUP BY doc_id
-         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+    "phrase_from_index" -> sqlPhraseTop,
+    // the delta-refresh compositions are row-identical to a full
+    // rebuild (the lexicalIndexDelta contract), so each oracle is its
+    // steady-state twin's full-corpus SQL — the hash gate covers the
+    // postings/stats merge (bm25) and the grams/gramstats merge
+    // (phrase) end to end
+    "bm25_delta_refresh" ->
+      s"""WITH $sqlBm25
+         |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "phrase_delta_refresh" -> sqlPhraseTop,
     "rrf_fusion" ->
       s"""WITH $sqlBm25,
          |lex AS (SELECT doc_id, row_number() OVER

@@ -32,7 +32,8 @@ object Training {
     "nb_lang_train" -> nbLangTrain,
     "nb_lang_apply" -> nbLangApply,
     "feature_pit_join" -> featurePitJoin,
-    "feature_pit_from_index" -> featurePitFromIndex
+    "feature_pit_from_index" -> featurePitFromIndex,
+    "feature_pit_delta_refresh" -> featurePitDeltaRefresh
   )
 
   /** HELD-OUT evaluation of the corpus bigram LM — the train/eval
@@ -759,6 +760,35 @@ object Training {
     pitJoinExamples(s, d, s.read.parquet(s"$path/snapshots"))
   }
 
+  /** The feature store refreshed INCREMENTALLY, then joined — the
+    * registered end-to-end composition of [[graft.ops.Materialize
+    * .featureStoreDelta]] (the `dedup_pairs_delta_refresh` shape on
+    * the feature side, and the artifact a production pipeline
+    * refreshes most often — daily): the "previous cycle" snapshots
+    * events up to the midpoint DAY of the range (the day-keyed
+    * analogue of [[graft.operators.Dedup.idCut]] — the store's
+    * boundary is temporal, not id-based), the refresh aggregates ONLY
+    * the later days, seeds their priors from the stored per-user
+    * totals, and merges old snapshot rows as file scans; the query
+    * then builds the training set from the REFRESHED store via
+    * [[pitJoinExamples]]. The oracle replays the full-corpus PIT
+    * window SQL, so the driver hash-gates the old build → max_day cut
+    * → totals-seeded delta → snapshot merge → training join end to
+    * end (TrainingSpec pins the store part-for-part besides). */
+  def featurePitDeltaRefresh(s: SparkSession, d: String): DataFrame = {
+    val root = graft.ops.BuildOnce.scratchPath("featdelta", d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val ev = pitEvents(s, d)
+      val b = ev.agg(min("day"), max("day")).head()
+      val cutDay = (b.getLong(0) + b.getLong(1)) / 2
+      graft.ops.Materialize.featureStoreOf(s,
+        ev.filter(col("day") <= cutDay), s"$root/old", d)
+      graft.ops.Materialize.featureStoreDelta(s, d, s"$root/old",
+        s"$root/new")
+    }
+    pitJoinExamples(s, d, s.read.parquet(s"$root/new/snapshots"))
+  }
+
   /** Shared by the in-query and from-index PIT twins (and wrapped by
     * the `stream_feature_snapshot` oracle): the result is defined to
     * be identical, so the oracle is too. */
@@ -792,6 +822,10 @@ object Training {
   def oracles: Map[String, String] = Map(
     "feature_pit_join" -> PitOracle,
     "feature_pit_from_index" -> PitOracle,
+    // the delta-refreshed store is row-identical to a full rebuild
+    // (long arithmetic, totals-seeded priors — featureStoreDelta's
+    // contract), so the composition replays the same PIT oracle
+    "feature_pit_delta_refresh" -> PitOracle,
     "nb_lang_train" ->
       s"""WITH lt AS (
          |  SELECT lang, t, count(*)::BIGINT AS c

@@ -428,6 +428,23 @@ class ApproxSpec extends SparkSpec {
     assert(dir.lastModified() === before, "lexical index rebuilt on reuse")
   }
 
+  test("registered lexical delta-refresh compositions equal their " +
+      "steady-state twins row-for-row") {
+    import graft.operators.Retrieval
+    // the registered queries pin the WHOLE composition (midpoint old
+    // build → lexicalIndexDelta → serve), not just the writer the
+    // MaterializeSpec equality covers — a drift in the scratch layout
+    // or the serve routing would surface here before the oracle gate
+    val bmD = Retrieval.bm25DeltaRefresh(spark, sf0001).collect()
+    val bmQ = Retrieval.bm25TopK(spark, sf0001).collect()
+    assert(bmD.map(_.toString).toSeq === bmQ.map(_.toString).toSeq,
+      "bm25_delta_refresh diverged from the in-query bm25_topk")
+    val phD = Retrieval.phraseDeltaRefresh(spark, sf0001).collect()
+    val phQ = Retrieval.phraseSearch(spark, sf0001).collect()
+    assert(phD.map(_.toString).toSeq === phQ.map(_.toString).toSeq,
+      "phrase_delta_refresh diverged from the in-query phrase_search")
+  }
+
   test("approx top-k heavy hitters match the exact top users") {
     val exact = LogAnalytics.topUsers(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

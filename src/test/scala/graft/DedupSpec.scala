@@ -1213,6 +1213,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("registered dedup_pairs_delta_refresh equals dedup_pairs_from_index " +
+      "row-for-row") {
+    // pins the REGISTERED composition (midpoint old build →
+    // pairGraphDelta → serve), not just the writer equality the
+    // sf-fixture test above covers — a drift in the scratch layout or
+    // the serve projection would surface here before the oracle gate
+    val d = Dedup.pairsDeltaRefresh(spark, sf0001).collect()
+    val f = Dedup.pairsFromIndex(spark, sf0001).collect()
+    assert(d.map(_.toString).toSeq === f.map(_.toString).toSeq,
+      "dedup_pairs_delta_refresh diverged from the full-build artifact")
+  }
+
   test("ccLabels refuses to launder a stale pair artifact into a " +
       "fresh label checksum; the slice writer stays exempt") {
     val texts = Seq("alpha beta gamma delta epsilon",

@@ -317,6 +317,18 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("registered feature_pit_delta_refresh equals feature_pit_join " +
+      "row-for-row") {
+    // pins the REGISTERED composition (midpoint-day old build →
+    // featureStoreDelta → PIT join), not just the writer equality the
+    // test above covers — a drift in the scratch layout or the serve
+    // routing would surface here before the oracle gate
+    val d = Training.featurePitDeltaRefresh(spark, sf0001).collect()
+    val q = Training.featurePitJoin(spark, sf0001).collect()
+    assert(d.map(_.toString).toSeq === q.map(_.toString).toSeq,
+      "feature_pit_delta_refresh diverged from the in-query PIT join")
+  }
+
   test("feature store delta guards: late-arriving events below the " +
       "cut, provenance-format drift, and missing max_day are refused") {
     import spark.implicits._
