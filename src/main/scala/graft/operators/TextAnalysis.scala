@@ -56,8 +56,116 @@ object TextAnalysis {
     "mixture_token_budget_plan" -> mixtureTokenBudgetPlan,
     "token_spell_correct" -> spellCorrect,
     "vocab_growth_curve" -> vocabGrowthCurve,
-    "contamination_census" -> contaminationCensus
+    "contamination_census" -> contaminationCensus,
+    "sample_pps_tokens" -> samplePpsTokens,
+    "mixture_temperature_plan" -> mixtureTemperaturePlan,
+    "text_novelty_ratio" -> noveltyRatio
   )
+
+  /** Deterministic Bernoulli PPS (probability-proportional-to-size)
+    * sampling — the length-debiased sampling a corpus-quality audit
+    * wants: a uniform doc sample over-represents short docs per TOKEN,
+    * so each doc is included with probability min(1, k·w/W) (w = its
+    * token count, W = corpus tokens, k = the expected sample size,
+    * `graft.pps.targetDocs` default 50) — every TOKEN then has equal
+    * chance of its document being drawn. The coin is content-derived
+    * ([[Fns.md5Hash24]], the `sample_hash_docs` discipline): u =
+    * h/2²⁴, include iff u·W < k·w — reproducible across runs, reshards
+    * and engines, no seeded RNG. Cross-engine exactness: h < 2²⁴,
+    * W < 2⁵³ and k·w < 2²⁹ are all exactly representable doubles;
+    * each side of the comparison is ONE IEEE-rounded multiply (the
+    * 2²⁴ scaling is a power of two — exact), so Spark and DuckDB
+    * agree bit-for-bit, ties included.
+    *
+    * Scale shape: one scalar token-total aggregate (map-side combined)
+    * broadcast into a per-row filter — no shuffle of the corpus, no
+    * window; the 100 TB cost is the tokenize scan itself. */
+  def samplePpsTokens(s: SparkSession, d: String): DataFrame = {
+    val k = s.conf.getOption("graft.pps.targetDocs").fold(50L)(_.toLong)
+    require(k >= 1, s"graft.pps.targetDocs out of range: $k")
+    val docs = withToks(s, d)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Fns.md5Hash24(col("text")).as("h24"))
+    val tot = docs.agg(sum("n_tokens").as("w_total"))
+    docs.crossJoin(broadcast(tot))
+      .filter(col("h24").cast("double") * col("w_total").cast("double")
+        < lit(k.toDouble) * col("n_tokens").cast("double")
+          * lit(16777216.0))
+      .select("doc_id", "source", "n_tokens", "h24")
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-flattened mixture plan — the multi-source sampling
+    * policy LM training mixtures actually use (the multilingual-
+    * pretraining rule): raw token shares p_i are exponentiated to
+    * p_i^(1/T) and renormalized, so low-resource sources are
+    * up-weighted without letting any source dominate. T = 2 (the
+    * square-root rule) keeps every step engine-exact: √tok is an
+    * IEEE correctly-rounded op on an integer-valued double, the ×10⁶
+    * micro-scaling is one more rounded multiply (identical both
+    * engines), `floor` pins the result to a long, and the shares +
+    * planned allocations are integer arithmetic from there
+    * (`div`-truncation parity). Budget = `graft.mixture
+    * .tempBudgetTokens` (default 1,000,000). Per source: raw tokens,
+    * raw share ppm, temperature share ppm, planned tokens, and the
+    * implied up/down-sampling factor in milli-x.
+    *
+    * Scale shape: per-source aggregate (map-side combined, ≤ sources
+    * rows) + one broadcast scalar — the plan is vocabulary-of-sources
+    * sized metadata at any corpus size. */
+  def mixtureTemperaturePlan(s: SparkSession, d: String): DataFrame = {
+    val budget = s.conf.getOption("graft.mixture.tempBudgetTokens")
+      .fold(1000000L)(_.toLong)
+    require(budget >= 1, s"tempBudgetTokens out of range: $budget")
+    val src = Tables.documents(s, d)
+      .select(col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val tot = src.agg(sum("n_tokens").as("w_total"),
+      sum("s_micro").as("s_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000 div w_total").as("share_ppm"),
+        expr("s_micro * 1000000 div s_total").as("temp_share_ppm"),
+        expr(s"$budget * (s_micro * 1000000 div s_total) div 1000000")
+          .as("planned_tokens"),
+        expr(s"($budget * (s_micro * 1000000 div s_total) div 1000000)" +
+          " * 1000 div n_tokens").as("sample_x_milli"))
+      .orderBy("source")
+  }
+
+  /** Per-document NOVELTY ratio — the memorization-risk census next to
+    * [[graft.operators.Dedup.containment]]: for each doc, the share of
+    * its DISTINCT 3-gram shingles already seen in any LOWER-id doc
+    * (ingest order), in ppm of its shingle set. 0 ppm seen = fully
+    * novel; high seen-share flags boilerplate accretion and
+    * near-template re-crawls that whole-doc dedup misses. Docs with
+    * < 3 tokens have no shingles and are excluded (no denominator).
+    *
+    * Scale shape: one (doc, shingle)-distinct explode (shuffle ∝
+    * corpus shingles), a per-shingle min(doc_id) aggregate, and a
+    * doc-keyed rollup — three key-partitioned shuffles, no window, no
+    * all-pairs anything; the first-seen aggregate is the same
+    * map-side-combinable min every vocabulary pass uses. */
+  def noveltyRatio(s: SparkSession, d: String): DataFrame = {
+    val sh = withToks(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Fns.shingles3(col("toks")))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_id") < col("doc_id")).cast("long"))
+          .as("n_seen_before"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+        expr("(n_shingles - n_seen_before) * 1000000 div n_shingles")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
 
   /** Benchmark-side contamination census — the eval-integrity report
     * read from the OTHER end of [[decontaminate]]'s per-corpus-doc
@@ -1826,6 +1934,60 @@ object TextAnalysis {
          |  least(n_tokens, level)::BIGINT AS alloc_tokens,
          |  (n_tokens > level)::INT AS capped, level AS level_tokens
          |FROM src, lv ORDER BY source""".stripMargin,
+    // k = 50 is the graft.pps.targetDocs DEFAULT, interpolated as a
+    // literal (the mixture_token_budget_plan precedent: default-conf
+    // runs are the verify contract). Both sides compare with the SAME
+    // one-rounded-multiply double expression — see samplePpsTokens'
+    // exactness note.
+    "sample_pps_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($Toks)::BIGINT AS n_tokens,
+         |    ${Fns.sqlMd5Hash24("text")} AS h24
+         |  FROM documents),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS w_total FROM t)
+         |SELECT doc_id, source, n_tokens, h24
+         |FROM t, tot
+         |WHERE h24::DOUBLE * w_total::DOUBLE
+         |  < 50.0 * n_tokens::DOUBLE * 16777216.0
+         |ORDER BY doc_id""".stripMargin,
+    // budget = 1000000 is the graft.mixture.tempBudgetTokens DEFAULT
+    // (same precedent); sqrt/floor/micro-scaling mirror the Spark
+    // fixed-point pipeline term for term
+    "mixture_temperature_plan" ->
+      s"""WITH src AS (
+         |  SELECT source, sum(len($Toks))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source),
+         |s2 AS (
+         |  SELECT source, n_tokens,
+         |    floor(sqrt(n_tokens::DOUBLE) * 1000000)::BIGINT AS s_micro
+         |  FROM src),
+         |tot AS (
+         |  SELECT sum(n_tokens)::BIGINT AS w_total,
+         |    sum(s_micro)::BIGINT AS s_total
+         |  FROM s2)
+         |SELECT source, n_tokens,
+         |  n_tokens * 1000000 // w_total AS share_ppm,
+         |  s_micro * 1000000 // s_total AS temp_share_ppm,
+         |  1000000 * (s_micro * 1000000 // s_total) // 1000000
+         |    AS planned_tokens,
+         |  (1000000 * (s_micro * 1000000 // s_total) // 1000000)
+         |    * 1000 // n_tokens AS sample_x_milli
+         |FROM s2, tot ORDER BY source""".stripMargin,
+    "text_novelty_ratio" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS w FROM documents),
+         |shl AS (
+         |  SELECT DISTINCT doc_id, unnest(gs) AS sh
+         |  FROM (SELECT doc_id, ${Fns.sqlShingles3("w")} AS gs FROM t)),
+         |f AS (SELECT sh, min(doc_id) AS first_id FROM shl GROUP BY 1),
+         |agg AS (
+         |  SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+         |      ::BIGINT AS n_seen_before
+         |  FROM shl s JOIN f USING (sh) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_seen_before,
+         |  (n_shingles - n_seen_before) * 1000000 // n_shingles
+         |    AS novelty_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "quality_logit_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,

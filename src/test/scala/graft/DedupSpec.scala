@@ -1213,6 +1213,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("novelty ratio invariants: first doc fully novel, seen bounded, " +
+      "fixture exercises the seen path") {
+    val rows = graft.operators.TextAnalysis.noveltyRatio(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seen_before") <= r.getAs[Long]("n_shingles"))
+      val ppm = r.getAs[Long]("novelty_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // ingest order: the lowest-id doc has nothing earlier to be seen in
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_seen_before") === 0L)
+    assert(first.getAs[Long]("novelty_ppm") === 1000000L)
+    assert(rows.exists(_.getAs[Long]("n_seen_before") > 0L),
+      "degenerate fixture: no shingle reuse across docs")
+  }
+
   test("registered dedup_pairs_delta_refresh equals dedup_pairs_from_index " +
       "row-for-row") {
     // pins the REGISTERED composition (midpoint old build →

@@ -329,6 +329,47 @@ class TrainingSpec extends SparkSpec {
       "feature_pit_delta_refresh diverged from the in-query PIT join")
   }
 
+  test("PPS token sampling: inclusion monotone in targetDocs, size sane") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.samplePpsTokens(spark, sf0001).collect()
+    // expected size ≈ k = 50 (content-hash Bernoulli, so the realized
+    // count is a deterministic fixture property — band, not equality)
+    assert(rows.length >= 20 && rows.length <= 150,
+      s"realized PPS sample ${rows.length} far from its target 50")
+    // the inclusion threshold scales with k, so the k=50 set must be a
+    // strict subset of the k=200 set — the property that makes
+    // progressive sample widening reproducible (no resample churn)
+    val k50 = rows.map(_.getAs[Long]("doc_id")).toSet
+    val k200 = withConf("graft.pps.targetDocs" -> "200") {
+      TextAnalysis.samplePpsTokens(spark, sf0001).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(k50.subsetOf(k200), "inclusion must be monotone in targetDocs")
+    assert(k200.size > k50.size, "degenerate fixture: k=200 added nothing")
+  }
+
+  test("temperature mixture plan: flattens the extremes, conserves mass") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.mixtureTemperaturePlan(spark, sf0001).collect()
+    assert(rows.length > 1, "degenerate fixture: one source")
+    val tempSum = rows.map(_.getAs[Long]("temp_share_ppm")).sum
+    assert(tempSum <= 1000000L && tempSum >= 1000000L - rows.length,
+      s"temp shares sum $tempSum outside the floor-slack band")
+    // sqrt-temperature flattening: the largest raw source must lose
+    // share, the smallest must gain (q_max ≤ p_max and q_min ≥ p_min —
+    // exact for T=2; the ±1 ppm floor slack is absorbed by the
+    // fixture's wide share spread)
+    val byShare = rows.sortBy(_.getAs[Long]("share_ppm"))
+    assert(byShare.last.getAs[Long]("temp_share_ppm")
+        <= byShare.last.getAs[Long]("share_ppm"),
+      "largest source did not flatten down")
+    assert(byShare.head.getAs[Long]("temp_share_ppm")
+        >= byShare.head.getAs[Long]("share_ppm"),
+      "smallest source did not flatten up")
+    assert(rows.map(_.getAs[Long]("planned_tokens")).sum <= 1000000L,
+      "planned allocation exceeds the budget")
+  }
+
   test("feature store delta guards: late-arriving events below the " +
       "cut, provenance-format drift, and missing max_day are refused") {
     import spark.implicits._
