@@ -43,6 +43,17 @@ object ServeBench {
     "phrase_search" -> "lexical (in-query build)",
     "bm25_from_index" -> "lexical (from index)",
     "phrase_from_index" -> "lexical (from index)",
+    // delta refresh rows: the cold column is the ENTIRE incremental
+    // cycle (old-half build + boundary-cut delta merge + serve) — read
+    // it against the from-index twin's cold column, whose build is the
+    // full rebuild the delta path replaces; steady state serves the
+    // same artifact shape, so those columns should match the twin's
+    "bm25_delta_refresh" -> "lexical (delta refresh)",
+    "phrase_delta_refresh" -> "lexical (delta refresh)",
+    // append refresh: the cold column is old-half build + the
+    // batch-only generation write + chain serve — the refresh whose
+    // write cost is strictly ∝ batch
+    "bm25_append_refresh" -> "lexical (append refresh)",
     "snippet_extract" -> "lexical (in-query build)",
     "mmr_diversify" -> "re-rank (post-retrieval)",
     "dedup_minhash_lsh" -> "dedup (in-query build)",
@@ -51,8 +62,11 @@ object ServeBench {
     "dedup_simhash_from_index" -> "dedup (from index)",
     "dedup_clusters" -> "dedup (in-query CC loop)",
     "dedup_clusters_from_index" -> "dedup (from index)",
+    "dedup_pairs_from_index" -> "dedup (from index)",
+    "dedup_pairs_delta_refresh" -> "dedup (delta refresh)",
     "feature_pit_join" -> "features (in-query build)",
     "feature_pit_from_index" -> "features (from index)",
+    "feature_pit_delta_refresh" -> "features (delta refresh)",
     "stream_feature_snapshot" -> "features (snapshot view)")
 
   /** The {build, serve} pairs published side by side: (in-query twin,

@@ -378,10 +378,12 @@ object Stress {
     // cc_incremental receipt rule) so mode divergence fails loudly
     // instead of publishing a speedup for different answers.
     val pairPath = s"$dir-pairs-artifact"
-    val tPair0 = System.nanoTime()
-    graft.ops.Materialize.pairGraph(spark, dir, pairPath)
-    val pairBuildSec = (System.nanoTime() - tPair0) / 1e9
-    hygiene()
+    // measured (not just timed): the build's shuffle is the yardstick
+    // the delta receipt below compares against
+    val (pairBuildSec, _, pairBuildSb) = measure("pair_graph_build") {
+      graft.ops.Materialize.pairGraph(spark, dir, pairPath)
+      spark.read.parquet(pairPath).count()
+    }
     val pairConsumers = Seq("neardup_degree_dist", "neardup_pagerank",
       "neardup_triangles", "neardup_kcore", "neardup_quality_delta",
       "dedup_cross_source_rate")
@@ -401,6 +403,122 @@ object Stress {
     require(pairDefChk == pairArtChk,
       s"pairs-artifact graph-family checksum $pairArtChk != default " +
         s"$pairDefChk — the modes diverged")
+    // delta-refresh receipts (round 12): the artifact-boundary delta
+    // writers' claim is compute ∝ batch, not corpus. Old artifact =
+    // the first K-1 namespaced copies (built OUTSIDE the measurement —
+    // the previous cycle's cost); batch = the LAST copy (nBase docs,
+    // FIXED across K), so the measured delta-refresh wall must stay
+    // ~flat across K while the full rebuild's grows ∝ K
+    // (pair_graph_build_sec above IS the pair rebuild curve; the
+    // lexical full build is measured here for its own curve). The one
+    // corpus-proportional delta term is the merged artifact's
+    // REWRITE of old rows — pure columnar I/O with no shingle/token
+    // recompute, the price of a self-contained write-once output.
+    // At K=1 there is no "previous copy": fall back to the midpoint
+    // rule (the batch is then half the corpus — the K≥4 points carry
+    // the flatness claim).
+    val docsAll = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val deltaCut = if (k > 1) (k - 1).toLong * 10000000L
+      else graft.operators.Dedup.idCut(docsAll)
+    val oldSlice = docsAll.filter(col("doc_id") < deltaCut)
+    graft.ops.Materialize.pairGraphOf(spark, oldSlice,
+      s"$dir-pairdelta-old", dir)
+    hygiene()
+    val (pairDeltaSec, _, pairDeltaSb) = measure("pair_graph_delta") {
+      graft.ops.Materialize.pairGraphDelta(spark, dir,
+        s"$dir-pairdelta-old", s"$dir-pairdelta-new")
+      spark.read.parquet(s"$dir-pairdelta-new").count()
+    }
+    // the quantity that IS ∝ batch: the delta-scoped candidate join's
+    // volume (Σ df_prefix·df_prefix_new). With the batch pinned to one
+    // copy, this must stay ~FLAT across K while the full join's
+    // jaccard_prefix_candidates grows ∝ K — the separation between
+    // "the join the delta avoids re-running" and the two disclosed
+    // corpus-proportional floors (the df-order shingle scan, which
+    // prefix completeness forces, and the merged-artifact rewrite,
+    // pure columnar I/O)
+    val (_, pairDeltaCands, _) = measure("pair_delta_candidates")(
+      graft.operators.Dedup.jaccardPrefixStage(spark, docsAll,
+        _.filter(col("doc_id") >= deltaCut))._2.count())
+    graft.ops.Materialize.lexicalIndexOf(spark, oldSlice,
+      s"$dir-lexdelta-old", dir)
+    hygiene()
+    val (lexFullSec, _, lexFullSb) = measure("lexical_index_full") {
+      graft.ops.Materialize.lexicalIndexOf(spark, docsAll,
+        s"$dir-lexfull", dir)
+      spark.read.parquet(s"$dir-lexfull/postings").count()
+    }
+    val (lexDeltaSec, _, lexDeltaSb) = measure("lexical_index_delta") {
+      graft.ops.Materialize.lexicalIndexDelta(spark, dir,
+        s"$dir-lexdelta-old", s"$dir-lexdelta-new")
+      spark.read.parquet(s"$dir-lexdelta-new/postings").count()
+    }
+    // append mode: ONLY the batch is written (plus vocabulary-sized
+    // merged stats) — the one refresh whose wall must stay ~flat
+    // across K (the merge writer's corpus-proportional rewrite is the
+    // term it deletes); the count reads the batch generation alone
+    val (lexAppendSec, _, lexAppendSb) = measure("lexical_index_append") {
+      graft.ops.Materialize.lexicalIndexAppend(spark, dir,
+        s"$dir-lexdelta-old", s"$dir-lexappend-new")
+      spark.read.parquet(s"$dir-lexappend-new/postings").count()
+    }
+    // feature store: the natural boundary is temporal (a daily
+    // refresh), so the batch here is the post-midpoint DAYS — user
+    // volume in the batch grows ∝ K like the corpus (events scale by
+    // users, not days); the receipt's claim is therefore the RATIO:
+    // delta ≪ full at every K, because the old days' windows are
+    // seeded from O(users) totals instead of re-aggregated
+    val fsEv = graft.operators.Training.pitEvents(spark, dir)
+    val fsB = fsEv.agg(min("day"), max("day")).head()
+    val fsCut = (fsB.getLong(0) + fsB.getLong(1)) / 2
+    graft.ops.Materialize.featureStoreOf(spark,
+      fsEv.filter(col("day") <= fsCut), s"$dir-featdelta-old", dir)
+    hygiene()
+    val (featFullSec, _, featFullSb) = measure("feature_store_full") {
+      graft.ops.Materialize.featureStore(spark, dir, s"$dir-featfull")
+      spark.read.parquet(s"$dir-featfull/snapshots").count()
+    }
+    val (featDeltaSec, _, featDeltaSb) = measure("feature_store_delta") {
+      graft.ops.Materialize.featureStoreDelta(spark, dir,
+        s"$dir-featdelta-old", s"$dir-featdelta-new")
+      spark.read.parquet(s"$dir-featdelta-new/snapshots").count()
+    }
+    // value-level cross-check: the delta artifacts must equal the full
+    // builds they claim row-identity with (the graphChecksum rule —
+    // a speedup for different answers must fail loudly here, not in
+    // some later consumer)
+    def fileChecksum(path: String, cols: Seq[String]): Long = {
+      val df = spark.read.parquet(path)
+      df.agg(coalesce(sum(pmod(xxhash64(cols.map(col): _*),
+        lit(1000000007L))), lit(0L))).head().getLong(0)
+    }
+    require(fileChecksum(s"$dir-pairdelta-new",
+        Seq("a_id", "b_id", "inter", "na", "nb")) ==
+      fileChecksum(pairPath, Seq("a_id", "b_id", "inter", "na", "nb")),
+      "pair delta artifact diverged from the full pair build")
+    require(fileChecksum(s"$dir-lexdelta-new/postings",
+        Seq("tok", "doc_id", "dl", "tf")) ==
+      fileChecksum(s"$dir-lexfull/postings",
+        Seq("tok", "doc_id", "dl", "tf")),
+      "lexical delta postings diverged from the full index build")
+    // the append CHAIN (old generation ∪ batch generation) must carry
+    // the same rows as the merged rebuild — the checksum is an
+    // order-insensitive sum, so chain value = Σ generation values
+    require(fileChecksum(s"$dir-lexdelta-old/postings",
+        Seq("tok", "doc_id", "dl", "tf")) +
+      fileChecksum(s"$dir-lexappend-new/postings",
+        Seq("tok", "doc_id", "dl", "tf")) ==
+      fileChecksum(s"$dir-lexfull/postings",
+        Seq("tok", "doc_id", "dl", "tf")),
+      "append-chain postings diverged from the full index build")
+    require(fileChecksum(s"$dir-featdelta-new/snapshots",
+        Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+          "value_centi_prior", "days_active_prior")) ==
+      fileChecksum(s"$dir-featfull/snapshots",
+        Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+          "value_centi_prior", "days_active_prior")),
+      "feature-store delta snapshots diverged from the full build")
     // dup-payment organic receipt: the K-copy fact corpus above
     // multiplies every customer-day K× — a planted K-clique of TRUE
     // double-bills on every customer-day, so the audit's output there
@@ -483,10 +601,24 @@ object Stress {
       s""""cc_inc_artifact_sec":$ccArtSec,""" +
       s""""cc_inc_artifact_shuffle":$ccArtSb,""" +
       s""""pair_graph_build_sec":$pairBuildSec,""" +
+      s""""pair_graph_build_shuffle":$pairBuildSb,""" +
+      s""""pair_delta_candidates":$pairDeltaCands,""" +
       s""""graph_family_default_sec":$pairDefSec,""" +
       s""""graph_family_default_shuffle":$pairDefSb,""" +
       s""""graph_family_artifact_sec":$pairArtSec,""" +
       s""""graph_family_artifact_shuffle":$pairArtSb,""" +
+      s""""pair_delta_sec":$pairDeltaSec,""" +
+      s""""pair_delta_shuffle":$pairDeltaSb,""" +
+      s""""lexical_full_sec":$lexFullSec,""" +
+      s""""lexical_full_shuffle":$lexFullSb,""" +
+      s""""lexical_delta_sec":$lexDeltaSec,""" +
+      s""""lexical_delta_shuffle":$lexDeltaSb,""" +
+      s""""lexical_append_sec":$lexAppendSec,""" +
+      s""""lexical_append_shuffle":$lexAppendSb,""" +
+      s""""feature_full_sec":$featFullSec,""" +
+      s""""feature_full_shuffle":$featFullSb,""" +
+      s""""feature_delta_sec":$featDeltaSec,""" +
+      s""""feature_delta_shuffle":$featDeltaSb,""" +
       s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +

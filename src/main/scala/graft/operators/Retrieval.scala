@@ -30,6 +30,8 @@ object Retrieval {
     "bm25_topk" -> bm25TopK,
     "bm25_from_index" -> bm25FromIndex,
     "bm25_delta_refresh" -> bm25DeltaRefresh,
+    "bm25_append_refresh" -> bm25AppendRefresh,
+    "phrase_append_refresh" -> phraseAppendRefresh,
     "bm25_prf" -> bm25Prf,
     "rrf_fusion" -> rrfFusion,
     "knn_classify" -> knnClassify,
@@ -492,7 +494,14 @@ object Retrieval {
     * steady-state twin runs (postings point-read + 1-row stats). */
   private def bm25Serve(s: SparkSession, path: String): DataFrame = {
     val terms = qTerms
-    val post = s.read.parquet(s"$path/postings")
+    // chain-aware read: a merged artifact is a 1-element chain (one
+    // scan — the pinned steady-state plan); an append chain unions
+    // per-generation sorted scans, the term filter pruning row groups
+    // inside each. stats reads the HEAD only — every writer stores
+    // the cumulative (n, avgdl).
+    val post = graft.ops.Materialize.chainRead(s, path,
+        graft.ops.ArtifactTag.readTag(s, path), "postings",
+        Seq("tok", "doc_id", "dl", "tf"))
       .filter(col("tok").isin(terms: _*))
     val g = s.read.parquet(s"$path/stats")
     bm25FromTf(post, g, terms)
@@ -558,18 +567,58 @@ object Retrieval {
     phraseServe(s, lexDeltaPath(s, d))
 
   /** [[phraseFromIndex]]'s read path over an EXPLICIT index location
-    * — shared with [[phraseDeltaRefresh]] (the [[bm25Serve]] rule). */
+    * — shared with [[phraseDeltaRefresh]] (the [[bm25Serve]] rule).
+    * gramstats reads the HEAD generation (cumulative by writer
+    * contract); grams resolve the chain like postings do. */
   private def phraseServe(s: SparkSession, path: String): DataFrame = {
     val top = s.read.parquet(s"$path/gramstats")
       .orderBy(col("n").desc, col("gram")).limit(1)
       .head().getString(0)
-    s.read.parquet(s"$path/grams")
+    graft.ops.Materialize.chainRead(s, path,
+        graft.ops.ArtifactTag.readTag(s, path), "grams",
+        Seq("doc_id", "pos", "gram"))
       .filter(col("gram") === top)
       .groupBy("doc_id")
       .agg(max("gram").as("phrase"), count(lit(1)).as("n_hits"),
         min("pos").as("first_pos"))
       .orderBy(col("n_hits").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** BM25 served from a GENERATIONAL (append-mode) refresh — the
+    * [[bm25DeltaRefresh]] economics taken to their 100 TB endpoint:
+    * [[graft.ops.Materialize.lexicalIndexAppend]] writes ONLY the
+    * batch (plus vocabulary-sized merged stats), so refresh cost is
+    * strictly ∝ batch — no old posting is decoded, re-sorted, or
+    * rewritten — and the serve path unions the generation chain with
+    * per-generation row-group pruning. Oracle = the full-corpus twin
+    * SQL, so the driver hash-gates the chain-union read and the
+    * additive stats merge end to end. */
+  def bm25AppendRefresh(s: SparkSession, d: String): DataFrame =
+    bm25Serve(s, lexAppendPath(s, d))
+
+  /** [[bm25AppendRefresh]]'s sibling over grams/gramstats (the
+    * [[phraseDeltaRefresh]] split of the index parts): gates that the
+    * HEAD generation's cumulative gramstats still pick the corpus-wide
+    * standing phrase and the chain union finds every positional hit. */
+  def phraseAppendRefresh(s: SparkSession, d: String): DataFrame =
+    phraseServe(s, lexAppendPath(s, d))
+
+  /** Build-once scratch composition behind the append-refresh queries:
+    * old-half index + [[graft.ops.Materialize.lexicalIndexAppend]]
+    * generation for the rest. Returns the chain HEAD. */
+  private def lexAppendPath(s: SparkSession, d: String): String = {
+    val root = graft.ops.BuildOnce.scratchPath("lexappend", d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val docs = graft.sources.Tables.documents(s, d)
+        .select("doc_id", "text")
+      val cut = Dedup.idCut(docs)
+      graft.ops.Materialize.lexicalIndexOf(s,
+        docs.filter(col("doc_id") < cut), s"$root/old", d)
+      graft.ops.Materialize.lexicalIndexAppend(s, d, s"$root/old",
+        s"$root/new")
+    }
+    s"$root/new"
   }
 
   /** DuckDB mirror of the standing-phrase search — ONE definition for
@@ -1074,6 +1123,14 @@ object Retrieval {
          |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "phrase_delta_refresh" -> sqlPhraseTop,
+    // the append-mode chain must serve the same rows as a merged
+    // rebuild (the lexicalIndexAppend contract), so the oracles are
+    // the same twin SQL — hash-gating the chain-union read path
+    "bm25_append_refresh" ->
+      s"""WITH $sqlBm25
+         |SELECT doc_id, round(score, 4) + 0.0 AS bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "phrase_append_refresh" -> sqlPhraseTop,
     "rrf_fusion" ->
       s"""WITH $sqlBm25,
          |lex AS (SELECT doc_id, row_number() OVER

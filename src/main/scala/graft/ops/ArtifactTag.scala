@@ -49,6 +49,18 @@ object ArtifactTag {
         s"requested for $tag")
   }
 
+  /** The recorded corpus tag itself — for chain walkers that must
+    * verify every generation against the HEAD's binding
+    * ([[Materialize.lexChain]]). Throws on a missing sidecar, as
+    * [[require]] does. */
+  def readTag(s: SparkSession, path: String): String = {
+    val got = read(s, path, Name)
+    Predef.require(got.isDefined,
+      s"artifact at $path carries no $Name tag — rebuild it with the " +
+        "Materialize writer")
+    got.get
+  }
+
   private val PropsName = "_graft_props"
 
   /** Version of the provenance FORMAT — specifically the content-

@@ -348,16 +348,8 @@ object Materialize {
         "incremental mode; run the full pairGraph build once")
     val cut = props("max_doc_id").toLong + 1L
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val (n, xor) = ccSliceChecksum(docs.filter(col("doc_id") < cut))
-    require(props.get("n_docs").contains(n.toString)
-        && props.get("content_xor").contains(xor.toString),
-      s"old-slice checksum mismatch at $oldPath (artifact " +
-        s"n=${props.getOrElse("n_docs", "<none>")} " +
-        s"xor=${props.getOrElse("content_xor", "<none>")}, " +
-        s"corpus n=$n xor=$xor) — the docs below the boundary ($cut) " +
-        "are not the slice the previous cycle paired (id reuse, " +
-        "backfill, or in-place edits); run the full pairGraph build " +
-        "instead")
+    requireDocSlice(s, props, oldPath, docs, cut,
+      "paired", "run the full pairGraph build instead")
     val oldPairs = s.read.parquet(oldPath)
       .select("a_id", "b_id", "inter", "na", "nb")
     oldPairs.unionAll(graft.operators.Dedup.deltaPairGraph(s, dir, cut))
@@ -428,6 +420,50 @@ object Materialize {
       docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val r = docs.agg(count(lit(1L)), expr(SliceXor)).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The [[graft.operators.Dedup]] `graft.cc.trustOldContent`
+    * downgrade, generalized to every delta writer: a deployment on an
+    * IMMUTABLE store may skip the old-slice content replay (the one
+    * corpus-proportional md5 scan in a delta refresh) and keep only
+    * the count guard — catches backfill and dropped rows, NOT 1:1
+    * substitution or in-place edits, which an immutable store rules
+    * out by construction. Default off: the checksum replay is the
+    * guard that makes a delta artifact trustworthy on a mutable
+    * store. */
+  private def trustOldContent(s: SparkSession): Boolean =
+    s.conf.getOption("graft.artifact.trustOldContent").contains("true")
+
+  /** Old-slice admission guard for the doc-keyed delta writers (pair
+    * graph, lexical index) — ONE definition so the two refusals can
+    * never drift: full mode replays the writer's content checksum on
+    * the current below-cut slice; [[trustOldContent]] mode checks the
+    * count only. `verb` names what the previous cycle did with the
+    * slice; `remedy` is the rebuild instruction. */
+  private def requireDocSlice(s: SparkSession,
+      props: Map[String, String], oldPath: String,
+      docs: org.apache.spark.sql.DataFrame, cut: Long,
+      verb: String, remedy: String): Unit = {
+    val below = docs.filter(col("doc_id") < cut)
+    if (trustOldContent(s)) {
+      val n = below.count()
+      require(props.get("n_docs").contains(n.toString),
+        s"old-slice count mismatch at $oldPath (artifact " +
+          s"n=${props.getOrElse("n_docs", "<none>")}, corpus n=$n) — " +
+          s"docs appeared or vanished below the boundary ($cut) since " +
+          s"the previous cycle $verb the slice (id backfill or " +
+          s"drops); $remedy")
+    } else {
+      val (n, xor) = ccSliceChecksum(below)
+      require(props.get("n_docs").contains(n.toString)
+          && props.get("content_xor").contains(xor.toString),
+        s"old-slice checksum mismatch at $oldPath (artifact " +
+          s"n=${props.getOrElse("n_docs", "<none>")} " +
+          s"xor=${props.getOrElse("content_xor", "<none>")}, " +
+          s"corpus n=$n xor=$xor) — the docs below the boundary " +
+          s"($cut) are not the slice the previous cycle $verb " +
+          s"(id reuse, backfill, or in-place edits); $remedy")
+    }
   }
 
   private def writeCcLabels(s: SparkSession,
@@ -551,6 +587,66 @@ object Materialize {
   def lexicalIndexDelta(s: SparkSession, dir: String, oldPath: String,
       newPath: String): Unit = {
     requireFresh(s, newPath)
+    val (cut, props, docs) = lexAdmission(s, dir, oldPath)
+    val (postings, grams, gramstats, nTot, sumTot) =
+      lexDeltaParts(s, docs, oldPath, cut,
+        props("n_dl").toLong, props("sum_dl").toLong)
+    writeLexParts(s, newPath, postings, grams, gramstats, nTot, sumTot)
+    writeSliceProvenance(s, newPath, docs, dir, Map(
+      "n_dl" -> nTot.toString, "sum_dl" -> sumTot.toString))
+  }
+
+  /** GENERATIONAL (append-mode) refresh of the lexical index — the
+    * LSM shape next to [[lexicalIndexDelta]]'s merge: the new artifact
+    * holds ONLY the batch's postings and grams (tok/gram-range-sorted
+    * within the generation) plus the two vocabulary-sized merged
+    * parts — summed `gramstats` and the additive 1-row BM25 stats —
+    * and a `parent` pointer to the previous generation. Write cost is
+    * therefore ∝ batch STRICTLY: no old posting is read, decoded,
+    * re-sorted, or rewritten (the merge writer's one
+    * corpus-proportional term). Readers resolve the [[lexChain]] and
+    * union the per-generation sorted scans — the query-term filter
+    * prunes row groups inside every generation exactly as in a merged
+    * artifact, at the cost of one scan node per generation (bounded:
+    * 64 generations, then compact). COMPACTION is not new machinery:
+    * [[lexicalIndexDelta]] over a chain head reads the full chain on
+    * its old side, so `lexicalIndexDelta(dir, chainHead, newPath)`
+    * collapses any chain into one merged artifact (spec-pinned).
+    *
+    * Admission guards are [[lexicalIndexDelta]]'s ([[lexAdmission]] —
+    * one definition); provenance records the FULL current corpus, so
+    * the next refresh (append or merge) cuts from this generation's
+    * boundary. */
+  def lexicalIndexAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cut, props, docs) = lexAdmission(s, dir, oldPath)
+    val (newPost, newGrams, nNew, sumNew) =
+      lexBatchParts(s, docs.filter(col("doc_id") >= cut))
+    // vocabulary-sized merges only — the whole point of append mode
+    // is that per-DOC state (postings, grams) is never rewritten.
+    // gramstats reads the HEAD generation alone: every writer stores
+    // the CUMULATIVE totals, so a chain union would double-count
+    val gramstats = s.read.parquet(s"$oldPath/gramstats")
+      .select("gram", "n")
+      .unionAll(newGrams.groupBy("gram").agg(count(lit(1)).as("n")))
+      .groupBy("gram").agg(sum("n").as("n"))
+    val nTot = props("n_dl").toLong + nNew
+    val sumTot = props("sum_dl").toLong + sumNew
+    writeLexParts(s, newPath, newPost, newGrams, gramstats, nTot,
+      sumTot)
+    writeSliceProvenance(s, newPath, docs, dir, Map(
+      "n_dl" -> nTot.toString, "sum_dl" -> sumTot.toString,
+      "parent" -> oldPath))
+  }
+
+  /** The shared admission prefix of the two lexical refresh writers:
+    * tag, provenance version, boundary presence, and the old-slice
+    * guard ([[requireDocSlice]]). Returns (cut, props, full-corpus
+    * docs). */
+  private def lexAdmission(s: SparkSession, dir: String,
+      oldPath: String): (Long, Map[String, String],
+      org.apache.spark.sql.DataFrame) = {
     ArtifactTag.require(s, oldPath, dir)
     val props = ArtifactTag.readProps(s, oldPath)
     ArtifactTag.requireProvVersion(props, oldPath)
@@ -560,22 +656,45 @@ object Materialize {
         "full lexicalIndex build once")
     val cut = props("max_doc_id").toLong + 1L
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val (n, xor) = ccSliceChecksum(docs.filter(col("doc_id") < cut))
-    require(props.get("n_docs").contains(n.toString)
-        && props.get("content_xor").contains(xor.toString),
-      s"old-slice checksum mismatch at $oldPath (index " +
-        s"n=${props.getOrElse("n_docs", "<none>")} " +
-        s"xor=${props.getOrElse("content_xor", "<none>")}, " +
-        s"corpus n=$n xor=$xor) — the docs below the boundary ($cut) " +
-        "are not the slice the previous cycle indexed (id reuse, " +
-        "backfill, or in-place edits); re-index the corpus instead")
-    val (postings, grams, gramstats, nTot, sumTot) =
-      lexDeltaParts(s, docs, oldPath, cut,
-        props("n_dl").toLong, props("sum_dl").toLong)
-    writeLexParts(s, newPath, postings, grams, gramstats, nTot, sumTot)
-    writeSliceProvenance(s, newPath, docs, dir, Map(
-      "n_dl" -> nTot.toString, "sum_dl" -> sumTot.toString))
+    requireDocSlice(s, props, oldPath, docs, cut,
+      "indexed", "re-index the corpus instead")
+    (cut, props, docs)
   }
+
+  /** Resolve a lexical artifact's generation chain, head first — a
+    * merged artifact is its own 1-element chain (no `parent` prop), an
+    * append generation points at its predecessor. Every generation's
+    * corpus tag is re-verified (a chain must not silently cross
+    * corpora), depth is bounded, and a cycle refuses. */
+  private[graft] def lexChain(s: SparkSession, path: String,
+      tag: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = path
+    while (p != null) {
+      require(!out.contains(p),
+        s"lexical index chain at $path cycles through $p — the parent " +
+          "pointers are corrupt; rebuild the index")
+      require(out.size < 64,
+        s"lexical index chain at $path exceeds 64 generations — " +
+          "compact it (lexicalIndexDelta over the chain head merges " +
+          "the chain into one artifact)")
+      ArtifactTag.require(s, p, tag)
+      out += p
+      p = ArtifactTag.readProps(s, p).getOrElse("parent", null)
+    }
+    out.toSeq
+  }
+
+  /** One index part unioned across a chain — per-generation sorted
+    * scans, so pushed filters prune row groups inside every
+    * generation. */
+  private[graft] def chainRead(s: SparkSession, path: String,
+      tag: String, part: String,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    lexChain(s, path, tag)
+      .map(p => s.read.parquet(s"$p/$part")
+        .select(cols.map(col): _*))
+      .reduce(_ unionAll _)
 
   /** The merged frames a delta refresh writes — ONE definition shared
     * with the spec's plan pin (the [[graft.operators.Dedup
@@ -594,14 +713,23 @@ object Materialize {
       Long, Long) = {
     val (newPost, newGrams, nNew, sumNew) =
       lexBatchParts(s, docs.filter(col("doc_id") >= cut))
-    val postings = s.read.parquet(s"$oldPath/postings")
-      .select("tok", "doc_id", "dl", "tf")
+    // the old side resolves the GENERATION CHAIN (one scan for a
+    // merged artifact; per-generation scans for an append chain) —
+    // which is what makes this writer the chain's COMPACTION: a merge
+    // refresh over a chain head collapses every generation into one
+    // artifact. The tag is taken from the head's own sidecar: callers
+    // already admitted the head against the corpus dir, and the chain
+    // walk re-verifies each generation against the same tag.
+    val tag = ArtifactTag.readTag(s, oldPath)
+    val postings = chainRead(s, oldPath, tag, "postings",
+        Seq("tok", "doc_id", "dl", "tf"))
       .unionAll(newPost.select("tok", "doc_id", "dl", "tf"))
-    val grams = s.read.parquet(s"$oldPath/grams")
-      .select("doc_id", "pos", "gram")
+    val grams = chainRead(s, oldPath, tag, "grams",
+        Seq("doc_id", "pos", "gram"))
       .unionAll(newGrams.select("doc_id", "pos", "gram"))
-    // occurrence totals merge additively: old totals ∪ new-batch
-    // totals → one sum per gram (never re-counts the old postings)
+    // occurrence totals merge additively from the HEAD's cumulative
+    // gramstats ∪ new-batch counts (never re-counts the old postings,
+    // and never chain-unions — each generation's totals are cumulative)
     val gramstats = s.read.parquet(s"$oldPath/gramstats")
       .select("gram", "n")
       .unionAll(newGrams.groupBy("gram").agg(count(lit(1)).as("n")))
@@ -753,15 +881,27 @@ object Materialize {
         "full featureStore build once")
     val cutDay = props("max_day").toLong
     val ev = graft.operators.Training.pitEvents(s, dir)
-    val (n, xor) = eventSliceChecksum(ev.filter(col("day") <= cutDay))
-    require(props.get("n_events").contains(n.toString)
-        && props.get("events_xor").contains(xor.toString),
-      s"stored-slice checksum mismatch at $oldPath (store " +
-        s"n=${props.getOrElse("n_events", "<none>")} " +
-        s"xor=${props.getOrElse("events_xor", "<none>")}, " +
-        s"events n=$n xor=$xor) — the events at day ≤ $cutDay are not " +
-        "the slice the previous cycle snapshotted (late-arriving " +
-        "events, edits, or backfill); rebuild the store instead")
+    val below = ev.filter(col("day") <= cutDay)
+    if (trustOldContent(s)) {
+      val n = below.count()
+      require(props.get("n_events").contains(n.toString),
+        s"stored-slice count mismatch at $oldPath (store " +
+          s"n=${props.getOrElse("n_events", "<none>")}, events n=$n) " +
+          s"— events arrived at day ≤ $cutDay since the previous " +
+          "cycle snapshotted (late-arriving events or backfill); " +
+          "rebuild the store instead")
+    } else {
+      val (n, xor) = eventSliceChecksum(below)
+      require(props.get("n_events").contains(n.toString)
+          && props.get("events_xor").contains(xor.toString),
+        s"stored-slice checksum mismatch at $oldPath (store " +
+          s"n=${props.getOrElse("n_events", "<none>")} " +
+          s"xor=${props.getOrElse("events_xor", "<none>")}, " +
+          s"events n=$n xor=$xor) — the events at day ≤ $cutDay are " +
+          "not the slice the previous cycle snapshotted " +
+          "(late-arriving events, edits, or backfill); rebuild the " +
+          "store instead")
+    }
     val w = org.apache.spark.sql.expressions.Window
     val prior = w.partitionBy("user_id").orderBy("day")
       .rowsBetween(w.unboundedPreceding, -1)

@@ -179,6 +179,80 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("lexical append generation: chain serve ≡ merged rebuild; " +
+      "merge over a chain head compacts it; cycle refuses") {
+    import spark.implicits._
+    def dirOf(pairs: Seq[(Long, String)]): String = {
+      val dir = Files.createTempDirectory("graft-lexchain").toString
+      pairs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // three-corpus growth story: g0 indexes docs {0,1}, an append
+    // generation covers {2}, a second append covers {3} — the batch a
+    // generation holds straddles a REUSED gram ("alpha beta gamma")
+    // so the chain union is load-bearing for both postings and the
+    // standing-phrase hit set
+    val d01 = Seq(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta eta")
+    val d2 = d01 :+ (2L -> "alpha beta gamma theta")
+    val d3 = d2 :+ (3L -> "alpha beta gamma iota")
+    val (dir1, dir2, dir3) =
+      (dirOf(d01), dirOf(d2), dirOf(d3))
+    val base = Files.createTempDirectory("graft-lexchainart").toString
+    Materialize.lexicalIndexOf(spark,
+      graft.sources.Tables.documents(spark, dir1)
+        .select("doc_id", "text"), s"$base/g0", dir1)
+    // generations are corpus-tag-bound: rebind g0 to the grown corpus
+    // before appending (a real deployment's dir content grows in
+    // place; parquet fixtures cannot, so the tag moves instead)
+    graft.ops.ArtifactTag.write(spark, s"$base/g0", dir2)
+    Materialize.lexicalIndexAppend(spark, dir2, s"$base/g0", s"$base/g1")
+    graft.ops.ArtifactTag.write(spark, s"$base/g0", dir3)
+    graft.ops.ArtifactTag.write(spark, s"$base/g1", dir3)
+    Materialize.lexicalIndexAppend(spark, dir3, s"$base/g1", s"$base/g2")
+    // the 3-generation chain resolves head-first
+    assert(Materialize.lexChain(spark, s"$base/g2", dir3) ===
+      Seq(s"$base/g2", s"$base/g1", s"$base/g0"))
+    // chain union ≡ merged rebuild, part for part (content, not files)
+    Materialize.lexicalIndex(spark, dir3, s"$base/full")
+    def sorted(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): Seq[String] =
+      df.orderBy(keys.map(col): _*).collect().map(_.toString).toSeq
+    assert(sorted(Materialize.chainRead(spark, s"$base/g2", dir3,
+        "postings", Seq("tok", "doc_id", "dl", "tf")),
+        Seq("tok", "doc_id")) ===
+      sorted(spark.read.parquet(s"$base/full/postings")
+        .select("tok", "doc_id", "dl", "tf"), Seq("tok", "doc_id")),
+      "chain postings diverged from the merged rebuild")
+    // head gramstats are cumulative — equal to the rebuild's
+    assert(sorted(spark.read.parquet(s"$base/g2/gramstats")
+        .select("gram", "n"), Seq("gram")) ===
+      sorted(spark.read.parquet(s"$base/full/gramstats")
+        .select("gram", "n"), Seq("gram")),
+      "head gramstats diverged from the merged rebuild")
+    // COMPACTION: a merge refresh over the chain head collapses the
+    // chain — with no new docs it is a pure compaction whose parts
+    // equal the rebuild's and whose head carries no parent pointer
+    Materialize.lexicalIndexDelta(spark, dir3, s"$base/g2",
+      s"$base/compacted")
+    assert(sorted(spark.read.parquet(s"$base/compacted/postings")
+        .select("tok", "doc_id", "dl", "tf"), Seq("tok", "doc_id")) ===
+      sorted(spark.read.parquet(s"$base/full/postings")
+        .select("tok", "doc_id", "dl", "tf"), Seq("tok", "doc_id")),
+      "compaction diverged from the merged rebuild")
+    assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/compacted")
+      .contains("parent"), "compacted artifact must end the chain")
+    // a corrupt parent pointer that cycles refuses loudly
+    val g2props = graft.ops.ArtifactTag.readProps(spark, s"$base/g2")
+    graft.ops.ArtifactTag.writeProps(spark, s"$base/g2",
+      g2props + ("parent" -> s"$base/g2"))
+    val e = intercept[IllegalArgumentException] {
+      Materialize.lexChain(spark, s"$base/g2", dir3)
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    graft.ops.ArtifactTag.writeProps(spark, s"$base/g2", g2props)
+  }
+
   test("lexical index delta guards: edited old slice, provenance-" +
       "format drift, and missing max_doc_id are refused") {
     import spark.implicits._
@@ -225,5 +299,32 @@ class MaterializeSpec extends SparkSpec {
       Materialize.lexicalIndexDelta(spark, dir, oldP, s"$base/n4")
     }
     assert(e4.getMessage.contains("write-once"), e4.getMessage)
+    // immutable-store downgrade (graft.artifact.trustOldContent, the
+    // graft.cc.trustOldContent precedent): the content replay is
+    // skipped — a same-count in-place edit passes (the documented
+    // trade an immutable store rules out by construction) but a count
+    // drift still refuses
+    graft.ops.ArtifactTag.write(spark, oldP, dir2)
+    withConf("graft.artifact.trustOldContent" -> "true") {
+      Materialize.lexicalIndexDelta(spark, dir2, oldP, s"$base/n5")
+      // count drift below the cut (a doc backfilled at id -1): the
+      // count guard still refuses, and names counts, not checksums
+      val dirLow = {
+        val d = Files.createTempDirectory("graft-lexguard").toString
+        ((-1L, "pre alpha doc") +: texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) })
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      }
+      graft.ops.ArtifactTag.write(spark, oldP, dirLow)
+      val e5 = intercept[IllegalArgumentException] {
+        Materialize.lexicalIndexDelta(spark, dirLow, oldP, s"$base/n6")
+      }
+      assert(e5.getMessage.contains("count mismatch"), e5.getMessage)
+      assert(!e5.getMessage.contains("checksum"),
+        "trust mode must use the count guard, not the checksum replay")
+    }
+    graft.ops.ArtifactTag.write(spark, oldP, dir)
   }
 }
