@@ -67,6 +67,7 @@ object ServeBench {
     "feature_pit_join" -> "features (in-query build)",
     "feature_pit_from_index" -> "features (from index)",
     "feature_pit_delta_refresh" -> "features (delta refresh)",
+    "feature_pit_append_refresh" -> "features (append refresh)",
     "stream_feature_snapshot" -> "features (snapshot view)")
 
   /** The {build, serve} pairs published side by side: (in-query twin,

@@ -484,6 +484,14 @@ object Stress {
         s"$dir-featdelta-old", s"$dir-featdelta-new")
       spark.read.parquet(s"$dir-featdelta-new/snapshots").count()
     }
+    // append mode: only the batch days' snapshots + O(users) totals
+    // are written — the merge writer's history rewrite is deleted
+    val (featAppendSec, _, featAppendSb) =
+      measure("feature_store_append") {
+        graft.ops.Materialize.featureStoreAppend(spark, dir,
+          s"$dir-featdelta-old", s"$dir-featappend-new")
+        spark.read.parquet(s"$dir-featappend-new/snapshots").count()
+      }
     // value-level cross-check: the delta artifacts must equal the full
     // builds they claim row-identity with (the graphChecksum rule —
     // a speedup for different answers must fail loudly here, not in
@@ -519,6 +527,16 @@ object Stress {
         Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
           "value_centi_prior", "days_active_prior")),
       "feature-store delta snapshots diverged from the full build")
+    require(fileChecksum(s"$dir-featdelta-old/snapshots",
+        Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+          "value_centi_prior", "days_active_prior")) +
+      fileChecksum(s"$dir-featappend-new/snapshots",
+        Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+          "value_centi_prior", "days_active_prior")) ==
+      fileChecksum(s"$dir-featfull/snapshots",
+        Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+          "value_centi_prior", "days_active_prior")),
+      "feature-store append chain diverged from the full build")
     // dup-payment organic receipt: the K-copy fact corpus above
     // multiplies every customer-day K× — a planted K-clique of TRUE
     // double-bills on every customer-day, so the audit's output there
@@ -619,6 +637,8 @@ object Stress {
       s""""feature_full_shuffle":$featFullSb,""" +
       s""""feature_delta_sec":$featDeltaSec,""" +
       s""""feature_delta_shuffle":$featDeltaSb,""" +
+      s""""feature_append_sec":$featAppendSec,""" +
+      s""""feature_append_shuffle":$featAppendSb,""" +
       s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +

@@ -33,7 +33,8 @@ object Training {
     "nb_lang_apply" -> nbLangApply,
     "feature_pit_join" -> featurePitJoin,
     "feature_pit_from_index" -> featurePitFromIndex,
-    "feature_pit_delta_refresh" -> featurePitDeltaRefresh
+    "feature_pit_delta_refresh" -> featurePitDeltaRefresh,
+    "feature_pit_append_refresh" -> featurePitAppendRefresh
   )
 
   /** HELD-OUT evaluation of the corpus bigram LM — the train/eval
@@ -757,8 +758,17 @@ object Training {
         }
         sp
     }
-    pitJoinExamples(s, d, s.read.parquet(s"$path/snapshots"))
+    pitJoinExamples(s, d, pitSnapshots(s, path))
   }
+
+  /** Chain-aware snapshot read — a merged store is a 1-element chain
+    * (one scan, the pinned window-free plan); an append chain unions
+    * per-generation (user, day)-sorted scans. */
+  private def pitSnapshots(s: SparkSession, path: String): DataFrame =
+    graft.ops.Materialize.chainRead(s, path,
+      graft.ops.ArtifactTag.readTag(s, path), "snapshots",
+      Seq("user_id", "day", "n_events_prior", "n_purchases_prior",
+        "value_centi_prior", "days_active_prior"))
 
   /** The feature store refreshed INCREMENTALLY, then joined — the
     * registered end-to-end composition of [[graft.ops.Materialize
@@ -786,7 +796,28 @@ object Training {
       graft.ops.Materialize.featureStoreDelta(s, d, s"$root/old",
         s"$root/new")
     }
-    pitJoinExamples(s, d, s.read.parquet(s"$root/new/snapshots"))
+    pitJoinExamples(s, d, pitSnapshots(s, s"$root/new"))
+  }
+
+  /** The PIT training join off a GENERATIONAL (append-mode) refresh —
+    * [[featurePitDeltaRefresh]]'s LSM endpoint ([[graft.ops
+    * .Materialize.featureStoreAppend]]): the generation holds only the
+    * batch days' seeded snapshots + merged O(users) totals, so the
+    * refresh writes no old snapshot; the join unions the chain.
+    * Oracle = the full PIT window SQL — the driver hash-gates the
+    * chain-union read and the totals-seeded priors end to end. */
+  def featurePitAppendRefresh(s: SparkSession, d: String): DataFrame = {
+    val root = graft.ops.BuildOnce.scratchPath("featappend", d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val ev = pitEvents(s, d)
+      val b = ev.agg(min("day"), max("day")).head()
+      val cutDay = (b.getLong(0) + b.getLong(1)) / 2
+      graft.ops.Materialize.featureStoreOf(s,
+        ev.filter(col("day") <= cutDay), s"$root/old", d)
+      graft.ops.Materialize.featureStoreAppend(s, d, s"$root/old",
+        s"$root/new")
+    }
+    pitJoinExamples(s, d, pitSnapshots(s, s"$root/new"))
   }
 
   /** Shared by the in-query and from-index PIT twins (and wrapped by
@@ -824,8 +855,10 @@ object Training {
     "feature_pit_from_index" -> PitOracle,
     // the delta-refreshed store is row-identical to a full rebuild
     // (long arithmetic, totals-seeded priors — featureStoreDelta's
-    // contract), so the composition replays the same PIT oracle
+    // contract), so the composition replays the same PIT oracle;
+    // the append chain serves the same rows by the same contract
     "feature_pit_delta_refresh" -> PitOracle,
+    "feature_pit_append_refresh" -> PitOracle,
     "nb_lang_train" ->
       s"""WITH lt AS (
          |  SELECT lang, t, count(*)::BIGINT AS c

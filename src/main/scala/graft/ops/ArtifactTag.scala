@@ -51,7 +51,7 @@ object ArtifactTag {
 
   /** The recorded corpus tag itself — for chain walkers that must
     * verify every generation against the HEAD's binding
-    * ([[Materialize.lexChain]]). Throws on a missing sidecar, as
+    * ([[Materialize.genChain]]). Throws on a missing sidecar, as
     * [[require]] does. */
   def readTag(s: SparkSession, path: String): String = {
     val got = read(s, path, Name)

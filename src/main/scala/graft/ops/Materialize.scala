@@ -604,7 +604,7 @@ object Materialize {
     * and a `parent` pointer to the previous generation. Write cost is
     * therefore ∝ batch STRICTLY: no old posting is read, decoded,
     * re-sorted, or rewritten (the merge writer's one
-    * corpus-proportional term). Readers resolve the [[lexChain]] and
+    * corpus-proportional term). Readers resolve the [[genChain]] and
     * union the per-generation sorted scans — the query-term filter
     * prunes row groups inside every generation exactly as in a merged
     * artifact, at the cost of one scan node per generation (bounded:
@@ -661,22 +661,24 @@ object Materialize {
     (cut, props, docs)
   }
 
-  /** Resolve a lexical artifact's generation chain, head first — a
-    * merged artifact is its own 1-element chain (no `parent` prop), an
+  /** Resolve an artifact's generation chain, head first — a merged
+    * artifact is its own 1-element chain (no `parent` prop), an
     * append generation points at its predecessor. Every generation's
     * corpus tag is re-verified (a chain must not silently cross
-    * corpora), depth is bounded, and a cycle refuses. */
-  private[graft] def lexChain(s: SparkSession, path: String,
+    * corpora), depth is bounded, and a cycle refuses. Shared by the
+    * lexical and feature-store generational modes (one walker — two
+    * copies could drift on the guard rules). */
+  private[graft] def genChain(s: SparkSession, path: String,
       tag: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var p = path
     while (p != null) {
       require(!out.contains(p),
-        s"lexical index chain at $path cycles through $p — the parent " +
-          "pointers are corrupt; rebuild the index")
+        s"artifact chain at $path cycles through $p — the parent " +
+          "pointers are corrupt; rebuild the artifact")
       require(out.size < 64,
-        s"lexical index chain at $path exceeds 64 generations — " +
-          "compact it (lexicalIndexDelta over the chain head merges " +
+        s"artifact chain at $path exceeds 64 generations — compact it " +
+          "(the family's merge writer over the chain head collapses " +
           "the chain into one artifact)")
       ArtifactTag.require(s, p, tag)
       out += p
@@ -691,7 +693,7 @@ object Materialize {
   private[graft] def chainRead(s: SparkSession, path: String,
       tag: String, part: String,
       cols: Seq[String]): org.apache.spark.sql.DataFrame =
-    lexChain(s, path, tag)
+    genChain(s, path, tag)
       .map(p => s.read.parquet(s"$p/$part")
         .select(cols.map(col): _*))
       .reduce(_ unionAll _)
@@ -872,6 +874,53 @@ object Materialize {
   def featureStoreDelta(s: SparkSession, dir: String, oldPath: String,
       newPath: String): Unit = {
     requireFresh(s, newPath)
+    val (cutDay, _, ev) = featAdmission(s, dir, oldPath)
+    val newDaily = graft.operators.Training
+      .pitDaily(ev.filter(col("day") > cutDay))
+      .localCheckpoint() // consumed by the snapshots AND the totals
+    // old snapshots resolve the GENERATION CHAIN (one scan for a
+    // merged store; per-generation scans for an append chain) — which
+    // makes this writer the chain's COMPACTION, the lexDeltaParts rule
+    val snapshots = chainRead(s, oldPath, ArtifactTag.readTag(s, oldPath),
+        "snapshots", Seq("user_id", "day", "n_events_prior",
+          "n_purchases_prior", "value_centi_prior", "days_active_prior"))
+      .unionAll(featSeeded(s, oldPath, newDaily))
+    writeFeatureParts(s, newPath, snapshots,
+      featTotalsMerged(s, oldPath, newDaily))
+    writeEventProvenance(s, newPath, ev, dir)
+  }
+
+  /** GENERATIONAL (append-mode) refresh of the feature store — the
+    * [[lexicalIndexAppend]] shape on the feature side, and the natural
+    * one: snapshots are append-only BY DAY, so a generation holds ONLY
+    * the batch days' seeded snapshot rows plus the O(users) merged
+    * totals (the next cycle's seed — cumulative at every head, the
+    * gramstats rule) and a `parent` pointer. Write cost carries no
+    * old-snapshot rewrite — the merge writer's one history-
+    * proportional term; the PIT readers resolve the chain and union
+    * per-generation (user, day)-sorted scans. Compaction =
+    * [[featureStoreDelta]] over the chain head. */
+  def featureStoreAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cutDay, _, ev) = featAdmission(s, dir, oldPath)
+    val newDaily = graft.operators.Training
+      .pitDaily(ev.filter(col("day") > cutDay))
+      .localCheckpoint() // consumed by the snapshots AND the totals
+    writeFeatureParts(s, newPath, featSeeded(s, oldPath, newDaily),
+      featTotalsMerged(s, oldPath, newDaily))
+    writeEventProvenance(s, newPath, ev, dir,
+      Map("parent" -> oldPath))
+  }
+
+  /** The shared admission prefix of the two feature-store refresh
+    * writers ([[lexAdmission]]'s sibling): tag, provenance version,
+    * boundary presence, and the stored-event-slice guard (checksum
+    * replay, or the count guard under [[trustOldContent]]). Returns
+    * (cutDay, props, full pitEvents frame). */
+  private def featAdmission(s: SparkSession, dir: String,
+      oldPath: String): (Long, Map[String, String],
+      org.apache.spark.sql.DataFrame) = {
     ArtifactTag.require(s, oldPath, dir)
     val props = ArtifactTag.readProps(s, oldPath)
     ArtifactTag.requireProvVersion(props, oldPath)
@@ -902,21 +951,26 @@ object Materialize {
           "(late-arriving events, edits, or backfill); rebuild the " +
           "store instead")
     }
+    (cutDay, props, ev)
+  }
+
+  /** The batch days' snapshot rows, priors seeded from the stored
+    * per-user totals — within-batch priors from a window over the new
+    * days only, plus the HEAD's cumulative totals (0 for users first
+    * seen in the batch): exactly the rebuild's unbounded window split
+    * at the cut, term by term, in long arithmetic. ONE definition for
+    * the merge and append writers. */
+  private def featSeeded(s: SparkSession, oldPath: String,
+      newDaily: org.apache.spark.sql.DataFrame): org.apache.spark.sql
+      .DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val prior = w.partitionBy("user_id").orderBy("day")
       .rowsBetween(w.unboundedPreceding, -1)
-    val newDaily = graft.operators.Training
-      .pitDaily(ev.filter(col("day") > cutDay))
-      .localCheckpoint() // consumed by the snapshots AND the totals
     val oldTotals = s.read.parquet(s"$oldPath/totals")
       .select(col("user_id"), col("n_total").as("t_n"),
         col("n_purch_total").as("t_purch"), col("v_total").as("t_v"),
         col("days_total").as("t_days"))
-    // batch snapshots: within-batch priors from a window over the new
-    // days only, seeded by the stored per-user totals (0 for users
-    // first seen in the batch) — exactly the rebuild's unbounded
-    // window split at the cut, term by term, in long arithmetic
-    val seeded = newDaily
+    newDaily
       .withColumn("b_n", coalesce(sum("n").over(prior), lit(0L)))
       .withColumn("b_purch", coalesce(sum("n_purch").over(prior), lit(0L)))
       .withColumn("b_v", coalesce(sum("v_sum").over(prior), lit(0L)))
@@ -931,13 +985,16 @@ object Materialize {
           .as("value_centi_prior"),
         (col("b_days") + coalesce(col("t_days"), lit(0L)))
           .as("days_active_prior"))
-    val snapshots = s.read.parquet(s"$oldPath/snapshots")
-      .select("user_id", "day", "n_events_prior", "n_purchases_prior",
-        "value_centi_prior", "days_active_prior")
-      .unionAll(seeded)
-    // totals merge additively (full outer: batch-only users appear,
-    // old-only users carry over)
-    val totals = s.read.parquet(s"$oldPath/totals")
+  }
+
+  /** Totals merged additively from the HEAD's cumulative totals ∪ the
+    * batch's (full outer via union+groupBy: batch-only users appear,
+    * old-only users carry over) — never chain-unioned, the gramstats
+    * rule. ONE definition for the merge and append writers. */
+  private def featTotalsMerged(s: SparkSession, oldPath: String,
+      newDaily: org.apache.spark.sql.DataFrame): org.apache.spark.sql
+      .DataFrame =
+    s.read.parquet(s"$oldPath/totals")
       .select("user_id", "n_total", "n_purch_total", "v_total",
         "days_total")
       .unionAll(totalsOf(newDaily))
@@ -946,9 +1003,6 @@ object Materialize {
         sum("n_purch_total").as("n_purch_total"),
         sum("v_total").as("v_total"),
         sum("days_total").as("days_total"))
-    writeFeatureParts(s, newPath, snapshots, totals)
-    writeEventProvenance(s, newPath, ev, dir)
-  }
 
   /** Per-user running totals over a daily frame — the delta seed.
     * `v_total` coalesces a sum that is null only when every summand
@@ -987,7 +1041,8 @@ object Materialize {
   }
 
   private def writeEventProvenance(s: SparkSession, path: String,
-      ev: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      ev: org.apache.spark.sql.DataFrame, tag: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     ArtifactTag.write(s, path, tag)
     // one fused pass for all three facts (the writeSliceProvenance
     // rule): count + content xor + the max stored day that defines
@@ -999,6 +1054,6 @@ object Materialize {
       "n_events" -> r.getLong(0).toString,
       "events_xor" -> xor.toString) ++
       (if (r.isNullAt(2)) Map.empty[String, String]
-       else Map("max_day" -> r.getLong(2).toString)))
+       else Map("max_day" -> r.getLong(2).toString)) ++ extra)
   }
 }

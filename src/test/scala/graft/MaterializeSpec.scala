@@ -211,7 +211,7 @@ class MaterializeSpec extends SparkSpec {
     graft.ops.ArtifactTag.write(spark, s"$base/g1", dir3)
     Materialize.lexicalIndexAppend(spark, dir3, s"$base/g1", s"$base/g2")
     // the 3-generation chain resolves head-first
-    assert(Materialize.lexChain(spark, s"$base/g2", dir3) ===
+    assert(Materialize.genChain(spark, s"$base/g2", dir3) ===
       Seq(s"$base/g2", s"$base/g1", s"$base/g0"))
     // chain union ≡ merged rebuild, part for part (content, not files)
     Materialize.lexicalIndex(spark, dir3, s"$base/full")
@@ -247,7 +247,7 @@ class MaterializeSpec extends SparkSpec {
     graft.ops.ArtifactTag.writeProps(spark, s"$base/g2",
       g2props + ("parent" -> s"$base/g2"))
     val e = intercept[IllegalArgumentException] {
-      Materialize.lexChain(spark, s"$base/g2", dir3)
+      Materialize.genChain(spark, s"$base/g2", dir3)
     }
     assert(e.getMessage.contains("cycle"), e.getMessage)
     graft.ops.ArtifactTag.writeProps(spark, s"$base/g2", g2props)

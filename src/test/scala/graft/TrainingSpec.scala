@@ -329,6 +329,50 @@ class TrainingSpec extends SparkSpec {
       "feature_pit_delta_refresh diverged from the in-query PIT join")
   }
 
+  test("feature store append generation: chain join ≡ in-query PIT; " +
+      "merge over the chain head compacts it") {
+    import graft.ops.Materialize
+    // registered composition (midpoint-day old store → append
+    // generation → chain-union PIT join) ≡ the in-query twin
+    val a = Training.featurePitAppendRefresh(spark, sf0001).collect()
+    val q = Training.featurePitJoin(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq === q.map(_.toString).toSeq,
+      "feature_pit_append_refresh diverged from the in-query PIT join")
+    // compaction: featureStoreDelta over the chain head collapses the
+    // chain into one merged store whose parts equal a full rebuild's
+    val ev = Training.pitEvents(spark, sf0001)
+    val b = ev.agg(min("day"), max("day")).head()
+    val cutDay = (b.getLong(0) + b.getLong(1)) / 2
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-featappend").toString
+    Materialize.featureStoreOf(spark,
+      ev.filter(col("day") <= cutDay), s"$base/old", sf0001)
+    Materialize.featureStoreAppend(spark, sf0001,
+      s"$base/old", s"$base/gen1")
+    assert(graft.ops.ArtifactTag.readProps(spark, s"$base/gen1")
+      .get("parent").contains(s"$base/old"),
+      "append generation must point at its predecessor")
+    Materialize.featureStoreDelta(spark, sf0001,
+      s"$base/gen1", s"$base/compacted")
+    Materialize.featureStore(spark, sf0001, s"$base/full")
+    def part(root: String, p: String, keys: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$root/$p").orderBy(keys.map(col): _*)
+        .collect().map(_.toString).toSeq
+    Seq(("snapshots", Seq("user_id", "day")),
+        ("totals", Seq("user_id"))).foreach { case (p, keys) =>
+      assert(part(s"$base/compacted", p, keys) ===
+        part(s"$base/full", p, keys),
+        s"compacted store part '$p' diverged from the rebuild")
+    }
+    assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/compacted")
+      .contains("parent"), "compacted store must end the chain")
+    // the generation holds ONLY the batch days (no history rewrite)
+    val genDays = spark.read.parquet(s"$base/gen1/snapshots")
+      .agg(min("day")).head().getLong(0)
+    assert(genDays > cutDay,
+      "append generation must contain no pre-cut snapshot rows")
+  }
+
   test("PPS token sampling: inclusion monotone in targetDocs, size sane") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.samplePpsTokens(spark, sf0001).collect()
