@@ -81,7 +81,7 @@ object TextAnalysis {
     * broadcast into a per-row filter — no shuffle of the corpus, no
     * window; the 100 TB cost is the tokenize scan itself. */
   def samplePpsTokens(s: SparkSession, d: String): DataFrame = {
-    val k = s.conf.getOption("graft.pps.targetDocs").fold(50L)(_.toLong)
+    val k = ppsTargetDocs(s) // ONE resolution rule with the oracle
     require(k >= 1, s"graft.pps.targetDocs out of range: $k")
     val docs = withToks(s, d)
       .select(col("doc_id"), col("source"),
@@ -115,8 +115,7 @@ object TextAnalysis {
     * rows) + one broadcast scalar — the plan is vocabulary-of-sources
     * sized metadata at any corpus size. */
   def mixtureTemperaturePlan(s: SparkSession, d: String): DataFrame = {
-    val budget = s.conf.getOption("graft.mixture.tempBudgetTokens")
-      .fold(1000000L)(_.toLong)
+    val budget = tempBudgetTokens(s) // ONE resolution rule, both sides
     require(budget >= 1, s"tempBudgetTokens out of range: $budget")
     val src = Tables.documents(s, d)
       .select(col("source"),
@@ -1494,7 +1493,34 @@ object TextAnalysis {
     s"[substr($c, 1, i - 1) || substr($c, i + 1, len($c)) " +
       s"for i in generate_series(1, len($c))]"
 
-  val oracles: Map[String, String] = Map(
+  /** Resolve a long-valued knob for ORACLE interpolation — the
+    * [[graft.operators.Retrieval]] `mrrNProbesOracle` discipline: the
+    * dumped SQL must use the SAME value the Spark plan reads, and a
+    * JVM with two live sessions holding different values cannot pick
+    * one silently (round-11 advisor finding on the mrr side). */
+  private def oracleKnob(name: String, default: Long,
+      read: SparkSession => Long): Long = {
+    val sessions = (SparkSession.getActiveSession.toSeq ++
+      SparkSession.getDefaultSession).distinct
+    val resolved = sessions.map(read).distinct
+    require(resolved.size <= 1,
+      s"$name is ambiguous at oracle-dump time: the live sessions " +
+        s"resolve ${resolved.mkString(" vs ")} — the dumped oracle " +
+        "SQL would interpolate one value while a Spark plan uses the " +
+        "other; dump from a single session or align the conf")
+    resolved.headOption.getOrElse(default)
+  }
+
+  private def ppsTargetDocs(s: SparkSession): Long =
+    s.conf.getOption("graft.pps.targetDocs").fold(50L)(_.toLong)
+
+  private def tempBudgetTokens(s: SparkSession): Long =
+    s.conf.getOption("graft.mixture.tempBudgetTokens")
+      .fold(1000000L)(_.toLong)
+
+  /** A def, not a val: the two knob-bearing oracles interpolate from
+    * the live session conf at every dump (the `sqlMrrRanks` rule). */
+  def oracles: Map[String, String] = Map(
     "token_spell_correct" ->
       s"""WITH tokd AS (
          |  SELECT DISTINCT doc_id, unnest(list_distinct($Toks)) AS w
@@ -1934,11 +1960,11 @@ object TextAnalysis {
          |  least(n_tokens, level)::BIGINT AS alloc_tokens,
          |  (n_tokens > level)::INT AS capped, level AS level_tokens
          |FROM src, lv ORDER BY source""".stripMargin,
-    // k = 50 is the graft.pps.targetDocs DEFAULT, interpolated as a
-    // literal (the mixture_token_budget_plan precedent: default-conf
-    // runs are the verify contract). Both sides compare with the SAME
-    // one-rounded-multiply double expression — see samplePpsTokens'
-    // exactness note.
+    // the target-k knob interpolates from the live session at dump
+    // time ([[oracleKnob]] — the mrr nProbes discipline), so a
+    // non-default graft.pps.targetDocs stays oracle-CHECKABLE. Both
+    // sides compare with the SAME one-rounded-multiply double
+    // expression — see samplePpsTokens' exactness note.
     "sample_pps_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, len($Toks)::BIGINT AS n_tokens,
@@ -1948,12 +1974,14 @@ object TextAnalysis {
          |SELECT doc_id, source, n_tokens, h24
          |FROM t, tot
          |WHERE h24::DOUBLE * w_total::DOUBLE
-         |  < 50.0 * n_tokens::DOUBLE * 16777216.0
+         |  < ${oracleKnob("graft.pps.targetDocs", 50L, ppsTargetDocs)}.0
+         |    * n_tokens::DOUBLE * 16777216.0
          |ORDER BY doc_id""".stripMargin,
-    // budget = 1000000 is the graft.mixture.tempBudgetTokens DEFAULT
-    // (same precedent); sqrt/floor/micro-scaling mirror the Spark
-    // fixed-point pipeline term for term
-    "mixture_temperature_plan" ->
+    // the budget knob interpolates the same way; sqrt/floor/micro-
+    // scaling mirror the Spark fixed-point pipeline term for term
+    "mixture_temperature_plan" -> {
+      val budget = oracleKnob("graft.mixture.tempBudgetTokens",
+        1000000L, tempBudgetTokens)
       s"""WITH src AS (
          |  SELECT source, sum(len($Toks))::BIGINT AS n_tokens
          |  FROM documents GROUP BY source),
@@ -1968,11 +1996,12 @@ object TextAnalysis {
          |SELECT source, n_tokens,
          |  n_tokens * 1000000 // w_total AS share_ppm,
          |  s_micro * 1000000 // s_total AS temp_share_ppm,
-         |  1000000 * (s_micro * 1000000 // s_total) // 1000000
+         |  $budget * (s_micro * 1000000 // s_total) // 1000000
          |    AS planned_tokens,
-         |  (1000000 * (s_micro * 1000000 // s_total) // 1000000)
+         |  ($budget * (s_micro * 1000000 // s_total) // 1000000)
          |    * 1000 // n_tokens AS sample_x_milli
-         |FROM s2, tot ORDER BY source""".stripMargin,
+         |FROM s2, tot ORDER BY source""".stripMargin
+    },
     "text_novelty_ratio" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS w FROM documents),
          |shl AS (

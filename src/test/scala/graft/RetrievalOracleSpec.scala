@@ -62,4 +62,45 @@ class RetrievalOracleSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("retrieval_eval_mrr")
       .contains("LIMIT 50"), "default panel size did not restore")
   }
+
+  test("graft.pps.targetDocs and graft.mixture.tempBudgetTokens " +
+      "interpolate into their oracles; DuckDB passes at non-defaults") {
+    val panel = Seq("sample_pps_tokens", "mixture_temperature_plan")
+    withConf("graft.pps.targetDocs" -> "20",
+        "graft.mixture.tempBudgetTokens" -> "250000") {
+      val sqls = SparkEntry.oracleSql
+      assert(sqls("sample_pps_tokens").contains("< 20.0"),
+        "pps oracle did not interpolate the target knob")
+      assert(sqls("mixture_temperature_plan").contains("250000 *"),
+        "temperature oracle did not interpolate the budget knob")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ppsknob").toString
+      panel.foreach { n =>
+        SparkEntry.queries(n)(spark, sf0001)
+          .coalesce(1).write.parquet(s"$out/$n")
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+        Verify.oracleJson(Some(panel.toSet)))
+      val duck = try {
+        new ProcessBuilder("python3", "-c", "import duckdb")
+          .start().waitFor() == 0
+      } catch { case _: Throwable => false }
+      assume(duck, "python3/duckdb unavailable — DuckDB half skipped")
+      val pb = new ProcessBuilder("python3", "scripts/check.py",
+        sf0001, out)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val outTxt = new String(proc.getInputStream.readAllBytes, "UTF-8")
+      val rc = proc.waitFor()
+      assert(rc == 0 && outTxt.contains("== 2 pass, 0 fail =="),
+        s"DuckDB gate failed at non-default sampling knobs:\n$outTxt")
+    }
+    // defaults restored in the dumped text
+    assert(SparkEntry.oracleSql("sample_pps_tokens").contains("< 50.0"),
+      "pps default did not restore")
+    assert(SparkEntry.oracleSql("mixture_temperature_plan")
+      .contains("1000000 * (s_micro"),
+      "temperature default did not restore")
+  }
 }
