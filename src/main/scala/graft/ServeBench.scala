@@ -54,6 +54,7 @@ object ServeBench {
     // batch-only generation write + chain serve — the refresh whose
     // write cost is strictly ∝ batch
     "bm25_append_refresh" -> "lexical (append refresh)",
+    "phrase_append_refresh" -> "lexical (append refresh)",
     "snippet_extract" -> "lexical (in-query build)",
     "mmr_diversify" -> "re-rank (post-retrieval)",
     "dedup_minhash_lsh" -> "dedup (in-query build)",

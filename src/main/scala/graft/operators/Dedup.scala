@@ -1397,11 +1397,20 @@ object Dedup {
     val root = graft.ops.BuildOnce.scratchPath(s"pairsdelta-$stageKey", d)
     graft.ops.BuildOnce.ensure(root, d) {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val cut = idCut(docs)
-      graft.ops.Materialize.pairGraphOf(s,
-        docs.filter(col("doc_id") < cut), s"$root/old", d)
-      graft.ops.Materialize.pairGraphDelta(s, d, s"$root/old",
-        s"$root/new")
+      // cold start (the midpoint leaves no old half — 0-2 docs): a
+      // production first night runs the FULL build, and the
+      // composition degrades the same way instead of refusing a
+      // tiny-but-valid corpus the in-query twin handles fine
+      val old =
+        if (docs.isEmpty) docs
+        else docs.filter(col("doc_id") < idCut(docs))
+      if (old.isEmpty)
+        graft.ops.Materialize.pairGraphOf(s, docs, s"$root/new", d)
+      else {
+        graft.ops.Materialize.pairGraphOf(s, old, s"$root/old", d)
+        graft.ops.Materialize.pairGraphDelta(s, d, s"$root/old",
+          s"$root/new")
+      }
     }
     s.read.parquet(s"$root/new")
       .select("a_id", "b_id", "inter", "na", "nb")
@@ -1572,10 +1581,16 @@ object Dedup {
           // far below relabeling (no shingling, no pair join, no
           // loop); a deployment on an immutable store may downgrade
           // to the id-level guard with graft.cc.trustOldContent=true
-          // (count + anti-join: catches backfill, not substitution).
+          // (count + anti-join: catches backfill, not substitution) —
+          // or with the generalized graft.artifact.trustOldContent
+          // that governs the delta/append writers, so one knob covers
+          // every artifact family (round-12 review: the cc path was
+          // the one holdout needing its own setting)
           val below = docs.filter(col("doc_id") < aCut)
           if (s.conf.getOption("graft.cc.trustOldContent")
-              .contains("true")) {
+              .contains("true")
+              || s.conf.getOption("graft.artifact.trustOldContent")
+                .contains("true")) {
             val nBelow = below.count()
             require(nBelow == stats.getLong(1),
               s"artifact at $p labels ${stats.getLong(1)} docs but the " +

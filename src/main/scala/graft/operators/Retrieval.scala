@@ -529,16 +529,32 @@ object Retrieval {
     * queries: old-half index + [[graft.ops.Materialize
     * .lexicalIndexDelta]] refresh to the full corpus. Returns the
     * REFRESHED artifact's path. */
-  private def lexDeltaPath(s: SparkSession, d: String): String = {
-    val root = graft.ops.BuildOnce.scratchPath("lexdelta", d)
+  private def lexDeltaPath(s: SparkSession, d: String): String =
+    lexScratch(s, d, "lexdelta",
+      graft.ops.Materialize.lexicalIndexDelta)
+
+  /** The shared old-half-then-refresh scratch ritual of
+    * [[lexDeltaPath]] and [[lexAppendPath]] — ONE definition of the
+    * boundary rule and the cold-start fallback (the midpoint leaves
+    * no old half on a 0-2 doc corpus: a production first night runs
+    * the FULL build, and the composition degrades the same way
+    * instead of refusing a corpus the in-query twin handles). */
+  private def lexScratch(s: SparkSession, d: String, kind: String,
+      refresh: (SparkSession, String, String, String) => Unit)
+      : String = {
+    val root = graft.ops.BuildOnce.scratchPath(kind, d)
     graft.ops.BuildOnce.ensure(root, d) {
       val docs = graft.sources.Tables.documents(s, d)
         .select("doc_id", "text")
-      val cut = Dedup.idCut(docs)
-      graft.ops.Materialize.lexicalIndexOf(s,
-        docs.filter(col("doc_id") < cut), s"$root/old", d)
-      graft.ops.Materialize.lexicalIndexDelta(s, d, s"$root/old",
-        s"$root/new")
+      val old =
+        if (docs.isEmpty) docs
+        else docs.filter(col("doc_id") < Dedup.idCut(docs))
+      if (old.isEmpty)
+        graft.ops.Materialize.lexicalIndexOf(s, docs, s"$root/new", d)
+      else {
+        graft.ops.Materialize.lexicalIndexOf(s, old, s"$root/old", d)
+        refresh(s, d, s"$root/old", s"$root/new")
+      }
     }
     s"$root/new"
   }
@@ -606,20 +622,11 @@ object Retrieval {
 
   /** Build-once scratch composition behind the append-refresh queries:
     * old-half index + [[graft.ops.Materialize.lexicalIndexAppend]]
-    * generation for the rest. Returns the chain HEAD. */
-  private def lexAppendPath(s: SparkSession, d: String): String = {
-    val root = graft.ops.BuildOnce.scratchPath("lexappend", d)
-    graft.ops.BuildOnce.ensure(root, d) {
-      val docs = graft.sources.Tables.documents(s, d)
-        .select("doc_id", "text")
-      val cut = Dedup.idCut(docs)
-      graft.ops.Materialize.lexicalIndexOf(s,
-        docs.filter(col("doc_id") < cut), s"$root/old", d)
-      graft.ops.Materialize.lexicalIndexAppend(s, d, s"$root/old",
-        s"$root/new")
-    }
-    s"$root/new"
-  }
+    * generation for the rest ([[lexScratch]]). Returns the chain
+    * HEAD. */
+  private def lexAppendPath(s: SparkSession, d: String): String =
+    lexScratch(s, d, "lexappend",
+      graft.ops.Materialize.lexicalIndexAppend)
 
   /** DuckDB mirror of the standing-phrase search — ONE definition for
     * `phrase_search`, `phrase_from_index`, and `phrase_delta_refresh`

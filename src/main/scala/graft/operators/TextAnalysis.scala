@@ -151,9 +151,14 @@ object TextAnalysis {
     * all-pairs anything; the first-seen aggregate is the same
     * map-side-combinable min every vocabulary pass uses. */
   def noveltyRatio(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: consumed TWICE (the first-seen aggregate and
+    // the join probe) — without it the tokenize+shingle explode, the
+    // dominant corpus-proportional scan, runs once per consumer (the
+    // jaccardPrefixStage dual-consumption rule)
     val sh = withToks(s, d)
       .select(col("doc_id"),
         explode(array_distinct(Fns.shingles3(col("toks")))).as("sh"))
+      .localCheckpoint()
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_id"))
     sh.join(first, "sh")
       .groupBy("doc_id")

@@ -785,16 +785,32 @@ object Training {
     * window SQL, so the driver hash-gates the old build → max_day cut
     * → totals-seeded delta → snapshot merge → training join end to
     * end (TrainingSpec pins the store part-for-part besides). */
-  def featurePitDeltaRefresh(s: SparkSession, d: String): DataFrame = {
-    val root = graft.ops.BuildOnce.scratchPath("featdelta", d)
+  def featurePitDeltaRefresh(s: SparkSession, d: String): DataFrame =
+    featScratch(s, d, "featdelta",
+      graft.ops.Materialize.featureStoreDelta)
+
+  /** The shared midpoint-day-then-refresh scratch ritual of the two
+    * registered feature compositions — ONE definition of the boundary
+    * rule and the cold-start fallback (an EMPTY events table has no
+    * day range: a production first night runs the full build, and the
+    * composition degrades the same way instead of NPE-ing; a
+    * non-empty table always has a non-empty old half, since the
+    * midpoint day ≥ the min day). */
+  private def featScratch(s: SparkSession, d: String, kind: String,
+      refresh: (SparkSession, String, String, String) => Unit)
+      : DataFrame = {
+    val root = graft.ops.BuildOnce.scratchPath(kind, d)
     graft.ops.BuildOnce.ensure(root, d) {
       val ev = pitEvents(s, d)
       val b = ev.agg(min("day"), max("day")).head()
-      val cutDay = (b.getLong(0) + b.getLong(1)) / 2
-      graft.ops.Materialize.featureStoreOf(s,
-        ev.filter(col("day") <= cutDay), s"$root/old", d)
-      graft.ops.Materialize.featureStoreDelta(s, d, s"$root/old",
-        s"$root/new")
+      if (b.isNullAt(0))
+        graft.ops.Materialize.featureStoreOf(s, ev, s"$root/new", d)
+      else {
+        val cutDay = (b.getLong(0) + b.getLong(1)) / 2
+        graft.ops.Materialize.featureStoreOf(s,
+          ev.filter(col("day") <= cutDay), s"$root/old", d)
+        refresh(s, d, s"$root/old", s"$root/new")
+      }
     }
     pitJoinExamples(s, d, pitSnapshots(s, s"$root/new"))
   }
@@ -806,19 +822,9 @@ object Training {
     * refresh writes no old snapshot; the join unions the chain.
     * Oracle = the full PIT window SQL — the driver hash-gates the
     * chain-union read and the totals-seeded priors end to end. */
-  def featurePitAppendRefresh(s: SparkSession, d: String): DataFrame = {
-    val root = graft.ops.BuildOnce.scratchPath("featappend", d)
-    graft.ops.BuildOnce.ensure(root, d) {
-      val ev = pitEvents(s, d)
-      val b = ev.agg(min("day"), max("day")).head()
-      val cutDay = (b.getLong(0) + b.getLong(1)) / 2
-      graft.ops.Materialize.featureStoreOf(s,
-        ev.filter(col("day") <= cutDay), s"$root/old", d)
-      graft.ops.Materialize.featureStoreAppend(s, d, s"$root/old",
-        s"$root/new")
-    }
-    pitJoinExamples(s, d, pitSnapshots(s, s"$root/new"))
-  }
+  def featurePitAppendRefresh(s: SparkSession, d: String): DataFrame =
+    featScratch(s, d, "featappend",
+      graft.ops.Materialize.featureStoreAppend)
 
   /** Shared by the in-query and from-index PIT twins (and wrapped by
     * the `stream_feature_snapshot` oracle): the result is defined to

@@ -39,25 +39,23 @@ object ArtifactTag {
     * `tag`. Throws on a missing sidecar (an artifact not written
     * through the tagged writer is not admissible) or a mismatch. */
   def require(s: SparkSession, path: String, tag: String): Unit = {
-    val got = read(s, path, Name)
-    Predef.require(got.isDefined,
-      s"artifact at $path carries no $Name tag — rebuild it with the " +
-        "Materialize writer (the tag is what prevents serving one " +
-        "corpus with another corpus's artifact)")
-    Predef.require(got.get == tag,
-      s"artifact at $path was built for corpus ${got.get}, " +
+    val got = readTag(s, path)
+    Predef.require(got == tag,
+      s"artifact at $path was built for corpus $got, " +
         s"requested for $tag")
   }
 
   /** The recorded corpus tag itself — for chain walkers that must
     * verify every generation against the HEAD's binding
-    * ([[Materialize.genChain]]). Throws on a missing sidecar, as
-    * [[require]] does. */
+    * ([[Materialize.genChain]]). Owns the missing-sidecar refusal
+    * [[require]] delegates to (one definition — the two messages had
+    * already drifted). */
   def readTag(s: SparkSession, path: String): String = {
     val got = read(s, path, Name)
     Predef.require(got.isDefined,
       s"artifact at $path carries no $Name tag — rebuild it with the " +
-        "Materialize writer")
+        "Materialize writer (the tag is what prevents serving one " +
+        "corpus with another corpus's artifact)")
     got.get
   }
 

@@ -443,6 +443,14 @@ class ApproxSpec extends SparkSpec {
     val phQ = Retrieval.phraseSearch(spark, sf0001).collect()
     assert(phD.map(_.toString).toSeq === phQ.map(_.toString).toSeq,
       "phrase_delta_refresh diverged from the in-query phrase_search")
+    // the append compositions share the scratch/serve-routing surface
+    // (lexScratch + chain serve) and get the same pin
+    val bmA = Retrieval.bm25AppendRefresh(spark, sf0001).collect()
+    assert(bmA.map(_.toString).toSeq === bmQ.map(_.toString).toSeq,
+      "bm25_append_refresh diverged from the in-query bm25_topk")
+    val phA = Retrieval.phraseAppendRefresh(spark, sf0001).collect()
+    assert(phA.map(_.toString).toSeq === phQ.map(_.toString).toSeq,
+      "phrase_append_refresh diverged from the in-query phrase_search")
   }
 
   test("approx top-k heavy hitters match the exact top users") {

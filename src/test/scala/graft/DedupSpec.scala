@@ -1231,6 +1231,28 @@ class DedupSpec extends SparkSpec {
       "degenerate fixture: no shingle reuse across docs")
   }
 
+  test("delta/append compositions cold-start on a tiny corpus " +
+      "(full-build fallback instead of a boundary refusal)") {
+    // 2 docs: the midpoint cut is 0, so the old half is EMPTY — the
+    // compositions must degrade to the full build (a production first
+    // night), not refuse with "no max_doc_id provenance"
+    val dir = docsDir(Seq("alpha beta gamma delta epsilon",
+      "alpha beta gamma delta zeta"))
+    val viaDelta = Dedup.pairsDeltaRefresh(spark, dir)
+      .collect().map(_.toString).toSeq
+    val full = Dedup.pairsFromIndex(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(viaDelta === full,
+      "cold-start fallback diverged from the full pair build")
+    assert(viaDelta.nonEmpty, "degenerate fixture: no planted pair")
+    // the lexical compositions share the fallback rule via lexScratch
+    assert(graft.operators.Retrieval.bm25AppendRefresh(spark, dir)
+      .collect().map(_.toString).toSeq ===
+      graft.operators.Retrieval.bm25TopK(spark, dir)
+        .collect().map(_.toString).toSeq,
+      "lexical cold-start fallback diverged from the in-query twin")
+  }
+
   test("registered dedup_pairs_delta_refresh equals dedup_pairs_from_index " +
       "row-for-row") {
     // pins the REGISTERED composition (midpoint old build →
