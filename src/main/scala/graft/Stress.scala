@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line with per-query seconds/rows/shuffle bytes.
   */
 object Stress {
+  /** Doc-id namespace stride between the K scaled copies — ONE named
+    * constant shared by the corpus builder, the echo offset, and the
+    * delta-refresh cut so the three can never drift: a stride change
+    * in one place would otherwise silently cut the old/new boundary
+    * mid-copy and measure a different batch than documented. */
+  val CopyStride = 10000000L
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(4)
     val sfDir =
@@ -103,7 +110,7 @@ object Stress {
       val tag = "q" + ('a' + i).toChar // letters only: a digit would
       // split the token under the [^a-z]+ tokenizer
       base.select(
-        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * CopyStride)).as("doc_id"),
         regexp_replace(col("text"), "([a-z]+)", tag + "$1").as("text"),
         lit(s"src$i").as("source"))
         .withColumn("lang", lit("xx"))
@@ -309,7 +316,7 @@ object Stress {
     // the echoed components — a measured, nonzero working set to hold
     // against the TOTAL old-component population (untouched components
     // must dominate at every K).
-    val echoOff = 3L * k * 10000000L
+    val echoOff = 3L * k * CopyStride
     graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
       .unionAll(graft.sources.Tables.documents(spark, dir)
@@ -419,7 +426,7 @@ object Stress {
     // the flatness claim).
     val docsAll = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")
-    val deltaCut = if (k > 1) (k - 1).toLong * 10000000L
+    val deltaCut = if (k > 1) (k - 1).toLong * CopyStride
       else graft.operators.Dedup.idCut(docsAll)
     val oldSlice = docsAll.filter(col("doc_id") < deltaCut)
     graft.ops.Materialize.pairGraphOf(spark, oldSlice,
@@ -492,6 +499,25 @@ object Stress {
           s"$dir-featdelta-old", s"$dir-featappend-new")
         spark.read.parquet(s"$dir-featappend-new/snapshots").count()
       }
+    // signature append (round 13): bands/sigs are pure per-doc facts,
+    // so the generation holds ONLY the batch — with the batch pinned
+    // to one copy, wall AND shuffle must stay ~flat across K (the
+    // batch-flat receipt the round-12 verdict asked for). The old
+    // index build is untimed setup; the additive-provenance sanity
+    // check below is the cheap value guard (DedupSpec pins full
+    // row-identity at fixture SF).
+    graft.ops.Materialize.minhashIndexOf(spark, oldSlice,
+      s"$dir-mhappend-old", dir)
+    hygiene()
+    val (mhAppendSec, _, mhAppendSb) = measure("minhash_index_append") {
+      graft.ops.Materialize.minhashIndexAppend(spark, dir,
+        s"$dir-mhappend-old", s"$dir-mhappend-new")
+      spark.read.parquet(s"$dir-mhappend-new/sigs").count()
+    }
+    require(graft.ops.ArtifactTag
+        .readProps(spark, s"$dir-mhappend-new")("n_docs").toLong ==
+      docsAll.count(),
+      "minhash append-chain provenance lost docs vs the corpus")
     // value-level cross-check: the delta artifacts must equal the full
     // builds they claim row-identity with (the graphChecksum rule —
     // a speedup for different answers must fail loudly here, not in
@@ -639,6 +665,8 @@ object Stress {
       s""""feature_delta_shuffle":$featDeltaSb,""" +
       s""""feature_append_sec":$featAppendSec,""" +
       s""""feature_append_shuffle":$featAppendSb,""" +
+      s""""minhash_append_sec":$mhAppendSec,""" +
+      s""""minhash_append_shuffle":$mhAppendSb,""" +
       s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +

@@ -17,6 +17,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the correctness dump runs the sketch family in md5 (oracle)
+      // hash mode: the MinHash/SimHash pipelines then replay
+      // end-to-end in DuckDB, so the gate hash-checks them instead of
+      // rows-only. xxhash64 stays the scale default everywhere else
+      // (Bench, Stress, serving); DedupSpec pins the two modes'
+      // verified pair sets equal on the fixture. See Fns.Md5ModeConf.
+      .config(graft.ops.Fns.Md5ModeConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,9 +38,11 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_from_index" -> minhashFromIndex,
     "dedup_minhash_incremental" -> minhashIncremental,
+    "dedup_minhash_append_refresh" -> minhashAppendRefresh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_from_index" -> simhashFromIndex,
     "dedup_simhash_incremental" -> simhashIncremental,
+    "dedup_simhash_append_refresh" -> simhashAppendRefresh,
     "dedup_embedding_bruteforce" -> embeddingCosine,
     "dedup_embedding_lsh" -> embeddingLsh,
     "dedup_clusters" -> clusters,
@@ -287,9 +289,14 @@ object Dedup {
     * max(min(rank, nbr_h)) per node. The sequence is monotone
     * non-increasing, so convergence is guaranteed; non-convergence
     * within `graft.kcore.maxIters` (default 30) throws loudly ([[
-    * clusters]]' guard precedent). Rows-only 🔶 (iterative fixpoint —
-    * no SQL oracle); DedupSpec pins the result against brute-force
-    * min-degree peeling and double-runs for determinism. */
+    * clusters]]' guard precedent). Oracle-checked ✅ since round 13:
+    * the DuckDB oracle unrolls [[KcoreOracleRounds]] h-index rounds as
+    * static CTEs over the same replayed pair graph — exact whenever
+    * the graph converges within the unroll (monotone non-increasing
+    * sequence), which DedupSpec pins at the gate SF; the Spark side
+    * still iterates to the true fixpoint at any scale. DedupSpec also
+    * pins the result against brute-force min-degree peeling and
+    * double-runs for determinism. */
   def kcore(s: SparkSession, d: String): DataFrame =
     kcoreOf(verifiedPairs(s, d).select("a_id", "b_id"),
       s.conf.getOption("graft.kcore.maxIters").fold(30)(_.toInt))
@@ -1149,11 +1156,14 @@ object Dedup {
     * sig(A ∪ B). */
   def sourceMinhash(s: SparkSession, d: String): DataFrame = {
     graft.plans.SignatureFunctions.register(s)
-    import graft.plans.SignatureFunctions.{MinHashName, MinHashUnionName}
+    import graft.plans.SignatureFunctions.{MinHashName, MinHashUniName, MinHashUnionName}
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // mode-routed signature family ([[minhashBands]]'s rule); the
+    // element-wise-min union is family-agnostic either way
+    val fn = if (Fns.md5Mode) MinHashUniName else MinHashName
     val sigs = shingleArrays(s, d).join(docs, "doc_id")
       .select(col("source"),
-        call_function(MinHashName, col("hs")).as("sig"))
+        call_function(fn, col("hs")).as("sig"))
     val unions = sigs.groupBy("source")
       .agg(call_function(MinHashUnionName, col("sig")).as("usig"),
         count(lit(1)).as("n_docs"))
@@ -1733,7 +1743,14 @@ object Dedup {
     * a map-side expression now. */
   private def shingleHashes(text: Column): Column =
     array_distinct(transform(Fns.shingles3(Fns.tokens(text)),
-      h => xxhash64(h)))
+      h => if (Fns.md5Mode) Fns.md5Hash52(h) else xxhash64(h)))
+
+  /** Scratch-path suffix separating the two hash modes' signature
+    * indexes inside ONE JVM ([[Fns.Md5ModeConf]]): BuildOnce caches
+    * per path, so without the suffix a mode flip mid-session (the
+    * DedupSpec equivalence pins do exactly that) would serve an
+    * xxhash64-built index to an md5-mode probe. */
+  private[graft] def hashModeTag: String = if (Fns.md5Mode) "-m5" else ""
 
   /** (doc_id, h) rows: distinct xxhash64'd 3-gram shingles — the flat
     * (inverted-index) view of [[shingleHashes]]; `explode` drops
@@ -2231,13 +2248,23 @@ object Dedup {
     * for a (doc_id, hs) frame — shared by the in-query candidate stage
     * and the materialized [[graft.ops.Materialize.minhashIndex]]. */
   private def minhashBands(docs: DataFrame): DataFrame = {
+    // mode routing ([[Fns.Md5ModeConf]]): md5 mode signs with the
+    // UniHash universal family and combines a band's two 31-bit rows
+    // as hi·2³¹ + lo (< 2⁶², plain BIGINT on both engines — DuckDB
+    // replays it); scale mode keeps splitmix sigs + an xxhash64
+    // combine. Both are injective per band, so the bucket joins
+    // downstream are mode-agnostic.
+    val md5 = Fns.md5Mode
+    val fn = if (md5) graft.plans.SignatureFunctions.MinHashUniName
+      else graft.plans.SignatureFunctions.MinHashName
+    def combine(lo: Column, hi: Column): Column =
+      if (md5) hi * lit(2147483648L) + lo else xxhash64(hi, lo)
     val sigs = docs.select(col("doc_id"),
-      call_function(graft.plans.SignatureFunctions.MinHashName, col("hs"))
-        .as("sig"))
+      call_function(fn, col("hs")).as("sig"))
     val bandStructs = array((0 until 64).map(k =>
       struct(lit(k).as("band"),
-        xxhash64(element_at(col("sig"), 2 * k + 1),
-          element_at(col("sig"), 2 * k + 2)).as("band_sig"))): _*)
+        combine(element_at(col("sig"), 2 * k + 2),
+          element_at(col("sig"), 2 * k + 1)).as("band_sig"))): _*)
     sigs.select(col("doc_id"), explode(bandStructs).as("kb"))
       .select(col("doc_id"), col("kb.band").as("band"),
         col("kb.band_sig").as("band_sig"))
@@ -2276,7 +2303,7 @@ object Dedup {
     val (cut, path) = oldIndexMode(s, docs, d,
         "graft.minhash.oldIndexPath").getOrElse {
       val mCut = idCut(docs)
-      val p = graft.ops.BuildOnce.scratchPath("minhash-old", d)
+      val p = graft.ops.BuildOnce.scratchPath("minhash-old" + hashModeTag, d)
       graft.ops.BuildOnce.ensure(p, d) {
         graft.ops.Materialize.minhashIndexOf(s,
           docs.filter(col("doc_id") < mCut).select("doc_id", "text"),
@@ -2289,8 +2316,13 @@ object Dedup {
         docs.filter(col("doc_id") >= cut).select("doc_id", "text"))
       .localCheckpoint()
     val newBands = minhashBands(newArr).localCheckpoint()
-    val oldBands = s.read.parquet(s"$path/bands")
-    val oldSigs = s.read.parquet(s"$path/sigs")
+    // the old side resolves the GENERATION CHAIN (1 element for a
+    // merged index; per-generation sorted scans for an append chain,
+    // each still row-group-pruned by the probed buckets)
+    val oldBands = graft.ops.Materialize.chainRead(s, path, d,
+      "bands", Seq("doc_id", "band", "band_sig"))
+    val oldSigs = graft.ops.Materialize.chainRead(s, path, d,
+      "sigs", Seq("doc_id", "hs", "n"))
     // old ids < cut <= new ids, so old-side a_id < b_id by construction
     val newOld = newBands.as("n").join(oldBands.as("o"),
         col("n.band") === col("o.band")
@@ -2324,7 +2356,7 @@ object Dedup {
   }
 
   private def minhashIndexPath(s: SparkSession, d: String): String = {
-    val path = graft.ops.BuildOnce.scratchPath("minhash", d)
+    val path = graft.ops.BuildOnce.scratchPath("minhash" + hashModeTag, d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.minhashIndex(s, d, path)
     }
@@ -2345,10 +2377,21 @@ object Dedup {
     * new-batch scope (the [[incremental]] composition) point-reads
     * only the buckets the batch's 64 band keys hit — nprobe-style
     * pruning on the dedup index. */
-  def minhashFromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = minhashIndexPath(s, d)
-    val bands = s.read.parquet(s"$path/bands")
-    val sigs = s.read.parquet(s"$path/sigs")
+  def minhashFromIndex(s: SparkSession, d: String): DataFrame =
+    minhashServe(s, d, minhashIndexPath(s, d))
+
+  /** The index-served MinHash pair plan over a merged artifact OR a
+    * generation-chain head ([[graft.ops.Materialize.genChain]] —
+    * bands and sigs are per-doc facts, so a chain union is
+    * row-identical to the merged index): band-bucket candidates +
+    * persisted-array verification, zero signature recompute. Shared
+    * by [[minhashFromIndex]] and [[minhashAppendRefresh]]. */
+  private[graft] def minhashServe(s: SparkSession, d: String,
+      path: String): DataFrame = {
+    val bands = graft.ops.Materialize.chainRead(s, path, d, "bands",
+      Seq("doc_id", "band", "band_sig"))
+    val sigs = graft.ops.Materialize.chainRead(s, path, d, "sigs",
+      Seq("doc_id", "hs", "n"))
     minhashBandPairs(bands)
       .join(sigs.select(col("doc_id").as("a_id"), col("hs").as("hs_a"),
         col("n").as("na")), "a_id")
@@ -2360,6 +2403,53 @@ object Dedup {
       .select("a_id", "b_id", "inter", "na", "nb")
       .orderBy("a_id", "b_id")
   }
+
+  /** Build-once scratch composition behind the signature
+    * append-refresh queries — the [[graft.operators.Retrieval]]
+    * `lexScratch` shape on the signature side: old-half index (g0) +
+    * one append GENERATION for the rest (g1). Returns the chain
+    * head. `full` writes a slice index; `append` writes a
+    * generation. */
+  private def sigScratch(s: SparkSession, d: String, kind: String,
+      full: (SparkSession, DataFrame, String, String) => Unit,
+      append: (SparkSession, String, String, String) => Unit): String = {
+    val root = graft.ops.BuildOnce.scratchPath(kind + hashModeTag, d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val old =
+        if (docs.isEmpty) docs
+        else docs.filter(col("doc_id") < idCut(docs))
+      if (old.isEmpty) full(s, docs, s"$root/new", d)
+      else {
+        full(s, old, s"$root/g0", d)
+        append(s, d, s"$root/g0", s"$root/new")
+      }
+    }
+    s"$root/new"
+  }
+
+  /** `dedup_minhash_append_refresh` — the GENERATIONAL ingest cycle
+    * registered as a query (the `bm25_append_refresh` discipline on
+    * the dedup side): old-half band index → one
+    * [[graft.ops.Materialize.minhashIndexAppend]] generation for the
+    * new batch (write cost strictly ∝ batch: bands/sigs are per-doc
+    * facts, nothing cumulative exists to merge) → the FULL pair set
+    * served off the chain union. Output ≡ [[minhashLsh]]
+    * row-for-row, so the same oracle hash-gates the whole
+    * write-append-serve loop at the driver gate. */
+  def minhashAppendRefresh(s: SparkSession, d: String): DataFrame =
+    minhashServe(s, d, sigScratch(s, d, "minhash-chain",
+      graft.ops.Materialize.minhashIndexOf,
+      graft.ops.Materialize.minhashIndexAppend))
+
+  /** `dedup_simhash_append_refresh` — [[minhashAppendRefresh]] for
+    * the simhash banded index; output ≡ [[simhash]] row-for-row. */
+  def simhashAppendRefresh(s: SparkSession, d: String): DataFrame =
+    simhashPairs(graft.ops.Materialize.chainRead(s,
+      sigScratch(s, d, "simhash-chain",
+        graft.ops.Materialize.simhashIndexOf,
+        graft.ops.Materialize.simhashIndexAppend),
+      d, "bands", Seq("doc_id", "sig", "k", "bh")))
 
   /** 64-bit SimHash from token-frequency bit votes; hamming ≤ 3 pairs
     * via 4×16-bit band rotation (pigeonhole). Token hashes are collected
@@ -2387,7 +2477,13 @@ object Dedup {
     graft.plans.SignatureFunctions.register(s)
     val sigs = docs
       .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      // mode-routed token hash ([[Fns.Md5ModeConf]]): the md5-derived
+      // 64-bit value's bits are replayable digit-by-digit in DuckDB
+      // (the oracle never assembles the long — it votes straight off
+      // hex digits), xxhash64 is the scale default
+      .select(col("doc_id"),
+        (if (Fns.md5Mode) Fns.md5Hash64(col("w")) else xxhash64(col("w")))
+          .as("h"))
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"))
       .select(col("doc_id"),
@@ -2439,11 +2535,14 @@ object Dedup {
     * exact for ≤ 3 over 4 bands, but the signature itself is the
     * probabilistic sketch). */
   def simhashFromIndex(s: SparkSession, d: String): DataFrame = {
-    val path = graft.ops.BuildOnce.scratchPath("simhash", d)
+    val path = graft.ops.BuildOnce.scratchPath("simhash" + hashModeTag, d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.simhashIndex(s, d, path)
     }
-    simhashPairs(s.read.parquet(s"$path/bands"))
+    // chain-aware read (1-element chain for this merged artifact;
+    // a conf-routed generation head serves identically)
+    simhashPairs(graft.ops.Materialize.chainRead(s, path, d,
+      "bands", Seq("doc_id", "sig", "k", "bh")))
   }
 
   /** The nightly-ingest composition of the simhash index — the
@@ -2470,7 +2569,7 @@ object Dedup {
     val (cut, path) = oldIndexMode(s, docs, d,
         "graft.simhash.oldIndexPath").getOrElse {
       val mCut = idCut(docs)
-      val p = graft.ops.BuildOnce.scratchPath("simhash-old", d)
+      val p = graft.ops.BuildOnce.scratchPath("simhash-old" + hashModeTag, d)
       graft.ops.BuildOnce.ensure(p, d) {
         graft.ops.Materialize.simhashIndexOf(s,
           docs.filter(col("doc_id") < mCut).select("doc_id", "text"),
@@ -2481,7 +2580,9 @@ object Dedup {
     val newBands = simhashBandedOf(s,
         docs.filter(col("doc_id") >= cut).select("doc_id", "text"))
       .localCheckpoint()
-    val oldBands = s.read.parquet(s"$path/bands")
+    // chain-aware old side (the [[minhashIncremental]] rule)
+    val oldBands = graft.ops.Materialize.chainRead(s, path, d,
+      "bands", Seq("doc_id", "sig", "k", "bh"))
     simhashPairs(oldBands.unionAll(newBands), newBands)
   }
 
@@ -2638,6 +2739,18 @@ object Dedup {
        |WHERE inter * 3 >= sa.n + sb.n
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Unroll depth of the k-core oracle's h-index iteration. The
+    * h-index sequence H(0)=degree, H(t+1)=neighborhood h-index is
+    * monotone non-increasing and converges to the coreness (Lü et al.
+    * 2016), so an N-round STATIC unroll equals the fixpoint exactly
+    * whenever the graph converges within N rounds — DedupSpec pins
+    * convergence ≤ this depth at the oracle gate SF (sf0.01 measures
+    * 1 round; the testdata's near-dup graph is clique-shaped, and
+    * coreness diameter, not corpus size, drives the round count).
+    * The Spark operator itself iterates to the true fixpoint with a
+    * loud non-convergence guard at any scale. */
+  private[graft] val KcoreOracleRounds = 8
+
   /** The recursive-CTE closure of the full near-dup graph — the
     * shared oracle for [[clusters]] and [[clustersFromIndex]] (one
     * text, two keys: the twins are defined to be row-identical). */
@@ -2665,7 +2778,177 @@ object Dedup {
        |  (CASE WHEN doc = min(r) THEN 1 ELSE 0 END) AS is_survivor
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The md5-mode (gate-mode, [[Fns.Md5ModeConf]]) replay of the
+    * MinHash-LSH pipeline, shared by the three minhash oracle entries
+    * (in-query, from-index ≡ by construction, incremental = the same
+    * set restricted to new-touching pairs): distinct 3-gram shingles →
+    * 52-bit md5 gram hashes → 128 [[graft.plans.UniHash]] universal
+    * permutations (coefficient lists interpolated from the ONE Scala
+    * source of truth) → 64 two-row band keys (hi·2³¹ + lo) → distinct
+    * band-collision candidates → exact gram-set Jaccard verification.
+    * `extraPred` appends to the verification WHERE (the incremental
+    * cut). */
+  private def sqlMinhash(extraPred: String = ""): String =
+    s"""WITH shx AS (SELECT doc_id, $Sh AS s FROM documents),
+       |d AS (SELECT doc_id, s, len(s)::BIGINT AS n FROM shx
+       |  WHERE len(s) > 0),
+       |hx AS (SELECT doc_id, unnest(s) AS g FROM d),
+       |hh AS (SELECT doc_id, ${Fns.sqlMd5Hash52("g")}
+       |  % ${graft.plans.UniHash.P} AS hp FROM hx),
+       |sig AS (
+       |  SELECT doc_id, i,
+       |    min((${graft.plans.UniHash.sqlA}[i+1] * hp
+       |      + ${graft.plans.UniHash.sqlB}[i+1])
+       |      % ${graft.plans.UniHash.P}) AS m
+       |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |    sum(CASE WHEN i % 2 = 0 THEN m * 2147483648 ELSE m END)
+       |      ::BIGINT AS bs
+       |  FROM sig GROUP BY doc_id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+       |ix AS (
+       |  SELECT x.doc_id AS xa, y.doc_id AS xb, count(*)::BIGINT AS inter
+       |  FROM hx x JOIN hx y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ca AS a_id, cb AS b_id, ix.inter, da.n AS na, db.n AS nb
+       |FROM cand c
+       |JOIN ix ON ix.xa = c.ca AND ix.xb = c.cb
+       |JOIN d da ON da.doc_id = c.ca
+       |JOIN d db ON db.doc_id = c.cb
+       |WHERE ix.inter * 3 >= da.n + db.n$extraPred
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** The md5-mode SimHash replay, shared by its three oracle entries:
+    * per-token md5 digests vote each of the 64 signature bits
+    * DIRECTLY from hex digit 16 − b div 4, bit b mod 4 — the oracle
+    * never assembles the signed 64-bit long at all; the four 16-bit
+    * band keys rebuild from vote signs, candidates come from the
+    * band-bucket join, and hamming is the sum of per-band XOR
+    * popcounts (equal to the 64-bit XOR popcount by construction). */
+  private def sqlSimhash(extraPred: String = ""): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS w FROM documents),
+       |dg AS (SELECT doc_id, md5(w) AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN ((strpos('0123456789abcdef',
+       |        substr(h, 16 - b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM dg CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+       |  GROUP BY doc_id, b),
+       |bands AS (
+       |  SELECT doc_id, b // 16 AS k,
+       |    sum(CASE WHEN vote > 0 THEN 1 << (b % 16) ELSE 0 END)
+       |      ::BIGINT AS bh
+       |  FROM bits GROUP BY doc_id, b // 16),
+       |f4 AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN k = 0 THEN bh END) AS b0,
+       |    max(CASE WHEN k = 1 THEN bh END) AS b1,
+       |    max(CASE WHEN k = 2 THEN bh END) AS b2,
+       |    max(CASE WHEN k = 3 THEN bh END) AS b3
+       |  FROM bands GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |hm AS (
+       |  SELECT ca AS a_id, cb AS b_id,
+       |    (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))
+       |      ::INT AS hamming
+       |  FROM cand c JOIN f4 x ON x.doc_id = c.ca
+       |  JOIN f4 y ON y.doc_id = c.cb)
+       |SELECT a_id, b_id, hamming FROM hm
+       |WHERE hamming <= 3$extraPred
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** [[sqlMinhash]] exposed for the streaming suite's
+    * `stream_refresh_tick` oracle: the tick's chain serve is defined
+    * to equal the full pair set, so the same replay gates it. */
+  private[graft] def minhashOracleSql: String = sqlMinhash()
+
+  /** The test-harness midpoint cut ([[idCut]]) as a SQL scalar — the
+    * incremental twins' replay boundary. Integer `//` floor equals
+    * Scala's truncating `/` here (both operands non-negative). */
+  private val SqlIdCut =
+    "(SELECT (min(doc_id) + max(doc_id)) // 2 FROM documents)"
+
+  /** Dump-time ambiguity guard for the incremental sketch oracles —
+    * the [[graft.operators.TextAnalysis]] `oracleKnob` discipline
+    * applied to a PATH conf: when a live session routes
+    * `dedup_minhash_incremental` / `dedup_simhash_incremental` at a
+    * persisted previous-cycle index, the artifact (not the midpoint)
+    * defines the cut, and the midpoint-replay SQL below would be a
+    * false oracle. Refuse the dump instead of emitting it. */
+  private def requireSelfContainedIncremental(): Unit = {
+    val sessions = (SparkSession.getActiveSession.toSeq ++
+      SparkSession.getDefaultSession).distinct
+    Seq("graft.minhash.oldIndexPath", "graft.simhash.oldIndexPath")
+      .foreach { k =>
+        val set = sessions.flatMap(_.conf.getOption(k))
+        require(set.isEmpty,
+          s"$k is set ($set) in a live session at oracle-dump time — " +
+            "the incremental sketch oracles replay the self-contained " +
+            "midpoint cut, not an artifact boundary; unset the conf " +
+            "to dump, or skip these keys")
+      }
+  }
+
+  def oracles: Map[String, String] = {
+    requireSelfContainedIncremental()
+    Map(
+    // ——— md5-gate-mode sketch-family oracles ([[Fns.Md5ModeConf]]:
+    // graft.Verify dumps and runs with the conf ON, so these replays
+    // see the exact hashes the Spark plans computed; DedupSpec pins
+    // the xxhash64 scale mode's pair sets against the same fixture)
+    "dedup_minhash_lsh" -> sqlMinhash(),
+    // the from-index twin is row-identical to the in-query plan BY
+    // CONSTRUCTION (one band/sig definition, DedupSpec-pinned), so
+    // the same replay gates both
+    "dedup_minhash_from_index" -> sqlMinhash(),
+    "dedup_minhash_incremental" ->
+      sqlMinhash(s" AND cb >= $SqlIdCut"),
+    // the append-refresh cycle's contract IS row-identity to the full
+    // in-query pair set, so the same replay hash-gates the whole
+    // write → append-generation → chain-serve loop
+    "dedup_minhash_append_refresh" -> sqlMinhash(),
+    "dedup_simhash" -> sqlSimhash(),
+    "dedup_simhash_from_index" -> sqlSimhash(),
+    "dedup_simhash_incremental" ->
+      sqlSimhash(s" AND b_id >= $SqlIdCut"),
+    "dedup_simhash_append_refresh" -> sqlSimhash(),
+    "dedup_source_minhash" ->
+      s"""WITH shx AS (SELECT doc_id, $Sh AS s FROM documents),
+         |d AS (SELECT x.doc_id, o.source, x.s FROM shx x
+         |  JOIN documents o USING (doc_id) WHERE len(x.s) > 0),
+         |nd AS (SELECT source, count(*)::BIGINT AS n_docs
+         |  FROM d GROUP BY source),
+         |hx AS (SELECT source, unnest(s) AS g FROM d),
+         |hh AS (SELECT source, ${Fns.sqlMd5Hash52("g")}
+         |  % ${graft.plans.UniHash.P} AS hp FROM hx),
+         |sig AS (
+         |  SELECT source, i,
+         |    min((${graft.plans.UniHash.sqlA}[i+1] * hp
+         |      + ${graft.plans.UniHash.sqlB}[i+1])
+         |      % ${graft.plans.UniHash.P}) AS m
+         |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)
+         |  GROUP BY source, i),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)::BIGINT
+         |      AS matches
+         |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, na.n_docs AS docs_a, nb.n_docs AS docs_b,
+         |  round(matches::DOUBLE / 128.0, 4) AS est_jaccard
+         |FROM pr JOIN nd na ON na.source = pr.src_a
+         |JOIN nd nb ON nb.source = pr.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "dedup_semantic" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
@@ -3278,6 +3561,41 @@ object Dedup {
          |SELECT p3.doc_id, d.deg::BIGINT AS degree, p3.pr AS pr_e12
          |FROM p3 JOIN deg d ON p3.doc_id = d.src
          |ORDER BY pr_e12 DESC, doc_id""".stripMargin,
+    // the h-index iteration unrolled to [[KcoreOracleRounds]] static
+    // CTEs over the same replayed pair graph — exact at the gate SF
+    // (see the constant's soundness note + DedupSpec's depth pin)
+    "neardup_kcore" -> {
+      val iters = (1 to KcoreOracleRounds).map { i =>
+        s"""h$i AS (
+           |  SELECT dst AS doc_id, max(least(r, nh))::BIGINT AS h FROM (
+           |    SELECT e.dst, p.h AS nh,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY p.h DESC, e.src) AS r
+           |    FROM edges e JOIN h${i - 1} p ON e.src = p.doc_id)
+           |  GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter * 3 >= sa.n + sb.n),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |h0 AS (
+         |  SELECT src AS doc_id, count(*)::BIGINT AS h
+         |  FROM edges GROUP BY src),
+         |$iters
+         |SELECT doc_id, h AS coreness FROM h$KcoreOracleRounds
+         |ORDER BY doc_id""".stripMargin
+    },
     "neardup_triangles" ->
       s"""WITH sh AS (SELECT doc_id, $Sh AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -3435,4 +3753,5 @@ object Dedup {
          |  - (old_n::HUGEINT * 1000000 // tot_old)) DESC, token
          |LIMIT 20""".stripMargin
   )
+  }
 }

@@ -27,8 +27,71 @@ object StreamingBatch {
     "stream_stateful_sessions" -> statefulSessions,
     "stream_sliding_distinct" -> slidingDistinct,
     "stream_feature_snapshot" -> featureSnapshot,
-    "stream_upsert_latest" -> upsertLatest
+    "stream_upsert_latest" -> upsertLatest,
+    "stream_refresh_tick" -> streamRefreshTick
   )
+
+  /** `stream_refresh_tick` — the CONTINUOUS-INGEST loop registered as
+    * a batch-checkable query (round-12 verdict task #4, the missing
+    * composition: stream in → artifacts refreshed → serving queries
+    * read them). Build-once scratch replay: the corpus's old half
+    * lands as a scratch table of record;
+    * [[graft.streaming.Pipelines.initDocRefresh]] builds the g0
+    * lexical/minhash/simhash generations; the NEW half then streams
+    * through a REAL `MemoryStream → writeStream.foreachBatch(
+    * docRefreshTick)` in two micro-batches (so a generation chain
+    * actually forms — g0 + one append generation per non-empty tick,
+    * each landing the batch in the table of record and appending
+    * per-doc index rows, work ∝ batch); after the stream drains, the
+    * query serves the MinHash pair set off the refreshed chain head.
+    * Output ≡ `dedup_minhash_lsh` over the original corpus, so the
+    * md5-mode replay hash-gates ingest → append generations →
+    * chain-serve END TO END at the driver gate. The tick's serving-
+    * conf pointer flips are scoped to the scratch corpus and restored
+    * after the stream (another registered query's artifact routing
+    * must not inherit them). */
+  def streamRefreshTick(s: SparkSession, d: String): DataFrame = {
+    val root = graft.ops.BuildOnce.scratchPath(
+      "tickrefresh" + Dedup.hashModeTag, d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val flipped = Seq("graft.lex.indexPath",
+        "graft.minhash.oldIndexPath", "graft.simhash.oldIndexPath")
+      val saved = flipped.map(k => k -> s.conf.getOption(k))
+      try {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = Dedup.idCut(docs)
+        docs.filter(col("doc_id") < cut)
+          .write.parquet(s"$root/corpus/documents.parquet")
+        val st = graft.streaming.Pipelines.initDocRefresh(
+          s, s"$root/corpus", s"$root/chain")
+        val newDocs = docs.filter(col("doc_id") >= cut)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        import s.implicits._
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = ms.toDS()
+          .select(col("_1").as("doc_id"), col("_2").as("text"))
+          .writeStream
+          .foreachBatch(graft.streaming.Pipelines.docRefreshTick(st) _)
+          .start()
+        try {
+          val (h1, h2) = newDocs.splitAt(newDocs.length / 2)
+          ms.addData(h1); q.processAllAvailable()
+          ms.addData(h2); q.processAllAvailable()
+        } finally q.stop()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/HEAD"), st.head("minhash"))
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    Dedup.minhashServe(s, s"$root/corpus",
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/HEAD")).trim)
+  }
 
   /** CDC latest-wins materialized view — the upsert-sink semantics every
     * streaming warehouse ingest needs (Kafka compacted topic → serving
@@ -351,7 +414,11 @@ object StreamingBatch {
   private val E =
     "e AS (SELECT event_id, epoch_us(ts) AS tu, user_id, event_type, value FROM events)"
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
+    // the tick's chain serve is DEFINED to equal the full in-query
+    // minhash pair set over the original corpus, so the md5-mode
+    // minhash replay gates the whole ingest→append→serve loop
+    "stream_refresh_tick" -> Dedup.minhashOracleSql,
     "stream_upsert_latest" ->
       s"""WITH $E,
          |r AS (

@@ -153,6 +153,76 @@ object Fns {
         s"::BIGINT * ${1L << (4 * (6 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** Conf key selecting the ORACLE-REPLAYABLE hash mode for the sketch
+    * family (MinHash/SimHash signatures, their band keys, and the
+    * shingle-set hashes they verify over). Default OFF = `xxhash64`
+    * leaf hashes + the splitmix64 permutation core — the scale
+    * default: one engine-native 64-bit hash per gram/token, nothing
+    * to parse. ON = md5-derived integer hashes ([[md5Hash52]] /
+    * [[md5Hash64]]) + a universal-family permutation core
+    * ([[graft.plans.UniHash]]) that DuckDB replays digit-for-digit,
+    * making the WHOLE LSH pipeline — signatures → band keys →
+    * candidate join → exact verification — hash-gateable end to end.
+    * [[graft.Verify]] turns this on for the correctness dump (the
+    * driver gate thus checks the md5 pipeline against full SQL
+    * oracles); every other entry point (Bench, Stress, serving)
+    * keeps the scale default, and DedupSpec pins the two modes'
+    * verified pair sets equal on the fixture corpus. Resolved at
+    * plan-construction time from the active session, like
+    * [[UnicodeConf]]. */
+  val Md5ModeConf = "graft.hash.md5Mode"
+
+  /** Whether the active session runs the sketch family in md5 (oracle)
+    * hash mode — see [[Md5ModeConf]]. */
+  def md5Mode: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(Md5ModeConf)).exists(_.toBoolean)
+
+  /** 52-bit content hash (first THIRTEEN md5 hex digits) — the
+    * engine-agnostic gram identity for md5-mode shingle sets
+    * ([[Md5ModeConf]]): wide enough that corpus-SF gram collisions are
+    * negligible (75k distinct grams → P ≈ 6·10⁻⁷ at sf0.01 — and a
+    * collision would fail the oracle gate loudly, never silently),
+    * narrow enough that universal-family permutation arithmetic
+    * ((a·(h mod p) + b) mod p, p = 2³¹−1) stays in plain BIGINT on
+    * both engines. */
+  def md5Hash52(c: Column): Column = md5Digits(c, 1, 13)
+
+  /** [[md5Hash52]] from hex digits `off … off+n−1` of the digest —
+    * the shared digit-parse core of the 24/52-bit hashes. */
+  private def md5Digits(c: Column, off: Int, n: Int): Column =
+    bound(substring(md5(c), off, n)) { hex =>
+      // hex binds once ([[md5Hash24]]'s rule): these helpers run
+      // inside per-gram lambdas where unbound digits re-hash per digit
+      (1 to n).map { i =>
+        (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
+          .cast("long") * (1L << (4 * (n - i)))
+      }.reduce(_ + _)
+    }
+
+  /** DuckDB SQL fragment mirroring [[md5Hash52]]. */
+  def sqlMd5Hash52(expr: String): String =
+    (1 to 13).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1)" +
+        s"::BIGINT * ${1L << (4 * (13 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** Full 64-bit md5-derived token hash (first 16 hex digits, digit 1
+    * most significant) for md5-mode SimHash bit votes — assembled with
+    * SHIFT/OR (bit ops, no ANSI-overflow trap: digit 1 lands on bits
+    * 60–63 including the sign bit). The oracle never assembles the
+    * long at all: it reads vote bit b straight from hex digit
+    * 16 − b div 4, bit b mod 4 — same bits, no 64-bit signed
+    * arithmetic in SQL. */
+  def md5Hash64(c: Column): Column =
+    bound(substring(md5(c), 1, 16)) { hex =>
+      (1 to 16).map { i =>
+        shiftleft(
+          (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
+            .cast("long"), 4 * (16 - i))
+      }.reduce(_ bitwiseOR _)
+    }
+
   /** Deterministic train/valid/test assignment from an [[md5Bucket]]
     * (87.5 / 6.25 / 6.25 by bucket ranges). */
   def splitOf(bucket: Column): Column =
@@ -172,11 +242,24 @@ object Fns {
   def lshPlanes(s: org.apache.spark.sql.SparkSession, confKey: String,
       n: => Long, targetBucket: Long = 64L): Int =
     s.conf.getOption(confKey).map(_.toInt).getOrElse {
-      val p = math.ceil(
-        math.log(math.max(1L, n).toDouble / targetBucket)
-          / math.log(2.0)).toInt
-      math.min(24, math.max(4, p))
+      // INTEGER search for the smallest p with targetBucket·2^p ≥ n —
+      // mathematically ceil(log2(n/targetBucket)), but with no
+      // floating log whose ulp could flip the answer at exact-power
+      // boundaries; that exactness is what lets a DuckDB oracle
+      // replay the plane count from its own count(*) (round 13 —
+      // `ann_lsh_topk` / `dedup_embedding_lsh` hash gating).
+      val nn = math.max(1L, n)
+      var p = 0
+      while (p < 24 && (targetBucket << p) < nn) p += 1
+      math.max(4, p)
     }
+
+  /** DuckDB SQL scalar mirroring [[lshPlanes]]' integer search, for an
+    * `n`-valued scalar subquery fragment. */
+  def sqlLshPlanes(nExpr: String, targetBucket: Long = 64L): String =
+    s"(SELECT least(24, greatest(4, coalesce(min(q), 24)))::INT" +
+      s" FROM (SELECT unnest(generate_series(0, 24)) AS q)" +
+      s" WHERE ($targetBucket::BIGINT << q) >= greatest(1, $nExpr))"
 
   /** DuckDB SQL fragment mirroring [[md5Bucket256]]. */
   def sqlMd5Bucket256(expr: String): String =

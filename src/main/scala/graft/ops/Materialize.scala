@@ -212,6 +212,41 @@ object Materialize {
        else Map("max_doc_id" -> r.getLong(2).toString)) ++ extra)
   }
 
+  /** Additive provenance for an APPEND generation (round-12 advisor
+    * fix): the new head's facts merge from the PARENT's recorded props
+    * plus a BATCH-only aggregate — n_docs adds, content_xor XORs,
+    * max_doc_id maxes — so the append cycle's compute stays strictly
+    * ∝ batch, as the append writers' contract documents (the previous
+    * full-corpus [[writeSliceProvenance]] call re-ran the md5
+    * content-xor over every OLD row on every refresh, a
+    * corpus-proportional scan that even `graft.artifact
+    * .trustOldContent` did not remove). Soundness: the corpus is the
+    * disjoint union of the below-cut slice and the batch, XOR/count/
+    * max all merge over disjoint unions, and the parent's facts were
+    * verified at admission (checksum replay — or count-only under
+    * trustOldContent, which trusts the stored xor by contract), so
+    * parent ⊕ batch is BIT-EQUAL to the full-slice aggregate (the
+    * next cycle's admission replay still passes; MaterializeSpec pins
+    * the equality). */
+  private def writeSliceProvenanceAppended(s: SparkSession, path: String,
+      batch: org.apache.spark.sql.DataFrame, tag: String,
+      parent: Map[String, String],
+      extra: Map[String, String] = Map.empty): Unit = {
+    ArtifactTag.write(s, path, tag)
+    val r = batch.select("doc_id", "text")
+      .agg(count(lit(1L)), expr(SliceXor), max("doc_id")).head()
+    val bXor = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val maxId = (parent.get("max_doc_id").map(_.toLong) ++
+      (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .reduceOption(_ max _)
+    ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
+      "n_docs" -> (parent("n_docs").toLong + r.getLong(0)).toString,
+      "content_xor" ->
+        (parent("content_xor").toLong ^ bXor).toString) ++
+      maxId.map(m => "max_doc_id" -> m.toString) ++ extra)
+  }
+
   /** Materialize the SIMHASH banded-signature index — the
     * [[minhashIndex]] treatment for the simhash candidate family:
     * `path`/bands holds (doc_id, sig, k, bh) — each doc's 64-bit
@@ -237,6 +272,110 @@ object Materialize {
       .write.parquet(s"$path/bands")
     writeSliceProvenance(s, path, docs, tag)
   }
+
+  /** The shared admission prefix of the signature-index APPEND
+    * writers ([[lexAdmission]]'s sibling on the signature side): tag,
+    * provenance version, boundary presence, and the old-slice guard.
+    * Returns (cut, props, full-corpus docs). */
+  private def sigAdmission(s: SparkSession, dir: String,
+      oldPath: String, what: String): (Long, Map[String, String],
+      org.apache.spark.sql.DataFrame) = {
+    ArtifactTag.require(s, oldPath, dir)
+    val props = ArtifactTag.readProps(s, oldPath)
+    ArtifactTag.requireProvVersion(props, oldPath)
+    require(props.contains("max_doc_id"),
+      s"$what index at $oldPath carries no max_doc_id provenance — an " +
+        "empty or pre-provenance index has no append mode; rebuild it " +
+        "with the Materialize writer")
+    val cut = props("max_doc_id").toLong + 1L
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    requireDocSlice(s, props, oldPath, docs, cut,
+      "signed", s"re-sign the corpus with the full $what writer instead")
+    (cut, props, docs)
+  }
+
+  /** GENERATIONAL (append-mode) refresh of the MINHASH band index —
+    * the [[lexicalIndexAppend]] shape on the signature side, and the
+    * most natural of all: bands and verification sigs are pure PER-DOC
+    * facts, so a generation holds ONLY the batch's rows (band_sig- /
+    * doc_id-range-sorted within the generation) plus a `parent`
+    * pointer — there is no cumulative part at all. Write cost strictly
+    * ∝ batch: no old doc is re-tokenized, re-signed, read, or
+    * rewritten, and the provenance sidecar merges additively
+    * ([[writeSliceProvenanceAppended]]). Readers resolve the
+    * [[genChain]] and union per-generation sorted scans — a band
+    * probe prunes row groups inside every generation exactly as in a
+    * merged index. COMPACTION = [[sigIndexCompact]]: a pure columnar
+    * chain-collapse re-sort, no signature recompute. */
+  def minhashIndexAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cut, props, docs) = sigAdmission(s, dir, oldPath, "minhash")
+    val batch = docs.filter(col("doc_id") >= cut)
+    val (bands, sigs) =
+      graft.operators.Dedup.minhashIndexFramesOf(s, batch)
+    bands.repartitionByRange(col("band"), col("band_sig"))
+      .sortWithinPartitions("band", "band_sig", "doc_id")
+      .write.parquet(s"$newPath/bands")
+    sigs.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.parquet(s"$newPath/sigs")
+    writeSliceProvenanceAppended(s, newPath, batch, dir, props,
+      Map("parent" -> oldPath))
+  }
+
+  /** [[minhashIndexAppend]] for the SIMHASH banded-signature index —
+    * one (doc_id, sig, k, bh) part, same per-doc append shape. */
+  def simhashIndexAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cut, props, docs) = sigAdmission(s, dir, oldPath, "simhash")
+    val batch = docs.filter(col("doc_id") >= cut)
+    graft.operators.Dedup.simhashBandedOf(s, batch)
+      .repartitionByRange(col("k"), col("bh"))
+      .sortWithinPartitions("k", "bh", "doc_id")
+      .write.parquet(s"$newPath/bands")
+    writeSliceProvenanceAppended(s, newPath, batch, dir, props,
+      Map("parent" -> oldPath))
+  }
+
+  /** COMPACTION of a signature-index generation chain: the per-doc
+    * parts chain-union → one range-re-sort → a merged write-once
+    * artifact carrying the head's (cumulative, admission-verified)
+    * provenance without a parent pointer. Pure columnar I/O — unlike
+    * the lexical/feature compactions (which route through their merge
+    * writers), signatures never recompute here because nothing in the
+    * artifact is derived across docs. `parts` maps part name →
+    * (projection columns, range-sort key). */
+  def sigIndexCompact(s: SparkSession, dir: String, headPath: String,
+      newPath: String,
+      parts: Map[String, (Seq[String], Seq[String])]): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, headPath, dir)
+    val props = ArtifactTag.readProps(s, headPath)
+    ArtifactTag.requireProvVersion(props, headPath)
+    parts.foreach { case (part, (cols, sortCols)) =>
+      chainRead(s, headPath, dir, part, cols)
+        .repartitionByRange(sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.parquet(s"$newPath/$part")
+    }
+    ArtifactTag.write(s, newPath, dir)
+    ArtifactTag.writeProps(s, newPath, props - "parent")
+  }
+
+  /** The minhash-index parts' (projection, range-sort key) layout —
+    * shared by the compactor's callers and the spec (one
+    * definition). */
+  val MinhashParts: Map[String, (Seq[String], Seq[String])] = Map(
+    "bands" -> (Seq("doc_id", "band", "band_sig"),
+      Seq("band", "band_sig", "doc_id")),
+    "sigs" -> (Seq("doc_id", "hs", "n"), Seq("doc_id")))
+
+  /** The simhash-index part's layout. */
+  val SimhashParts: Map[String, (Seq[String], Seq[String])] = Map(
+    "bands" -> (Seq("doc_id", "sig", "k", "bh"),
+      Seq("k", "bh", "doc_id")))
 
   /** Materialize the VERIFIED near-dup PAIR-GRAPH artifact — the
     * (a_id, b_id, inter, na, nb) frame [[graft.operators.Dedup
@@ -621,8 +760,8 @@ object Materialize {
       newPath: String): Unit = {
     requireFresh(s, newPath)
     val (cut, props, docs) = lexAdmission(s, dir, oldPath)
-    val (newPost, newGrams, nNew, sumNew) =
-      lexBatchParts(s, docs.filter(col("doc_id") >= cut))
+    val batch = docs.filter(col("doc_id") >= cut)
+    val (newPost, newGrams, nNew, sumNew) = lexBatchParts(s, batch)
     // vocabulary-sized merges only — the whole point of append mode
     // is that per-DOC state (postings, grams) is never rewritten.
     // gramstats reads the HEAD generation alone: every writer stores
@@ -635,7 +774,10 @@ object Materialize {
     val sumTot = props("sum_dl").toLong + sumNew
     writeLexParts(s, newPath, newPost, newGrams, gramstats, nTot,
       sumTot)
-    writeSliceProvenance(s, newPath, docs, dir, Map(
+    // provenance merges ADDITIVELY from the admitted parent + the
+    // batch — the append contract's "write cost strictly ∝ batch"
+    // holds for the sidecar too ([[writeSliceProvenanceAppended]])
+    writeSliceProvenanceAppended(s, newPath, batch, dir, props, Map(
       "n_dl" -> nTot.toString, "sum_dl" -> sumTot.toString,
       "parent" -> oldPath))
   }
@@ -903,13 +1045,15 @@ object Materialize {
   def featureStoreAppend(s: SparkSession, dir: String, oldPath: String,
       newPath: String): Unit = {
     requireFresh(s, newPath)
-    val (cutDay, _, ev) = featAdmission(s, dir, oldPath)
-    val newDaily = graft.operators.Training
-      .pitDaily(ev.filter(col("day") > cutDay))
+    val (cutDay, props, ev) = featAdmission(s, dir, oldPath)
+    val batch = ev.filter(col("day") > cutDay)
+    val newDaily = graft.operators.Training.pitDaily(batch)
       .localCheckpoint() // consumed by the snapshots AND the totals
     writeFeatureParts(s, newPath, featSeeded(s, oldPath, newDaily),
       featTotalsMerged(s, oldPath, newDaily))
-    writeEventProvenance(s, newPath, ev, dir,
+    // additive sidecar from the admitted parent + the batch events —
+    // the [[writeSliceProvenanceAppended]] rule on the event side
+    writeEventProvenanceAppended(s, newPath, batch, dir, props,
       Map("parent" -> oldPath))
   }
 
@@ -1038,6 +1182,28 @@ object Materialize {
       ev: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val r = ev.agg(count(lit(1L)), expr(EventXor)).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** [[writeSliceProvenanceAppended]] on the event side: n_events
+    * adds, events_xor XORs, max_day maxes from the parent's verified
+    * props + a batch-only aggregate — the feature-store append cycle
+    * never re-hashes stored events. */
+  private def writeEventProvenanceAppended(s: SparkSession, path: String,
+      batch: org.apache.spark.sql.DataFrame, tag: String,
+      parent: Map[String, String],
+      extra: Map[String, String] = Map.empty): Unit = {
+    ArtifactTag.write(s, path, tag)
+    val r = batch.agg(count(lit(1L)), expr(EventXor), max("day")).head()
+    val bXor = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val maxDay = (parent.get("max_day").map(_.toLong) ++
+      (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .reduceOption(_ max _)
+    ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
+      "n_events" -> (parent("n_events").toLong + r.getLong(0)).toString,
+      "events_xor" ->
+        (parent("events_xor").toLong ^ bXor).toString) ++
+      maxDay.map(m => "max_day" -> m.toString) ++ extra)
   }
 
   private def writeEventProvenance(s: SparkSession, path: String,

@@ -30,12 +30,38 @@ object Mix64 {
     """.stripMargin
 }
 
+/** The md5-mode permutation family (`graft.hash.md5Mode` — see
+  * [[graft.ops.Fns.Md5ModeConf]]): h_i(x) = (A_i·(x mod P) + B_i) mod
+  * P over the Mersenne prime P = 2³¹−1 — the classic universal family,
+  * chosen because every step is plain non-overflowing BIGINT
+  * arithmetic on BOTH engines (A_i < 2³¹, x mod P < 2³¹ ⇒ products
+  * < 2⁶², no 128-bit tricks), so a DuckDB oracle replays signatures
+  * value-for-value. Coefficients derive deterministically from the
+  * same splitmix64 mixer the scale mode uses; the arrays are the ONE
+  * source of truth for the Spark expression (codegen references them)
+  * and the oracle SQL (interpolated as list literals). */
+object UniHash {
+  val P = 2147483647L // 2³¹ − 1 (Mersenne)
+  val A: Array[Long] = Array.tabulate(128)(i =>
+    (Mix64.mix(2L * i + 1) & Long.MaxValue) % (P - 1) + 1)
+  val B: Array[Long] = Array.tabulate(128)(i =>
+    (Mix64.mix(2L * i + 2) & Long.MaxValue) % P)
+  /** The A/B coefficient arrays as DuckDB list literals. */
+  def sqlA: String = A.mkString("[", ", ", "]")
+  def sqlB: String = B.mkString("[", ", ", "]")
+}
+
 /** MinHash signature of a hashed-shingle set: for permutation i,
-  * sig[i] = min over h in set of mix64(h ^ seed_i), seed_i = mix64(i).
-  * One fused codegen loop: O(numPerms·|set|) long ops, no intermediate
-  * arrays, no per-element virtual dispatch (the interpreted HOF
-  * equivalent was the dedup hot path). */
-case class MinHashSig(child: Expression, numPerms: Int)
+  * sig[i] = min over h in set of mix64(h ^ seed_i), seed_i = mix64(i)
+  * — or, with `uni = true` (md5 oracle mode), min of the [[UniHash]]
+  * universal-family value (A_i·(h mod P) + B_i) mod P, which a DuckDB
+  * oracle replays exactly (inputs are the non-negative md5-derived
+  * 52-bit gram hashes, so the Java `%` = SQL `%` on both operands).
+  * One fused codegen loop either way: O(numPerms·|set|) long ops, no
+  * intermediate arrays, no per-element virtual dispatch (the
+  * interpreted HOF equivalent was the dedup hot path). */
+case class MinHashSig(child: Expression, numPerms: Int,
+    uni: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -58,13 +84,24 @@ case class MinHashSig(child: Expression, numPerms: Int)
     val sig = new Array[Long](numPerms)
     var i = 0
     while (i < numPerms) {
-      val seed = Mix64.mix(i.toLong)
       var best = Long.MaxValue
-      var j = 0
-      while (j < n) {
-        val v = Mix64.mix(hs.getLong(j) ^ seed)
-        if (v < best) best = v
-        j += 1
+      if (uni) {
+        val a = UniHash.A(i)
+        val b = UniHash.B(i)
+        var j = 0
+        while (j < n) {
+          val v = (a * (hs.getLong(j) % UniHash.P) + b) % UniHash.P
+          if (v < best) best = v
+          j += 1
+        }
+      } else {
+        val seed = Mix64.mix(i.toLong)
+        var j = 0
+        while (j < n) {
+          val v = Mix64.mix(hs.getLong(j) ^ seed)
+          if (v < best) best = v
+          j += 1
+        }
       }
       sig(i) = best
       i += 1
@@ -82,19 +119,37 @@ case class MinHashSig(child: Expression, numPerms: Int)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val seed = ctx.freshName("seed")
       val best = ctx.freshName("best")
       val v = ctx.freshName("v")
+      val inner = if (uni) {
+        // the coefficient arrays ride in as references — ONE source of
+        // truth with the interpreted path and the oracle's literals
+        val ua = ctx.addReferenceObj("uniA", UniHash.A, "long[]")
+        val ub = ctx.addReferenceObj("uniB", UniHash.B, "long[]")
+        s"""
+           |  long $best = Long.MAX_VALUE;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    long $v = ($ua[$i] * ($c.getLong($j) % ${UniHash.P}L)
+           |      + $ub[$i]) % ${UniHash.P}L;
+           |    if ($v < $best) $best = $v;
+           |  }
+         """.stripMargin
+      } else {
+        val seed = ctx.freshName("seed")
+        s"""
+           |  long $seed = graftMix64((long) $i);
+           |  long $best = Long.MAX_VALUE;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    long $v = graftMix64($c.getLong($j) ^ $seed);
+           |    if ($v < $best) $best = $v;
+           |  }
+         """.stripMargin
+      }
       s"""
          |int $n = $c.numElements();
          |long[] $sig = new long[$numPerms];
          |for (int $i = 0; $i < $numPerms; $i++) {
-         |  long $seed = graftMix64((long) $i);
-         |  long $best = Long.MAX_VALUE;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    long $v = graftMix64($c.getLong($j) ^ $seed);
-         |    if ($v < $best) $best = $v;
-         |  }
+         |$inner
          |  $sig[$i] = $best;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -182,6 +237,8 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 /** Registration for the signature expressions. */
 object SignatureFunctions {
   val MinHashName = "graft_minhash_sig"
+  /** The md5-oracle-mode twin: [[UniHash]] permutations. */
+  val MinHashUniName = "graft_minhash_sig_uni"
   val SimHashName = "graft_simhash_sig"
   val MinHashUnionName = "graft_minhash_union"
 
@@ -192,6 +249,13 @@ object SignatureFunctions {
       registry.registerFunction(mh,
         new ExpressionInfo(classOf[MinHashSig].getName, MinHashName),
         (children: Seq[Expression]) => MinHashSig(children.head, 128))
+    }
+    val mhu = FunctionIdentifier(MinHashUniName)
+    if (!registry.functionExists(mhu)) {
+      registry.registerFunction(mhu,
+        new ExpressionInfo(classOf[MinHashSig].getName, MinHashUniName),
+        (children: Seq[Expression]) =>
+          MinHashSig(children.head, 128, uni = true))
     }
     val sh = FunctionIdentifier(SimHashName)
     if (!registry.functionExists(sh)) {

@@ -177,6 +177,128 @@ object Pipelines {
       }
   }
 
+  // ——— Continuous-ingest artifact refresh (the tick) ———
+
+  /** Driver-side chain-head registry for one continuous-ingest run.
+    * `foreachBatch` bodies execute on the driver, so plain
+    * driver-local state is the correct home for the current heads;
+    * the serving-conf pointer flips happen on the SESSION the caller
+    * registered at init (the micro-batch frame's own session can be a
+    * streaming clone whose conf writes would never reach serving
+    * readers). `dir` is the corpus/events table of record the
+    * admission guards replay; `root` is where generations land. */
+  final class RefreshState private[Pipelines] (
+      private[Pipelines] val s: SparkSession,
+      val dir: String, val root: String) {
+    private val heads =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    /** Current chain head for `family` ("lex" / "minhash" /
+      * "simhash" / "features"). */
+    def head(family: String): String = {
+      val h = heads.get(family)
+      require(h != null, s"no $family chain initialized in this run")
+      h
+    }
+    private[Pipelines] def flip(family: String, path: String,
+        confKey: String): Unit = {
+      heads.put(family, path)
+      s.conf.set(confKey, path)
+    }
+  }
+
+  /** Families the doc-side [[docRefreshTick]] maintains: name →
+    * (append writer, the serving conf its head pointer flips). The
+    * conf mapping is the existing serving surface: `graft.lex
+    * .indexPath` routes `bm25_from_index`/`phrase_from_index` at the
+    * head; `graft.{minhash,simhash}.oldIndexPath` is exactly the
+    * "previous cycle" pointer the incremental dedup queries probe —
+    * a tick IS the previous cycle, continuously. */
+  private val DocFamilies: Seq[(String,
+      (SparkSession, String, String, String) => Unit, String)] = Seq(
+    ("lex", graft.ops.Materialize.lexicalIndexAppend, "graft.lex.indexPath"),
+    ("minhash", graft.ops.Materialize.minhashIndexAppend,
+      "graft.minhash.oldIndexPath"),
+    ("simhash", graft.ops.Materialize.simhashIndexAppend,
+      "graft.simhash.oldIndexPath"))
+
+  /** Initialize the doc-side refresh run: one FULL generation (g0)
+    * per family over the corpus as it stands, serving confs pointed
+    * at the heads. Call once, then hand [[docRefreshTick]] to
+    * `writeStream.foreachBatch`. */
+  def initDocRefresh(s: SparkSession, dir: String,
+      root: String): RefreshState = {
+    val st = new RefreshState(s, dir, root)
+    val docs = graft.sources.Tables.documents(s, dir)
+      .select("doc_id", "text")
+    graft.ops.Materialize.lexicalIndexOf(s, docs, s"$root/lex-g0", dir)
+    graft.ops.Materialize.minhashIndexOf(s, docs,
+      s"$root/minhash-g0", dir)
+    graft.ops.Materialize.simhashIndexOf(s, docs,
+      s"$root/simhash-g0", dir)
+    DocFamilies.foreach { case (f, _, conf) =>
+      st.flip(f, s"$root/$f-g0", conf)
+    }
+    st
+  }
+
+  /** ONE continuous-ingest tick — the `foreachBatch` body that keeps
+    * the serving artifacts fresh as documents stream in. Per
+    * micro-batch: (1) the batch lands in the corpus table of record
+    * (`dir`/documents.parquet, append — the admission guards replay
+    * against this table, so the landing IS the ingest commit);
+    * (2) each artifact family gains ONE append generation off its
+    * current head — work strictly ∝ batch by the append writers'
+    * contract (per-doc parts only + additive provenance);
+    * (3) the head pointers and serving confs flip, so the NEXT query
+    * against `bm25_from_index` / `dedup_*_incremental` reads the
+    * refreshed chain. Batch doc_ids must be monotone above the
+    * corpus's (id reuse/backfill refuses loudly in admission — the
+    * writers' guard, not new machinery). An empty tick is a no-op.
+    * StreamingSpec pins stream-refreshed chain ≡ batch rebuild for
+    * every family; the registered `stream_refresh_tick` query puts
+    * the composed path under the driver's hash gate. */
+  def docRefreshTick(st: RefreshState)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.select(col("doc_id"), col("text"))
+    if (!rows.isEmpty) {
+      rows.write.mode("append").parquet(s"${st.dir}/documents.parquet")
+      DocFamilies.foreach { case (family, append, conf) =>
+        val next = s"${st.root}/$family-g${batchId + 1}"
+        append(st.s, st.dir, st.head(family), next)
+        st.flip(family, next, conf)
+      }
+    }
+  }
+
+  /** Event-side init: one full feature store over the events table as
+    * it stands; `graft.features.storePath` points at it. */
+  def initEventRefresh(s: SparkSession, dir: String,
+      root: String): RefreshState = {
+    val st = new RefreshState(s, dir, root)
+    graft.ops.Materialize.featureStore(s, dir, s"$root/features-g0")
+    st.flip("features", s"$root/features-g0", "graft.features.storePath")
+    st
+  }
+
+  /** The event-side tick: the raw-schema micro-batch lands in
+    * `dir`/events.parquet, the feature store gains one
+    * [[graft.ops.Materialize.featureStoreAppend]] generation (batch
+    * days only + merged O(users) totals), and `graft.features
+    * .storePath` flips to the new head — `feature_pit_from_index`
+    * then serves point-in-time features that include the batch.
+    * Late events (day ≤ the stored max_day) refuse loudly in
+    * admission: their day's snapshots would silently understate. */
+  def eventRefreshTick(st: RefreshState)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      batch.write.mode("append").parquet(s"${st.dir}/events.parquet")
+      val next = s"${st.root}/features-g${batchId + 1}"
+      graft.ops.Materialize.featureStoreAppend(st.s, st.dir,
+        st.head("features"), next)
+      st.flip("features", next, "graft.features.storePath")
+    }
+  }
+
   /** Native session_window aggregation (30 min gap). */
   def sessionWindows(events: DataFrame): DataFrame =
     events

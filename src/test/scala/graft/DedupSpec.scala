@@ -600,6 +600,124 @@ class DedupSpec extends SparkSpec {
     assert(got.values.max >= 1L, "degenerate graph: no core structure")
   }
 
+  test("md5 oracle hash mode ≡ xxhash64 scale mode: same verified " +
+      "sketch pairs on the fixture") {
+    // graft.Verify gates the sketch family in md5 hash mode (DuckDB
+    // can replay md5; it cannot replay xxhash64); production runs the
+    // scale default. This pins that the mode swaps HASHES, not
+    // semantics: the verified near-dup pair sets agree on the fixture
+    // corpus (minhash verification is exact Jaccard on candidates, so
+    // only a recall miss could differ — both families band 128 sigs
+    // at j ≥ 0.5 recall ≈ 1−1e-8; simhash sigs differ by mode, so the
+    // pin is evidence the planted structure survives either family).
+    def pairSet(q: String) = Dedup.queries(q)(spark, sf0001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhXx = pairSet("dedup_minhash_lsh")
+    val shXx = pairSet("dedup_simhash")
+    // exact-duplicate pairs (identical text ⇒ identical tokens ⇒
+    // identical signature in EVERY mode ⇒ hamming 0 ⇒ same buckets):
+    // the structural floor both simhash modes must recover
+    val dupPairs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("m"),
+        size(graft.ops.Fns.tokens(col("text"))).as("nt"))
+      .filter(col("nt") > 0) // token-less docs sign nothing
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).values.filter(_.length > 1)
+      .flatMap(_.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    withConf(graft.ops.Fns.Md5ModeConf -> "true") {
+      // MinHash: verification is EXACT Jaccard on candidates, so the
+      // two modes can only differ by a banding recall miss
+      // (≈ 1e-8 at j ≥ 0.5) — pin full equality on the fixture
+      assert(pairSet("dedup_minhash_lsh") === mhXx,
+        "minhash verified pair set differs between hash modes")
+      // SimHash: the signature ITSELF is mode-dependent (different
+      // token hashes → different bit votes), so hamming ≤ 3 boundary
+      // pairs may legitimately flip; the pinned invariant is the
+      // structural floor — every exact-dup pair is found by BOTH
+      // modes (and each mode's pairs all verified hamming ≤ 3 in the
+      // suite's own invariant test)
+      val shMd5 = pairSet("dedup_simhash")
+      assert(dupPairs.subsetOf(shMd5) && dupPairs.subsetOf(shXx),
+        "an exact-duplicate pair escaped a simhash mode")
+      // and the md5-mode minhash verification facts are the exact
+      // gram-set facts the oracle computes from strings: spot-pin
+      // inter*3 ≥ na+nb row shape survives the 52-bit hash
+      Dedup.queries("dedup_minhash_lsh")(spark, sf0001)
+        .collect().foreach { r =>
+          assert(r.getLong(2) * 3 >= r.getLong(3) + r.getLong(4))
+        }
+    }
+  }
+
+  test("signature append generation: chain serve ≡ full rebuild; " +
+      "compaction collapses the chain; generation holds batch only") {
+    import graft.ops.Materialize
+    // the registered compositions ≡ their full in-query twins
+    assert(Dedup.queries("dedup_minhash_append_refresh")(spark, sf0001)
+        .collect().map(_.toString).toSeq ===
+      Dedup.minhashLsh(spark, sf0001).collect().map(_.toString).toSeq,
+      "minhash append-refresh diverged from the in-query pair set")
+    assert(Dedup.queries("dedup_simhash_append_refresh")(spark, sf0001)
+        .collect().map(_.toString).toSeq ===
+      Dedup.simhash(spark, sf0001).collect().map(_.toString).toSeq,
+      "simhash append-refresh diverged from the in-query pair set")
+    // explicit chain mechanics on a scratch copy: generation holds
+    // ONLY batch docs; compaction = pure columnar collapse whose
+    // parts equal a from-scratch full index's, parent pointer gone
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val cut = Dedup.idCut(docs)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigappend").toString
+    Materialize.minhashIndexOf(spark,
+      docs.filter(col("doc_id") < cut), s"$base/g0", sf0001)
+    Materialize.minhashIndexAppend(spark, sf0001, s"$base/g0",
+      s"$base/g1")
+    assert(spark.read.parquet(s"$base/g1/sigs")
+        .agg(min("doc_id")).head().getLong(0) >= cut,
+      "append generation must contain no pre-cut signature rows")
+    // additive provenance ≡ a full writer's full-scan facts
+    Materialize.minhashIndexOf(spark, docs, s"$base/full", sf0001)
+    val gp = graft.ops.ArtifactTag.readProps(spark, s"$base/g1")
+    val fp = graft.ops.ArtifactTag.readProps(spark, s"$base/full")
+    Seq("n_docs", "content_xor", "max_doc_id").foreach { k =>
+      assert(gp.get(k) === fp.get(k),
+        s"append-head prop $k (additive) diverged from full-scan")
+    }
+    Materialize.sigIndexCompact(spark, sf0001, s"$base/g1",
+      s"$base/compacted", Materialize.MinhashParts)
+    def sorted(path: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .orderBy(col(cols.head)).collect().map(_.toString).toSeq
+        .sorted
+    Seq("bands" -> Seq("doc_id", "band", "band_sig"),
+        "sigs" -> Seq("doc_id", "n")).foreach { case (part, cols) =>
+      assert(sorted(s"$base/compacted/$part", cols) ===
+        sorted(s"$base/full/$part", cols),
+        s"compacted $part diverged from the full rebuild")
+    }
+    assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/compacted")
+      .contains("parent"), "compacted index must end the chain")
+  }
+
+  test("k-core oracle unroll depth covers the gate SF's convergence") {
+    // the neardup_kcore DuckDB oracle is a STATIC unroll of
+    // KcoreOracleRounds h-index rounds: it equals the true fixpoint
+    // exactly when the graph converges within the unroll (the
+    // sequence is monotone non-increasing). This pins that soundness
+    // condition at the SF the driver gate actually runs (sf0.01) — a
+    // driver corpus change that needed deeper iteration would fail
+    // HERE with the remedy, not as a silent oracle hash mismatch.
+    val gateSf = "/root/testdata/sf0.01"
+    val (_, rounds) = Dedup.kcoreWithRounds(
+      Dedup.ngramJaccard(spark, gateSf).select("a_id", "b_id"), 30)
+    assert(rounds <= Dedup.KcoreOracleRounds,
+      s"gate-SF k-core took $rounds rounds > oracle unroll " +
+        s"${Dedup.KcoreOracleRounds} — raise KcoreOracleRounds")
+  }
+
   test("incremental CC: row-identical to full recompute, loop scoped to the contracted delta") {
     val full = Dedup.clusters(spark, sf0001).collect().map(_.toString).toSeq
     val inc = Dedup.queries("cc_incremental")(spark, sf0001)

@@ -230,6 +230,21 @@ class MaterializeSpec extends SparkSpec {
       sorted(spark.read.parquet(s"$base/full/gramstats")
         .select("gram", "n"), Seq("gram")),
       "head gramstats diverged from the merged rebuild")
+    // ADDITIVE provenance (round-12 advisor fix): the append head's
+    // sidecar merges parent ⊕ batch without re-hashing old rows, and
+    // must be BIT-EQUAL to the full rebuild's full-scan facts over the
+    // same corpus — that equality is what lets the next admission's
+    // checksum replay (and the compaction below) still pass
+    locally {
+      val gp = graft.ops.ArtifactTag.readProps(spark, s"$base/g2")
+      val fp = graft.ops.ArtifactTag.readProps(spark, s"$base/full")
+      Seq("n_docs", "content_xor", "max_doc_id", "n_dl", "sum_dl")
+        .foreach { k =>
+          assert(gp.get(k) === fp.get(k),
+            s"append-head prop $k (additive) diverged from the full " +
+              "rebuild's full-scan value")
+        }
+    }
     // COMPACTION: a merge refresh over the chain head collapses the
     // chain — with no new docs it is a pure compaction whose parts
     // equal the rebuild's and whose head carries no parent pointer

@@ -793,4 +793,116 @@ class StreamingSpec extends SparkSpec {
         "fixture must exercise nonzero lateness (delay rule dead?)")
     } finally q.stop()
   }
+
+  test("doc refresh tick: stream-refreshed chains ≡ batch rebuild for " +
+      "every family; serving confs point at the heads") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tickdoc").toString
+    val root = s"$dir/chain"
+    // table of record starts with the old half; near-dup structure
+    // straddles the stream boundary (doc 3 near-dups doc 0)
+    Seq(0L -> "alpha beta gamma delta epsilon zeta",
+        1L -> "one two three four five six")
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val st = Pipelines.initDocRefresh(spark, dir, root)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.foreachBatch(Pipelines.docRefreshTick(st) _).start()
+    try {
+      mem.addData((2L, "seven eight nine ten eleven"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha beta gamma delta epsilon eta"),
+        (4L, "twelve thirteen fourteen"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the table of record absorbed every tick
+    assert(graft.sources.Tables.documents(spark, dir).count() === 5L)
+    // minhash chain serve ≡ the in-query pair set over the final
+    // corpus (which must include the cross-boundary near-dup)
+    val served = graft.operators.Dedup
+      .minhashServe(spark, dir, st.head("minhash"))
+      .collect().map(_.toString).toSeq
+    val full = graft.operators.Dedup.minhashLsh(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(served === full, "tick minhash chain != batch pair set")
+    assert(served.nonEmpty, "fixture must plant a cross-tick near-dup")
+    // simhash chain ≡ rebuild (compare banded rows content)
+    val chainBands = graft.ops.Materialize.chainRead(spark,
+        st.head("simhash"), dir, "bands",
+        Seq("doc_id", "sig", "k", "bh"))
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = graft.operators.Dedup.simhashBanded(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(chainBands === rebuilt, "tick simhash chain != rebuild")
+    // lexical: serving conf flipped to the head, and bm25_from_index
+    // served off the refreshed chain equals the in-query BM25
+    assert(spark.conf.get("graft.lex.indexPath") === st.head("lex"))
+    try {
+      val servedBm = graft.operators.Retrieval
+        .queries("bm25_from_index")(spark, dir)
+        .collect().map(_.toString).toSeq
+      val fullBm = graft.operators.Retrieval
+        .queries("bm25_topk")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(servedBm === fullBm, "tick lexical chain != in-query BM25")
+    } finally spark.conf.unset("graft.lex.indexPath")
+    spark.conf.unset("graft.minhash.oldIndexPath")
+    spark.conf.unset("graft.simhash.oldIndexPath")
+  }
+
+  test("event refresh tick: stream-refreshed feature store ≡ batch " +
+      "PIT join; late events refuse") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tickev").toString
+    val dayNs = 86400L * 1000000000L
+    def ev(id: Long, day: Long, user: Long, typ: String, v: Double) =
+      (id, day * dayNs + id * 1000000000L, user, typ, v, "{}")
+    // seed days 0-1 in the table of record
+    Seq(ev(1, 0, 1, "view", 1.0), ev(2, 0, 1, "purchase", 2.0),
+        ev(3, 1, 1, "view", 3.0), ev(4, 1, 2, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val st = Pipelines.initEventRefresh(spark, dir, s"$dir/chain")
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = mem.toDS()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .writeStream.foreachBatch(Pipelines.eventRefreshTick(st) _).start()
+    try {
+      mem.addData(ev(5, 2, 1, "purchase", 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(6, 3, 2, "purchase", 6.0), ev(7, 3, 1, "view", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // serving conf points at the head; the PIT join served off the
+    // stream-refreshed chain equals the in-query windows over the
+    // final events table (purchases from the stream included)
+    assert(spark.conf.get("graft.features.storePath") ===
+      st.head("features"))
+    try {
+      val servedF = graft.operators.Training
+        .queries("feature_pit_from_index")(spark, dir)
+        .collect().map(_.toString).toSeq
+      val fullF = graft.operators.Training
+        .queries("feature_pit_join")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(servedF === fullF, "tick feature chain != in-query PIT")
+      assert(servedF.length >= 4,
+        "streamed purchases must appear in the served features")
+    } finally spark.conf.unset("graft.features.storePath")
+    // a LATE event (day ≤ stored max_day) refuses loudly
+    val late = Seq(ev(8, 1, 2, "view", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      Pipelines.eventRefreshTick(st)(late, 99L)
+    }
+    assert(e.getMessage.contains("max_day") ||
+      e.getMessage.contains("checksum") || e.getMessage.contains("slice"),
+      s"late tick must refuse via admission, got: ${e.getMessage}")
+  }
 }

@@ -366,6 +366,20 @@ class TrainingSpec extends SparkSpec {
     }
     assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/compacted")
       .contains("parent"), "compacted store must end the chain")
+    // ADDITIVE provenance (round-12 advisor fix): the append head's
+    // sidecar merges parent ⊕ batch without re-hashing stored events,
+    // and must be bit-equal to a full rebuild's full-scan facts (the
+    // compaction's admission above already replayed the checksum
+    // against it; this pins the props themselves)
+    locally {
+      val gp = graft.ops.ArtifactTag.readProps(spark, s"$base/gen1")
+      val fp = graft.ops.ArtifactTag.readProps(spark, s"$base/full")
+      Seq("n_events", "events_xor", "max_day").foreach { k =>
+        assert(gp.get(k) === fp.get(k),
+          s"append-head prop $k (additive) diverged from the full " +
+            "rebuild's full-scan value")
+      }
+    }
     // the generation holds ONLY the batch days (no history rewrite)
     val genDays = spark.read.parquet(s"$base/gen1/snapshots")
       .agg(min("day")).head().getLong(0)
