@@ -1192,15 +1192,19 @@ object Dedup {
     * The caller picks the recall/volume point: more planes per band →
     * smaller buckets (less candidate volume) but lower per-band
     * collision probability (1 − θ/π)^planes for angle θ. */
+  /** Hyperplane (band, p)'s 64 components in (-1, 1) — ONE definition
+    * for the Spark literals and the `dedup_embedding_lsh` oracle's
+    * VALUES relation (Double.toString round-trips both engines). */
+  private def lshPlaneComps(band: Int, p: Int): Seq[Double] =
+    (0 until 64).map { j =>
+      (scala.util.hashing.MurmurHash3
+        .productHash((band, p, j)) % 1000) / 1000.0
+    }
+
   private[graft] def hyperplaneCandidates(
       e: DataFrame, nBands: Int, nPlanes: Int): DataFrame = {
-    def plane(band: Int, p: Int): Column = {
-      val comps = (0 until 64).map { j =>
-        (scala.util.hashing.MurmurHash3
-          .productHash((band, p, j)) % 1000) / 1000.0
-      }
-      array(comps.map(c => lit(c)): _*)
-    }
+    def plane(band: Int, p: Int): Column =
+      array(lshPlaneComps(band, p).map(c => lit(c)): _*)
     // materialized once: the per-band self-joins consume `bucketed`
     // 2×nBands times, and the nBands×nPlanes cosine projections would
     // otherwise re-run for every consumer (only exchanges get reused)
@@ -2872,6 +2876,46 @@ object Dedup {
     * to equal the full pair set, so the same replay gates it. */
   private[graft] def minhashOracleSql: String = sqlMinhash()
 
+  /** The md5-free hyperplane-LSH replay for `dedup_embedding_lsh`
+    * (round 13, the `ann_lsh_topk` treatment on the pair side): every
+    * clamp-reachable plane of all 8 bands ships as literal doubles
+    * (8×24 = 192 VALUES rows — the same [[lshPlaneComps]] constants
+    * the Spark plan embeds), the run-time filter picks the
+    * count-derived (or conf-interpolated) per-band plane count, sign
+    * buckets rebuild from the bit-stable dot fold (`cos > 0 ⟺
+    * dot > 0`), candidates from the per-band bucket self-join, and
+    * the exact cosine ≥ 0.45 verification replays the bruteforce
+    * oracle's expression. */
+  private def sqlEmbeddingLsh: String = {
+    val values = (0 until 8).flatMap { band =>
+      (0 until 24).map { p =>
+        s"($band, $p, ${lshPlaneComps(band, p)
+          .mkString("[", ", ", "]")}::DOUBLE[])"
+      }
+    }.mkString("(VALUES ", ", ", ")")
+    s"""WITH np AS (SELECT ${Fns.lshPlanesOracle("graft.lsh.planes",
+        "(SELECT count(*) FROM embeddings)")} AS np),
+       |pl AS (SELECT band, p, pv FROM $values t(band, p, pv)
+       |       WHERE p < (SELECT np FROM np)),
+       |bk AS (
+       |  SELECT e.vec_id, pl.band,
+       |    sum(CASE WHEN ${Fns.sqlDot("e.embedding", "pl.pv")} > 0
+       |      THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id)
+       |SELECT c.a_id, c.b_id,
+       |  round(${Fns.sqlCosine("ea.embedding", "eb.embedding")}, 4)
+       |    AS cos_sim
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.a_id
+       |JOIN embeddings eb ON eb.vec_id = c.b_id
+       |WHERE ${Fns.sqlCosine("ea.embedding", "eb.embedding")} >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** The test-harness midpoint cut ([[idCut]]) as a SQL scalar — the
     * incremental twins' replay boundary. Integer `//` floor equals
     * Scala's truncating `/` here (both operands non-negative). */
@@ -2922,6 +2966,7 @@ object Dedup {
     "dedup_simhash_incremental" ->
       sqlSimhash(s" AND b_id >= $SqlIdCut"),
     "dedup_simhash_append_refresh" -> sqlSimhash(),
+    "dedup_embedding_lsh" -> sqlEmbeddingLsh,
     "dedup_source_minhash" ->
       s"""WITH shx AS (SELECT doc_id, $Sh AS s FROM documents),
          |d AS (SELECT x.doc_id, o.source, x.s FROM shx x

@@ -1351,16 +1351,21 @@ object Similarity {
     * with a fixed plane count. Rows-only check: recall vs
     * `ann_bruteforce_topk` is data-dependent (bucketing trades recall
     * for the n² → n·bucket equi-join at scale). */
+  /** Plane `p`'s 64 components in (-1, 1) — hash-derived constants,
+    * ONE definition for the Spark literals and the oracle's VALUES
+    * relation (Double.toString round-trips, so both engines hold the
+    * identical IEEE value). */
+  private def annPlaneComps(p: Int): Seq[Double] =
+    (0 until 64).map { j =>
+      (scala.util.hashing.MurmurHash3.productHash((p, j)) % 1000) / 1000.0
+    }
+
   def annLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val nPlanes = Fns.lshPlanes(s, "graft.ann.planes", e.count())
-    // plane p component for dim j in (-1, 1): hash-derived constant
     val planes: Seq[Column] = (0 until nPlanes).map { p =>
-      val comps = (0 until 64).map { j =>
-        (scala.util.hashing.MurmurHash3.productHash((p, j)) % 1000) / 1000.0
-      }
-      array(comps.map(c => lit(c)): _*)
+      array(annPlaneComps(p).map(c => lit(c)): _*)
     }
     val bucketed = e.withColumn("bucket",
       (0 until nPlanes).map(p =>
@@ -1567,7 +1572,48 @@ object Similarity {
        |    FROM (SELECT vec_id, cid, ${Fns.sqlCosine("emb", "cvec")} AS cc
        |          FROM e CROSS JOIN c2)) WHERE rn = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The md5-free LSH replay for `ann_lsh_topk` (round 13): the plane
+    * constants are driver-side literals, so the WHOLE pipeline —
+    * sign buckets → multi-probe → exact cosine re-rank — replays in
+    * DuckDB. Every clamp-reachable plane (p < 24) ships in the VALUES
+    * relation; the run-time filter picks the count-derived (or
+    * conf-interpolated) prefix, exactly as the Spark plan does.
+    * `cos > 0 ⟺ dot > 0` (positive norms; a zero vector fails both
+    * sides), so the bucket replay needs only the bit-stable dot
+    * fold. */
+  private def sqlAnnLsh: String = {
+    val values = (0 until 24).map { p =>
+      s"($p, ${annPlaneComps(p).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString("(VALUES ", ", ", ")")
+    s"""WITH np AS (SELECT ${Fns.lshPlanesOracle("graft.ann.planes",
+        "(SELECT count(*) FROM embeddings)")} AS np),
+       |pl AS (SELECT p, pv FROM $values t(p, pv)
+       |       WHERE p < (SELECT np FROM np)),
+       |bk AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN ${Fns.sqlDot("e.embedding", "pl.pv")} > 0
+       |      THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+       |q AS (
+       |  SELECT b.vec_id AS q_id, e.embedding AS q_emb,
+       |    b.bucket AS q_bucket
+       |  FROM bk b JOIN embeddings e ON e.vec_id = b.vec_id
+       |  ORDER BY b.vec_id LIMIT 1),
+       |cand AS (
+       |  SELECT b.vec_id
+       |  FROM bk b, q
+       |  WHERE b.vec_id <> q.q_id AND (b.bucket = q.q_bucket
+       |    OR EXISTS (SELECT 1 FROM pl
+       |               WHERE b.bucket = xor(q.q_bucket,
+       |                 1::BIGINT << pl.p))))
+       |SELECT c.vec_id AS vec_id,
+       |  round(${Fns.sqlCosine("e.embedding", "q.q_emb")}, 4) AS cos_sim
+       |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+       |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> sqlAnnLsh,
     "cluster_dbscan" ->
       s"""WITH RECURSIVE p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -1211,9 +1211,20 @@ object TextAnalysis {
       .withColumn("w4", lead("w", 3).over(w))
       .withColumn("w5", lead("w", 4).over(w))
       .filter(col("w5").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"),
-          col("w4"), col("w5"))).as("h"))
+      // mode-routed gram identity ([[Fns.Md5ModeConf]]): every
+      // consumer joins/dedups on `h` (hash-agnostic given
+      // injectivity); md5 mode also carries the second digest half
+      // `h2` so the Bloom probes can derive k positions as
+      // (h + i·h2) mod m — the Kirsch–Mitzenheimer pair both engines
+      // replay. Scale mode keeps the single xxhash64 (h2 unused,
+      // emitted as 0 for a stable schema).
+      .select(col("doc_id"), Fns.bound(concat_ws(" ", col("w"),
+          col("w2"), col("w3"), col("w4"), col("w5"))) { g =>
+        if (Fns.md5Mode) struct(Fns.md5Hash52(g).as("h"),
+          Fns.md5Hash52b(g).as("h2"))
+        else struct(xxhash64(g).as("h"), lit(0L).as("h2"))
+      }.as("gh"))
+      .select(col("doc_id"), col("gh.h").as("h"), col("gh.h2").as("h2"))
       .distinct()
   }
 
@@ -1236,21 +1247,50 @@ object TextAnalysis {
     * into an array<long> bitmap (same probes, 2²⁰ bits = 16 KB) — the
     * map form is kept here because it stays readable and the spec pins
     * the semantics either way. */
+  /** DuckDB: the signed 64-bit value of a 16-hex-digit string `hx`
+    * (digit 1 most significant — the [[Fns.md5Hash64]] layout):
+    * HUGEINT digit sum, then the conditional 2⁶⁴ subtraction that
+    * reproduces Java's two's-complement wrap, cast ::BIGINT. */
+  private def sqlHex16Signed(hx: String): String = {
+    val u = (1 to 16).map { i =>
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)::HUGEINT" +
+        s" * ${BigInt(16).pow(16 - i)}::HUGEINT"
+    }.mkString("(", " + ", ")")
+    s"(CASE WHEN $u >= 9223372036854775808::HUGEINT" +
+      s" THEN $u - 18446744073709551616::HUGEINT ELSE $u END)::BIGINT"
+  }
+
+  /** ONE resolution rule for the Bloom knobs — read by the plan and
+    * interpolated into the oracle at dump time ([[oracleKnob]]). */
+  private def bloomBits(s: SparkSession): Long =
+    s.conf.getOption("graft.bloom.bits").fold(1L << 20)(_.toLong)
+  private def bloomHashes(s: SparkSession): Long =
+    s.conf.getOption("graft.bloom.hashes").fold(3L)(_.toLong)
+
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val benchMax = 20L
-    val mSlots = s.conf.getOption("graft.bloom.bits").fold(1L << 20)(_.toLong)
-    val k = s.conf.getOption("graft.bloom.hashes").fold(3)(_.toInt)
-    def positions(h: org.apache.spark.sql.Column)
+    val mSlots = bloomBits(s)
+    val k = bloomHashes(s).toInt
+    // mode-routed probe family ([[Fns.Md5ModeConf]]): md5 mode derives
+    // the k slots Kirsch–Mitzenheimer-style from the gram digest's two
+    // 52-bit halves — (h + i·h2) mod m, plain BIGINT both engines, so
+    // the whole sketch (build → probe → census) replays in DuckDB and
+    // the gate hash-checks it; xxhash64 re-seeding stays the scale
+    // default (one engine-native hash per probe).
+    def positions(h: org.apache.spark.sql.Column,
+        h2: org.apache.spark.sql.Column)
         : Seq[org.apache.spark.sql.Column] =
-      (0 until k).map(i => pmod(xxhash64(h, lit(i)), lit(mSlots)))
+      if (Fns.md5Mode)
+        (0 until k).map(i => pmod(h + lit(i.toLong) * h2, lit(mSlots)))
+      else (0 until k).map(i => pmod(xxhash64(h, lit(i)), lit(mSlots)))
     val sh = shingle5Rows(s, d)
       .localCheckpoint() // consumed by the bench side and the corpus side
     val sketch = sh.filter(col("doc_id") < benchMax)
-      .select(explode(array(positions(col("h")): _*)).as("pos"))
+      .select(explode(array(positions(col("h"), col("h2")): _*)).as("pos"))
       .distinct()
       .agg(map_from_entries(collect_list(struct(col("pos"), lit(true))))
         .as("bm"))
-    val hit = positions(col("h"))
+    val hit = positions(col("h"), col("h2"))
       .map(p => coalesce(element_at(col("bm"), p), lit(false)))
       .reduce(_ && _)
     val hits = sh.filter(col("doc_id") >= benchMax)
@@ -1419,18 +1459,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Rows-only: 64-bit fingerprints — xxhash64 of the full text plus a
-    * rolling rotate-XOR hash folded over the token stream (bitwise ops:
-    * order-sensitive like a polynomial hash, but no ANSI overflow). */
-  def fingerprint(s: SparkSession, d: String): DataFrame =
+  /** 64-bit fingerprints — a content hash of the full text plus a
+    * rolling rotate-XOR hash folded over the token stream (bitwise
+    * ops: order-sensitive like a polynomial hash, but no ANSI
+    * overflow). Mode-routed leaf hashes ([[Fns.Md5ModeConf]]):
+    * xxhash64 + rotate-5 at scale; md5-derived 64-bit hashes +
+    * rotate-4 in gate mode — rotating by one hex DIGIT is what lets
+    * DuckDB replay the sequential fold without folding: rotation is
+    * linear over GF(2), so the fold unrolls to
+    * `ROTL(seed, 4n) ⊕ ⊕_i ROTL(h_i, 4·(n−i))`, a per-token hex-string
+    * rotation + one bit_xor aggregate (✅SQL since round 13). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val (content, roll) =
+      if (Fns.md5Mode)
+        (Fns.md5Hash64(col("text")),
+          aggregate(col("toks"), lit(1125899906842597L),
+            (acc, t) => shiftleft(acc, 4)
+              .bitwiseOR(shiftrightunsigned(acc, 60))
+              .bitwiseXOR(Fns.md5Hash64(t))))
+      else
+        (xxhash64(col("text")),
+          aggregate(col("toks"), lit(1125899906842597L),
+            (acc, t) => shiftleft(acc, 5)
+              .bitwiseOR(shiftrightunsigned(acc, 59))
+              .bitwiseXOR(xxhash64(t))))
     withToks(s, d)
-      .select(col("doc_id"),
-        xxhash64(col("text")).as("fp_xxhash"),
-        aggregate(col("toks"), lit(1125899906842597L),
-          (acc, t) => shiftleft(acc, 5)
-            .bitwiseOR(shiftrightunsigned(acc, 59))
-            .bitwiseXOR(xxhash64(t))).as("fp_rolling"))
+      .select(col("doc_id"), content.as("fp_content"),
+        roll.as("fp_rolling"))
       .orderBy("doc_id")
+  }
 
   def shingleStats(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
@@ -1537,6 +1594,64 @@ object TextAnalysis {
   /** A def, not a val: the two knob-bearing oracles interpolate from
     * the live session conf at every dump (the `sqlMrrRanks` rule). */
   def oracles: Map[String, String] = Map(
+    // md5-gate-mode fingerprint replay: fp_content parses the text
+    // digest's first 16 hex digits into the signed 64-bit value
+    // (HUGEINT then conditional 2⁶⁴ subtraction); fp_rolling uses the
+    // GF(2)-linearity unroll — each token's digest rotates left by
+    // (n − pos) hex digits (≡ ROTL by 4·(n−pos) bits), one bit_xor
+    // aggregate folds the doc, and the seed term rotates by n digits
+    "text_fingerprint" -> {
+      val seedHex = f"${1125899906842597L}%016x"
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tk,
+         |  generate_subscripts(w, 1) AS pos, len(w) AS n FROM t),
+         |rot AS (SELECT doc_id,
+         |    substr(hx, r + 1) || substr(hx, 1, r) AS rhx
+         |  FROM (SELECT doc_id, substr(md5(tk), 1, 16) AS hx,
+         |          ((n - pos) % 16)::INT AS r FROM tok)),
+         |tv AS (SELECT doc_id, bit_xor(${sqlHex16Signed("rhx")}) AS tx
+         |  FROM rot GROUP BY doc_id),
+         |sd AS (SELECT doc_id,
+         |    substr('$seedHex', (len(w) % 16)::INT + 1)
+         |      || substr('$seedHex', 1, (len(w) % 16)::INT) AS shx
+         |  FROM t)
+         |SELECT t.doc_id,
+         |  ${sqlHex16Signed("substr(md5(text), 1, 16)")} AS fp_content,
+         |  xor(${sqlHex16Signed("sd.shx")}, coalesce(tv.tx, 0))
+         |    AS fp_rolling
+         |FROM t JOIN sd ON sd.doc_id = t.doc_id
+         |LEFT JOIN tv ON tv.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
+    // md5-gate-mode Bloom replay (the Dedup sketch-family rule): the
+    // k probe slots derive Kirsch–Mitzenheimer-style from the gram
+    // digest's two 52-bit halves, so build → probe → census is plain
+    // integer SQL; m and k interpolate via oracleKnob
+    "bloom_decontaminate" -> {
+      val m = oracleKnob("graft.bloom.bits", 1L << 20, bloomBits)
+      val k = oracleKnob("graft.bloom.hashes", 3L, bloomHashes)
+      s"""WITH t AS (SELECT doc_id, $Toks AS w FROM documents),
+         |shl AS (SELECT DISTINCT doc_id,
+         |  unnest(${Fns.sqlShingles5("w")}) AS g FROM t),
+         |hh AS (SELECT doc_id, ${Fns.sqlMd5Hash52("g")} AS h1,
+         |  ${Fns.sqlMd5Hash52b("g")} AS h2 FROM shl),
+         |ii AS (SELECT unnest(generate_series(0, ${k - 1})) AS i),
+         |bpos AS (SELECT DISTINCT (h1 + i * h2) % $m AS pos
+         |  FROM hh, ii WHERE doc_id < 20),
+         |pr AS (SELECT doc_id, h1, h2, (h1 + i * h2) % $m AS pos
+         |  FROM hh, ii WHERE doc_id >= 20),
+         |hitp AS (SELECT pr.doc_id, pr.h1, pr.h2,
+         |    count(b.pos) AS found
+         |  FROM pr LEFT JOIN bpos b ON b.pos = pr.pos
+         |  GROUP BY 1, 2, 3),
+         |nm AS (SELECT doc_id, count(*)::BIGINT AS n_maybe
+         |  FROM hitp WHERE found = $k GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_maybe, 0)::BIGINT
+         |    AS n_maybe_5grams,
+         |  (coalesce(n_maybe, 0) > 0)::INT AS contaminated_bloom
+         |FROM documents d LEFT JOIN nm USING (doc_id)
+         |WHERE d.doc_id >= 20 ORDER BY doc_id""".stripMargin
+    },
     "token_spell_correct" ->
       s"""WITH tokd AS (
          |  SELECT DISTINCT doc_id, unnest(list_distinct($Toks)) AS w

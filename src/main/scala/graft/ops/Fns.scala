@@ -207,6 +207,20 @@ object Fns {
         s"::BIGINT * ${1L << (4 * (13 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** The SECOND independent 52-bit hash from the same digest (hex
+    * digits 14–26) — the Kirsch–Mitzenheimer pair-hash companion of
+    * [[md5Hash52]]: one md5 evaluation yields (h1, h2), and
+    * (h1 + i·h2) mod m gives k derived hash functions both engines
+    * replay (Bloom probes, universal permutations). */
+  def md5Hash52b(c: Column): Column = md5Digits(c, 14, 13)
+
+  /** DuckDB SQL fragment mirroring [[md5Hash52b]]. */
+  def sqlMd5Hash52b(expr: String): String =
+    (14 to 26).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1)" +
+        s"::BIGINT * ${1L << (4 * (26 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Full 64-bit md5-derived token hash (first 16 hex digits, digit 1
     * most significant) for md5-mode SimHash bit votes — assembled with
     * SHIFT/OR (bit ops, no ANSI-overflow trap: digit 1 lands on bits
@@ -253,6 +267,25 @@ object Fns {
       while (p < 24 && (targetBucket << p) < nn) p += 1
       math.max(4, p)
     }
+
+  /** Dump-time resolution of a plane-count knob (the TextAnalysis
+    * `oracleKnob` discipline applied to [[lshPlanes]]): a live
+    * session's explicit conf interpolates as a constant; unset
+    * resolves to the count-derived [[sqlLshPlanes]] integer search
+    * the Spark plan itself uses; ambiguity across live sessions
+    * refuses. Shared by the `ann_lsh_topk` and `dedup_embedding_lsh`
+    * oracles. */
+  def lshPlanesOracle(confKey: String, nExpr: String): String = {
+    val sessions =
+      (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+        org.apache.spark.sql.SparkSession.getDefaultSession).distinct
+    val vals = sessions.flatMap(_.conf.getOption(confKey)).distinct
+    require(vals.size <= 1,
+      s"$confKey is ambiguous at oracle-dump time: $vals — align the " +
+        "conf or dump from a single session")
+    vals.headOption.map(v => s"${v.toInt}")
+      .getOrElse(sqlLshPlanes(nExpr))
+  }
 
   /** DuckDB SQL scalar mirroring [[lshPlanes]]' integer search, for an
     * `n`-valued scalar subquery fragment. */

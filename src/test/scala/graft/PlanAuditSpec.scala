@@ -500,6 +500,24 @@ class PlanAuditSpec extends SparkSpec {
       "nation dim should broadcast")
   }
 
+  test("vocab coverage: no ranking window, no single-partition sort") {
+    // the round-12 verdict's one `weak`: row_number over the FULL
+    // vocabulary funneled every distinct token through one
+    // partition's sort. The rewrite derives each coverage number via
+    // TakeOrdered top-k over the (reused) vocab aggregate — the plan
+    // must carry no Window and no SinglePartition exchange at all.
+    val p = plan("vocab_coverage")
+    // (the plan still carries SinglePartition exchanges of 1-row
+    // aggregate PARTIALS — every global aggregate does; the funnel
+    // this refuses is full-vocab rows through one sort/window)
+    assert(!finalTree(p).contains("Window"),
+      "vocab coverage re-grew a ranking window")
+    assert(!finalTree(p).contains("Sort ("),
+      "vocab coverage re-grew a standalone global sort")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrdered, not sort+limit")
+  }
+
   test("compaction plan: doc-level prefix window is bucket-partitioned") {
     val p = plan("compaction_plan")
     // the fine-grained running total must be partitioned by (split,
