@@ -957,6 +957,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("signature incremental accepts a CHAIN head: the append " +
+      "generation's cumulative provenance defines the cut") {
+    // three-corpus growth story (the lexical-chain fixture shape):
+    // g0 signs {0,1}, an append generation covers {2}, then the
+    // corpus grows to {0..4} with docs 3,4 near-dupping 0,2 — the
+    // incremental probe must read BOTH generations (a doc-2 signature
+    // lives only in g1) and cut at the chain head's cumulative
+    // max_doc_id + 1 = 3
+    val same = "alpha beta gamma delta epsilon"
+    val dup2 = "lambda mu nu xi omicron"
+    val d01 = Seq(same, "zeta eta theta iota kappa")
+    val d2 = d01 :+ dup2
+    val d3 = d2 ++ Seq(same, dup2)
+    val (dirA, dirB, dirC) = (docsDir(d01), docsDir(d2), docsDir(d3))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigchain").toString
+    graft.ops.Materialize.minhashIndexOf(spark,
+      graft.sources.Tables.documents(spark, dirA)
+        .select("doc_id", "text"), s"$base/g0", dirA)
+    // generations are corpus-tag-bound; fixture dirs cannot grow in
+    // place, so the tag moves with the corpus (the lexchain rule)
+    graft.ops.ArtifactTag.write(spark, s"$base/g0", dirB)
+    graft.ops.Materialize.minhashIndexAppend(spark, dirB,
+      s"$base/g0", s"$base/g1")
+    graft.ops.ArtifactTag.write(spark, s"$base/g0", dirC)
+    graft.ops.ArtifactTag.write(spark, s"$base/g1", dirC)
+    withConf("graft.minhash.oldIndexPath" -> s"$base/g1") {
+      val art = Dedup.queries("dedup_minhash_incremental")(spark, dirC)
+        .collect().map(_.toString).toSeq
+      val full = Dedup.minhashLsh(spark, dirC)
+        .filter(col("b_id") >= 3).collect().map(_.toString).toSeq
+      assert(art === full,
+        "chain-head incremental ≠ full run filtered at the chain cut")
+      assert(art.nonEmpty, "fixture must plant cross-cut near-dups")
+      // both pairs require a generation each: (0,3) needs g0's sig,
+      // (2,4) needs g1's — losing either chain element would drop one
+      assert(art.size >= 2, "a generation's signatures went unread")
+    }
+  }
+
   test("signature incremental artifact guards: wrong corpus, edited " +
       "old slice, and missing provenance are refused") {
     val texts = Seq("alpha beta gamma delta epsilon",
