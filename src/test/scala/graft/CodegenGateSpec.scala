@@ -88,4 +88,33 @@ class CodegenGateSpec extends SparkSpec {
         "codegen audit failures:\n  " + failures.mkString("\n  "))
     }
   }
+
+  test("the md5 GATE-MODE sketch paths also compile under " +
+      "CODEGEN_ONLY (graft.Verify runs them for every driver gate)") {
+    // the registry sweep above runs the scale default (xxhash64 +
+    // splitmix codegen); the correctness dump runs the SAME queries
+    // in md5 hash mode — UniHash permutations, md5-digit parsing,
+    // KM Bloom probes, digit-rotation fingerprints. A janino failure
+    // there would silently interpret every gate run (correct rows,
+    // 10×+ slower dumps) and the default-mode sweep would never see
+    // it. Exercise the distinct md5-mode codegen surfaces explicitly.
+    val md5Keys = Seq("dedup_minhash_lsh", "dedup_simhash",
+      "dedup_source_minhash", "bloom_decontaminate",
+      "text_fingerprint", "mm_feature_extract")
+    withConf(graft.ops.Fns.Md5ModeConf -> "true") {
+      strict {
+        val failures = md5Keys.flatMap { name =>
+          try { SparkEntry.queries(name)(spark, sf0001).count(); None }
+          catch {
+            case e: Throwable => Some(s"$name: " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage)
+                .linesIterator.take(2).mkString(" | "))
+          }
+        }
+        assert(failures.isEmpty,
+          "md5-mode codegen failures:\n  " + failures.mkString("\n  "))
+      }
+    }
+  }
 }

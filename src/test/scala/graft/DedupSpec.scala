@@ -700,6 +700,18 @@ class DedupSpec extends SparkSpec {
     }
     assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/compacted")
       .contains("parent"), "compacted index must end the chain")
+    // simhash side: same chain mechanics through its one-part layout
+    Materialize.simhashIndexOf(spark,
+      docs.filter(col("doc_id") < cut), s"$base/sh-g0", sf0001)
+    Materialize.simhashIndexAppend(spark, sf0001, s"$base/sh-g0",
+      s"$base/sh-g1")
+    Materialize.simhashIndexOf(spark, docs, s"$base/sh-full", sf0001)
+    Materialize.sigIndexCompact(spark, sf0001, s"$base/sh-g1",
+      s"$base/sh-compacted", Materialize.SimhashParts)
+    assert(sorted(s"$base/sh-compacted/bands",
+        Seq("doc_id", "sig", "k", "bh")) ===
+      sorted(s"$base/sh-full/bands", Seq("doc_id", "sig", "k", "bh")),
+      "compacted simhash bands diverged from the full rebuild")
   }
 
   test("k-core oracle unroll depth covers the gate SF's convergence") {
