@@ -714,6 +714,23 @@ class DedupSpec extends SparkSpec {
       "compacted simhash bands diverged from the full rebuild")
   }
 
+  test("oracle dump refuses while an incremental sketch query is " +
+      "artifact-routed (the false-oracle guard)") {
+    // the incremental sketch oracles replay the self-contained
+    // midpoint cut; with graft.{minhash,simhash}.oldIndexPath set,
+    // the ARTIFACT defines the cut and the dumped SQL would be a
+    // false oracle — building the oracle map must refuse loudly
+    // rather than emit it (the oracleKnob ambiguity discipline).
+    withConf("graft.minhash.oldIndexPath" -> "/tmp/nowhere") {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.oracleSql
+      }
+      assert(e.getMessage.contains("oldIndexPath"), e.getMessage)
+    }
+    // and with the confs clear the map builds (sanity)
+    assert(SparkEntry.oracleSql.contains("dedup_minhash_incremental"))
+  }
+
   test("k-core oracle unroll depth covers the gate SF's convergence") {
     // the neardup_kcore DuckDB oracle is a STATIC unroll of
     // KcoreOracleRounds h-index rounds: it equals the true fixpoint
