@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Fns
 import graft.sources.Tables
 
 /** §2B — relational / general query engine over the TPC-H-ish star schema.
@@ -219,10 +220,14 @@ object Relational {
     * sentinel bucket), so the whole profile is ONE scan + ONE
     * register-frame shuffle — see [[approxProfileOf]]. Same output
     * schema as the exact twin; `n_distinct` is the estimate.
-    * Rows-only 🔶 (an estimator has no DuckDB replay); ApproxSpec
-    * pins null/min/max ≡ exact, NDV within 2% per column, and the
+    * ✅SQL since round 14: the hash leaf routes through the md5 gate
+    * mode (canonical 'd:'/'s:' keys on the DECIMAL(28,6) grid, 52-bit
+    * md5 hash, the INTEGER Σ 2^(39−Mj) register sum), so the whole
+    * register frame + estimator replays in DuckDB under the gate; the
+    * xxhash64 scale default stays pinned by ApproxSpec
+    * (null/min/max ≡ exact, NDV within 2% per column, and the
     * estimator's accuracy across a synthetic NDV sweep through the
-    * linear-counting/raw switch band.
+    * linear-counting/raw switch band).
     *
     * Deliberately NOT `approx_count_distinct`: Spark's HLL++ is an
     * ImperativeAggregate, and ONE imperative function in an aggregate
@@ -249,27 +254,55 @@ object Relational {
     * cardinalities. */
   private[graft] def approxProfileOf(melted: DataFrame): DataFrame = {
     val m = 16384
+    // Hash leaf routes through the md5 gate mode (round 14, the
+    // sketch-family rule — [[graft.ops.Fns.Md5ModeConf]]): xxhash64
+    // over the typed pair at scale; under the gate, md5Hash52 of a
+    // CANONICAL string key — 's:'+vs for string columns, 'd:'+the
+    // DECIMAL(28,6) form of vd for numeric ones (every profiled value
+    // is exact on that grid: integer keys, 2-decimal prices, integer
+    // epoch-µs — and both engines print the decimal with full scale),
+    // so DuckDB replays the register frame digit-for-digit.
+    val md5 = Fns.md5Mode
+    val hashExpr =
+      if (md5) Fns.md5Hash52(
+        when(col("vs").isNotNull, concat(lit("s:"), col("vs")))
+          .otherwise(concat(lit("d:"),
+            col("vd").cast("decimal(28,6)").cast("string"))))
+      else xxhash64(col("vd"), col("vs"))
     val hashed = melted.select(col("col_name"), col("vd"), col("vs"),
       when(col("vd").isNull && col("vs").isNull, lit(null).cast("long"))
-        .otherwise(xxhash64(col("vd"), col("vs"))).as("h"))
-    // w = the hash's upper 50 bits; rho = 51 − bitlength(w), exact
-    // via length(bin(w)) — no float log at bit boundaries
+        .otherwise(hashExpr).as("h"))
+    // w = the hash's bits above the 14 bucket bits (50 under xxhash64,
+    // 38 under the 52-bit md5 gate hash); rho = (width−14+1) −
+    // bitlength(w), exact via length(bin(w)) — no float log at bit
+    // boundaries
+    val rhoBase = if (md5) 39 else 51
     val w = shiftrightunsigned(col("h"), 14)
     val bucketed = hashed.select(col("col_name"), col("vd"), col("vs"),
       coalesce(pmod(col("h"), lit(m.toLong)), lit(-1L)).as("bucket"),
       when(col("h").isNull, lit(0))
-        .when(w === 0L, lit(51))
-        .otherwise(lit(51) - length(bin(w))).as("rho"))
+        .when(w === 0L, lit(rhoBase))
+        .otherwise(lit(rhoBase) - length(bin(w))).as("rho"))
     val regs = bucketed.groupBy("col_name", "bucket").agg(
       max("rho").as("mj"), count(lit(1L)).as("cnt"),
       min("vd").as("mn"), max("vd").as("mx"),
       min("vs").as("sn"), max("vs").as("sx"))
     val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // z = Σ 2^−Mj. In md5 mode it accumulates as the INTEGER
+    // Σ 2^(39−Mj) (≤ 2^52, exact in BIGINT, summation-order-free) and
+    // divides by 2³⁹ once — the oracle replays the integer sum in
+    // HUGEINT. In scale mode the float sum stays: rho ≤ 51 spans more
+    // than a double's 53 bits, but no oracle replays that path.
+    val zCol =
+      if (md5) (sum(when(col("bucket") >= 0L,
+          expr(s"shiftleft(1L, ${rhoBase} - mj)")))
+        .cast("double") / lit(math.pow(2.0, rhoBase))).as("z")
+      else sum(when(col("bucket") >= 0L, pow(lit(2.0), -col("mj"))))
+        .as("z")
     regs.groupBy("col_name").agg(
         sum(when(col("bucket") === -1L, col("cnt")).otherwise(lit(0L)))
           .as("n_null"),
-        sum(when(col("bucket") >= 0L, pow(lit(2.0), -col("mj"))))
-          .as("z"),
+        zCol,
         count(when(col("bucket") >= 0L, lit(1))).as("vnz"),
         min("mn").as("min_num"), max("mx").as("max_num"),
         min("sn").as("min_str"), max("sx").as("max_str"))
@@ -2198,6 +2231,71 @@ object Relational {
             |  NULL::VARCHAR, NULL::VARCHAR
             |FROM lineitem""".stripMargin)
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "table_profile_approx" -> {
+      // md5-gate-mode HLL replay (round 14): the melt, the canonical
+      // 'd:'/'s:' key, the 52-bit md5 hash, bucket/rho, the per-bucket
+      // register max, and the integer Σ2^(39−Mj) all replay exactly;
+      // the estimator constants interpolate from the SAME Scala
+      // doubles the plan uses (Double.toString round-trips).
+      val m = 16384
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val meltBranches =
+        numCols.map { c =>
+          s"""SELECT '$c' AS col_name, $c::DOUBLE AS vd,
+             |    NULL::VARCHAR AS vs FROM lineitem""".stripMargin
+        } ++ Seq(
+          """SELECT 'l_shipdate', epoch_us(l_shipdate)::DOUBLE,
+            |    NULL::VARCHAR FROM lineitem""".stripMargin) ++
+        strCols.map { c =>
+          s"""SELECT '$c', NULL::DOUBLE, $c FROM lineitem""".stripMargin
+        }
+      val key = "(CASE WHEN vs IS NOT NULL THEN 's:' || vs " +
+        "ELSE 'd:' || (vd::DECIMAL(28,6))::VARCHAR END)"
+      s"""WITH melt AS (
+         |  ${meltBranches.mkString("\nUNION ALL\n")}),
+         |h AS (
+         |  SELECT col_name, vd, vs,
+         |    CASE WHEN vd IS NULL AND vs IS NULL THEN NULL
+         |      ELSE ${Fns.sqlMd5Hash52(key)} END AS h
+         |  FROM melt),
+         |b AS (
+         |  SELECT col_name, vd, vs,
+         |    coalesce(h % $m, -1)::BIGINT AS bucket,
+         |    CASE WHEN h IS NULL THEN 0
+         |      WHEN (h // $m) = 0 THEN 39
+         |      ELSE 39 - length(bin(h // $m)) END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT col_name, bucket, max(rho) AS mj,
+         |    count(*)::BIGINT AS cnt,
+         |    min(vd) AS mn, max(vd) AS mx, min(vs) AS sn, max(vs) AS sx
+         |  FROM b GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT col_name,
+         |    sum(CASE WHEN bucket = -1 THEN cnt ELSE 0 END)::BIGINT
+         |      AS n_null,
+         |    (sum(CASE WHEN bucket >= 0
+         |        THEN (1::HUGEINT << (39 - mj)) END)::DOUBLE
+         |      / ${math.pow(2.0, 39)}) AS z,
+         |    count(CASE WHEN bucket >= 0 THEN 1 END)::BIGINT AS vnz,
+         |    min(mn) AS min_num, max(mx) AS max_num,
+         |    min(sn) AS min_str, max(sx) AS max_str
+         |  FROM regs GROUP BY col_name),
+         |est AS (
+         |  SELECT *, (${alpha * m * m}) / (z + ($m.0 - vnz)) AS eraw
+         |  FROM agg)
+         |SELECT col_name, n_null,
+         |  trunc(CASE WHEN vnz = 0 THEN 0.0
+         |    WHEN vnz < $m AND eraw <= ${3.5 * m}
+         |      THEN $m.0 * ln($m.0 / ($m.0 - vnz))
+         |    ELSE eraw END)::BIGINT AS n_distinct,
+         |  min_num, max_num, min_str, max_str
+         |FROM est ORDER BY col_name""".stripMargin
     },
     "referential_integrity_audit" ->
       """WITH fk AS (

@@ -623,8 +623,10 @@ object Similarity {
     *
     * Output shape/semantics match [[annBruteforce]] (exact cosine,
     * rounded for display) — but computed on the shortlist only.
-    * Rows-only: the shortlist is quantization-dependent; ApproxSpec
-    * pins shortlist containment + recall ≥ plain PQ. */
+    * ✅SQL since round 14 (the ADC shortlist is deterministic under
+    * the fixed-order fold, so [[sqlPqRerank]] replays shortlist +
+    * re-rank end to end); ApproxSpec still pins shortlist
+    * containment + recall ≥ plain PQ. */
   def annPqRerank(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     // probe the MATERIALIZED index (build-once, as annPqFromIndex):
@@ -662,8 +664,10 @@ object Similarity {
     * deployment lays out codes cell-partitioned so the probe reads
     * nprobe/C of the BYTES, not just of the rows —
     * [[graft.ops.Materialize.ivfIndex]] + [[Materialize.pqIndex]]
-    * already demonstrate both storage halves. Rows-only: recall is
-    * data-dependent (ApproxSpec pins recall vs exact AND ≡ `ann_pq_topk`
+    * already demonstrate both storage halves. ✅SQL since round 14
+    * (the oracle composes the IVF and PQ CTE replays,
+    * [[sqlIvfPqTopk]]); recall stays data-dependent on the measured
+    * axis (ApproxSpec pins recall vs exact AND ≡ `ann_pq_topk`
     * when every cell is probed). */
   def annIvfPq(s: SparkSession, d: String): DataFrame =
     annIvfPqProbe(s, d, None)
@@ -697,8 +701,9 @@ object Similarity {
     * The index is written once per (JVM, corpus) and reused — the
     * build is deterministic, so reuse cannot change results
     * (ApproxSpec pins probe ≡ `ann_pq_topk` and the build-once
-    * behavior, same contract as `ann_ivf_from_index`). Rows-only
-    * check, as every ANN path. */
+    * behavior, same contract as `ann_ivf_from_index`). ✅SQL since
+    * round 14: serves the identical deterministic codes, so the
+    * in-query twin's full DuckDB replay gates this path too. */
   def annPqFromIndex(s: SparkSession, d: String): DataFrame = {
     val (codes, cb) = pqIndexFrames(s, d)
     pqProbe(s, d, codes, cb)
@@ -748,8 +753,10 @@ object Similarity {
     * resident at query time: that 32× compression is the entire point
     * of PQ, and recall is bounded by quantization error (ApproxSpec
     * pins recall vs the exact-IP brute force plus the index-shape
-    * invariants). Rows-only check: recall is data-dependent, as with
-    * every ANN path here. */
+    * invariants). ✅SQL since round 14: seeds, the unrolled
+    * left-associative L2 assignments, the 10⁻⁶-grid codebooks, and
+    * the fixed-sub-order ADC fold all replay in DuckDB
+    * ([[sqlPqTopk]]); recall remains ApproxSpec's to measure. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val (codes, cb) = pqBuild(s, d)
     pqProbe(s, d, codes, cb)
@@ -783,9 +790,21 @@ object Similarity {
     codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
       .groupBy(codes("vec_id"), col("q_id"))
-      .agg(sum("pip").as("ip"))
+      // FIXED-ORDER float fold (round 14, the bm25_prf discipline): a
+      // plain sum(pip) adds the 8 partials in shuffle-arrival order —
+      // nondeterministic ulps the oracle cannot replay. Collect the
+      // (sub, pip) pairs, sort by sub (unique per vector), fold
+      // left-to-right: bit-identical to DuckDB's
+      // list_sum(list(pip ORDER BY sub)).
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(lut("sub").as("sub"),
+            col("pip").as("pip")))),
+          x => x.getField("pip")),
+        lit(0.0), (acc, x) => acc + x).as("ip"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("vec_id"), round(col("ip"), 4).as("approx_ip"))
+      .select(col("vec_id"),
+        (round(col("ip"), 4) + lit(0.0)).as("approx_ip"))
   }
 
   private val PqM = 8 // subspaces
@@ -988,8 +1007,10 @@ object Similarity {
     * partition pruning — implemented as
     * [[graft.ops.Materialize.ivfIndex]], pruning pinned by
     * MaterializeSpec. C scales as √n (cells of √n vectors balance
-    * quantizer cost vs cell-scan cost). Rows-only check (recall is
-    * data-dependent); ApproxSpec pins recall vs brute force. */
+    * quantizer cost vs cell-scan cost). ✅SQL since round 14:
+    * grid-rounded centroids + the md5-gate-routed seed hash make the
+    * whole Lloyd trajectory DuckDB-replayable ([[sqlIvfTopk]]);
+    * recall vs brute force stays ApproxSpec's measurement. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val (index, centDf) = ivfBuild(s, d)
@@ -1007,7 +1028,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cos(col("embedding"), col("q_emb")))
       .select(col("vec_id"), col("cid").as("cell"),
-        round(col("cos"), 4).as("cos_sim"))
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -1031,7 +1052,8 @@ object Similarity {
     *  3. ranks the pruned candidates exactly, identical output shape to
     *     `ann_ivf_topk` (SimilaritySpec pins result equality).
     *
-    * Rows-only check (recall is data-dependent, as ann_ivf_topk).
+    * ✅SQL since round 14 (the in-query twin's replay — identical
+    * deterministic build both sides, SimilaritySpec pins equality).
     *
     * The index is built ONCE per (JVM, corpus dir) and reused on
     * repeated invocations — it is a materialized artifact, not part of
@@ -1051,7 +1073,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cos(col("embedding"), col("q_emb")))
       .select(col("vec_id"), col("cid").as("cell"),
-        round(col("cos"), 4).as("cos_sim"))
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -1066,7 +1088,10 @@ object Similarity {
     * [[annIvfPqFromIndex]]. */
   private def ivfPrunedCells(s: SparkSession, d: String)
       : (String, Seq[Int]) = {
-    val path = graft.ops.BuildOnce.scratchPath("ivf", d)
+    // mode-tagged path (the Dedup.hashModeTag rule): md5-mode seeds
+    // differ from the xxhash64 scale default, so the two modes must
+    // never share one cached artifact within a JVM
+    val path = graft.ops.BuildOnce.scratchPath("ivf" + Dedup.hashModeTag, d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.ivfIndex(s, d, path)
     }
@@ -1102,8 +1127,9 @@ object Similarity {
     * candidate, which is the entire IVF-PQ scale claim, now exercised
     * END TO END through storage. Both indexes build once per
     * JVM+corpus (deterministic; reuse guards pinned by ApproxSpec for
-    * each half). Rows-only as every ANN path; ApproxSpec pins this
-    * probe ≡ the in-query `ann_ivfpq_topk` on the same cells. */
+    * each half). ✅SQL since round 14 (the in-query twin's composed
+    * replay); ApproxSpec pins this probe ≡ the in-query
+    * `ann_ivfpq_topk` on the same cells. */
   def annIvfPqFromIndex(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val (path, cids) = ivfPrunedCells(s, d)
@@ -1128,11 +1154,17 @@ object Similarity {
     val c = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble))))
       .toInt
 
+    // centroid components ROUND to the 10⁻⁶ grid between iterations —
+    // the [[kmeansFit]] determinism rule (round 14): a raw float avg
+    // differs across summation orders by ulps, so the oracle could
+    // never replay the trajectory; on the grid both engines hold the
+    // identical double (cell sizes ≫ 10 keep the avg off rounding
+    // midpoints, SURVEY §4)
     def toCentroids(assigned: DataFrame): Array[(Int, Seq[Double])] =
       assigned
         .select(col("cid"), posexplode(Fns.asDouble(col("embedding")))
           .as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg("v").as("cv"))
+        .groupBy("cid", "pos").agg(round(avg("v"), 6).as("cv"))
         .groupBy("cid")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("cvec"))
@@ -1164,10 +1196,18 @@ object Similarity {
         .join(e, "vec_id")
         .select("vec_id", "embedding", "cid")
 
-    // seed: the C vectors with smallest xxhash64(vec_id) — deterministic
-    // uniform sample, no RNG state
-    var cents = e.withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy("hk").limit(c)
+    // seed: the C vectors with smallest hash(vec_id) — deterministic
+    // uniform sample, no RNG state. Hash leaf routes through the md5
+    // gate mode ([[Fns.Md5ModeConf]], round 14): xxhash64 at scale,
+    // md5-digit integers under the gate so the DuckDB oracle replays
+    // seed choice — and with it the whole Lloyd trajectory —
+    // digit-for-digit. (hk, vec_id) order: hash ties (absent in
+    // practice at 52 bits) must not leave seed choice to sort
+    // nondeterminism.
+    var cents = e.withColumn("hk",
+        if (Fns.md5Mode) Fns.md5Hash52(col("vec_id").cast("string"))
+        else xxhash64(col("vec_id")))
+      .orderBy("hk", "vec_id").limit(c)
       .select(col("embedding")).collect().zipWithIndex
       .map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble)
@@ -1403,17 +1443,18 @@ object Similarity {
     * without a code change), exact cosine on the ~nprobe·cellsize
     * candidates, keep 3 by a probe-keyed window (fine-grained keys).
     * Work ∝ n·nprobe·cellsize — the `graft.semantic.cellSize`
-    * scaling story applies unchanged. Rows-only 🔶: cell pruning
-    * loses true neighbors (recall < 1 by design); ApproxSpec measures
-    * recall@3 against the exact graph, pins reported similarities
-    * bit-exact, and pins recall MONOTONE in nprobe (a candidate set
-    * that only grows can only raise exact-verified recall). */
+    * scaling story applies unchanged. ✅SQL since round 14
+    * ([[sqlKnnGraphIvf]] replays cells→candidates→top-3; recall < 1
+    * by design is a SEMANTIC of the operator, which the oracle
+    * replays exactly); ApproxSpec still measures recall@3 against
+    * the exact graph, pins reported similarities bit-exact, and pins
+    * recall MONOTONE in nprobe. */
   def knnGraphIvf(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val nprobe = s.conf.getOption("graft.knngraph.nprobe").fold(2)(_.toInt)
     require(nprobe >= 1 && nprobe <= 256,
       s"graft.knngraph.nprobe must be in [1, 256]: $nprobe")
-    val path = graft.ops.BuildOnce.scratchPath("ivf", d)
+    val path = graft.ops.BuildOnce.scratchPath("ivf" + Dedup.hashModeTag, d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.ivfIndex(s, d, path)
     }
@@ -1612,7 +1653,258 @@ object Similarity {
        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Shared `e` (double-widened embeddings) + `q` (smallest-vec_id
+    * probe) prefix of the IVF/PQ oracle replays. */
+  private val sqlEmbPrefix: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      |      ORDER BY vec_id LIMIT 1)""".stripMargin
+
+  /** Unrolled squared-L2 over two PqD-dim double lists — the SQL
+    * mirror of [[l2sq]]: the identical scalar expression tree
+    * ((dx₁²+dx₂²)+…), left-associative on both engines, so the
+    * training-assignment argmins compare bit-identical doubles. */
+  private def sqlL2sq(a: String, b: String): String =
+    (1 to PqD).map { i =>
+      s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))"
+    }.mkString("(", " + ", ")")
+
+  /** One PQ Lloyd/encode assignment pass (mirror of [[pqBuild]]'s
+    * `assign`): per (vec_id, sub), the codebook row minimizing the
+    * unrolled L2, smaller cid on ties. */
+  private def sqlPqAssign(cb: String): String =
+    s"""SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT sv.vec_id, sv.sub, $cb.cid,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY ${sqlL2sq("sv.svec", s"$cb.cvec")} ASC,
+       |          $cb.cid) AS rn
+       |    FROM sv JOIN $cb ON sv.sub = $cb.sub) WHERE rn = 1""".stripMargin
+
+  /** One PQ codebook refresh (mirror of [[pqBuild]]'s `refresh`):
+    * per (sub, cid, pos) the 10⁻⁶-grid-rounded mean component,
+    * packed pos-ordered. */
+  private def sqlPqRefresh(a: String): String =
+    s"""SELECT sub, cid, list(cv ORDER BY pos) AS cvec FROM (
+       |    SELECT x.sub, x.cid, x.pos, round(avg(x.v), 6) AS cv FROM (
+       |      SELECT $a.sub AS sub, $a.code AS cid,
+       |        generate_subscripts(sv.svec, 1) AS pos, unnest(sv.svec) AS v
+       |      FROM $a JOIN sv ON $a.vec_id = sv.vec_id
+       |        AND $a.sub = sv.sub) x
+       |    GROUP BY x.sub, x.cid, x.pos)
+       |  GROUP BY sub, cid""".stripMargin
+
+  /** The full [[pqBuild]] replay as CTEs — subvectors (`sv`), dynamic
+    * K, first-k seeds, 2 Lloyd passes (`cb1`, `cb2`), the final encode
+    * (`codes`) and the query's ADC lookup table (`lut`). Requires
+    * [[sqlEmbPrefix]] in scope. */
+  private def sqlPqBlock: String =
+    s"""k AS (SELECT least(256, greatest(16, count(*) // 4))::INT AS k
+       |      FROM e),
+       |sv AS (
+       |  SELECT vec_id, s.sub,
+       |    array_slice(emb, s.sub * $PqD + 1, s.sub * $PqD + $PqD) AS svec
+       |  FROM e CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s),
+       |seedids AS (
+       |  SELECT cid, vec_id FROM (
+       |    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+       |      vec_id
+       |    FROM e) WHERE cid < (SELECT k FROM k)),
+       |cb0 AS (
+       |  SELECT sv.sub, sd.cid, sv.svec AS cvec
+       |  FROM sv JOIN seedids sd USING (vec_id)),
+       |p0 AS (${sqlPqAssign("cb0")}),
+       |cb1 AS (${sqlPqRefresh("p0")}),
+       |p1 AS (${sqlPqAssign("cb1")}),
+       |cb2 AS (${sqlPqRefresh("p1")}),
+       |codes AS (${sqlPqAssign("cb2")}),
+       |qs AS (
+       |  SELECT q_id, s.sub,
+       |    array_slice(q_emb, s.sub * $PqD + 1, s.sub * $PqD + $PqD)
+       |      AS q_svec
+       |  FROM q CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s),
+       |lut AS (
+       |  SELECT qs.sub, cb2.cid, ${Fns.sqlDot("qs.q_svec", "cb2.cvec")}
+       |    AS pip
+       |  FROM qs JOIN cb2 ON qs.sub = cb2.sub)""".stripMargin
+
+  /** The ADC scoring + top-10 tail (mirror of [[pqScores]]∘[[pqProbe]]):
+    * `candJoin` optionally restricts the scored set (the IVF-PQ cell
+    * pruning); the partial-IP fold runs in sub order —
+    * `list_sum(list(pip ORDER BY sub))` ≡ the Spark sorted-struct
+    * sequential fold. */
+  private def sqlAdcTail(candJoin: String): String =
+    s"""adc AS (
+       |  SELECT c.vec_id,
+       |    round(list_sum(list(l.pip ORDER BY l.sub)), 4) + 0.0
+       |      AS approx_ip
+       |  FROM codes c $candJoin
+       |    JOIN lut l ON c.sub = l.sub AND c.code = l.cid, q
+       |  WHERE c.vec_id <> q.q_id
+       |  GROUP BY c.vec_id)
+       |SELECT vec_id, approx_ip FROM adc
+       |ORDER BY approx_ip DESC, vec_id LIMIT 10""".stripMargin
+
+  /** One IVF Lloyd/final assignment pass (mirror of [[ivfBuild]]'s
+    * `assign`): nearest cell by the sequential-fold cosine, smaller
+    * cid on ties. */
+  private def sqlIvfAssign(cb: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, $cb.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Fns.sqlCosine("e.emb", s"$cb.cvec")} DESC,
+       |          $cb.cid) AS rn
+       |    FROM e CROSS JOIN $cb) WHERE rn = 1""".stripMargin
+
+  /** One IVF centroid refresh (mirror of [[ivfBuild]]'s
+    * `toCentroids`): 10⁻⁶-grid-rounded per-(cid, pos) means, packed
+    * pos-ordered (empty cells drop out of the GROUP BY). */
+  private def sqlIvfRefresh(a: String): String =
+    s"""SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+       |    SELECT $a.cid, x.pos, round(avg(x.v), 6) AS cv FROM (
+       |      SELECT vec_id, generate_subscripts(emb, 1) AS pos,
+       |        unnest(emb) AS v FROM e) x
+       |    JOIN $a ON x.vec_id = $a.vec_id
+       |    GROUP BY $a.cid, x.pos)
+       |  GROUP BY cid""".stripMargin
+
+  /** The full [[ivfBuild]] + probe-cell replay as CTEs: √n-scaled C,
+    * md5-hash-ordered seeds (the gate-mode hash — [[ivfBuild]] routes
+    * its seed hash through [[Fns.Md5ModeConf]], so the oracle replays
+    * seed choice digit-for-digit), 2 grid-rounded Lloyd passes
+    * (`ic1`, `ic2`), the final assignment (`ia2`), and the `nprobe`
+    * cells nearest the query (`ipc`). Requires [[sqlEmbPrefix]]. */
+  private def sqlIvfBlock: String =
+    s"""ivfc AS (
+       |  SELECT least(256, greatest(4,
+       |    floor(sqrt(count(*)::DOUBLE) + 0.5)))::INT AS c FROM e),
+       |ihk AS (SELECT vec_id, emb,
+       |    ${Fns.sqlMd5Hash52("(vec_id::VARCHAR)")} AS hk FROM e),
+       |iseeds AS (
+       |  SELECT cid, cvec FROM (
+       |    SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::INT
+       |      AS cid, emb AS cvec
+       |    FROM ihk) WHERE cid < (SELECT c FROM ivfc)),
+       |i0 AS (${sqlIvfAssign("iseeds")}),
+       |ic1 AS (${sqlIvfRefresh("i0")}),
+       |i1 AS (${sqlIvfAssign("ic1")}),
+       |ic2 AS (${sqlIvfRefresh("i1")}),
+       |ia2 AS (${sqlIvfAssign("ic2")}),
+       |inp AS (SELECT greatest(2, count(*) // 4)::INT AS np FROM ic2),
+       |ipc AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (
+       |      ORDER BY ${Fns.sqlCosine("cvec", "q_emb")} DESC, cid) AS rn
+       |    FROM ic2, q) WHERE rn <= (SELECT np FROM inp))""".stripMargin
+
+  /** The IVF probe tail shared by `ann_ivf_topk` and its from-index
+    * twin: exact cosine over the pruned cells' members, top-10. */
+  private def sqlIvfTopk: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlIvfBlock
+       |SELECT a.vec_id, a.cid AS cell,
+       |  round(${Fns.sqlCosine("e.emb", "q.q_emb")}, 4) + 0.0 AS cos_sim
+       |FROM ia2 a JOIN ipc USING (cid)
+       |  JOIN e ON a.vec_id = e.vec_id, q
+       |WHERE a.vec_id <> q.q_id
+       |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+
+  /** The PQ ADC probe — ONE oracle text for `ann_pq_topk` and
+    * `ann_pq_from_index` (the artifact must reproduce the in-query
+    * codes exactly, the `ann_sq_from_index` rule). */
+  private def sqlPqTopk: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlPqBlock,
+       |${sqlAdcTail("")}""".stripMargin
+
+  /** IVF-PQ: cell-pruned candidates ADC-scored — ONE text for the
+    * in-query and from-index twins. */
+  private def sqlIvfPqTopk: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlIvfBlock,
+       |$sqlPqBlock,
+       |cand AS (SELECT a.vec_id FROM ia2 a JOIN ipc USING (cid)),
+       |${sqlAdcTail("JOIN cand USING (vec_id)")}""".stripMargin
+
+  /** ADC top-100 shortlist → exact re-rank (mirror of
+    * [[annPqRerank]]). */
+  private def sqlPqRerank: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlPqBlock,
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    round(list_sum(list(l.pip ORDER BY l.sub)), 4) + 0.0
+       |      AS approx_ip
+       |  FROM codes c
+       |    JOIN lut l ON c.sub = l.sub AND c.code = l.cid, q
+       |  WHERE c.vec_id <> q.q_id
+       |  GROUP BY c.vec_id),
+       |short AS (SELECT vec_id FROM adc
+       |          ORDER BY approx_ip DESC, vec_id LIMIT 100)
+       |SELECT e.vec_id,
+       |  round(${Fns.sqlCosine("e.emb", "q.q_emb")}, 4) + 0.0 AS cos_sim
+       |FROM short JOIN e USING (vec_id), q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** `graft.knngraph.nprobe` resolved for oracle interpolation (the
+    * [[graft.operators.TextAnalysis]] `oracleKnob` discipline: the
+    * dumped SQL must use the value the Spark plan reads; ambiguity
+    * across live sessions refuses). */
+  private def knnNprobeOracle: Int = {
+    val sessions =
+      (SparkSession.getActiveSession.toSeq ++
+        SparkSession.getDefaultSession).distinct
+    val vals =
+      sessions.flatMap(_.conf.getOption("graft.knngraph.nprobe")).distinct
+    require(vals.size <= 1,
+      s"graft.knngraph.nprobe is ambiguous at oracle-dump time: $vals — " +
+        "align the conf or dump from a single session")
+    vals.headOption.map(_.toInt).getOrElse(2)
+  }
+
+  /** The kNN-graph replay: per-vector top-`nprobe` cells, cell-member
+    * candidates, exact-cosine top-3 per probe. */
+  private def sqlKnnGraphIvf: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlIvfBlock,
+       |tc AS (
+       |  SELECT vec_id AS probe_id, cid FROM (
+       |    SELECT e.vec_id, ic2.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Fns.sqlCosine("e.emb", "ic2.cvec")} DESC,
+       |          ic2.cid) AS rn
+       |    FROM e CROSS JOIN ic2) WHERE rn <= $knnNprobeOracle),
+       |cand AS (
+       |  SELECT tc.probe_id, a.vec_id FROM tc JOIN ia2 a USING (cid)
+       |  WHERE a.vec_id <> tc.probe_id),
+       |r AS (
+       |  SELECT c.probe_id, c.vec_id AS neighbor_id,
+       |    ${Fns.sqlCosine("ev.emb", "ep.emb")} AS cs
+       |  FROM cand c JOIN e ev ON c.vec_id = ev.vec_id
+       |    JOIN e ep ON c.probe_id = ep.vec_id),
+       |rk AS (
+       |  SELECT probe_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cs DESC, neighbor_id) AS rk,
+       |    round(cs, 4) + 0.0 AS cos_sim
+       |  FROM r)
+       |SELECT probe_id, neighbor_id, rk, cos_sim FROM rk WHERE rk <= 3
+       |ORDER BY probe_id, rk""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "ann_ivf_topk" -> sqlIvfTopk,
+    // from-index twins serve the identical deterministic build from
+    // the artifact — one oracle text per pair (the sq precedent)
+    "ann_ivf_from_index" -> sqlIvfTopk,
+    "ann_pq_topk" -> sqlPqTopk,
+    "ann_pq_from_index" -> sqlPqTopk,
+    "ann_ivfpq_topk" -> sqlIvfPqTopk,
+    "ann_ivfpq_from_index" -> sqlIvfPqTopk,
+    "ann_pq_rerank" -> sqlPqRerank,
+    "knn_graph_ivf" -> sqlKnnGraphIvf,
     "ann_lsh_topk" -> sqlAnnLsh,
     "cluster_dbscan" ->
       s"""WITH RECURSIVE p AS (

@@ -233,6 +233,46 @@ class ApproxSpec extends SparkSpec {
     } finally spark.conf.unset("graft.semantic.cellSize")
   }
 
+  test("md5 gate mode: approx-profile + IVF mode-equivalence pins " +
+      "(gate hashing vs xxhash64 scale default)") {
+    import graft.operators.{Relational, Similarity}
+    // the round-13 adjudication rule, extended to the round-14 flips:
+    // ✅SQL certifies the md5 GATE mode; these pins tie the xxhash64
+    // scale default to it on the fixture so the coverage claim cannot
+    // silently diverge between modes.
+    val defProf = Relational.tableProfileApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m5 = withConf(graft.ops.Fns.Md5ModeConf -> "true") {
+      val m5Prof = Relational.tableProfileApprox(spark, sf0001).collect()
+      // IVF under the gate: the mode-tagged artifact must serve the
+      // md5-mode build — from-index ≡ in-query in gate mode too
+      val inq = Similarity.queries("ann_ivf_topk")(spark, sf0001)
+        .collect().map(_.toString).toSeq
+      val fi = Similarity.queries("ann_ivf_from_index")(spark, sf0001)
+        .collect().map(_.toString).toSeq
+      assert(inq === fi, "md5-mode from-index IVF diverged from in-query")
+      assert(inq.length === 10)
+      m5Prof
+    }
+    assert(m5.length === defProf.size, "one profile row per column")
+    m5.foreach { r =>
+      val d = defProf(r.getString(0))
+      // exact facts are hash-mode-independent
+      assert(r.getLong(1) === d.getLong(1), s"${r.getString(0)} n_null")
+      (3 to 6).foreach { i =>
+        assert(r.isNullAt(i) === d.isNullAt(i)
+            && (r.isNullAt(i) || r.get(i) == d.get(i)),
+          s"${r.getString(0)} min/max col $i drifted across hash modes")
+      }
+      // both NDV estimates target the same exact NDV (±0.8% rsd);
+      // allow the two independent hash families 5% + slack between
+      // each other
+      val (a, b) = (r.getLong(2), d.getLong(2))
+      assert(math.abs(a - b) <= math.max(4L, math.max(a, b) / 20),
+        s"${r.getString(0)}: md5-mode NDV $a vs xxhash64 NDV $b")
+    }
+  }
+
   test("PQ ANN: index shape, bounded quantization error, recall vs exact IP") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity

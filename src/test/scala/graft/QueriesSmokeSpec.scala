@@ -35,20 +35,17 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query key has either an oracle or is documented rows-only") {
-    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-      "text_fingerprint", "mm_feature_extract",
+    // the EXACT remaining rows-only set (round 14): the 7 engine-
+    // sketch approx twins (HLL++/approx_percentile/frequent-items
+    // have no DuckDB replay) + the PCA power iteration (64-step
+    // matrix recursion). Everything else — including the whole
+    // IVF/PQ ANN family since round 14 — carries a full SQL oracle.
+    val rowsOnly = Set(
       "log_percentiles_approx", "log_daily_active_approx",
-      "log_top_users_approx",
-      "dedup_embedding_lsh", "dedup_source_minhash", "ann_ivf_topk",
-      "ann_ivf_from_index", "ann_pq_topk", "ann_pq_from_index",
-      "ann_ivfpq_topk", "ann_ivfpq_from_index", "ann_pq_rerank",
-      "bloom_decontaminate", "log_rolling_distinct_hll",
-      "dedup_minhash_from_index",
-      "pca_power_topcomp", "neardup_kcore", "dedup_minhash_incremental",
-      "knn_graph_ivf", "log_mad_outliers_approx",
+      "log_top_users_approx", "log_mad_outliers_approx",
+      "log_rolling_distinct_hll",
       "orders_rfm_segments_approx", "fulfilment_latency_profile_approx",
-      "table_profile_approx", "dedup_simhash_from_index",
-      "dedup_simhash_incremental")
+      "pca_power_topcomp")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
