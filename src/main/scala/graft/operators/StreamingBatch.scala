@@ -38,18 +38,30 @@ object StreamingBatch {
     * lands as a scratch table of record;
     * [[graft.streaming.Pipelines.initDocRefresh]] builds the g0
     * lexical/minhash/simhash generations; the NEW half then streams
-    * through a REAL `MemoryStream → writeStream.foreachBatch(
-    * docRefreshTick)` in two micro-batches (so a generation chain
-    * actually forms — g0 + one append generation per non-empty tick,
-    * each landing the batch in the table of record and appending
-    * per-doc index rows, work ∝ batch); after the stream drains, the
-    * query serves the MinHash pair set off the refreshed chain head.
-    * Output ≡ `dedup_minhash_lsh` over the original corpus, so the
-    * md5-mode replay hash-gates ingest → append generations →
-    * chain-serve END TO END at the driver gate. The tick's serving-
-    * conf pointer flips are scoped to the scratch corpus and restored
-    * after the stream (another registered query's artifact routing
-    * must not inherit them). */
+    * through a REAL file-source `readStream` — two JSON-lines feed
+    * files, `maxFilesPerTrigger = 1` (the FileStreamSpec-pinned
+    * path) — into `writeStream.foreachBatch(docRefreshTick)` as two
+    * micro-batches (so a generation chain actually forms — g0 + one
+    * append generation per non-empty tick, each landing the batch in
+    * the table of record and appending per-doc index rows, work
+    * ∝ batch); after the stream drains, the query serves the MinHash
+    * pair set off the refreshed chain head. Output ≡
+    * `dedup_minhash_lsh` over the original corpus, so the md5-mode
+    * replay hash-gates ingest → append generations → chain-serve END
+    * TO END at the driver gate. The tick's serving-conf pointer
+    * flips are scoped to the scratch corpus and restored after the
+    * stream (another registered query's artifact routing must not
+    * inherit them).
+    *
+    * NO driver-side materialization anywhere (round-14 fix — the
+    * previous form collected the new-half corpus to feed a simulated
+    * MemoryStream, a driver bottleneck linear in batch size): the
+    * feed files are written executor-side (`coalesce(1).write.json`
+    * per half — each half is one ingest batch, one file by
+    * construction of the simulation, not a scale claim), and the
+    * driver touches only file renames + mtime stamps (metadata ops
+    * that pin the 2-trigger replay order, since the file source
+    * processes oldest-mtime first). */
   def streamRefreshTick(s: SparkSession, d: String): DataFrame = {
     val root = graft.ops.BuildOnce.scratchPath(
       "tickrefresh" + Dedup.hashModeTag, d)
@@ -65,22 +77,20 @@ object StreamingBatch {
         val st = graft.streaming.Pipelines.initDocRefresh(
           s, s"$root/corpus", s"$root/chain")
         val newDocs = docs.filter(col("doc_id") >= cut)
-          .orderBy("doc_id").collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
-        import s.implicits._
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        val q = ms.toDS()
-          .select(col("_1").as("doc_id"), col("_2").as("text"))
+        val cut2 = Dedup.idCut(newDocs)
+        writeFeedFile(s, newDocs.filter(col("doc_id") < cut2),
+          s"$root/feed", "batch-0.json", mtime = 1000000L)
+        writeFeedFile(s, newDocs.filter(col("doc_id") >= cut2),
+          s"$root/feed", "batch-1.json", mtime = 2000000L)
+        val q = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(s"$root/feed")
           .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
           .foreachBatch(graft.streaming.Pipelines.docRefreshTick(st) _)
           .start()
-        try {
-          val (h1, h2) = newDocs.splitAt(newDocs.length / 2)
-          ms.addData(h1); q.processAllAvailable()
-          ms.addData(h2); q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$root/HEAD"), st.head("minhash"))
       } finally saved.foreach {
@@ -91,6 +101,26 @@ object StreamingBatch {
     Dedup.minhashServe(s, s"$root/corpus",
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$root/HEAD")).trim)
+  }
+
+  /** Write one ingest-feed half as a single JSON-lines file at
+    * `dir`/`name` with a PINNED mtime: rows stream executor-side
+    * (`coalesce(1)` — one ingest batch is one file in this replay),
+    * the driver only renames the part file and stamps the mtime that
+    * fixes the file source's oldest-first trigger order. */
+  private def writeFeedFile(s: SparkSession, rows: DataFrame,
+      dir: String, name: String, mtime: Long): Unit = {
+    val tmp = s"$dir/_stage-$name"
+    rows.coalesce(1).write.json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".json"))
+    require(part.length == 1, s"expected one part file in $tmp")
+    val target = new java.io.File(dir, name)
+    require(part.head.renameTo(target), s"rename to $target failed")
+    require(target.setLastModified(mtime), s"mtime stamp on $target failed")
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
   }
 
   /** CDC latest-wins materialized view — the upsert-sink semantics every

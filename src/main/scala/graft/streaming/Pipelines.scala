@@ -256,18 +256,74 @@ object Pipelines {
     * writers' guard, not new machinery). An empty tick is a no-op.
     * StreamingSpec pins stream-refreshed chain ≡ batch rebuild for
     * every family; the registered `stream_refresh_tick` query puts
-    * the composed path under the driver's hash gate. */
+    * the composed path under the driver's hash gate.
+    *
+    * IDEMPOTENT under foreachBatch's AT-LEAST-ONCE replay (round-14
+    * advisor fix — the previous body landed a replayed batch twice):
+    *  - the LANDING is guarded by a batchId-keyed marker
+    *    (`root`/landed-b⟨id⟩, written right after the append) plus a
+    *    frontier filter dropping ids ≤ the head's committed
+    *    max_doc_id, so a replay after a completed tick appends
+    *    nothing. Residual window: a crash EXACTLY between the append
+    *    finishing and the marker write still double-lands that one
+    *    batch on replay — raw parquet has no atomic append+marker; a
+    *    transactional table format closes it in production
+    *    (StreamingSpec pins the marker/frontier paths).
+    *  - each GENERATION is batchId-keyed: a `next` path already
+    *    carrying its provenance sidecar is a COMMITTED previous
+    *    attempt of this very tick — adopt it (flip) instead of
+    *    failing requireFresh; a sidecar-less leftover directory is a
+    *    torn write of this batchId's previous attempt (props write
+    *    LAST) — swept and re-appended. */
   def docRefreshTick(st: RefreshState)(
       batch: DataFrame, batchId: Long): Unit = {
     val rows = batch.select(col("doc_id"), col("text"))
     if (!rows.isEmpty) {
-      rows.write.mode("append").parquet(s"${st.dir}/documents.parquet")
+      if (!markerExists(st, s"landed-b$batchId")) {
+        val frontier = DocFamilies.map { case (f, _, _) =>
+          graft.ops.ArtifactTag.readProps(st.s, st.head(f))
+            .get("max_doc_id").fold(Long.MinValue)(_.toLong)
+        }.max
+        val fresh = rows.filter(col("doc_id") > frontier)
+        if (!fresh.isEmpty) {
+          fresh.write.mode("append")
+            .parquet(s"${st.dir}/documents.parquet")
+        }
+        writeMarker(st, s"landed-b$batchId")
+      }
       DocFamilies.foreach { case (family, append, conf) =>
-        val next = s"${st.root}/$family-g${batchId + 1}"
-        append(st.s, st.dir, st.head(family), next)
-        st.flip(family, next, conf)
+        appendIdempotent(st, family, append, conf, batchId)
       }
     }
+  }
+
+  /** The per-family committed/torn/fresh decision of a replayed tick
+    * (shared by the doc- and event-side ticks): committed generation
+    * (provenance sidecar present) → adopt; torn leftover → sweep +
+    * append; fresh → append. */
+  private def appendIdempotent(st: RefreshState, family: String,
+      append: (SparkSession, String, String, String) => Unit,
+      conf: String, batchId: Long): Unit = {
+    val next = s"${st.root}/$family-g${batchId + 1}"
+    if (!graft.ops.ArtifactTag.readProps(st.s, next)
+        .contains("prov_ver")) {
+      val p = new org.apache.hadoop.fs.Path(next)
+      val fs = p.getFileSystem(st.s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // torn previous attempt
+      append(st.s, st.dir, st.head(family), next)
+    }
+    st.flip(family, next, conf)
+  }
+
+  private def markerExists(st: RefreshState, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(st.root, name)
+    p.getFileSystem(st.s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeMarker(st: RefreshState, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(st.root, name)
+    p.getFileSystem(st.s.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
   }
 
   /** Event-side init: one full feature store over the events table as
@@ -287,15 +343,23 @@ object Pipelines {
     * .storePath` flips to the new head — `feature_pit_from_index`
     * then serves point-in-time features that include the batch.
     * Late events (day ≤ the stored max_day) refuse loudly in
-    * admission: their day's snapshots would silently understate. */
+    * admission: their day's snapshots would silently understate.
+    *
+    * Idempotent under replay like [[docRefreshTick]]: the landing is
+    * marker-guarded (events carry no monotone id, so the marker is
+    * the only landing guard — same disclosed append↔marker window),
+    * and the batchId-keyed generation adopts a committed previous
+    * attempt / sweeps a torn one. */
   def eventRefreshTick(st: RefreshState)(
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      batch.write.mode("append").parquet(s"${st.dir}/events.parquet")
-      val next = s"${st.root}/features-g${batchId + 1}"
-      graft.ops.Materialize.featureStoreAppend(st.s, st.dir,
-        st.head("features"), next)
-      st.flip("features", next, "graft.features.storePath")
+      if (!markerExists(st, s"landed-ev-b$batchId")) {
+        batch.write.mode("append").parquet(s"${st.dir}/events.parquet")
+        writeMarker(st, s"landed-ev-b$batchId")
+      }
+      appendIdempotent(st, "features",
+        graft.ops.Materialize.featureStoreAppend,
+        "graft.features.storePath", batchId)
     }
   }
 

@@ -905,4 +905,69 @@ class StreamingSpec extends SparkSpec {
       e.getMessage.contains("checksum") || e.getMessage.contains("slice"),
       s"late tick must refuse via admission, got: ${e.getMessage}")
   }
+
+  test("doc refresh tick is idempotent under at-least-once replay: " +
+      "full replay no-ops, a torn generation sweeps, a marker-present " +
+      "landing skips, a marker-less committed replay frontier-filters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tickidem").toString
+    val root = s"$dir/chain"
+    Seq(0L -> "alpha beta gamma delta epsilon zeta",
+        1L -> "one two three four five six")
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val st = Pipelines.initDocRefresh(spark, dir, root)
+    try {
+      def corpusN = graft.sources.Tables.documents(spark, dir).count()
+      def heads = Seq("lex", "minhash", "simhash").map(st.head)
+      def served = graft.operators.Dedup
+        .minhashServe(spark, dir, st.head("minhash"))
+        .collect().map(_.toString).toSeq
+      val b0 = Seq(2L -> "seven eight nine ten eleven",
+          3L -> "alpha beta gamma delta epsilon eta")
+        .toDF("doc_id", "text")
+      Pipelines.docRefreshTick(st)(b0, 0L)
+      val (n1, h1, s1) = (corpusN, heads, served)
+      // 1. FULL same-batchId replay (the advisor's failure scenario's
+      // tail case): marker present → landing skipped; generations
+      // committed → adopted. Nothing moves.
+      Pipelines.docRefreshTick(st)(b0, 0L)
+      assert(corpusN === n1, "full replay double-landed the batch")
+      assert(heads === h1 && served === s1)
+      // 2. marker-LESS replay of a fully committed batch (cross-run
+      // shape): the frontier filter drops already-indexed ids.
+      assert(new java.io.File(root, "landed-b0").delete())
+      Pipelines.docRefreshTick(st)(b0, 0L)
+      assert(corpusN === n1, "frontier filter failed: rows re-landed")
+      assert(heads === h1 && served === s1)
+      // 3. TORN generation left by a crashed attempt (dir without the
+      // provenance sidecar) sweeps and rebuilds; 4. a marker-present
+      // landing (crash AFTER landing+marker, before generations)
+      // skips the append but still writes generations.
+      val b1 = Seq(4L -> "twelve thirteen fourteen fifteen sixteen")
+        .toDF("doc_id", "text")
+      b1.write.mode("append").parquet(s"$dir/documents.parquet")
+      new java.io.File(root, "landed-b1").createNewFile()
+      val torn = new java.io.File(root, "minhash-g2")
+      torn.mkdirs()
+      new java.io.File(torn, "leftover").createNewFile()
+      Pipelines.docRefreshTick(st)(b1, 1L)
+      assert(corpusN === n1 + 1,
+        "marker-present landing must skip the append, not duplicate")
+      assert(graft.ops.ArtifactTag
+        .readProps(spark, s"$root/minhash-g2").contains("prov_ver"),
+        "torn generation was not swept and rebuilt")
+      assert(!new java.io.File(torn, "leftover").exists(),
+        "torn leftover survived the sweep")
+      // the recovered chain still serves ≡ the batch rebuild
+      val full = graft.operators.Dedup.minhashLsh(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(served === full, "recovered tick chain != batch pair set")
+    } finally {
+      spark.conf.unset("graft.lex.indexPath")
+      spark.conf.unset("graft.minhash.oldIndexPath")
+      spark.conf.unset("graft.simhash.oldIndexPath")
+    }
+  }
 }
