@@ -518,6 +518,37 @@ object Stress {
         .readProps(spark, s"$dir-mhappend-new")("n_docs").toLong ==
       docsAll.count(),
       "minhash append-chain provenance lost docs vs the corpus")
+    // vector-index append (round 14): a generation holds ONLY the
+    // batch's frozen-quantizer assignments / frozen-codebook codes +
+    // the ≤256-row centroid/codebook copy — with the batch pinned to
+    // 5000 vectors, wall AND shuffle must stay ~flat across K while
+    // the corpus grows K× (the minhash batch-flat claim, vector
+    // edition). Base builds are untimed setup; MaterializeSpec pins
+    // chain ≡ frozen-assign and compaction ≡ chain at fixture SF.
+    val vecsAll = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val vecCut = if (k > 1) (k - 1).toLong * 5000L else 2500L
+    val vecOld = vecsAll.filter(col("vec_id") < vecCut)
+    graft.ops.Materialize.ivfIndexOf(spark, vecOld,
+      s"$dir-ivfappend-old", dir)
+    hygiene()
+    val (ivfAppendSec, _, ivfAppendSb) = measure("ivf_index_append") {
+      graft.ops.Materialize.ivfIndexAppend(spark, dir,
+        s"$dir-ivfappend-old", s"$dir-ivfappend-new")
+      spark.read.parquet(s"$dir-ivfappend-new/index").count()
+    }
+    require(graft.ops.ArtifactTag
+        .readProps(spark, s"$dir-ivfappend-new")("n_vecs").toLong ==
+      vecsAll.count(),
+      "ivf append-chain provenance lost vectors vs the corpus")
+    graft.ops.Materialize.pqIndexOf(spark, vecOld,
+      s"$dir-pqappend-old", dir)
+    hygiene()
+    val (pqAppendSec, _, pqAppendSb) = measure("pq_index_append") {
+      graft.ops.Materialize.pqIndexAppend(spark, dir,
+        s"$dir-pqappend-old", s"$dir-pqappend-new")
+      spark.read.parquet(s"$dir-pqappend-new/codes").count()
+    }
     // value-level cross-check: the delta artifacts must equal the full
     // builds they claim row-identity with (the graphChecksum rule —
     // a speedup for different answers must fail loudly here, not in
@@ -667,6 +698,10 @@ object Stress {
       s""""feature_append_shuffle":$featAppendSb,""" +
       s""""minhash_append_sec":$mhAppendSec,""" +
       s""""minhash_append_shuffle":$mhAppendSb,""" +
+      s""""ivf_append_sec":$ivfAppendSec,""" +
+      s""""ivf_append_shuffle":$ivfAppendSb,""" +
+      s""""pq_append_sec":$pqAppendSec,""" +
+      s""""pq_append_shuffle":$pqAppendSb,""" +
       s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +

@@ -43,6 +43,8 @@ object Similarity {
     "ann_range_search" -> annRangeSearch,
     "cluster_source_mixture" -> clusterSourceMixture,
     "ann_index_upsert" -> annIndexUpsert,
+    "ann_ivf_append_refresh" -> annIvfAppendRefresh,
+    "ann_pq_append_refresh" -> annPqAppendRefresh,
     "ann_ivfpq_from_index" -> annIvfPqFromIndex,
     "cluster_silhouette" -> clusterSilhouette,
     "embedding_norm_outliers" -> embeddingNormOutliers,
@@ -836,30 +838,56 @@ object Similarity {
     * (codes = (vec_id, sub, code), codebook = (sub, cid, cvec)).
     * Shared by [[annPq]] and the ApproxSpec pins. */
   private[graft] def pqBuild(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, d)
+      : (DataFrame, DataFrame) =
+    pqBuildOf(s, Tables.embeddings(s, d))
+
+  /** The (vec_id, sub, svec) subvector fan-out — 8 slim rows per
+    * vector, ONE definition for the codebook build and the
+    * frozen-codebook batch encode. */
+  private def pqSub(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
-    // (vec_id, sub, svec): 8 slim rows per vector, consumed by every
-    // Lloyd pass + the final encode
-    val sub = e
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("emb"))
       .select(col("vec_id"), col("sub"),
         slice(col("emb"), col("sub") * PqD + 1, lit(PqD)).as("svec"))
-      .localCheckpoint()
+
+  /** Encode a (vec_id, embedding) batch against FROZEN per-subspace
+    * codebooks — the PQ maintenance primitive behind
+    * [[graft.ops.Materialize.pqIndexAppend]]: no retrain, the batch's
+    * subvectors argmin against the broadcast codebook exactly as the
+    * build's own encode pass does. */
+  private[graft] def pqEncodeFrozen(batch: DataFrame,
+      cb: DataFrame): DataFrame =
+    pqAssignTo(pqSub(batch), cb)
+
+  /** One L2 argmin assignment of a subvector frame against a
+    * broadcast codebook (smaller cid on ties) — shared by the Lloyd
+    * passes, the final encode, and the frozen batch encode. */
+  private def pqAssignTo(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "sub")
+      .withColumn("d2", l2sq(col("svec"), col("cvec")))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("cid"),
+        struct((lit(0) - col("d2")).as("nd"),
+          (lit(0) - col("cid")).as("tb"))).as("code"))
+
+  /** [[pqBuild]] over an explicit (vec_id, embedding) slice — the
+    * base-corpus codebook fit of the generational append cycle. */
+  private[graft] def pqBuildOf(s: SparkSession, vecs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val e = vecs
+      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    // (vec_id, sub, svec): 8 slim rows per vector, consumed by every
+    // Lloyd pass + the final encode
+    val sub = pqSub(vecs).localCheckpoint()
     val k = pqK(e.count())
     val seedIds = e.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cid"), col("vec_id"))
     val seeds = sub.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("cid"), col("svec").as("cvec"))
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), "sub")
-        .withColumn("d2", l2sq(col("svec"), col("cvec")))
-        .groupBy("vec_id", "sub")
-        .agg(max_by(col("cid"),
-          struct((lit(0) - col("d2")).as("nd"),
-            (lit(0) - col("cid")).as("tb"))).as("code"))
+    def assign(cb: DataFrame): DataFrame = pqAssignTo(sub, cb)
     def refresh(assigned: DataFrame): DataFrame =
       assigned.join(sub, Seq("vec_id", "sub"))
         .select(col("sub"), col("code").as("cid"),
@@ -1062,20 +1090,9 @@ object Similarity {
     * of the pruned-probe read path this query exists to exercise. The
     * build is deterministic, so reuse cannot change results. */
   def annIvfFromIndex(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
     val (path, cids) = ivfPrunedCells(s, d)
-    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
-      .orderBy("vec_id").limit(1)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    s.read.parquet(s"$path/index")
-      .filter(col("cid").isin(cids: _*))
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cos(col("embedding"), col("q_emb")))
-      .select(col("vec_id"), col("cid").as("cell"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    ivfProbeTail(s, d,
+      s.read.parquet(s"$path/index").filter(col("cid").isin(cids: _*)))
   }
 
   /** Ensure the materialized IVF index exists (build-once per
@@ -1095,24 +1112,112 @@ object Similarity {
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.ivfIndex(s, d, path)
     }
-    def cosSeq(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
-      }
-      dot / math.sqrt(aa * bb)
+    (path, probeCellIds(s, d, path))
+  }
+
+  /** The same sequential cosine fold as the native expression, on
+    * driver-side arrays — used ONLY to rank ≤ 256 centroid-metadata
+    * rows against the probe (bit-identical cell choice to the
+    * in-query rankings). */
+  private def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
     }
+    dot / math.sqrt(aa * bb)
+  }
+
+  /** Rank the index's centroid metadata (≤ 256 rows — the disclosed
+    * collect exception) against the standard probe and return the
+    * `nprobe` nearest cell ids; shared by every IVF serving path. */
+  private def probeCellIds(s: SparkSession, d: String,
+      path: String): Seq[Int] = {
     val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
       .orderBy("vec_id").limit(1).head()
     val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
     val cents = s.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val nprobe = math.max(2, cents.length / 4)
-    val cids = cents
+    cents
       .map { case (cid, cv) => (cosSeq(cv, qEmb), cid) }
       .sortBy { case (qc, cid) => (-qc, cid) }
-      .take(nprobe).map(_._2)
-    (path, cids.toSeq)
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  /** The exact-cosine probe tail over a pruned (vec_id, embedding,
+    * cid) candidate frame — one definition for the merged-index and
+    * chain-served IVF paths. */
+  private def ivfProbeTail(s: SparkSession, d: String,
+      idx: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    idx.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cos(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("cid").as("cell"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Build-once scratch composition behind the vector append-refresh
+    * queries (the [[graft.operators.Dedup]] `sigScratch` shape on the
+    * embedding side): base-half index (g0) + ONE append generation
+    * for the rest. Returns the chain head. */
+  private def vecScratch(s: SparkSession, d: String, kind: String,
+      full: (SparkSession, DataFrame, String, String) => Unit,
+      append: (SparkSession, String, String, String) => Unit): String = {
+    val root = graft.ops.BuildOnce.scratchPath(kind, d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val bounds = vecs.agg(min("vec_id"), max("vec_id")).head()
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      full(s, vecs.filter(col("vec_id") < cut), s"$root/g0", d)
+      append(s, d, s"$root/g0", s"$root/new")
+    }
+    s"$root/new"
+  }
+
+  /** `ann_ivf_append_refresh` — the GENERATIONAL embedding-ingest
+    * cycle registered as a query (the `dedup_minhash_append_refresh`
+    * discipline on the vector side): base-half IVF index (g0) → one
+    * [[graft.ops.Materialize.ivfIndexAppend]] generation assigning
+    * the new batch to the FROZEN coarse quantizer (write ∝ batch) →
+    * the standard probe served off the chain union with literal
+    * `cid IN` pruning inside every generation. ✅SQL: the oracle
+    * replays the base-slice Lloyd fit, the frozen-centroid assignment
+    * of the full corpus, and the probe in one CTE chain —
+    * fit-on-base ∪ assign-batch ≡ assign(ic2-of-base) over ALL
+    * vectors, which is exactly what the chain serves. */
+  def annIvfAppendRefresh(s: SparkSession, d: String): DataFrame = {
+    val head = vecScratch(s, d, "ivf-chain" + Dedup.hashModeTag,
+      graft.ops.Materialize.ivfIndexOf,
+      graft.ops.Materialize.ivfIndexAppend)
+    val cids = probeCellIds(s, d, head)
+    ivfProbeTail(s, d,
+      graft.ops.Materialize.chainRead(s, head, d, "index",
+        Seq("vec_id", "embedding", "cid"))
+        .filter(col("cid").isin(cids: _*)))
+  }
+
+  /** `ann_pq_append_refresh` — [[annIvfAppendRefresh]] for the PQ
+    * byte-code index: base-half codebook fit (g0) → one
+    * [[graft.ops.Materialize.pqIndexAppend]] generation encoding the
+    * batch against the FROZEN codebooks → the ADC probe over the
+    * chain's code union + the head codebooks. ✅SQL (fit-on-base
+    * codes ∪ frozen-encode batch ≡ one encode pass over all). No
+    * mode tag on the scratch kind: PQ seeds are first-k vec_ids,
+    * hash-mode-independent. */
+  def annPqAppendRefresh(s: SparkSession, d: String): DataFrame = {
+    val head = vecScratch(s, d, "pq-chain",
+      graft.ops.Materialize.pqIndexOf,
+      graft.ops.Materialize.pqIndexAppend)
+    pqProbe(s, d,
+      graft.ops.Materialize.chainRead(s, head, d, "codes",
+        Seq("vec_id", "sub", "code")),
+      s.read.parquet(s"$head/codebooks"))
   }
 
   /** IVF-PQ SERVING — the complete FAISS-style production probe,
@@ -1146,9 +1251,31 @@ object Similarity {
     * [[graft.ops.Materialize.ivfIndex]] (the partitioned on-storage
     * index a production deployment reads with partition pruning). */
   private[graft] def ivfBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    ivfBuildOf(s, Tables.embeddings(s, d).select("vec_id", "embedding"))
+
+  /** Nearest-cell assignment of a (vec_id, embedding) batch against a
+    * FROZEN (cid, cvec) centroid frame — the maintenance primitive
+    * behind [[graft.ops.Materialize.ivfIndexAppend]] (and the
+    * `ann_index_upsert` no-retrain recipe, on the raw-embedding
+    * shape): broadcast centroids, map-side cosine argmax (cc desc,
+    * smaller cid), embedding joined back co-partitioned. */
+  private[graft] def ivfAssignFrozen(e: DataFrame,
+      cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cc", cos(Fns.asDouble(col("embedding")), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"),
+        struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
+      .join(e, "vec_id")
+      .select("vec_id", "embedding", "cid")
+
+  /** [[ivfBuild]] over an explicit (vec_id, embedding) slice — the
+    * base-corpus build the generational append cycle starts from. */
+  private[graft] def ivfBuildOf(s: SparkSession, vecs: DataFrame)
       : (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val e = vecs.select("vec_id", "embedding")
       .localCheckpoint() // consumed by seeding + every Lloyd pass
     val n = e.count()
     val c = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble))))
@@ -1187,14 +1314,7 @@ object Similarity {
       * measured faster at sf0.1 too. max_by's value is cid alone
       * because a buffer carrying the embedding array re-copies it on
       * every update (measured 1.5× slower). */
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cc", cos(Fns.asDouble(col("embedding")), col("cvec")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"),
-          struct(col("cc"), (lit(0) - col("cid")).as("tb"))).as("cid"))
-        .join(e, "vec_id")
-        .select("vec_id", "embedding", "cid")
+    def assign(cents: DataFrame): DataFrame = ivfAssignFrozen(e, cents)
 
     // seed: the C vectors with smallest hash(vec_id) — deterministic
     // uniform sample, no RNG state. Hash leaf routes through the md5
@@ -1674,13 +1794,13 @@ object Similarity {
   /** One PQ Lloyd/encode assignment pass (mirror of [[pqBuild]]'s
     * `assign`): per (vec_id, sub), the codebook row minimizing the
     * unrolled L2, smaller cid on ties. */
-  private def sqlPqAssign(cb: String): String =
+  private def sqlPqAssign(cb: String, src: String = "sv"): String =
     s"""SELECT vec_id, sub, cid AS code FROM (
-       |    SELECT sv.vec_id, sv.sub, $cb.cid,
-       |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-       |        ORDER BY ${sqlL2sq("sv.svec", s"$cb.cvec")} ASC,
+       |    SELECT $src.vec_id, $src.sub, $cb.cid,
+       |      row_number() OVER (PARTITION BY $src.vec_id, $src.sub
+       |        ORDER BY ${sqlL2sq(s"$src.svec", s"$cb.cvec")} ASC,
        |          $cb.cid) AS rn
-       |    FROM sv JOIN $cb ON sv.sub = $cb.sub) WHERE rn = 1""".stripMargin
+       |    FROM $src JOIN $cb ON $src.sub = $cb.sub) WHERE rn = 1""".stripMargin
 
   /** One PQ codebook refresh (mirror of [[pqBuild]]'s `refresh`):
     * per (sub, cid, pos) the 10⁻⁶-grid-rounded mean component,
@@ -1699,25 +1819,33 @@ object Similarity {
     * K, first-k seeds, 2 Lloyd passes (`cb1`, `cb2`), the final encode
     * (`codes`) and the query's ADC lookup table (`lut`). Requires
     * [[sqlEmbPrefix]] in scope. */
-  private def sqlPqBlock: String =
+  private def sqlPqBlock: String = sqlPqBlockFit("")
+
+  /** [[sqlPqBlock]] with the codebook FIT restricted to `fitWhere`
+    * (empty = whole corpus): the append-refresh replay fits on the
+    * base slice (`svf`) while the final encode + ADC run over ALL
+    * vectors — exactly what a chain of g0 codes + frozen-codebook
+    * batch codes serves. */
+  private def sqlPqBlockFit(fitWhere: String): String =
     s"""k AS (SELECT least(256, greatest(16, count(*) // 4))::INT AS k
-       |      FROM e),
+       |      FROM e $fitWhere),
        |sv AS (
        |  SELECT vec_id, s.sub,
        |    array_slice(emb, s.sub * $PqD + 1, s.sub * $PqD + $PqD) AS svec
        |  FROM e CROSS JOIN
        |    (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s),
+       |svf AS (SELECT * FROM sv $fitWhere),
        |seedids AS (
        |  SELECT cid, vec_id FROM (
        |    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
        |      vec_id
-       |    FROM e) WHERE cid < (SELECT k FROM k)),
+       |    FROM e $fitWhere) WHERE cid < (SELECT k FROM k)),
        |cb0 AS (
-       |  SELECT sv.sub, sd.cid, sv.svec AS cvec
-       |  FROM sv JOIN seedids sd USING (vec_id)),
-       |p0 AS (${sqlPqAssign("cb0")}),
+       |  SELECT svf.sub, sd.cid, svf.svec AS cvec
+       |  FROM svf JOIN seedids sd USING (vec_id)),
+       |p0 AS (${sqlPqAssign("cb0", "svf")}),
        |cb1 AS (${sqlPqRefresh("p0")}),
-       |p1 AS (${sqlPqAssign("cb1")}),
+       |p1 AS (${sqlPqAssign("cb1", "svf")}),
        |cb2 AS (${sqlPqRefresh("p1")}),
        |codes AS (${sqlPqAssign("cb2")}),
        |qs AS (
@@ -1751,13 +1879,13 @@ object Similarity {
   /** One IVF Lloyd/final assignment pass (mirror of [[ivfBuild]]'s
     * `assign`): nearest cell by the sequential-fold cosine, smaller
     * cid on ties. */
-  private def sqlIvfAssign(cb: String): String =
+  private def sqlIvfAssign(cb: String, src: String = "e"): String =
     s"""SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, $cb.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${Fns.sqlCosine("e.emb", s"$cb.cvec")} DESC,
+       |    SELECT $src.vec_id, $cb.cid,
+       |      row_number() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY ${Fns.sqlCosine(s"$src.emb", s"$cb.cvec")} DESC,
        |          $cb.cid) AS rn
-       |    FROM e CROSS JOIN $cb) WHERE rn = 1""".stripMargin
+       |    FROM $src CROSS JOIN $cb) WHERE rn = 1""".stripMargin
 
   /** One IVF centroid refresh (mirror of [[ivfBuild]]'s
     * `toCentroids`): 10⁻⁶-grid-rounded per-(cid, pos) means, packed
@@ -1777,20 +1905,28 @@ object Similarity {
     * seed choice digit-for-digit), 2 grid-rounded Lloyd passes
     * (`ic1`, `ic2`), the final assignment (`ia2`), and the `nprobe`
     * cells nearest the query (`ipc`). Requires [[sqlEmbPrefix]]. */
-  private def sqlIvfBlock: String =
-    s"""ivfc AS (
+  private def sqlIvfBlock: String = sqlIvfBlockFit("")
+
+  /** [[sqlIvfBlock]] with the Lloyd FIT restricted to `fitWhere`
+    * (empty = whole corpus): the append-refresh replay fits the
+    * coarse quantizer on the base slice (`ivfe`) and assigns ALL
+    * vectors against the frozen `ic2` — ≡ the g0 ∪ frozen-batch
+    * chain the query serves. */
+  private def sqlIvfBlockFit(fitWhere: String): String =
+    s"""ivfe AS (SELECT * FROM e $fitWhere),
+       |ivfc AS (
        |  SELECT least(256, greatest(4,
-       |    floor(sqrt(count(*)::DOUBLE) + 0.5)))::INT AS c FROM e),
+       |    floor(sqrt(count(*)::DOUBLE) + 0.5)))::INT AS c FROM ivfe),
        |ihk AS (SELECT vec_id, emb,
-       |    ${Fns.sqlMd5Hash52("(vec_id::VARCHAR)")} AS hk FROM e),
+       |    ${Fns.sqlMd5Hash52("(vec_id::VARCHAR)")} AS hk FROM ivfe),
        |iseeds AS (
        |  SELECT cid, cvec FROM (
        |    SELECT (row_number() OVER (ORDER BY hk, vec_id) - 1)::INT
        |      AS cid, emb AS cvec
        |    FROM ihk) WHERE cid < (SELECT c FROM ivfc)),
-       |i0 AS (${sqlIvfAssign("iseeds")}),
+       |i0 AS (${sqlIvfAssign("iseeds", "ivfe")}),
        |ic1 AS (${sqlIvfRefresh("i0")}),
-       |i1 AS (${sqlIvfAssign("ic1")}),
+       |i1 AS (${sqlIvfAssign("ic1", "ivfe")}),
        |ic2 AS (${sqlIvfRefresh("i1")}),
        |ia2 AS (${sqlIvfAssign("ic2")}),
        |inp AS (SELECT greatest(2, count(*) // 4)::INT AS np FROM ic2),
@@ -1802,15 +1938,35 @@ object Similarity {
 
   /** The IVF probe tail shared by `ann_ivf_topk` and its from-index
     * twin: exact cosine over the pruned cells' members, top-10. */
-  private def sqlIvfTopk: String =
+  private def sqlIvfTopk: String = sqlIvfTopkFit("")
+
+  /** The vec_id midpoint cut of the append-refresh scratch replays
+    * (mirror of [[vecScratch]]'s (min+max)/2 — nonnegative ids, so
+    * Long division ≡ SQL floor division). */
+  private val sqlVecCutWhere: String =
+    "WHERE vec_id < (SELECT (min(vec_id) + max(vec_id)) // 2 FROM e)"
+
+  private def sqlIvfTopkFit(fitWhere: String): String =
     s"""WITH $sqlEmbPrefix,
-       |$sqlIvfBlock
+       |${sqlIvfBlockFit(fitWhere)}
        |SELECT a.vec_id, a.cid AS cell,
        |  round(${Fns.sqlCosine("e.emb", "q.q_emb")}, 4) + 0.0 AS cos_sim
        |FROM ia2 a JOIN ipc USING (cid)
        |  JOIN e ON a.vec_id = e.vec_id, q
        |WHERE a.vec_id <> q.q_id
        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+
+  /** `ann_ivf_append_refresh`: the IVF replay with the Lloyd fit on
+    * the base half and the assignment over everything — the chain's
+    * semantics in one text. */
+  private def sqlIvfAppendRefresh: String = sqlIvfTopkFit(sqlVecCutWhere)
+
+  /** `ann_pq_append_refresh`: codebooks fit on the base half, encode
+    * + ADC over everything. */
+  private def sqlPqAppendRefresh: String =
+    s"""WITH $sqlEmbPrefix,
+       |${sqlPqBlockFit(sqlVecCutWhere)},
+       |${sqlAdcTail("")}""".stripMargin
 
   /** The PQ ADC probe — ONE oracle text for `ann_pq_topk` and
     * `ann_pq_from_index` (the artifact must reproduce the in-query
@@ -1904,6 +2060,8 @@ object Similarity {
     "ann_ivfpq_topk" -> sqlIvfPqTopk,
     "ann_ivfpq_from_index" -> sqlIvfPqTopk,
     "ann_pq_rerank" -> sqlPqRerank,
+    "ann_ivf_append_refresh" -> sqlIvfAppendRefresh,
+    "ann_pq_append_refresh" -> sqlPqAppendRefresh,
     "knn_graph_ivf" -> sqlKnnGraphIvf,
     "ann_lsh_topk" -> sqlAnnLsh,
     "cluster_dbscan" ->

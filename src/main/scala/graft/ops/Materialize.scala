@@ -137,10 +137,20 @@ object Materialize {
     * `nprobe` cells lists and reads nprobe/C of the data — plus the
     * (cid, cvec) coarse-quantizer centroids (C ≤ 256 rows, the tiny
     * driver-side metadata) under `path`/centroids. */
-  def ivfIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val (index, cents) = graft.operators.Similarity.ivfBuild(s, dir)
+  def ivfIndex(s: SparkSession, dir: String, path: String): Unit =
+    ivfIndexOf(s, Tables.embeddings(s, dir)
+      .select("vec_id", "embedding"), path, dir)
+
+  /** [[ivfIndex]] over an explicit (vec_id, embedding) slice — the
+    * base build of the IVF generational append cycle
+    * ([[ivfIndexAppend]]), write-once + vector-slice provenance. */
+  def ivfIndexOf(s: SparkSession, vecs: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    val (index, cents) = graft.operators.Similarity.ivfBuildOf(s, vecs)
     partitioned(index, s"$path/index", Seq("cid"), Seq("vec_id"))
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cents.coalesce(1).write.parquet(s"$path/centroids")
+    writeVecProvenance(s, path, vecs, tag)
   }
 
   /** Materialize the MINHASH band-bucket index — the near-dup serving
@@ -938,12 +948,206 @@ object Materialize {
     * `path`/codebooks. Codes pack vec_id-sorted so a filtered re-rank
     * (IVF-PQ composition: cell candidates → ADC scores) prunes row
     * groups by vec_id range. */
-  def pqIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val (codes, cb) = graft.operators.Similarity.pqBuild(s, dir)
+  def pqIndex(s: SparkSession, dir: String, path: String): Unit =
+    pqIndexOf(s, Tables.embeddings(s, dir)
+      .select("vec_id", "embedding"), path, dir)
+
+  /** [[pqIndex]] over an explicit (vec_id, embedding) slice — the
+    * base build of the PQ generational append cycle, with the same
+    * write-once + provenance discipline as the signature indexes. */
+  def pqIndexOf(s: SparkSession, vecs: org.apache.spark.sql.DataFrame,
+      path: String, tag: String): Unit = {
+    requireFresh(s, path)
+    val (codes, cb) = graft.operators.Similarity.pqBuildOf(s, vecs)
     codes.repartitionByRange(col("vec_id"))
       .sortWithinPartitions("vec_id", "sub")
-      .write.mode("overwrite").parquet(s"$path/codes")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .write.parquet(s"$path/codes")
+    cb.coalesce(1).write.parquet(s"$path/codebooks")
+    writeVecProvenance(s, path, vecs, tag)
+  }
+
+  // ——— Vector-index generational append (round 14: the one index
+  // family still rebuilding from scratch — minhash/simhash/lexical/
+  // gram/feature-store all had the LSM rung already) ———
+
+  /** Per-row vector content hash for the embedding-slice checksum —
+    * the [[SliceXor]] idea on the vector side (xxhash64 hashes the
+    * float array natively; Spark-side admission only, never
+    * oracle-replayed). */
+  private val VecSliceXor = "bit_xor(xxhash64(vec_id, embedding))"
+
+  /** (n_vecs, content_xor, max_vec_id) provenance for a vector-index
+    * artifact — what an append cycle needs to define its id boundary
+    * and refuse id reuse/backfill/in-place edits of already-indexed
+    * vectors (the [[writeSliceProvenance]] discipline). */
+  private def writeVecProvenance(s: SparkSession, path: String,
+      vecs: org.apache.spark.sql.DataFrame, tag: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    ArtifactTag.write(s, path, tag)
+    val r = vecs.select("vec_id", "embedding")
+      .agg(count(lit(1L)), expr(VecSliceXor), max("vec_id")).head()
+    val xor = if (r.isNullAt(1)) 0L else r.getLong(1)
+    ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
+      "n_vecs" -> r.getLong(0).toString,
+      "content_xor" -> xor.toString) ++
+      (if (r.isNullAt(2)) Map.empty[String, String]
+       else Map("max_vec_id" -> r.getLong(2).toString)) ++ extra)
+  }
+
+  /** Additive provenance for a vector APPEND generation — parent ⊕
+    * batch, so the append's compute stays strictly ∝ batch (the
+    * [[writeSliceProvenanceAppended]] soundness argument: disjoint
+    * union, XOR/count/max all merge). */
+  private def writeVecProvenanceAppended(s: SparkSession, path: String,
+      batch: org.apache.spark.sql.DataFrame, tag: String,
+      parent: Map[String, String],
+      extra: Map[String, String] = Map.empty): Unit = {
+    ArtifactTag.write(s, path, tag)
+    val r = batch.select("vec_id", "embedding")
+      .agg(count(lit(1L)), expr(VecSliceXor), max("vec_id")).head()
+    val bXor = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val maxId = (parent.get("max_vec_id").map(_.toLong) ++
+      (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .reduceOption(_ max _)
+    ArtifactTag.writeProps(s, path, Map(
+      "prov_ver" -> ArtifactTag.ProvVersion,
+      "n_vecs" -> (parent("n_vecs").toLong + r.getLong(0)).toString,
+      "content_xor" ->
+        (parent("content_xor").toLong ^ bXor).toString) ++
+      maxId.map(m => "max_vec_id" -> m.toString) ++ extra)
+  }
+
+  /** The shared admission prefix of the vector append writers
+    * ([[sigAdmission]] on the embedding side): tag, provenance
+    * version, boundary presence, and the old-slice replay —
+    * count-only under `graft.artifact.trustOldContent`, full
+    * [[VecSliceXor]] checksum otherwise. Returns (cut, props,
+    * full-corpus vecs). */
+  private def vecAdmission(s: SparkSession, dir: String,
+      oldPath: String, what: String): (Long, Map[String, String],
+      org.apache.spark.sql.DataFrame) = {
+    ArtifactTag.require(s, oldPath, dir)
+    val props = ArtifactTag.readProps(s, oldPath)
+    ArtifactTag.requireProvVersion(props, oldPath)
+    require(props.contains("max_vec_id"),
+      s"$what index at $oldPath carries no max_vec_id provenance — an " +
+        "empty or pre-provenance index has no append mode; rebuild it " +
+        "with the Materialize writer")
+    val cut = props("max_vec_id").toLong + 1L
+    val vecs = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val below = vecs.filter(col("vec_id") < cut)
+    if (trustOldContent(s)) {
+      val n = below.count()
+      require(props.get("n_vecs").contains(n.toString),
+        s"old-slice count mismatch at $oldPath (artifact " +
+          s"n=${props.getOrElse("n_vecs", "<none>")}, corpus n=$n) — " +
+          s"vectors appeared or vanished below the boundary ($cut) " +
+          s"since the previous cycle indexed the slice; re-index with " +
+          s"the full $what writer instead")
+    } else {
+      val r = below.agg(count(lit(1L)), expr(VecSliceXor)).head()
+      val xor = if (r.isNullAt(1)) 0L else r.getLong(1)
+      require(props.get("n_vecs").contains(r.getLong(0).toString)
+          && props.get("content_xor").contains(xor.toString),
+        s"old-slice checksum mismatch at $oldPath (artifact " +
+          s"n=${props.getOrElse("n_vecs", "<none>")} " +
+          s"xor=${props.getOrElse("content_xor", "<none>")}, corpus " +
+          s"n=${r.getLong(0)} xor=$xor) — the vectors below the " +
+          s"boundary ($cut) are not the slice the previous cycle " +
+          s"indexed (id reuse, backfill, or in-place edits); re-index " +
+          s"with the full $what writer instead")
+    }
+    (cut, props, vecs)
+  }
+
+  /** GENERATIONAL (append-mode) refresh of the IVF index — the
+    * nightly-embedding-ingest rung the vector family was missing:
+    * the new batch assigns to the head's FROZEN coarse quantizer
+    * ([[graft.operators.Similarity.ivfAssignFrozen]] — the
+    * `ann_index_upsert` no-retrain recipe, now writing the artifact),
+    * and the generation holds ONLY the batch's cell-partitioned rows
+    * plus a `parent` pointer and additive provenance — write cost
+    * strictly ∝ batch, no old vector re-read or re-assigned. The
+    * ≤ 256-row centroid metadata travels WITH every generation (a
+    * duplicated tiny file beats a second chain walk on every probe).
+    * Readers resolve [[genChain]] and union per-generation
+    * cell-pruned scans; COMPACTION = [[ivfIndexCompact]], a pure
+    * columnar chain-collapse (assignments against a frozen quantizer
+    * never recompute). Growth skew across cells remains the rebuild
+    * trigger `ann_index_upsert` measures. */
+  def ivfIndexAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cut, props, vecs) = vecAdmission(s, dir, oldPath, "ivf")
+    val batch = vecs.filter(col("vec_id") >= cut)
+    val cents = s.read.parquet(s"$oldPath/centroids")
+    partitioned(graft.operators.Similarity.ivfAssignFrozen(batch, cents),
+      s"$newPath/index", Seq("cid"), Seq("vec_id"))
+    cents.coalesce(1).write.parquet(s"$newPath/centroids")
+    writeVecProvenanceAppended(s, newPath, batch, dir, props,
+      Map("parent" -> oldPath))
+  }
+
+  /** [[ivfIndexAppend]] for the PQ byte-code index: the batch encodes
+    * against the head's FROZEN codebooks
+    * ([[graft.operators.Similarity.pqEncodeFrozen]]), the generation
+    * holds the batch's vec_id-sorted code rows + the codebook copy +
+    * parent pointer. Quantization drift under a frozen codebook is
+    * the rebuild trigger (the same story as IVF cell skew). */
+  def pqIndexAppend(s: SparkSession, dir: String, oldPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    val (cut, props, vecs) = vecAdmission(s, dir, oldPath, "pq")
+    val batch = vecs.filter(col("vec_id") >= cut)
+    val cb = s.read.parquet(s"$oldPath/codebooks")
+    graft.operators.Similarity.pqEncodeFrozen(batch, cb)
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id", "sub")
+      .write.parquet(s"$newPath/codes")
+    cb.coalesce(1).write.parquet(s"$newPath/codebooks")
+    writeVecProvenanceAppended(s, newPath, batch, dir, props,
+      Map("parent" -> oldPath))
+  }
+
+  /** COMPACTION of an IVF generation chain: chain-union of the
+    * per-generation cell rows → ONE re-partitioned cell-partitioned
+    * write + the head's centroids + the head's (cumulative) props
+    * without a parent pointer. Pure columnar I/O — frozen-quantizer
+    * assignments never recompute. MaterializeSpec pins compacted ≡
+    * chain row sets. */
+  def ivfIndexCompact(s: SparkSession, dir: String, headPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, headPath, dir)
+    val props = ArtifactTag.readProps(s, headPath)
+    ArtifactTag.requireProvVersion(props, headPath)
+    partitioned(
+      chainRead(s, headPath, dir, "index",
+        Seq("vec_id", "embedding", "cid")),
+      s"$newPath/index", Seq("cid"), Seq("vec_id"))
+    s.read.parquet(s"$headPath/centroids")
+      .coalesce(1).write.parquet(s"$newPath/centroids")
+    ArtifactTag.write(s, newPath, dir)
+    ArtifactTag.writeProps(s, newPath, props - "parent")
+  }
+
+  /** [[ivfIndexCompact]] for the PQ chain: codes re-sort to one
+    * vec_id-range artifact, head codebooks + props carry over. */
+  def pqIndexCompact(s: SparkSession, dir: String, headPath: String,
+      newPath: String): Unit = {
+    requireFresh(s, newPath)
+    ArtifactTag.require(s, headPath, dir)
+    val props = ArtifactTag.readProps(s, headPath)
+    ArtifactTag.requireProvVersion(props, headPath)
+    chainRead(s, headPath, dir, "codes", Seq("vec_id", "sub", "code"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id", "sub")
+      .write.parquet(s"$newPath/codes")
+    s.read.parquet(s"$headPath/codebooks")
+      .coalesce(1).write.parquet(s"$newPath/codebooks")
+    ArtifactTag.write(s, newPath, dir)
+    ArtifactTag.writeProps(s, newPath, props - "parent")
   }
 
   /** Materialize the SQ serving index — the (vec_id, qs) symmetric

@@ -120,6 +120,81 @@ class MaterializeSpec extends SparkSpec {
     } finally rm(path)
   }
 
+  test("vector-index append generations: ivf/pq chains cover every " +
+      "vector once, batch rows ≡ frozen assignment, compaction ≡ " +
+      "chain, tampered provenance refuses") {
+    import graft.operators.Similarity
+    val base = tmp("graft-vecchain")
+    try {
+      val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+        .select("vec_id", "embedding")
+      val n = vecs.count()
+      val b = vecs.agg(min("vec_id"), max("vec_id")).head()
+      val cut = (b.getLong(0) + b.getLong(1)) / 2
+      val batch = vecs.filter(col("vec_id") >= cut)
+      def sorted(df: org.apache.spark.sql.DataFrame,
+          keys: Seq[String]): Seq[String] =
+        df.orderBy(keys.map(col): _*).collect().map(_.toString).toSeq
+      // ——— IVF ———
+      Materialize.ivfIndexOf(spark, vecs.filter(col("vec_id") < cut),
+        s"$base/ivf-g0", sf0001)
+      Materialize.ivfIndexAppend(spark, sf0001,
+        s"$base/ivf-g0", s"$base/ivf-g1")
+      val chain = Materialize.chainRead(spark, s"$base/ivf-g1", sf0001,
+        "index", Seq("vec_id", "embedding", "cid"))
+      assert(chain.count() === n, "ivf chain must cover every vector")
+      assert(chain.select("vec_id").distinct().count() === n,
+        "ivf chain double-covered a vector")
+      // the generation's rows ARE the frozen assignment of the batch
+      val cents = spark.read.parquet(s"$base/ivf-g0/centroids")
+      assert(sorted(spark.read.parquet(s"$base/ivf-g1/index")
+          .select("vec_id", "cid"), Seq("vec_id")) ===
+        sorted(Similarity.ivfAssignFrozen(batch, cents)
+          .select("vec_id", "cid"), Seq("vec_id")),
+        "append generation diverged from the frozen assignment")
+      // compaction ≡ chain, parent pointer dropped
+      Materialize.ivfIndexCompact(spark, sf0001,
+        s"$base/ivf-g1", s"$base/ivf-c")
+      assert(sorted(spark.read.parquet(s"$base/ivf-c/index")
+          .select("vec_id", "cid"), Seq("vec_id")) ===
+        sorted(chain.select("vec_id", "cid"), Seq("vec_id")),
+        "ivf compaction diverged from the chain")
+      assert(!graft.ops.ArtifactTag.readProps(spark, s"$base/ivf-c")
+        .contains("parent"), "compacted ivf artifact must end the chain")
+      // ——— PQ ———
+      Materialize.pqIndexOf(spark, vecs.filter(col("vec_id") < cut),
+        s"$base/pq-g0", sf0001)
+      Materialize.pqIndexAppend(spark, sf0001,
+        s"$base/pq-g0", s"$base/pq-g1")
+      val codeChain = Materialize.chainRead(spark, s"$base/pq-g1",
+        sf0001, "codes", Seq("vec_id", "sub", "code"))
+      assert(codeChain.count() === n * 8L, "pq chain: 8 codes per vector")
+      val cb = spark.read.parquet(s"$base/pq-g0/codebooks")
+      assert(sorted(spark.read.parquet(s"$base/pq-g1/codes")
+          .select("vec_id", "sub", "code"), Seq("vec_id", "sub")) ===
+        sorted(Similarity.pqEncodeFrozen(batch, cb)
+          .select("vec_id", "sub", "code"), Seq("vec_id", "sub")),
+        "pq generation diverged from the frozen encode")
+      Materialize.pqIndexCompact(spark, sf0001,
+        s"$base/pq-g1", s"$base/pq-c")
+      assert(sorted(spark.read.parquet(s"$base/pq-c/codes")
+          .select("vec_id", "sub", "code"), Seq("vec_id", "sub")) ===
+        sorted(codeChain, Seq("vec_id", "sub")),
+        "pq compaction diverged from the chain")
+      // ——— admission guard: tampered old-slice checksum refuses ———
+      val props = graft.ops.ArtifactTag.readProps(spark, s"$base/ivf-g1")
+      graft.ops.ArtifactTag.writeProps(spark, s"$base/ivf-g1",
+        props + ("content_xor" ->
+          (props("content_xor").toLong + 1L).toString))
+      val e = intercept[IllegalArgumentException] {
+        Materialize.ivfIndexAppend(spark, sf0001,
+          s"$base/ivf-g1", s"$base/ivf-g2")
+      }
+      assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+      graft.ops.ArtifactTag.writeProps(spark, s"$base/ivf-g1", props)
+    } finally rm(base)
+  }
+
   test("lexical index delta refresh ≡ full rebuild part-for-part; " +
       "bm25/phrase serve row-identical off the delta artifact") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
