@@ -82,33 +82,87 @@ object Bench {
     val passTotals = passes
       .map(p => okNames.map(p).sum)
       .mkString("[", ",", "]")
-    // regression gate (round-12 verdict task #7): before overwriting
-    // the committed previous line, compare each fresh median against
-    // it — queries above 1.5× their prior median AND +0.5 s absolute
-    // (so micro-query jitter can't page anyone) land under
-    // "regressed" as name → [prev, now]. Drift is then a recorded
-    // fact inside BENCH_r{N} itself, not something a judge diffs by
-    // hand across rounds; an empty object is the healthy reading.
-    val prev: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(
-          java.nio.file.Paths.get(outFile))
-        val qblock = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(qblock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
-    val regressed = stats.collect {
-      case (n, (m, _, _)) if m >= 0 && prev.get(n).exists(p =>
-          p > 0 && m > 1.5 * p && m - p > 0.5) =>
-        s""""$n":[${prev(n)},$m]"""
-    }.mkString("{", ",", "}")
+    // regression gate (round-12 verdict task #7; round-14 fixes): the
+    // previous committed line parses with a REAL JSON reader (the
+    // regex form silently disabled the gate on any format drift —
+    // round-13 advisor low), and each fresh median compares against
+    // its prior NORMALIZED by the run's median host factor (the
+    // round-13 driver session ran globally ~22% hot and flooded the
+    // raw gate with 16 false positives, drowning any real
+    // single-query regression). A query lands under "regressed" as
+    // name → [prev, now] only when it exceeds 1.5× its
+    // host-normalized prior AND +0.5 s absolute; the host factor
+    // itself is emitted so a hot session is a recorded fact. An
+    // empty object is the healthy reading.
+    val prev = readPrevQueries(outFile)
+    val (hostFactor, regressions) = regressionGate(
+      stats.map { case (n, (m, _, _)) => n -> m }, prev)
+    val regressed = regressions
+      .map { case (n, p, m) => s""""$n":[$p,$m]""" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${total(_._1)},"unit":"sec","estimator":"median_of_3","value_min":${total(_._2)},"value_max":${total(_._3)},"value_passes":$passTotals,"queries":${qJson(_._1)},"queries_min":${qJson(_._2)},"queries_max":${qJson(_._3)},"failed":$fJson,"regressed":$regressed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${total(_._1)},"unit":"sec","estimator":"median_of_3","value_min":${total(_._2)},"value_max":${total(_._3)},"value_passes":$passTotals,"queries":${qJson(_._1)},"queries_min":${qJson(_._2)},"queries_max":${qJson(_._3)},"failed":$fJson,"regressed":$regressed,"host_factor":$hostFactor,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** The previous committed line's per-query medians, parsed with a
+    * real JSON reader (json4s ships with Spark). Missing file → empty
+    * silently (first run); an EXISTING file that yields no queries —
+    * malformed, renamed key, whatever — WARNS, so a disabled
+    * regression gate is visible in the bench output instead of
+    * silently reading as "no regressions" (round-13 advisor low). */
+  private[graft] def readPrevQueries(outFile: String): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(outFile)
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else {
+      val parsed =
+        try {
+          import org.json4s._
+          jackson.JsonMethods.parse(java.nio.file.Files.readString(path)) \
+            "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+              case (k, JLong(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } catch { case _: Exception => Map.empty[String, Double] }
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] WARNING: $outFile exists but its " +
+          "queries block did not parse — the regression gate is " +
+          "DISABLED for this run (format drift? fix the line or " +
+          "delete the file)")
+      parsed
+    }
+  }
+
+  /** Host-noise-normalized regression decisions (round-13 verdict
+    * What's-wrong #2): `hostFactor` is the run's MEDIAN
+    * now/prev ratio over queries present on both sides — a globally
+    * hot or cold session moves every ratio together, so dividing by
+    * the median isolates per-query drift from host drift. A query
+    * regresses when now > 1.5 × prev × hostFactor AND
+    * now − prev·hostFactor > 0.5 s (micro-query jitter can't page
+    * anyone). Returns (hostFactor, (name, prev, now) regressions);
+    * pure function — BenchGateSpec replays the synthetic
+    * globally-slow and planted-regression scenarios against it. */
+  private[graft] def regressionGate(now: Seq[(String, Double)],
+      prev: Map[String, Double]): (Double, Seq[(String, Double, Double)]) = {
+    val ratios = now.collect {
+      case (n, m) if m >= 0 && prev.get(n).exists(_ > 0) => m / prev(n)
+    }.sorted
+    val hostFactor =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val regressions = now.collect {
+      case (n, m) if m >= 0 && prev.get(n).exists { p =>
+        p > 0 && m > 1.5 * p * hostFactor && m - p * hostFactor > 0.5
+      } => (n, prev(n), m)
+    }
+    (hostFactor, regressions)
   }
 }

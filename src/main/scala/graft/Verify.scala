@@ -22,7 +22,19 @@ object Verify {
       // end-to-end in DuckDB, so the gate hash-checks them instead of
       // rows-only. xxhash64 stays the scale default everywhere else
       // (Bench, Stress, serving); DedupSpec pins the two modes'
-      // verified pair sets equal on the fixture. See Fns.Md5ModeConf.
+      // verified pair sets equal on the fixture, and ApproxSpec pins
+      // the IVF/approx-profile mode equivalences (round 14): ✅SQL for
+      // the sketch/IVF/HLL families certifies GATE-MODE hashing, with
+      // the scale default covered by those pins — see SURVEY §2's
+      // hash-mode note. See Fns.Md5ModeConf.
+      //
+      // Per-SF soundness: sfDir is arbitrary here, but two oracles
+      // carry SF-linked pins — the neardup_kcore oracle is a static
+      // KcoreOracleRounds h-index unroll (DedupSpec's convergence pin
+      // follows SPARK_GRAFT_GATE_SF; export it when gating at a
+      // non-default SF), and the bruteforce baselines carry the
+      // graft.bruteforce.maxRows guard. A gate SF change re-runs that
+      // pin, not this file.
       .config(graft.ops.Fns.Md5ModeConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -720,7 +720,9 @@ object Retrieval {
         && !col("tok").isin(terms: _*))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(3)
-      .select("tok").collect().map(_.getString(0)).toSeq
+      .select("tok")
+      .collect() // 3 rows by the limit: bounded expansion-term metadata
+      .map(_.getString(0)).toSeq
     val allTerms = (terms ++ exp).distinct.sorted
     val c = Tables.documents(s, d)
       .select(col("doc_id"), Fns.tokens(col("text")).as("w"))

@@ -1135,7 +1135,8 @@ object Similarity {
     val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
       .orderBy("vec_id").limit(1).head()
     val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
-    val cents = s.read.parquet(s"$path/centroids").collect()
+    val cents = s.read.parquet(s"$path/centroids")
+      .collect() // C ≤ 256 rows: bounded quantizer metadata
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val nprobe = math.max(2, cents.length / 4)
     cents
@@ -1295,7 +1296,8 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("cvec"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .collect() // C ≤ 256 rows: bounded quantizer metadata
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
 
     def centFrame(cents: Array[(Int, Seq[Double])]): DataFrame = {
       import s.implicits._
@@ -1328,7 +1330,9 @@ object Similarity {
         if (Fns.md5Mode) Fns.md5Hash52(col("vec_id").cast("string"))
         else xxhash64(col("vec_id")))
       .orderBy("hk", "vec_id").limit(c)
-      .select(col("embedding")).collect().zipWithIndex
+      .select(col("embedding"))
+      .collect() // c ≤ 256 seed rows: bounded quantizer metadata
+      .zipWithIndex
       .map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble)
       }

@@ -739,7 +739,12 @@ class DedupSpec extends SparkSpec {
     // condition at the SF the driver gate actually runs (sf0.01) — a
     // driver corpus change that needed deeper iteration would fail
     // HERE with the remedy, not as a silent oracle hash mismatch.
-    val gateSf = "/root/testdata/sf0.01"
+    // Parameterized on the gate dir (round-13 advisor low): a driver
+    // that gates at another SF exports SPARK_GRAFT_GATE_SF and this
+    // pin follows it — the per-SF soundness requirement lives in
+    // Verify's scaladoc next to the md5-mode contract.
+    val gateSf = sys.env.getOrElse("SPARK_GRAFT_GATE_SF",
+      "/root/testdata/sf0.01")
     val (_, rounds) = Dedup.kcoreWithRounds(
       Dedup.ngramJaccard(spark, gateSf).select("a_id", "b_id"), 30)
     assert(rounds <= Dedup.KcoreOracleRounds,
