@@ -220,11 +220,14 @@ object Similarity {
     * Determinism: the Gram is exact-integer ([[gramMatrix]]); the
     * driver-side iteration is a fixed 100 steps from the uniform
     * vector with a canonical sign (largest-|loading| component
-    * positive), so repeated runs are bit-identical. Rows-only (a SQL
-    * oracle would need a 64-step matrix recursion); PcaSpec pins the
-    * eigen residual ‖Gv−λv‖ ≤ 1%·λ, unit norm, λ ≥ every
-    * per-dimension variance (cross-checked against
-    * [[embeddingDimStats]]), and double-run determinism.
+    * positive), so repeated runs are bit-identical. ✅SQL since
+    * round 14: the matrix recursion IS expressible — the oracle
+    * replays all 100 steps as a recursive CTE over the exact-integer
+    * Gram ([[sqlPcaPowerTopcomp]]; every float fold is sequential,
+    * every step a fixed IEEE expression). PcaSpec keeps the analytic
+    * pins (eigen residual ‖Gv−λv‖ ≤ 1%·λ, unit norm, λ ≥ every
+    * per-dimension variance cross-checked against
+    * [[embeddingDimStats]], double-run determinism).
     *
     * Scale: the cluster does O(n·d²) work with n-independent shuffle
     * volume; the driver does O(d²) per step on d² doubles — at d = 64
@@ -2054,7 +2057,75 @@ object Similarity {
        |SELECT probe_id, neighbor_id, rk, cos_sim FROM rk WHERE rk <= 3
        |ORDER BY probe_id, rk""".stripMargin
 
+  /** The FULL `pca_power_topcomp` replay (round 14 — the last
+    * iterative-float rows-only query flips): the exact-integer Gram
+    * (grid-floored components, half-up integer mean, HUGEINT
+    * products over a vec_id self-join ≡ the upper-triangle mirror),
+    * then ALL 100 power-iteration steps as a recursive CTE — each
+    * step's matvec and norm are SEQUENTIAL list_sum folds in index
+    * order, mirroring the driver-side `(0 until dim).map(...).sum`
+    * ascending folds, and division/sqrt are single IEEE ops — so the
+    * trajectory is bit-identical across engines; canonical sign =
+    * first-index argmax of |loading| (Scala maxBy keeps the first of
+    * equals ≡ ORDER BY abs DESC, i ASC LIMIT 1). */
+  private def sqlPcaPowerTopcomp: String =
+    """WITH RECURSIVE ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+      |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS ve
+      |  FROM embeddings),
+      |dims AS (SELECT max(j)::INT AS d,
+      |         count(DISTINCT vec_id)::BIGINT AS n FROM ex),
+      |mean AS (
+      |  SELECT j, floor(sum(ve)::DOUBLE / (SELECT n FROM dims)
+      |    + 0.5)::BIGINT AS m
+      |  FROM ex GROUP BY j),
+      |cv AS (
+      |  SELECT ex.vec_id, ex.j, ex.ve - mean.m AS c
+      |  FROM ex JOIN mean USING (j)),
+      |g AS (
+      |  SELECT a.j AS i, b.j AS j,
+      |    (sum((a.c * b.c)::HUGEINT)::DOUBLE
+      |      / (SELECT n FROM dims)) AS gd
+      |  FROM cv a JOIN cv b ON a.vec_id = b.vec_id
+      |  GROUP BY a.j, b.j),
+      |gmrow AS (SELECT i, list(gd ORDER BY j) AS r FROM g GROUP BY i),
+      |gm AS (SELECT list(r ORDER BY i) AS m FROM gmrow),
+      |it(t, v, lam) AS (
+      |  SELECT 0,
+      |    (SELECT [1.0 / sqrt(d::DOUBLE) for x in generate_series(1, d)]
+      |     FROM dims),
+      |    0.0::DOUBLE
+      |  UNION ALL
+      |  SELECT t + 1, list_transform(gv, x -> x / nrm), nrm FROM (
+      |    SELECT t, gv,
+      |      sqrt(list_sum([gv[i] * gv[i]
+      |        for i in generate_series(1, len(gv))])) AS nrm
+      |    FROM (
+      |      SELECT it.t,
+      |        [list_sum([m.m[i][j] * it.v[j]
+      |           for j in generate_series(1, len(it.v))])
+      |         for i in generate_series(1, len(it.v))] AS gv
+      |      FROM it, gm m WHERE it.t < 100))
+      |),
+      |fin AS (SELECT v, lam FROM it WHERE t = 100),
+      |flip AS (
+      |  SELECT CASE WHEN f.v[s.i] < 0 THEN -1.0 ELSE 1.0 END AS fl
+      |  FROM fin f,
+      |    (SELECT i FROM (
+      |       SELECT unnest(generate_series(1, len(v))) AS i, v FROM fin)
+      |     ORDER BY abs(v[i]) DESC, i LIMIT 1) s),
+      |tr AS (SELECT list_sum([m.m[i][i]
+      |    for i in generate_series(1, len(m.m))]) AS trace FROM gm m)
+      |SELECT (i - 1)::INT AS pos,
+      |  floor(f.v[i] * fl.fl * 1e6)::BIGINT AS loading_e6,
+      |  floor(f.lam / 1e12 * 1e6)::BIGINT AS eig_var_e6,
+      |  floor(f.lam / tr.trace * 1e6)::BIGINT AS var_explained_ppm
+      |FROM fin f, flip fl, tr,
+      |  (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS i)
+      |ORDER BY pos""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "pca_power_topcomp" -> sqlPcaPowerTopcomp,
     "ann_ivf_topk" -> sqlIvfTopk,
     // from-index twins serve the identical deterministic build from
     // the artifact — one oracle text per pair (the sq precedent)

@@ -36,16 +36,16 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query key has either an oracle or is documented rows-only") {
     // the EXACT remaining rows-only set (round 14): the 7 engine-
-    // sketch approx twins (HLL++/approx_percentile/frequent-items
-    // have no DuckDB replay) + the PCA power iteration (64-step
-    // matrix recursion). Everything else — including the whole
-    // IVF/PQ ANN family since round 14 — carries a full SQL oracle.
+    // sketch approx twins — each wraps a Spark ImperativeAggregate
+    // (HLL++/approx_percentile/frequent-items) with no DuckDB
+    // replay. Everything else — the whole IVF/PQ ANN family and the
+    // PCA power iteration included since round 14 — carries a full
+    // SQL oracle.
     val rowsOnly = Set(
       "log_percentiles_approx", "log_daily_active_approx",
       "log_top_users_approx", "log_mad_outliers_approx",
       "log_rolling_distinct_hll",
-      "orders_rfm_segments_approx", "fulfilment_latency_profile_approx",
-      "pca_power_topcomp")
+      "orders_rfm_segments_approx", "fulfilment_latency_profile_approx")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
