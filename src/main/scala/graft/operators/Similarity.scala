@@ -1177,6 +1177,10 @@ object Similarity {
     graft.ops.BuildOnce.ensure(root, d) {
       val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val bounds = vecs.agg(min("vec_id"), max("vec_id")).head()
+      // empty-corpus guard (the sigScratch rule): a null min means no
+      // vectors — refuse loudly rather than NPE inside the cut math
+      require(!bounds.isNullAt(0),
+        s"vector append-refresh needs a non-empty embeddings table in $d")
       val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
       full(s, vecs.filter(col("vec_id") < cut), s"$root/g0", d)
       append(s, d, s"$root/g0", s"$root/new")
