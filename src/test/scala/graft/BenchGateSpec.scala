@@ -33,6 +33,39 @@ class BenchGateSpec extends AnyFunSuite {
       s"expected exactly the planted q30: $regs")
   }
 
+  test("unlucky-median exoneration: the round-14 driver shapes " +
+      "(median fires, min at/below prior) stay quiet; a planted " +
+      "regression whose min also fires still pages") {
+    // the two round-14 false positives, verbatim from the driver's
+    // quiet-host bench_metric.json (host_factor 0.805): medians blew
+    // past 1.5× the normalized prior because two of three passes ran
+    // contended, but each query's MIN pass sat at/below its committed
+    // prior — the code path did not regress.
+    val prevR14 = prev +
+      ("basket_part_pairs" -> 2.078) + ("bigram_lm_holdout" -> 1.280)
+    val now = prevR14.toSeq.map {
+      case (n, _) if n == "basket_part_pairs" => n -> 5.474
+      case (n, _) if n == "bigram_lm_holdout" => n -> 3.408
+      case (n, p) => n -> p * 0.805 // quiet host: everything else cool
+    }
+    val mins = Map("basket_part_pairs" -> 1.507,
+      "bigram_lm_holdout" -> 0.824) ++
+      prev.keys.map(n => n -> prevR14(n) * 0.78)
+    val (hf, regs) = Bench.regressionGate(now, prevR14, mins)
+    assert(hf >= 0.79 && hf <= 0.82, s"host factor $hf")
+    assert(regs.isEmpty,
+      s"min-exonerated unlucky medians still paged: $regs")
+    // a REAL regression slows every pass: min fires with the median
+    val nowReal = now.map {
+      case (n, _) if n == "q30" => n -> prevR14("q30") * 2.6
+      case x => x
+    }
+    val (_, regsReal) = Bench.regressionGate(nowReal, prevR14,
+      mins + ("q30" -> prevR14("q30") * 2.4))
+    assert(regsReal.map(_._1) === Seq("q30"),
+      s"expected exactly the planted q30: $regsReal")
+  }
+
   test("micro-query jitter below the absolute floor never pages") {
     val prevMicro = Map("tiny" -> 0.05)
     val (_, regs) = Bench.regressionGate(Seq("tiny" -> 0.2), prevMicro)
