@@ -228,7 +228,10 @@ object Stress {
       "dedup_jaccard_prefix", "nb_lang_apply", "mm_byte_entropy",
       "orders_dup_payment_audit", "log_attribution",
       "supplier_lead_trend", "retrieval_eval_recall", "ann_sq_topk",
-      "join_view_delta_refresh")
+      "join_view_delta_refresh",
+      // round-15 additions
+      "stream_vec_refresh_tick", "ann_ivf_tuning_curve",
+      "index_compaction_plan")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())
@@ -549,6 +552,29 @@ object Stress {
         s"$dir-pqappend-old", s"$dir-pqappend-new")
       spark.read.parquet(s"$dir-pqappend-new/codes").count()
     }
+    // vector refresh TICK (round 15): the streaming ingest loop's
+    // whole foreachBatch body — marker-guarded landing into the table
+    // of record + one frozen generation per family + head flip —
+    // measured with the batch PINNED (last copy's 5000 vectors) while
+    // the corpus grows K×. The tick composes the two batch-flat
+    // appends above plus one parquet append of the batch, so shuffle
+    // must stay ~flat across K (wall carries the admissions' old-
+    // slice scan, the appends' documented slow term). Setup untimed:
+    // a tick corpus holding the old slice, g0 IVF+PQ builds.
+    val tickDir = s"$dir-vectick"
+    vecOld.write.mode("overwrite")
+      .parquet(s"$tickDir/embeddings.parquet")
+    val tickState = graft.streaming.Pipelines.initVecRefresh(spark,
+      tickDir, s"$tickDir-chain")
+    hygiene()
+    val tickBatch = vecsAll.filter(col("vec_id") >= vecCut)
+    val (vecTickSec, _, vecTickSb) = measure("vec_refresh_tick") {
+      graft.streaming.Pipelines.vecRefreshTick(tickState)(tickBatch, 0L)
+      spark.read.parquet(s"$tickDir-chain/ivf-g1/index").count()
+    }
+    require(graft.ops.ArtifactTag.readProps(spark,
+        tickState.head("ivf"))("n_vecs").toLong == vecsAll.count(),
+      "vec tick chain provenance lost vectors vs the corpus")
     // value-level cross-check: the delta artifacts must equal the full
     // builds they claim row-identity with (the graphChecksum rule —
     // a speedup for different answers must fail loudly here, not in
@@ -702,6 +728,8 @@ object Stress {
       s""""ivf_append_shuffle":$ivfAppendSb,""" +
       s""""pq_append_sec":$pqAppendSec,""" +
       s""""pq_append_shuffle":$pqAppendSb,""" +
+      s""""vec_tick_sec":$vecTickSec,""" +
+      s""""vec_tick_shuffle":$vecTickSb,""" +
       s""""dup_payment_pairs_organic":$dupPairsOrganic,""" +
       s""""mrr_scored_rows":$mrrScoredRows,""" +
       s""""kcore_rounds":$kcoreRounds,""" +

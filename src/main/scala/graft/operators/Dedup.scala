@@ -52,6 +52,7 @@ object Dedup {
     "dedup_source_minhash" -> sourceMinhash,
     "materialize_survivors" -> materializeSurvivors,
     "compaction_plan" -> compactionPlan,
+    "index_compaction_plan" -> indexCompactionPlan,
     "dedup_incremental" -> incremental,
     "dedup_containment" -> containment,
     "dedup_span_flags" -> spanFlags,
@@ -1088,6 +1089,85 @@ object Dedup {
         min("doc_id").as("min_doc_id"),
         max("doc_id").as("max_doc_id"))
       .orderBy("split", "lang")
+  }
+
+  /** `index_compaction_plan` — the CHAIN-HEALTH half of the LSM story
+    * (round-14 verdict Missing #4): every index family has generational
+    * append plus a compaction writer, but nothing measured WHEN to
+    * compact. This planner walks each family's generation chain off
+    * its provenance sidecars — metadata-sized reads, never index rows —
+    * and emits per family: generation count (which IS the per-probe
+    * read amplification — a chain serve opens every generation),
+    * base-build and cumulative slice counts, the appended mass in ppm,
+    * and a compact/keep decision at the conf'd thresholds
+    * (`graft.chain.maxGenerations`, default 4 — the [[graft.ops
+    * .Materialize.genChain]] 64-generation hard stop's operating
+    * margin; `graft.chain.maxAppendedPpm`, default 750000 — compact
+    * once ¾ of the corpus lives outside the base build, the point
+    * where per-generation row-group pruning has lost the base sort's
+    * benefit for most rows). A `compact` row's executor is the
+    * family's existing writer (`ivfIndexCompact` / `pqIndexCompact` /
+    * `sigIndexCompact` / the lexical merge refresh) — MaterializeSpec
+    * pins that compacting flips the planner's decision back to keep.
+    *
+    * Chains audited = the five standard append-cycle scratches (ivf,
+    * lex, minhash, pq, simhash — shared build-once state with their
+    * `*_append_refresh` queries, so the planner audits the very chains
+    * those queries serve). ✅SQL: provenance is exact by construction
+    * (admission replays it every append), so the oracle recomputes
+    * each chain's counts straight from the corpus cut replays. */
+  def indexCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val maxGen =
+      s.conf.getOption("graft.chain.maxGenerations").fold(4L)(_.toLong)
+    val maxPpm =
+      s.conf.getOption("graft.chain.maxAppendedPpm").fold(750000L)(_.toLong)
+    val chains: Seq[(String, String)] = Seq(
+      "ivf" -> Similarity.vecScratch(s, d, "ivf-chain" + hashModeTag,
+        graft.ops.Materialize.ivfIndexOf,
+        graft.ops.Materialize.ivfIndexAppend),
+      "lex" -> Retrieval.lexAppendPath(s, d),
+      "minhash" -> sigScratch(s, d, "minhash-chain",
+        graft.ops.Materialize.minhashIndexOf,
+        graft.ops.Materialize.minhashIndexAppend),
+      "pq" -> Similarity.vecScratch(s, d, "pq-chain",
+        graft.ops.Materialize.pqIndexOf,
+        graft.ops.Materialize.pqIndexAppend),
+      "simhash" -> sigScratch(s, d, "simhash-chain",
+        graft.ops.Materialize.simhashIndexOf,
+        graft.ops.Materialize.simhashIndexAppend))
+    chainHealth(s, chains.map { case (f, h) => (f, h, d) },
+      maxGen, maxPpm)
+  }
+
+  /** The planner core over explicit (family, head, corpus-tag)
+    * chains — factored out so MaterializeSpec can audit a chain it
+    * built itself (3 generations → compact → re-audit → keep). All
+    * reads are provenance sidecars: O(generations) tiny files per
+    * family, no index data touched. */
+  private[graft] def chainHealth(s: SparkSession,
+      chains: Seq[(String, String, String)],
+      maxGen: Long, maxPpm: Long): DataFrame = {
+    val rows = chains.map { case (family, head, tag) =>
+      val gens = graft.ops.Materialize.genChain(s, head, tag)
+      def sliceN(p: String): Long = {
+        val props = graft.ops.ArtifactTag.readProps(s, p)
+        props.get("n_docs").orElse(props.get("n_vecs")).getOrElse(
+          throw new IllegalArgumentException(
+            s"artifact at $p carries no slice-count provenance — " +
+              "rebuild it with the Materialize writer")).toLong
+      }
+      val total = sliceN(gens.head) // head carries the cumulative count
+      val base = sliceN(gens.last) // genChain walks head → base
+      val appendedPpm =
+        if (total == 0L) 0L else (total - base) * 1000000L / total
+      val decision =
+        if (gens.size > maxGen || appendedPpm > maxPpm) "compact"
+        else "keep"
+      (family, gens.size, base, total, appendedPpm, decision)
+    }
+    import s.implicits._
+    rows.toDF("family", "n_generations", "rows_base", "rows_total",
+      "appended_ppm", "decision").orderBy("family")
   }
 
   /** Small-file compaction planner over the survivor corpus — the
@@ -2984,9 +3064,76 @@ object Dedup {
       }
   }
 
+  /** Dump-time knob resolution for the chain-health thresholds — the
+    * [[graft.operators.TextAnalysis]] `oracleKnob` discipline: the
+    * dumped SQL must interpolate the value the Spark plan reads;
+    * ambiguity across live sessions refuses. */
+  private def chainKnob(key: String, default: Long): Long = {
+    val sessions = (SparkSession.getActiveSession.toSeq ++
+      SparkSession.getDefaultSession).distinct
+    val vals = sessions.flatMap(_.conf.getOption(key)).map(_.toLong)
+      .distinct
+    require(vals.size <= 1,
+      s"$key is ambiguous at oracle-dump time: " +
+        s"${vals.mkString(" vs ")} — align the conf or dump from a " +
+        "single session")
+    vals.headOption.getOrElse(default)
+  }
+
+  /** The `index_compaction_plan` replay: provenance is exact by
+    * construction (append admission re-verifies it every cycle), so
+    * each chain's counts recompute straight from the corpus midpoint
+    * cuts — doc-side families (lex/minhash/simhash) collapse to one
+    * generation when the base slice is empty (the `sigScratch` /
+    * `lexScratch` rule), the vector families always build base +
+    * append (`vecScratch`). */
+  private def sqlIndexCompactionPlan: String = {
+    val maxGen = chainKnob("graft.chain.maxGenerations", 4L)
+    val maxPpm = chainKnob("graft.chain.maxAppendedPpm", 750000L)
+    s"""WITH dstat AS (
+       |  SELECT count(*)::BIGINT AS total,
+       |    (count(*) FILTER (WHERE doc_id < $SqlIdCut))::BIGINT
+       |      AS below
+       |  FROM documents),
+       |vstat AS (
+       |  SELECT count(*)::BIGINT AS total,
+       |    (count(*) FILTER (WHERE vec_id <
+       |      (SELECT (min(vec_id) + max(vec_id)) // 2
+       |       FROM embeddings)))::BIGINT AS below
+       |  FROM embeddings),
+       |fam AS (
+       |  SELECT 'ivf' AS family, 2::INT AS n_generations,
+       |    below AS rows_base, total AS rows_total FROM vstat
+       |  UNION ALL SELECT 'lex',
+       |    CASE WHEN below = 0 THEN 1 ELSE 2 END,
+       |    CASE WHEN below = 0 THEN total ELSE below END, total
+       |  FROM dstat
+       |  UNION ALL SELECT 'minhash',
+       |    CASE WHEN below = 0 THEN 1 ELSE 2 END,
+       |    CASE WHEN below = 0 THEN total ELSE below END, total
+       |  FROM dstat
+       |  UNION ALL SELECT 'pq', 2, below, total FROM vstat
+       |  UNION ALL SELECT 'simhash',
+       |    CASE WHEN below = 0 THEN 1 ELSE 2 END,
+       |    CASE WHEN below = 0 THEN total ELSE below END, total
+       |  FROM dstat),
+       |h AS (
+       |  SELECT family, n_generations, rows_base, rows_total,
+       |    (CASE WHEN rows_total = 0 THEN 0
+       |      ELSE (rows_total - rows_base) * 1000000 // rows_total
+       |      END)::BIGINT AS appended_ppm
+       |  FROM fam)
+       |SELECT family, n_generations, rows_base, rows_total,
+       |  appended_ppm,
+       |  CASE WHEN n_generations > $maxGen OR appended_ppm > $maxPpm
+       |    THEN 'compact' ELSE 'keep' END AS decision
+       |FROM h ORDER BY family""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     requireSelfContainedIncremental()
     Map(
+    "index_compaction_plan" -> sqlIndexCompactionPlan,
     // ——— md5-gate-mode sketch-family oracles ([[Fns.Md5ModeConf]]:
     // graft.Verify dumps and runs with the conf ON, so these replays
     // see the exact hashes the Spark plans computed; DedupSpec pins

@@ -624,7 +624,7 @@ object Retrieval {
     * old-half index + [[graft.ops.Materialize.lexicalIndexAppend]]
     * generation for the rest ([[lexScratch]]). Returns the chain
     * HEAD. */
-  private def lexAppendPath(s: SparkSession, d: String): String =
+  private[graft] def lexAppendPath(s: SparkSession, d: String): String =
     lexScratch(s, d, "lexappend",
       graft.ops.Materialize.lexicalIndexAppend)
 

@@ -45,6 +45,7 @@ object Similarity {
     "ann_index_upsert" -> annIndexUpsert,
     "ann_ivf_append_refresh" -> annIvfAppendRefresh,
     "ann_pq_append_refresh" -> annPqAppendRefresh,
+    "ann_ivf_tuning_curve" -> annIvfTuningCurve,
     "ann_ivfpq_from_index" -> annIvfPqFromIndex,
     "cluster_silhouette" -> clusterSilhouette,
     "embedding_norm_outliers" -> embeddingNormOutliers,
@@ -1170,7 +1171,7 @@ object Similarity {
     * queries (the [[graft.operators.Dedup]] `sigScratch` shape on the
     * embedding side): base-half index (g0) + ONE append generation
     * for the rest. Returns the chain head. */
-  private def vecScratch(s: SparkSession, d: String, kind: String,
+  private[graft] def vecScratch(s: SparkSession, d: String, kind: String,
       full: (SparkSession, DataFrame, String, String) => Unit,
       append: (SparkSession, String, String, String) => Unit): String = {
     val root = graft.ops.BuildOnce.scratchPath(kind, d)
@@ -1199,13 +1200,27 @@ object Similarity {
     * of the full corpus, and the probe in one CTE chain —
     * fit-on-base ∪ assign-batch ≡ assign(ic2-of-base) over ALL
     * vectors, which is exactly what the chain serves. */
-  def annIvfAppendRefresh(s: SparkSession, d: String): DataFrame = {
-    val head = vecScratch(s, d, "ivf-chain" + Dedup.hashModeTag,
-      graft.ops.Materialize.ivfIndexOf,
-      graft.ops.Materialize.ivfIndexAppend)
+  def annIvfAppendRefresh(s: SparkSession, d: String): DataFrame =
+    ivfChainServe(s, d,
+      vecScratch(s, d, "ivf-chain" + Dedup.hashModeTag,
+        graft.ops.Materialize.ivfIndexOf,
+        graft.ops.Materialize.ivfIndexAppend),
+      tag = d)
+
+  /** The standard IVF probe served off a generation-chain head —
+    * probe-cell ranking against the head's (frozen) centroids, then
+    * the exact-cosine tail over the chain union with literal `cid IN`
+    * pruning inside every generation. `tag` is the corpus directory
+    * the chain's artifacts are bound to (the table of record — the
+    * original corpus for [[annIvfAppendRefresh]]'s scratch, the
+    * streaming scratch corpus for `stream_vec_refresh_tick`). ONE
+    * definition so the batch append cycle and the streaming tick
+    * serve byte-identical plans. */
+  private[graft] def ivfChainServe(s: SparkSession, d: String,
+      head: String, tag: String): DataFrame = {
     val cids = probeCellIds(s, d, head)
     ivfProbeTail(s, d,
-      graft.ops.Materialize.chainRead(s, head, d, "index",
+      graft.ops.Materialize.chainRead(s, head, tag, "index",
         Seq("vec_id", "embedding", "cid"))
         .filter(col("cid").isin(cids: _*)))
   }
@@ -1226,6 +1241,78 @@ object Similarity {
       graft.ops.Materialize.chainRead(s, head, d, "codes",
         Seq("vec_id", "sub", "code")),
       s.read.parquet(s"$head/codebooks"))
+  }
+
+  /** `ann_ivf_tuning_curve` — the IVF operating-point table (round-14
+    * verdict task #2, the [[graft.operators.Dedup.minhashTuningCurve]]
+    * discipline on the vector side): for every candidate probe width
+    * nprobe ∈ {1, 2, 4, C/4, C} (distinct, clamped to [1, C] — C/4 as
+    * max(2, C/4), the [[probeCellIds]] operating point), the IVF probe's
+    * candidate count and its recall@10 against the exact
+    * [[annBruteforce]] top-10, in exact ppm (|approx∩exact|·10⁵ — k is
+    * 10, so the ratio is an integer fact, no float division). This
+    * turns the asserted nprobe = C/4 default into measured evidence:
+    * the row set IS the recall-vs-selectivity trade a deployment reads
+    * before picking its probe width, the same way
+    * `minhash_tuning_curve` tables the banding S-curve behind 64×2.
+    *
+    * Scale shape: the scored frame is built ONCE off the materialized
+    * IVF index (the [[annIvfFromIndex]] artifact — no rebuild) with a
+    * broadcast query row, localCheckpointed, then each of the ≤ 5
+    * probe widths is a cell-pruned `cid IN` filter + a distributed
+    * top-10 (TakeOrdered, never a global sort) — the loop is over a
+    * CONSTANT ≤ 5 configs (the tuning-curve precedent), and the only
+    * driver-side rows are the ≤ 256 centroid metadata (the disclosed
+    * collect exception), the 10 exact reference ids, and the 5 result
+    * rows. Ranking uses the 4-dp-rounded cosine (the
+    * [[annBruteforce]] rule) with vec_id tie-break, so both engines
+    * rank bit-identically. ✅SQL: the oracle replays the build
+    * ([[sqlIvfBlock]]), ranks every cell, and computes all widths'
+    * candidate sets and recalls in one CTE chain. */
+  def annIvfTuningCurve(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val path = graft.ops.BuildOnce.scratchPath("ivf" + Dedup.hashModeTag, d)
+    graft.ops.BuildOnce.ensure(path, d) {
+      graft.ops.Materialize.ivfIndex(s, d, path)
+    }
+    val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1).head()
+    val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
+    val cents = s.read.parquet(s"$path/centroids")
+      .collect() // C ≤ 256 rows: bounded quantizer metadata
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val ranked = cents
+      .map { case (cid, cv) => (cosSeq(cv, qEmb), cid) }
+      .sortBy { case (qc, cid) => (-qc, cid) }
+      .map(_._2)
+    val c = ranked.length
+    val nps = Seq(1, 2, 4, math.max(2, c / 4), c)
+      .map(np => math.min(math.max(np, 1), c)).distinct.sorted
+    val q = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = s.read.parquet(s"$path/index")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(cos(col("embedding"), col("q_emb")), 4) + lit(0.0))
+      .select("vec_id", "cid", "cos_sim")
+      .localCheckpoint() // scored once, probed ≤ 5 × 2 times
+    val exactIds = scored
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+      .collect().map(_.getLong(0)) // 10 rows: the exact reference set
+    val rows = nps.map { np =>
+      val cand = scored.filter(
+        col("cid").isin(ranked.take(np).map(Int.box): _*))
+      val hits = cand.orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+        .filter(col("vec_id").isin(exactIds.map(Long.box): _*))
+        .count()
+      (np, cand.count(), hits * 100000L)
+    }
+    import s.implicits._
+    rows.toDF("nprobe", "n_cand", "recall_at10_ppm").orderBy("nprobe")
   }
 
   /** IVF-PQ SERVING — the complete FAISS-style production probe,
@@ -1970,7 +2057,50 @@ object Similarity {
   /** `ann_ivf_append_refresh`: the IVF replay with the Lloyd fit on
     * the base half and the assignment over everything — the chain's
     * semantics in one text. */
-  private def sqlIvfAppendRefresh: String = sqlIvfTopkFit(sqlVecCutWhere)
+  private[graft] def sqlIvfAppendRefresh: String =
+    sqlIvfTopkFit(sqlVecCutWhere)
+
+  /** The `ann_ivf_tuning_curve` replay: full build ([[sqlIvfBlock]]),
+    * every cell ranked against the query, and for each distinct probe
+    * width in {1, 2, 4, max(2, C/4), C} the candidate count plus
+    * recall@10 vs the exact top-10 — widths LEFT-join the candidate
+    * frame so an empty candidate set still emits its zero row (the
+    * Spark side always emits one row per width). */
+  private def sqlIvfTuningCurve: String =
+    s"""WITH $sqlEmbPrefix,
+       |$sqlIvfBlock,
+       |crank AS (
+       |  SELECT cid, row_number() OVER (
+       |    ORDER BY ${Fns.sqlCosine("cvec", "q_emb")} DESC, cid) AS crk
+       |  FROM ic2, q),
+       |cn AS (SELECT count(*)::INT AS c FROM ic2),
+       |npv AS (
+       |  SELECT DISTINCT least(greatest(v, 1), (SELECT c FROM cn)) AS np
+       |  FROM (SELECT unnest([1, 2, 4,
+       |    greatest(2, (SELECT c FROM cn) // 4),
+       |    (SELECT c FROM cn)]) AS v)),
+       |scored AS (
+       |  SELECT a.vec_id, crank.crk,
+       |    round(${Fns.sqlCosine("e.emb", "q.q_emb")}, 4) + 0.0
+       |      AS cos_sim
+       |  FROM ia2 a JOIN crank USING (cid)
+       |    JOIN e ON a.vec_id = e.vec_id, q
+       |  WHERE a.vec_id <> q.q_id),
+       |exact AS (
+       |  SELECT vec_id FROM scored ORDER BY cos_sim DESC, vec_id
+       |  LIMIT 10),
+       |cand AS (
+       |  SELECT npv.np, s.vec_id,
+       |    row_number() OVER (PARTITION BY npv.np
+       |      ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+       |  FROM npv JOIN scored s ON s.crk <= npv.np)
+       |SELECT npv.np::INT AS nprobe,
+       |  count(c.vec_id)::BIGINT AS n_cand,
+       |  (100000 * count(c.vec_id) FILTER (WHERE c.rk <= 10
+       |     AND c.vec_id IN (SELECT vec_id FROM exact)))::BIGINT
+       |    AS recall_at10_ppm
+       |FROM npv LEFT JOIN cand c ON npv.np = c.np
+       |GROUP BY npv.np ORDER BY nprobe""".stripMargin
 
   /** `ann_pq_append_refresh`: codebooks fit on the base half, encode
     * + ADC over everything. */
@@ -2141,6 +2271,7 @@ object Similarity {
     "ann_pq_rerank" -> sqlPqRerank,
     "ann_ivf_append_refresh" -> sqlIvfAppendRefresh,
     "ann_pq_append_refresh" -> sqlPqAppendRefresh,
+    "ann_ivf_tuning_curve" -> sqlIvfTuningCurve,
     "knn_graph_ivf" -> sqlKnnGraphIvf,
     "ann_lsh_topk" -> sqlAnnLsh,
     "cluster_dbscan" ->

@@ -28,7 +28,8 @@ object StreamingBatch {
     "stream_sliding_distinct" -> slidingDistinct,
     "stream_feature_snapshot" -> featureSnapshot,
     "stream_upsert_latest" -> upsertLatest,
-    "stream_refresh_tick" -> streamRefreshTick
+    "stream_refresh_tick" -> streamRefreshTick,
+    "stream_vec_refresh_tick" -> streamVecRefreshTick
   )
 
   /** `stream_refresh_tick` — the CONTINUOUS-INGEST loop registered as
@@ -103,24 +104,89 @@ object StreamingBatch {
         java.nio.file.Paths.get(s"$root/HEAD")).trim)
   }
 
+  /** `stream_vec_refresh_tick` — [[streamRefreshTick]] for the VECTOR
+    * family (round-14 verdict task #1, the one missing rung now that
+    * IVF/PQ have hash-gated builds AND generational append): the
+    * embedding corpus's base half lands as a scratch table of record;
+    * [[graft.streaming.Pipelines.initVecRefresh]] fits the g0 IVF
+    * index + PQ codebooks over it (the frozen quantizer the whole
+    * chain inherits); the NEW half then streams through a file-source
+    * `readStream` — two JSON-lines feed files, `maxFilesPerTrigger
+    * = 1` — into `foreachBatch(vecRefreshTick)` as two micro-batches,
+    * each landing in the table of record and gaining ONE
+    * frozen-assignment generation per index family (work ∝ batch);
+    * after the stream drains, the query serves the standard IVF probe
+    * off the refreshed chain head. Because frozen-quantizer
+    * assignment is per-vector, the two-tick chain's content ≡ the
+    * one-append batch chain — so the `ann_ivf_append_refresh` oracle
+    * (fit-on-base ∪ frozen-assign ≡ chain) hash-gates vector ingest →
+    * append generations → chain-serve END TO END at the driver gate.
+    * PQ generations ride the same ticks (their byte-code chain is
+    * spec-pinned ≡ the batch chain; the served probe is the IVF one).
+    * No driver-side row materialization: feed files are written
+    * executor-side, the driver touches only renames + mtime stamps
+    * ([[writeFeedFile]]). */
+  def streamVecRefreshTick(s: SparkSession, d: String): DataFrame = {
+    val root = graft.ops.BuildOnce.scratchPath(
+      "vectick" + Dedup.hashModeTag, d)
+    graft.ops.BuildOnce.ensure(root, d) {
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val bounds = vecs.agg(min("vec_id"), max("vec_id")).head()
+      require(!bounds.isNullAt(0),
+        s"vector refresh tick needs a non-empty embeddings table in $d")
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      vecs.filter(col("vec_id") < cut)
+        .write.parquet(s"$root/corpus/embeddings.parquet")
+      val st = graft.streaming.Pipelines.initVecRefresh(
+        s, s"$root/corpus", s"$root/chain")
+      val newVecs = vecs.filter(col("vec_id") >= cut)
+      val b2 = newVecs.agg(min("vec_id"), max("vec_id")).head()
+      val cut2 = (b2.getLong(0) + b2.getLong(1)) / 2
+      writeFeedFile(s, newVecs.filter(col("vec_id") < cut2),
+        s"$root/feed", "batch-0.json", mtime = 1000000L)
+      writeFeedFile(s, newVecs.filter(col("vec_id") >= cut2),
+        s"$root/feed", "batch-1.json", mtime = 2000000L)
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .json(s"$root/feed")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(graft.streaming.Pipelines.vecRefreshTick(st) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/HEAD"), st.head("ivf"))
+    }
+    Similarity.ivfChainServe(s, d,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/HEAD")).trim,
+      tag = s"$root/corpus")
+  }
+
   /** Write one ingest-feed half as a single JSON-lines file at
     * `dir`/`name` with a PINNED mtime: rows stream executor-side
     * (`coalesce(1)` — one ingest batch is one file in this replay),
     * the driver only renames the part file and stamps the mtime that
-    * fixes the file source's oldest-first trigger order. */
-  private def writeFeedFile(s: SparkSession, rows: DataFrame,
+    * fixes the file source's oldest-first trigger order. All metadata
+    * ops go through the Hadoop `FileSystem` API (round-14 verdict
+    * Missing #5: the `java.io.File` form only worked on a local
+    * filesystem — `fs.rename`/`fs.setTimes` is the portable form for
+    * whatever storage the scratch root resolves to). */
+  private[operators] def writeFeedFile(s: SparkSession, rows: DataFrame,
       dir: String, name: String, mtime: Long): Unit = {
-    val tmp = s"$dir/_stage-$name"
-    rows.coalesce(1).write.json(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-")
-        && f.getName.endsWith(".json"))
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dir, s"_stage-$name")
+    val fs = tmp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    rows.coalesce(1).write.json(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-")
+        && p.getName.endsWith(".json"))
     require(part.length == 1, s"expected one part file in $tmp")
-    val target = new java.io.File(dir, name)
-    require(part.head.renameTo(target), s"rename to $target failed")
-    require(target.setLastModified(mtime), s"mtime stamp on $target failed")
-    val tp = new org.apache.hadoop.fs.Path(tmp)
-    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+    val target = new Path(dir, name)
+    require(fs.rename(part.head, target), s"rename to $target failed")
+    fs.setTimes(target, mtime, -1L)
+    fs.delete(tmp, true)
   }
 
   /** CDC latest-wins materialized view — the upsert-sink semantics every
@@ -449,6 +515,10 @@ object StreamingBatch {
     // minhash pair set over the original corpus, so the md5-mode
     // minhash replay gates the whole ingest→append→serve loop
     "stream_refresh_tick" -> Dedup.minhashOracleSql,
+    // the vector tick's chain serve is DEFINED to equal the batch
+    // append cycle's probe (frozen assignment is per-vector, so tick
+    // count cannot change the chain's content) — one oracle text
+    "stream_vec_refresh_tick" -> Similarity.sqlIvfAppendRefresh,
     "stream_upsert_latest" ->
       s"""WITH $E,
          |r AS (

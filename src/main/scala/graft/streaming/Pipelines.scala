@@ -200,9 +200,9 @@ object Pipelines {
       h
     }
     private[Pipelines] def flip(family: String, path: String,
-        confKey: String): Unit = {
+        confKey: Option[String]): Unit = {
       heads.put(family, path)
-      s.conf.set(confKey, path)
+      confKey.foreach(s.conf.set(_, path))
     }
   }
 
@@ -236,7 +236,7 @@ object Pipelines {
     graft.ops.Materialize.simhashIndexOf(s, docs,
       s"$root/simhash-g0", dir)
     DocFamilies.foreach { case (f, _, conf) =>
-      st.flip(f, s"$root/$f-g0", conf)
+      st.flip(f, s"$root/$f-g0", Some(conf))
     }
     st
   }
@@ -292,7 +292,7 @@ object Pipelines {
         writeMarker(st, s"landed-b$batchId")
       }
       DocFamilies.foreach { case (family, append, conf) =>
-        appendIdempotent(st, family, append, conf, batchId)
+        appendIdempotent(st, family, append, Some(conf), batchId)
       }
     }
   }
@@ -303,7 +303,7 @@ object Pipelines {
     * append; fresh → append. */
   private def appendIdempotent(st: RefreshState, family: String,
       append: (SparkSession, String, String, String) => Unit,
-      conf: String, batchId: Long): Unit = {
+      conf: Option[String], batchId: Long): Unit = {
     val next = s"${st.root}/$family-g${batchId + 1}"
     if (!graft.ops.ArtifactTag.readProps(st.s, next)
         .contains("prov_ver")) {
@@ -332,7 +332,8 @@ object Pipelines {
       root: String): RefreshState = {
     val st = new RefreshState(s, dir, root)
     graft.ops.Materialize.featureStore(s, dir, s"$root/features-g0")
-    st.flip("features", s"$root/features-g0", "graft.features.storePath")
+    st.flip("features", s"$root/features-g0",
+      Some("graft.features.storePath"))
     st
   }
 
@@ -359,7 +360,75 @@ object Pipelines {
       }
       appendIdempotent(st, "features",
         graft.ops.Materialize.featureStoreAppend,
-        "graft.features.storePath", batchId)
+        Some("graft.features.storePath"), batchId)
+    }
+  }
+
+  /** Families the embedding-side [[vecRefreshTick]] maintains — the
+    * two generational vector indexes. Unlike [[DocFamilies]] there is
+    * no serving conf to flip: the vector serving queries read explicit
+    * chain heads ([[graft.ops.Materialize.chainRead]]), so the tick's
+    * head registry IS the serving pointer (callers probe
+    * `head("ivf")` / `head("pq")` after the stream drains). */
+  private val VecFamilies: Seq[(String,
+      (SparkSession, String, String, String) => Unit)] = Seq(
+    ("ivf", graft.ops.Materialize.ivfIndexAppend),
+    ("pq", graft.ops.Materialize.pqIndexAppend))
+
+  /** Embedding-side init: one FULL IVF index + one FULL PQ index over
+    * the embeddings table as it stands (the quantizer/codebook fit the
+    * whole chain stays frozen to — the `ann_index_upsert` no-retrain
+    * recipe). Call once, then hand [[vecRefreshTick]] to
+    * `writeStream.foreachBatch`. */
+  def initVecRefresh(s: SparkSession, dir: String,
+      root: String): RefreshState = {
+    val st = new RefreshState(s, dir, root)
+    val vecs = graft.sources.Tables.embeddings(s, dir)
+      .select("vec_id", "embedding")
+    graft.ops.Materialize.ivfIndexOf(s, vecs, s"$root/ivf-g0", dir)
+    graft.ops.Materialize.pqIndexOf(s, vecs, s"$root/pq-g0", dir)
+    VecFamilies.foreach { case (f, _) =>
+      st.flip(f, s"$root/$f-g0", None)
+    }
+    st
+  }
+
+  /** The embedding-side tick — [[docRefreshTick]] for a vector feed:
+    * per micro-batch the (vec_id, embedding) rows land in
+    * `dir`/embeddings.parquet (the table of record the vector
+    * admission guards replay), then each index family gains ONE
+    * generation assigning/encoding the batch against the FROZEN
+    * g0 quantizer/codebooks ([[graft.ops.Materialize.ivfIndexAppend]]
+    * / [[pqIndexAppend]] — write ∝ batch, cell-partitioned batch rows
+    * + parent pointer + additive provenance), and the head registry
+    * flips so the next probe reads the refreshed chain. Batch vec_ids
+    * must be monotone above the corpus's (id reuse refuses loudly in
+    * the writers' admission). An empty tick is a no-op.
+    *
+    * Idempotent under foreachBatch's at-least-once replay exactly as
+    * [[docRefreshTick]]: marker-guarded landing + max_vec_id frontier
+    * filter; batchId-keyed generations adopt a committed previous
+    * attempt and sweep a torn one (same disclosed append↔marker
+    * crash window). */
+  def vecRefreshTick(st: RefreshState)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.select(col("vec_id"), col("embedding"))
+    if (!rows.isEmpty) {
+      if (!markerExists(st, s"landed-vec-b$batchId")) {
+        val frontier = VecFamilies.map { case (f, _) =>
+          graft.ops.ArtifactTag.readProps(st.s, st.head(f))
+            .get("max_vec_id").fold(Long.MinValue)(_.toLong)
+        }.max
+        val fresh = rows.filter(col("vec_id") > frontier)
+        if (!fresh.isEmpty) {
+          fresh.write.mode("append")
+            .parquet(s"${st.dir}/embeddings.parquet")
+        }
+        writeMarker(st, s"landed-vec-b$batchId")
+      }
+      VecFamilies.foreach { case (family, append) =>
+        appendIdempotent(st, family, append, None, batchId)
+      }
     }
   }
 

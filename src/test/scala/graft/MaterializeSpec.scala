@@ -195,6 +195,58 @@ class MaterializeSpec extends SparkSpec {
     } finally rm(base)
   }
 
+  test("chain-health planner: a 3-generation chain audits from " +
+      "provenance alone, crosses the generation threshold to " +
+      "compact, and compacting flips the decision back to keep") {
+    val base = tmp("graft-chainhealth")
+    val corpus = tmp("graft-chainhealth-corpus")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+        .select("doc_id", "text")
+      val b = docs.agg(min("doc_id"), max("doc_id")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      // the LSM reality: the corpus grows between appends, so each
+      // generation holds one ingest batch
+      docs.filter(col("doc_id") < c1)
+        .write.parquet(s"$corpus/documents.parquet")
+      Materialize.minhashIndexOf(spark,
+        docs.filter(col("doc_id") < c1), s"$base/g0", corpus)
+      docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+        .write.mode("append").parquet(s"$corpus/documents.parquet")
+      Materialize.minhashIndexAppend(spark, corpus,
+        s"$base/g0", s"$base/g1")
+      docs.filter(col("doc_id") >= c2)
+        .write.mode("append").parquet(s"$corpus/documents.parquet")
+      Materialize.minhashIndexAppend(spark, corpus,
+        s"$base/g1", s"$base/g2")
+      val n = docs.count()
+      val nBase = docs.filter(col("doc_id") < c1).count()
+      def audit(head: String, maxGen: Long) = Dedup.chainHealth(spark,
+        Seq(("minhash", head, corpus)), maxGen, 750000L)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+      // under the default generation budget the 3-gen chain is
+      // healthy on generations but ~2/3 appended → ppm trigger fires
+      val row = audit(s"$base/g2", 4L)
+      assert(row === Seq(("minhash", 3, nBase, n,
+        (n - nBase) * 1000000L / n,
+        if ((n - nBase) * 1000000L / n > 750000L) "compact"
+        else "keep")),
+        s"provenance audit mismatch: $row")
+      // crossing the generation threshold flips the decision
+      assert(audit(s"$base/g2", 2L).head._6 === "compact",
+        "3 generations over a 2-generation budget must compact")
+      // the decision's executor is the real compactor: after it runs,
+      // the chain is one generation with zero appended mass → keep
+      Materialize.sigIndexCompact(spark, corpus, s"$base/g2",
+        s"$base/merged", Materialize.MinhashParts)
+      val after = audit(s"$base/merged", 2L)
+      assert(after === Seq(("minhash", 1, n, n, 0L, "keep")),
+        s"compacted chain must audit clean: $after")
+    } finally { rm(base); rm(corpus) }
+  }
+
   test("lexical index delta refresh ≡ full rebuild part-for-part; " +
       "bm25/phrase serve row-identical off the delta artifact") {
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -970,4 +970,80 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("graft.simhash.oldIndexPath")
     }
   }
+
+  test("vec refresh tick: stream-refreshed IVF/PQ chains ≡ the batch " +
+      "one-append chains (frozen assignment is per-vector, so tick " +
+      "count cannot change content); full replay no-ops") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tickvec").toString
+    val root = s"$dir/chain"
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    val b = vecs.agg(min("vec_id"), max("vec_id")).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    vecs.filter(col("vec_id") < cut)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val st = Pipelines.initVecRefresh(spark, dir, root)
+    val newHalf = vecs.filter(col("vec_id") >= cut)
+    val newRows = newHalf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cut2 = (cut + b.getLong(1)) / 2
+    val (nb0, nb1) = newRows.partition(_._1 < cut2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDS()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      .writeStream.foreachBatch(Pipelines.vecRefreshTick(st) _).start()
+    try {
+      mem.addData(nb0.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(nb1.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val n = vecs.count()
+    // the table of record absorbed every tick
+    assert(graft.sources.Tables.embeddings(spark, dir).count() === n)
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("vec_id").collect().map(_.toString).toSeq
+    // IVF: chain covers every vector once; its (vec_id, cid) rows ≡
+    // g0 build ∪ ONE frozen assignment of the whole new half — the
+    // batch `ann_ivf_append_refresh` chain's content
+    val ivfChain = graft.ops.Materialize.chainRead(spark,
+      st.head("ivf"), dir, "index", Seq("vec_id", "cid"))
+    assert(ivfChain.count() === n, "ivf chain must cover every vector")
+    assert(ivfChain.select("vec_id").distinct().count() === n,
+      "ivf chain double-covered a vector")
+    val cents = spark.read.parquet(s"$root/ivf-g0/centroids")
+    val ivfBatchExpected = spark.read
+      .parquet(s"$root/ivf-g0/index").select("vec_id", "cid")
+      .unionAll(graft.operators.Similarity
+        .ivfAssignFrozen(newHalf, cents).select("vec_id", "cid"))
+    assert(sorted(ivfChain) === sorted(ivfBatchExpected),
+      "stream-refreshed ivf chain != batch one-append chain")
+    // PQ: code chain ≡ g0 codes ∪ one frozen encode of the new half
+    val pqChain = graft.ops.Materialize.chainRead(spark,
+      st.head("pq"), dir, "codes", Seq("vec_id", "sub", "code"))
+    assert(pqChain.count() === n * 8L, "pq chain: 8 codes per vector")
+    val cb = spark.read.parquet(s"$root/pq-g0/codebooks")
+    val pqBatchExpected = spark.read
+      .parquet(s"$root/pq-g0/codes").select("vec_id", "sub", "code")
+      .unionAll(graft.operators.Similarity
+        .pqEncodeFrozen(newHalf, cb).select("vec_id", "sub", "code"))
+    def codeSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("vec_id", "sub").collect().map(_.toString).toSeq
+    assert(codeSorted(pqChain) === codeSorted(pqBatchExpected),
+      "stream-refreshed pq chain != batch one-append chain")
+    // idempotency: a FULL same-batchId replay of the HEAD tick
+    // (marker present, generations committed → adopted) moves
+    // nothing — the docRefreshTick discipline on the vector side
+    val heads1 = Seq("ivf", "pq").map(st.head)
+    Pipelines.vecRefreshTick(st)(
+      nb1.toSeq.toDF("vec_id", "embedding"), 1L)
+    assert(graft.sources.Tables.embeddings(spark, dir).count() === n,
+      "full replay double-landed the batch")
+    assert(Seq("ivf", "pq").map(st.head) === heads1,
+      "full replay moved a chain head")
+  }
 }
