@@ -231,7 +231,7 @@ object Stress {
       "join_view_delta_refresh",
       // round-15 additions
       "stream_vec_refresh_tick", "ann_ivf_tuning_curve",
-      "index_compaction_plan")
+      "ann_pq_tuning_curve", "index_compaction_plan")
     val results = queries.map { name =>
       val (sec, rows, sb) =
         measure(name)(SparkEntry.queries(name)(spark, dir).count())

@@ -1110,18 +1110,21 @@ object Dedup {
     * `sigIndexCompact` / the lexical merge refresh) — MaterializeSpec
     * pins that compacting flips the planner's decision back to keep.
     *
-    * Chains audited = the five standard append-cycle scratches (ivf,
-    * lex, minhash, pq, simhash — shared build-once state with their
-    * `*_append_refresh` queries, so the planner audits the very chains
-    * those queries serve). ✅SQL: provenance is exact by construction
-    * (admission replays it every append), so the oracle recomputes
-    * each chain's counts straight from the corpus cut replays. */
+    * Chains audited = the six standard append-cycle scratches
+    * (features, ivf, lex, minhash, pq, simhash — shared build-once
+    * state with their `*_append_refresh` queries, so the planner
+    * audits the very chains those queries serve). ✅SQL: provenance
+    * is exact by construction (admission replays it every append), so
+    * the oracle recomputes each chain's counts straight from the
+    * corpus cut replays (id midpoints for doc/vector families, the
+    * day midpoint for the feature store). */
   def indexCompactionPlan(s: SparkSession, d: String): DataFrame = {
     val maxGen =
       s.conf.getOption("graft.chain.maxGenerations").fold(4L)(_.toLong)
     val maxPpm =
       s.conf.getOption("graft.chain.maxAppendedPpm").fold(750000L)(_.toLong)
     val chains: Seq[(String, String)] = Seq(
+      "features" -> Training.featAppendPath(s, d),
       "ivf" -> Similarity.vecScratch(s, d, "ivf-chain" + hashModeTag,
         graft.ops.Materialize.ivfIndexOf,
         graft.ops.Materialize.ivfIndexAppend),
@@ -1151,10 +1154,11 @@ object Dedup {
       val gens = graft.ops.Materialize.genChain(s, head, tag)
       def sliceN(p: String): Long = {
         val props = graft.ops.ArtifactTag.readProps(s, p)
-        props.get("n_docs").orElse(props.get("n_vecs")).getOrElse(
-          throw new IllegalArgumentException(
-            s"artifact at $p carries no slice-count provenance — " +
-              "rebuild it with the Materialize writer")).toLong
+        props.get("n_docs").orElse(props.get("n_vecs"))
+          .orElse(props.get("n_events")).getOrElse(
+            throw new IllegalArgumentException(
+              s"artifact at $p carries no slice-count provenance — " +
+                "rebuild it with the Materialize writer")).toLong
       }
       val total = sliceN(gens.head) // head carries the cumulative count
       val base = sliceN(gens.last) // genChain walks head → base
@@ -3086,7 +3090,9 @@ object Dedup {
     * cuts — doc-side families (lex/minhash/simhash) collapse to one
     * generation when the base slice is empty (the `sigScratch` /
     * `lexScratch` rule), the vector families always build base +
-    * append (`vecScratch`). */
+    * append (`vecScratch`), and the feature chain collapses only on
+    * an EMPTY events table (`featScratch`'s cold-start fallback — a
+    * non-empty table always has a non-empty ≤-midpoint-day half). */
   private def sqlIndexCompactionPlan: String = {
     val maxGen = chainKnob("graft.chain.maxGenerations", 4L)
     val maxPpm = chainKnob("graft.chain.maxAppendedPpm", 750000L)
@@ -3101,9 +3107,19 @@ object Dedup {
        |      (SELECT (min(vec_id) + max(vec_id)) // 2
        |       FROM embeddings)))::BIGINT AS below
        |  FROM embeddings),
+       |ed AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+       |estat AS (
+       |  SELECT count(*)::BIGINT AS total,
+       |    (count(*) FILTER (WHERE day <=
+       |      (SELECT (min(day) + max(day)) // 2 FROM ed)))::BIGINT
+       |      AS below
+       |  FROM ed),
        |fam AS (
-       |  SELECT 'ivf' AS family, 2::INT AS n_generations,
-       |    below AS rows_base, total AS rows_total FROM vstat
+       |  SELECT 'features' AS family,
+       |    CASE WHEN total = 0 THEN 1 ELSE 2 END AS n_generations,
+       |    CASE WHEN total = 0 THEN total ELSE below END AS rows_base,
+       |    total AS rows_total FROM estat
+       |  UNION ALL SELECT 'ivf', 2, below, total FROM vstat
        |  UNION ALL SELECT 'lex',
        |    CASE WHEN below = 0 THEN 1 ELSE 2 END,
        |    CASE WHEN below = 0 THEN total ELSE below END, total

@@ -798,7 +798,16 @@ object Training {
     * midpoint day ≥ the min day). */
   private def featScratch(s: SparkSession, d: String, kind: String,
       refresh: (SparkSession, String, String, String) => Unit)
-      : DataFrame = {
+      : DataFrame =
+    pitJoinExamples(s, d,
+      pitSnapshots(s, featScratchPath(s, d, kind, refresh)))
+
+  /** The scratch builder itself, returning the refreshed head path —
+    * split out so the chain-health planner can audit the
+    * `featappend` chain without computing the training join. */
+  private def featScratchPath(s: SparkSession, d: String, kind: String,
+      refresh: (SparkSession, String, String, String) => Unit)
+      : String = {
     val root = graft.ops.BuildOnce.scratchPath(kind, d)
     graft.ops.BuildOnce.ensure(root, d) {
       val ev = pitEvents(s, d)
@@ -812,8 +821,16 @@ object Training {
         refresh(s, d, s"$root/old", s"$root/new")
       }
     }
-    pitJoinExamples(s, d, pitSnapshots(s, s"$root/new"))
+    s"$root/new"
   }
+
+  /** The generational feature-store chain head behind
+    * `feature_pit_append_refresh` — the [[graft.operators.Retrieval]]
+    * `lexAppendPath` shape on the feature side, exposed for the
+    * chain-health planner. */
+  private[graft] def featAppendPath(s: SparkSession, d: String): String =
+    featScratchPath(s, d, "featappend",
+      graft.ops.Materialize.featureStoreAppend)
 
   /** The PIT training join off a GENERATIONAL (append-mode) refresh —
     * [[featurePitDeltaRefresh]]'s LSM endpoint ([[graft.ops
