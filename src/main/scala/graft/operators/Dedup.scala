@@ -3075,7 +3075,12 @@ object Dedup {
   private def chainKnob(key: String, default: Long): Long = {
     val sessions = (SparkSession.getActiveSession.toSeq ++
       SparkSession.getDefaultSession).distinct
-    val vals = sessions.flatMap(_.conf.getOption(key)).map(_.toLong)
+    // fold the default PER SESSION (the oracleKnob rule): a session
+    // that left the conf unset resolves to the default its Spark plan
+    // will use, so a set-vs-default split across live sessions is an
+    // ambiguity too, not a silent pick of the set value
+    val vals = sessions
+      .map(_.conf.getOption(key).map(_.toLong).getOrElse(default))
       .distinct
     require(vals.size <= 1,
       s"$key is ambiguous at oracle-dump time: " +

@@ -1110,14 +1110,22 @@ object Similarity {
     * [[annIvfPqFromIndex]]. */
   private def ivfPrunedCells(s: SparkSession, d: String)
       : (String, Seq[Int]) = {
-    // mode-tagged path (the Dedup.hashModeTag rule): md5-mode seeds
-    // differ from the xxhash64 scale default, so the two modes must
-    // never share one cached artifact within a JVM
+    val path = ivfIndexPath(s, d)
+    (path, probeCellIds(s, d, path))
+  }
+
+  /** Ensure the materialized IVF index exists (build-once per
+    * JVM+corpus) and return its path — shared by the serving probes
+    * and the tuning curve. Mode-tagged path (the Dedup.hashModeTag
+    * rule): md5-mode seeds differ from the xxhash64 scale default, so
+    * the two modes must never share one cached artifact within a
+    * JVM. */
+  private def ivfIndexPath(s: SparkSession, d: String): String = {
     val path = graft.ops.BuildOnce.scratchPath("ivf" + Dedup.hashModeTag, d)
     graft.ops.BuildOnce.ensure(path, d) {
       graft.ops.Materialize.ivfIndex(s, d, path)
     }
-    (path, probeCellIds(s, d, path))
+    path
   }
 
   /** The same sequential cosine fold as the native expression, on
@@ -1132,22 +1140,33 @@ object Similarity {
     dot / math.sqrt(aa * bb)
   }
 
-  /** Rank the index's centroid metadata (≤ 256 rows — the disclosed
-    * collect exception) against the standard probe and return the
-    * `nprobe` nearest cell ids; shared by every IVF serving path. */
-  private def probeCellIds(s: SparkSession, d: String,
+  /** ALL the index's cell ids ranked against the standard probe —
+    * ONE definition of cell choice (driver-side [[cosSeq]] over the
+    * ≤ 256-row centroid metadata, the disclosed collect exception;
+    * cos desc, smaller cid on ties) shared by every IVF serving path
+    * AND the tuning curve, so a determinism change to the ranking can
+    * never leave the measured curve ranking cells differently from
+    * the probes it measures. */
+  private def rankedCellIds(s: SparkSession, d: String,
       path: String): Seq[Int] = {
     val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
       .orderBy("vec_id").limit(1).head()
     val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
-    val cents = s.read.parquet(s"$path/centroids")
+    s.read.parquet(s"$path/centroids")
       .collect() // C ≤ 256 rows: bounded quantizer metadata
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val nprobe = math.max(2, cents.length / 4)
-    cents
       .map { case (cid, cv) => (cosSeq(cv, qEmb), cid) }
       .sortBy { case (qc, cid) => (-qc, cid) }
-      .take(nprobe).map(_._2).toSeq
+      .map(_._2).toSeq
+  }
+
+  /** The `nprobe = max(2, C/4)` operating-point prefix of
+    * [[rankedCellIds]] — the default every IVF serve probes (and the
+    * row `ann_ivf_tuning_curve` measures against its neighbors). */
+  private def probeCellIds(s: SparkSession, d: String,
+      path: String): Seq[Int] = {
+    val ranked = rankedCellIds(s, d, path)
+    ranked.take(math.max(2, ranked.length / 4))
   }
 
   /** The exact-cosine probe tail over a pruned (vec_id, embedding,
@@ -1184,6 +1203,18 @@ object Similarity {
       require(!bounds.isNullAt(0),
         s"vector append-refresh needs a non-empty embeddings table in $d")
       val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      // degenerate-base guard: min == midpoint (a single vector, or
+      // two consecutive ids) leaves the g0 slice EMPTY — a quantizer
+      // fit over zero vectors has no append cycle to demonstrate, and
+      // unlike the signature families (whose oracles are cut-free, so
+      // a full-build collapse stays row-identical) the vec oracles
+      // replay the base-slice fit, so a collapse would diverge.
+      // Refuse with the real reason instead of failing deep inside
+      // the append admission's max_vec_id check.
+      require(cut > bounds.getLong(0),
+        s"vector append-refresh needs a non-empty base half in $d " +
+          "(at least two non-consecutive vec_ids); a degenerate " +
+          "corpus has no append cycle to demonstrate")
       full(s, vecs.filter(col("vec_id") < cut), s"$root/g0", d)
       append(s, d, s"$root/g0", s"$root/new")
     }
@@ -1272,20 +1303,8 @@ object Similarity {
     * candidate sets and recalls in one CTE chain. */
   def annIvfTuningCurve(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val path = graft.ops.BuildOnce.scratchPath("ivf" + Dedup.hashModeTag, d)
-    graft.ops.BuildOnce.ensure(path, d) {
-      graft.ops.Materialize.ivfIndex(s, d, path)
-    }
-    val qRow = Tables.embeddings(s, d).select("vec_id", "embedding")
-      .orderBy("vec_id").limit(1).head()
-    val qEmb = qRow.getSeq[Float](1).map(_.toDouble).toArray
-    val cents = s.read.parquet(s"$path/centroids")
-      .collect() // C ≤ 256 rows: bounded quantizer metadata
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val ranked = cents
-      .map { case (cid, cv) => (cosSeq(cv, qEmb), cid) }
-      .sortBy { case (qc, cid) => (-qc, cid) }
-      .map(_._2)
+    val path = ivfIndexPath(s, d)
+    val ranked = rankedCellIds(s, d, path)
     val c = ranked.length
     val nps = Seq(1, 2, 4, math.max(2, c / 4), c)
       .map(np => math.min(math.max(np, 1), c)).distinct.sorted
@@ -2014,12 +2033,14 @@ object Similarity {
        |    AS pip
        |  FROM qs JOIN cb2 ON qs.sub = cb2.sub)""".stripMargin
 
-  /** The ADC scoring + top-10 tail (mirror of [[pqScores]]∘[[pqProbe]]):
-    * `candJoin` optionally restricts the scored set (the IVF-PQ cell
-    * pruning); the partial-IP fold runs in sub order —
-    * `list_sum(list(pip ORDER BY sub))` ≡ the Spark sorted-struct
-    * sequential fold. */
-  private def sqlAdcTail(candJoin: String): String =
+  /** The ADC scoring CTE (mirror of [[pqScores]]) — ONE definition of
+    * the fixed-sub-order fold (`list_sum(list(pip ORDER BY sub))` ≡
+    * the Spark sorted-struct sequential fold, the round-14
+    * determinism fix) shared by the top-k tail, the rerank, and the
+    * tuning curve, so the fold text cannot drift between the pq
+    * oracles. `candJoin` optionally restricts the scored set (the
+    * IVF-PQ cell pruning). */
+  private def sqlAdcCte(candJoin: String): String =
     s"""adc AS (
        |  SELECT c.vec_id,
        |    round(list_sum(list(l.pip ORDER BY l.sub)), 4) + 0.0
@@ -2027,7 +2048,12 @@ object Similarity {
        |  FROM codes c $candJoin
        |    JOIN lut l ON c.sub = l.sub AND c.code = l.cid, q
        |  WHERE c.vec_id <> q.q_id
-       |  GROUP BY c.vec_id)
+       |  GROUP BY c.vec_id)""".stripMargin
+
+  /** The ADC scoring + top-10 tail (mirror of
+    * [[pqScores]]∘[[pqProbe]]). */
+  private def sqlAdcTail(candJoin: String): String =
+    s"""${sqlAdcCte(candJoin)}
        |SELECT vec_id, approx_ip FROM adc
        |ORDER BY approx_ip DESC, vec_id LIMIT 10""".stripMargin
 
@@ -2175,14 +2201,7 @@ object Similarity {
   private def sqlPqTuningCurve: String =
     s"""WITH $sqlEmbPrefix,
        |$sqlPqBlock,
-       |adc AS (
-       |  SELECT c.vec_id,
-       |    round(list_sum(list(l.pip ORDER BY l.sub)), 4) + 0.0
-       |      AS approx_ip
-       |  FROM codes c
-       |    JOIN lut l ON c.sub = l.sub AND c.code = l.cid, q
-       |  WHERE c.vec_id <> q.q_id
-       |  GROUP BY c.vec_id),
+       |${sqlAdcCte("")},
        |adcr AS (
        |  SELECT vec_id, row_number() OVER (
        |    ORDER BY approx_ip DESC, vec_id) AS ar
@@ -2231,14 +2250,7 @@ object Similarity {
   private def sqlPqRerank: String =
     s"""WITH $sqlEmbPrefix,
        |$sqlPqBlock,
-       |adc AS (
-       |  SELECT c.vec_id,
-       |    round(list_sum(list(l.pip ORDER BY l.sub)), 4) + 0.0
-       |      AS approx_ip
-       |  FROM codes c
-       |    JOIN lut l ON c.sub = l.sub AND c.code = l.cid, q
-       |  WHERE c.vec_id <> q.q_id
-       |  GROUP BY c.vec_id),
+       |${sqlAdcCte("")},
        |short AS (SELECT vec_id FROM adc
        |          ORDER BY approx_ip DESC, vec_id LIMIT 100)
        |SELECT e.vec_id,

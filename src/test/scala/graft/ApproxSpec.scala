@@ -549,6 +549,36 @@ class ApproxSpec extends SparkSpec {
       s"mean deviation ${devs.sum / devs.length}")
   }
 
+  test("tuning curves are semantically coherent: recall monotone " +
+      "non-decreasing in probe width / rerank depth, the all-cells " +
+      "IVF probe is perfect, candidates widen with nprobe") {
+    import graft.operators.Similarity
+    // IVF: widening the probe can only ADD candidates, so recall@10
+    // and the candidate count are monotone; nprobe = C scans every
+    // cell, which IS the brute force — recall must be exactly 10⁶ ppm
+    val ivf = Similarity.annIvfTuningCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(ivf.map(_._1).toSeq === ivf.map(_._1).sorted.toSeq)
+    assert(ivf.sliding(2).forall {
+      case Array((_, c1, r1), (_, c2, r2)) => c1 <= c2 && r1 <= r2
+      case _ => true
+    }, s"IVF curve not monotone: ${ivf.toSeq}")
+    assert(ivf.last._3 === 1000000L,
+      s"all-cells probe must have perfect recall: ${ivf.toSeq}")
+    // PQ: a deeper shortlist is a superset, so exact rerank over it
+    // can only improve recall
+    val pq = Similarity.annPqTuningCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(pq.map(_._1).toSeq === Seq(10, 25, 50, 100, 200))
+    assert(pq.sliding(2).forall {
+      case Array((_, r1), (_, r2)) => r1 <= r2
+      case _ => true
+    }, s"PQ curve not monotone: ${pq.toSeq}")
+    // rerank-at-10 can at best return the ADC top-10 set itself; the
+    // curve's floor is ≥ the raw-ADC agreement, its ceiling 10⁶
+    assert(pq.forall { case (_, r) => r >= 0L && r <= 1000000L })
+  }
+
   test("IVF ANN: valid scores, deterministic, useful recall vs brute force") {
     import graft.operators.Similarity
     val exact = Similarity.annBruteforce(spark, sf0001).collect()
