@@ -206,6 +206,12 @@ object Pipelines {
     }
   }
 
+  /** Test hook: a bare RefreshState for unit-testing the landing
+    * primitive without a full artifact init (no g0 builds, no conf
+    * flips — [[landIdempotent]] touches only dir/root/session). */
+  private[graft] def refreshStateForTest(s: SparkSession, dir: String,
+      root: String): RefreshState = new RefreshState(s, dir, root)
+
   /** Families the doc-side [[docRefreshTick]] maintains: name →
     * (append writer, the serving conf its head pointer flips). The
     * conf mapping is the existing serving surface: `graft.lex
@@ -261,14 +267,16 @@ object Pipelines {
     * IDEMPOTENT under foreachBatch's AT-LEAST-ONCE replay (round-14
     * advisor fix — the previous body landed a replayed batch twice):
     *  - the LANDING is guarded by a batchId-keyed marker
-    *    (`root`/landed-b⟨id⟩, written right after the append) plus a
-    *    frontier filter dropping ids ≤ the head's committed
-    *    max_doc_id, so a replay after a completed tick appends
-    *    nothing. Residual window: a crash EXACTLY between the append
-    *    finishing and the marker write still double-lands that one
-    *    batch on replay — raw parquet has no atomic append+marker; a
-    *    transactional table format closes it in production
-    *    (StreamingSpec pins the marker/frontier paths).
+    *    (`root`/landed-b⟨id⟩) plus a frontier filter dropping ids ≤
+    *    the head's committed max_doc_id, AND — since round 15 — the
+    *    landing itself is [[landIdempotent]]: one staged part,
+    *    atomically renamed to a batchId-deterministic file, so even
+    *    a crash exactly between the landing and the marker write (the
+    *    round-14 disclosed residual window) cannot double-land — the
+    *    replay finds the target file and skips. The atomicity unit is
+    *    one file per ingest batch; a transactional table format lifts
+    *    that to multi-file commits in production (StreamingSpec pins
+    *    the marker/frontier/relanding paths).
     *  - each GENERATION is batchId-keyed: a `next` path already
     *    carrying its provenance sidecar is a COMMITTED previous
     *    attempt of this very tick — adopt it (flip) instead of
@@ -286,8 +294,8 @@ object Pipelines {
         }.max
         val fresh = rows.filter(col("doc_id") > frontier)
         if (!fresh.isEmpty) {
-          fresh.write.mode("append")
-            .parquet(s"${st.dir}/documents.parquet")
+          landIdempotent(st, fresh, "documents.parquet",
+            s"ingest-b$batchId.parquet")
         }
         writeMarker(st, s"landed-b$batchId")
       }
@@ -313,6 +321,36 @@ object Pipelines {
       append(st.s, st.dir, st.head(family), next)
     }
     st.flip(family, next, conf)
+  }
+
+  /** Land one ingest batch in the table of record IDEMPOTENTLY
+    * (round 15 — closes the round-14 disclosed append↔marker crash
+    * window): the batch stages as ONE parquet part under the chain
+    * root, then a single ATOMIC rename moves it into the table
+    * directory under a batchId-DETERMINISTIC name — so a replay of
+    * any crash point either re-stages and renames (nothing landed
+    * yet) or finds the target present and skips (landed). No crash
+    * point can double-land: the rename is the commit. One file per
+    * ingest batch is the atomicity unit this buys (the
+    * `writeFeedFile` coalesce rationale — an ingest micro-batch is
+    * one file); a transactional table format lifts that to
+    * multi-file commits in production. */
+  private[graft] def landIdempotent(st: RefreshState, rows: DataFrame,
+      table: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(s"${st.dir}/$table", name)
+    val fs = target.getFileSystem(st.s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      val tmp = new Path(st.root, s"_land-$name")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // torn previous staging
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-")
+          && p.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one part file in $tmp")
+      require(fs.rename(part.head, target), s"rename to $target failed")
+      fs.delete(tmp, true)
+    }
   }
 
   private def markerExists(st: RefreshState, name: String): Boolean = {
@@ -347,15 +385,17 @@ object Pipelines {
     * admission: their day's snapshots would silently understate.
     *
     * Idempotent under replay like [[docRefreshTick]]: the landing is
-    * marker-guarded (events carry no monotone id, so the marker is
-    * the only landing guard — same disclosed append↔marker window),
-    * and the batchId-keyed generation adopts a committed previous
-    * attempt / sweeps a torn one. */
+    * [[landIdempotent]] (atomic rename to a batchId-deterministic
+    * file — load-bearing here, since events carry no monotone id for
+    * a frontier filter; the marker is the cheap fast path), and the
+    * batchId-keyed generation adopts a committed previous attempt /
+    * sweeps a torn one. */
   def eventRefreshTick(st: RefreshState)(
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       if (!markerExists(st, s"landed-ev-b$batchId")) {
-        batch.write.mode("append").parquet(s"${st.dir}/events.parquet")
+        landIdempotent(st, batch, "events.parquet",
+          s"ingest-ev-b$batchId.parquet")
         writeMarker(st, s"landed-ev-b$batchId")
       }
       appendIdempotent(st, "features",
@@ -406,10 +446,9 @@ object Pipelines {
     * the writers' admission). An empty tick is a no-op.
     *
     * Idempotent under foreachBatch's at-least-once replay exactly as
-    * [[docRefreshTick]]: marker-guarded landing + max_vec_id frontier
-    * filter; batchId-keyed generations adopt a committed previous
-    * attempt and sweep a torn one (same disclosed append↔marker
-    * crash window). */
+    * [[docRefreshTick]]: [[landIdempotent]] atomic-rename landing +
+    * marker + max_vec_id frontier filter; batchId-keyed generations
+    * adopt a committed previous attempt and sweep a torn one. */
   def vecRefreshTick(st: RefreshState)(
       batch: DataFrame, batchId: Long): Unit = {
     val rows = batch.select(col("vec_id"), col("embedding"))
@@ -421,8 +460,8 @@ object Pipelines {
         }.max
         val fresh = rows.filter(col("vec_id") > frontier)
         if (!fresh.isEmpty) {
-          fresh.write.mode("append")
-            .parquet(s"${st.dir}/embeddings.parquet")
+          landIdempotent(st, fresh, "embeddings.parquet",
+            s"ingest-vec-b$batchId.parquet")
         }
         writeMarker(st, s"landed-vec-b$batchId")
       }

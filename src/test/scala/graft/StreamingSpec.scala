@@ -971,6 +971,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tick landing is atomic-rename idempotent: re-landing the same " +
+      "batchId without a marker is a no-op (the round-14 disclosed " +
+      "append↔marker window, now closed), torn staging sweeps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-land").toString
+    Seq(1L -> "a").toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val st = Pipelines.refreshStateForTest(spark, dir, s"$dir/chain")
+    val batch = Seq(2L -> "b", 3L -> "c").toDF("doc_id", "text")
+    Pipelines.landIdempotent(st, batch, "documents.parquet",
+      "ingest-b0.parquet")
+    def n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(n === 3)
+    // the previously-fatal window: landing done, crash BEFORE the
+    // marker write, replay re-runs the landing with NO marker and NO
+    // committed generation to frontier-filter on — the deterministic
+    // target name alone must make it a no-op
+    Pipelines.landIdempotent(st, batch, "documents.parquet",
+      "ingest-b0.parquet")
+    assert(n === 3, "marker-less re-landing double-landed the batch")
+    // a torn staging directory from a crashed attempt sweeps and the
+    // landing completes
+    val torn = new java.io.File(s"$dir/chain/_land-ingest-b1.parquet")
+    torn.mkdirs()
+    new java.io.File(torn, "junk").createNewFile()
+    Pipelines.landIdempotent(st, Seq(4L -> "d").toDF("doc_id", "text"),
+      "documents.parquet", "ingest-b1.parquet")
+    assert(n === 4, "torn staging blocked the landing")
+    assert(!new java.io.File(torn, "junk").exists(),
+      "torn staging leftover survived")
+  }
+
   test("vec refresh tick: stream-refreshed IVF/PQ chains ≡ the batch " +
       "one-append chains (frozen assignment is per-vector, so tick " +
       "count cannot change content); full replay no-ops") {
