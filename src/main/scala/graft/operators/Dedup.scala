@@ -605,8 +605,8 @@ object Dedup {
   private[graft] def semanticStage(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    val e = graft.ops.Spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb")))
       .localCheckpoint() // seeds + every Lloyd pass + both pair sides
     val n = e.count()
     val assigned = Similarity.kmeansCells(e, semanticCells(s, n))
@@ -664,9 +664,10 @@ object Dedup {
       corpus: DataFrame): DataFrame = {
     val s = newBatch.sparkSession
     GraftFunctions.register(s)
-    val tagged = corpus.select(col("vec_id"), col("emb"), lit(0).as("is_new"))
-      .unionAll(newBatch.select(col("vec_id"), col("emb"),
-        lit(1).as("is_new")))
+    val tagged = graft.ops.Spread(
+        corpus.select(col("vec_id"), col("emb"), lit(0).as("is_new"))
+          .unionAll(newBatch.select(col("vec_id"), col("emb"),
+            lit(1).as("is_new"))))
       .localCheckpoint() // consumed by the fit (base slice) + 2 pair sides
     val base = tagged.filter(col("is_new") === 0).select("vec_id", "emb")
     val cents = Similarity.kmeansFit(base, semanticCells(s, base.count()))
@@ -2784,7 +2785,10 @@ object Dedup {
         s"(O(n²) cartesian): corpus has $n rows > " +
         s"graft.bruteforce.maxRows=$maxRows. Use dedup_embedding_lsh " +
         "(the bucketed scale path), or raise the bound deliberately.")
-    e.toDF("a_id", "a_emb").join(e.toDF("b_id", "b_emb"),
+    // spread the STREAMED side: the nested-loop baseline's parallelism
+    // is its left input's partition count ([[graft.ops.Spread]])
+    val es = graft.ops.Spread(e)
+    es.toDF("a_id", "a_emb").join(e.toDF("b_id", "b_emb"),
         col("a_id") < col("b_id"))
       .withColumn("cos", call_function(GraftFunctions.CosineName,
         col("a_emb"), col("b_emb")))

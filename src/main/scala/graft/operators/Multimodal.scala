@@ -65,7 +65,10 @@ object Multimodal {
       transform(sequence(lit(0), (length(hx) / 2).cast("int") - 1),
         i => hexByte(hx, i).cast("long"))
     }
-    val c = Tables.documents(s, d)
+    // spread before the per-byte explode: decode cost ∝ payload bytes,
+    // and a single-file scan root would serialize the whole corpus's
+    // byte arithmetic onto one task ([[graft.ops.Spread]])
+    val c = graft.ops.Spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(bytesArr).as("b"))
       .groupBy("doc_id", "b")
       .agg(count(lit(1)).cast("double").as("c"))
@@ -144,7 +147,7 @@ object Multimodal {
   private[graft] def phashBandStage(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val maxDf = s.conf.getOption("graft.phash.maxBandDf").fold(100)(_.toInt)
-    val sigs = Tables.documents(s, d)
+    val sigs = graft.ops.Spread(Tables.documents(s, d))
       .withColumn("payload", payloadCol)
       .select(col("doc_id"),
         hex(col("payload")).as("hx0"),

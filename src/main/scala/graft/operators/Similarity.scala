@@ -90,7 +90,8 @@ object Similarity {
   def clusterDbscan(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val maxIters = s.conf.getOption("graft.cc.maxIters").fold(50)(_.toInt)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val e = graft.ops.Spread(
+      Tables.embeddings(s, d).select("vec_id", "embedding"))
     // reused by degree, core-edge, and border stages — materialize once
     val pairs = dbscanPairs(s, e).localCheckpoint()
     val core = pairs
@@ -178,9 +179,9 @@ object Similarity {
     * exception). */
   private[graft] def gramMatrix(s: SparkSession, d: String)
       : (Array[Array[Double]], Long) = {
-    val e = Tables.embeddings(s, d)
-      .select(transform(Fns.asDouble(col("embedding")),
-        v => floor(v * 1e6).cast("long")).as("ve"))
+    val e = graft.ops.Spread(Tables.embeddings(s, d)
+        .select(transform(Fns.asDouble(col("embedding")),
+          v => floor(v * 1e6).cast("long")).as("ve")))
       .localCheckpoint() // pass 1 (mean) + pass 2 (gram)
     val meanRows = e
       .select(posexplode(col("ve")).as(Seq("pos", "v")))
@@ -850,7 +851,7 @@ object Similarity {
     * vector, ONE definition for the codebook build and the
     * frozen-codebook batch encode. */
   private def pqSub(vecs: DataFrame): DataFrame =
-    vecs
+    graft.ops.Spread(vecs)
       .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("emb"))
@@ -928,8 +929,8 @@ object Similarity {
     * all, k rows flow as a broadcast frame. */
   def clusterKmeans(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb"))
+    val e = graft.ops.Spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), Fns.asDouble(col("embedding")).as("emb")))
       .localCheckpoint() // consumed by seeding + every Lloyd pass
     kmeansCells(e, 8).orderBy("vec_id")
   }
@@ -1446,8 +1447,11 @@ object Similarity {
   private[graft] def ivfBuildOf(s: SparkSession, vecs: DataFrame)
       : (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
-    val e = vecs.select("vec_id", "embedding")
-      .localCheckpoint() // consumed by seeding + every Lloyd pass
+    val e = graft.ops.Spread(vecs.select("vec_id", "embedding"))
+      .localCheckpoint() // consumed by seeding + every Lloyd pass;
+    // spread first: each Lloyd assign scores n×C cosine rows map-side
+    // off this frame, and a single-file scan root would run that whole
+    // arithmetic on one task ([[graft.ops.Spread]])
     val n = e.count()
     val c = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble))))
       .toInt
